@@ -1,0 +1,115 @@
+package graft.walrus
+
+import graft.filters.FilterCompiler
+import graft.model.{Subscription, Filter}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The core CDC query: for each change row, compute the set of subscription
+  * ids whose (entity, action, filters) match — the reference's `apply_rls`
+  * (/root/reference/lib/realtime/tenants/repo/migrations/
+  * 20260626120000_readd_postgrest_filter_ops.ex:307-667) re-thought for Spark.
+  *
+  * Scale design (the N-subs × M-changes fan-out, SURVEY §7.4):
+  *  - Subscriptions are a *small, slowly-changing* dimension (thousands);
+  *    changes are the big side (unbounded stream / 100 TB batch). We therefore
+  *    never shuffle the change stream: subscriptions are grouped **driver-side**
+  *    by identical `(schema, table, action, canonical filters)` — the canonical
+  *    sort makes filter lists a value key (reference trigger :289-299) — and
+  *    each distinct group compiles to ONE Catalyst predicate. Matching becomes
+  *    a single narrow projection:
+  *       subscription_ids = flatten(filter([when(p₁, ids₁), …, when(pₙ, idsₙ)]))
+  *    evaluated in one whole-stage-codegen pass over the scan, no join, no
+  *    shuffle, no per-row interpretation. This is the Spark analog of the
+  *    reference's per-role / per-column-set work sharing (O3/O4) and its
+  *    "validate at subscribe time, never per row" rule (O14).
+  *  - Action pre-filter (O1) is folded into each group's predicate as a
+  *    constant-foldable conjunct on the change-type column.
+  *  - At 1000 executors this scales linearly in changes: each task evaluates
+  *    the compiled predicate battery over its partition; the subscription
+  *    "join" costs zero network. Degenerate case (≫10⁴ distinct filter groups)
+  *    would switch to [[matchSubscriptionsGeneric]] (broadcast join + runtime
+  *    eval) — same results, explicit broadcast, still no shuffle of the stream.
+  */
+object Walrus {
+
+  /** Name of the change-type metadata column ("INSERT"/"UPDATE"/"DELETE"). */
+  val TypeCol = "change_type"
+
+  /** Compiled-predicate match: adds `subscription_ids: array<string>` (sorted,
+    * possibly empty) to `changes`. `schema` is the data schema of the table
+    * the changes belong to (filters compile against it, fail-closed). */
+  def matchSubscriptions(
+      changes: DataFrame,
+      subs: Seq[Subscription],
+      schema: StructType,
+      table: String = "",
+      schemaName: String = "public"): DataFrame = {
+    val relevant = subs.filter(s =>
+      (s.table == "*" || s.table == table || table.isEmpty) &&
+      (s.schema == "*" || s.schema == schemaName))
+    val groups = relevant
+      .map(_.canonical)
+      .groupBy(s => (s.actionFilter, s.filters))
+      .toSeq
+      .sortBy(_._1.toString)
+    val hasType = changes.columns.contains(TypeCol)
+    val armed: Seq[Column] = groups.map { case ((action, filters), ss) =>
+      val pred0 = FilterCompiler.compileAll(filters, schema)
+      val pred =
+        if (action == "*" || !hasType) pred0
+        else col(TypeCol) === lit(action) && pred0
+      val ids = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
+      when(pred, ids)
+    }
+    val idsCol =
+      if (armed.isEmpty) array().cast(ArrayType(StringType))
+      else array_sort(flatten(filter(array(armed: _*), a => a.isNotNull)))
+    changes.withColumn("subscription_ids", idsCol)
+  }
+
+  /** Match + drop changes nobody subscribed to (the common stream shape). */
+  def matchedOnly(
+      changes: DataFrame,
+      subs: Seq[Subscription],
+      schema: StructType,
+      table: String = "",
+      schemaName: String = "public"): DataFrame =
+    matchSubscriptions(changes, subs, schema, table, schemaName)
+      .where(size(col("subscription_ids")) > 0)
+
+  /** Column projection (P6): output columns = selectedColumns ∪ pk (pk always
+    * kept; empty selection = all columns). Resolved at compile time — the
+    * projection is a plain struct build, codegen'd, column-pruned at the scan.
+    */
+  def projectRecord(
+      dataCols: Seq[String],
+      selected: Seq[String],
+      pk: Seq[String]): Seq[String] = {
+    if (selected.isEmpty) dataCols
+    else dataCols.filter(c => selected.contains(c) || pk.contains(c))
+  }
+
+  /** Build the client-facing record JSON for a change row (encode-once, O6:
+    * serialize before any fan-out/explode). */
+  def recordJson(dataCols: Seq[String]): Column =
+    to_json(struct(dataCols.map(col): _*))
+
+  /** Oversize guard (P7): when the serialized record exceeds `maxBytes`,
+    * replace values longer than 64 bytes with NULL and attach a 413 error —
+    * errors are in-band data, not exceptions (reference :354,654-657). */
+  def oversizeGuard(
+      record: Column, maxBytes: Int): (Column, Column) = {
+    val tooLarge = octet_length(record) > maxBytes
+    val errs = when(tooLarge, array(lit("Error 413: Payload Too Large")))
+      .otherwise(lit(null).cast(ArrayType(StringType)))
+    (tooLarge, errs)
+  }
+
+  /** Unchanged-TOAST merge (P8): new value falls back to the old column value
+    * when the new side is null — `map_zip_with(record, old, coalesce)`
+    * (reference :588-599). Works on map<string,string> shaped records. */
+  def toastMerge(record: Column, oldRecord: Column): Column =
+    map_zip_with(record, oldRecord, (_, n, o) => coalesce(n, o))
+}

@@ -1,0 +1,72 @@
+package graft.walrus
+
+import graft.SparkSpec
+import graft.filters.FilterParser
+import graft.model.Subscription
+import org.apache.spark.sql.functions._
+
+/** J1 matcher: action routing, predicate groups, fail-closed, dedup of
+  * identical filter groups. */
+class WalrusSpec extends SparkSpec {
+  import spark.implicits._
+  import WalrusSpec.Change
+
+  lazy val changes = Seq(
+    Change(1, "INSERT", "a", 60.0),
+    Change(2, "INSERT", "b", 40.0),
+    Change(3, "UPDATE", "a", 70.0),
+    Change(4, "DELETE", "a", 80.0)
+  ).toDF()
+
+  private def f(dsl: String) = FilterParser.parse(dsl).toOption.get
+
+  lazy val dataSchema = changes.drop("change_type").schema
+
+  test("action + filters route to the right subscriptions") {
+    val subs = Seq(
+      Subscription("sA", "public", "t", f("value=gt.50,category=eq.a"), actionFilter = "INSERT"),
+      Subscription("sB", "public", "t", f("category=eq.a")),
+      Subscription("sC", "public", "t", Nil, actionFilter = "DELETE"),
+      // identical to sB → must share one compiled predicate group
+      Subscription("sD", "public", "t", f("category=eq.a"))
+    )
+    val out = Walrus.matchSubscriptions(changes, subs, dataSchema, "t")
+      .select($"id", $"subscription_ids")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("sA", "sB", "sD"))
+    assert(out(2) == Seq())
+    assert(out(3) == Seq("sB", "sD"))
+    assert(out(4) == Seq("sB", "sC", "sD"))
+  }
+
+  test("matchedOnly drops unmatched changes") {
+    val subs = Seq(Subscription("s1", "public", "t", f("value=gt.75")))
+    val got = Walrus.matchedOnly(changes, subs, dataSchema, "t")
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(4))
+  }
+
+  test("subscriptions for other tables are ignored") {
+    val subs = Seq(
+      Subscription("s1", "public", "other", f("category=eq.a")),
+      Subscription("s2", "public", "*", Nil))
+    val out = Walrus.matchSubscriptions(changes, subs, dataSchema, "t")
+      .agg(sum(size($"subscription_ids"))).as[Long].head()
+    assert(out == 4) // only wildcard s2 matches every change
+  }
+
+  test("filter naming a missing column fails closed") {
+    val subs = Seq(Subscription("s1", "public", "t", f("nope=eq.1")))
+    val n = Walrus.matchedOnly(changes, subs, dataSchema, "t").count()
+    assert(n == 0)
+  }
+
+  test("projectRecord keeps pk and selection") {
+    assert(Walrus.projectRecord(Seq("id", "a", "b"), Seq("a"), Seq("id")) == Seq("id", "a"))
+    assert(Walrus.projectRecord(Seq("id", "a", "b"), Nil, Seq("id")) == Seq("id", "a", "b"))
+  }
+}
+
+object WalrusSpec {
+  case class Change(id: Int, change_type: String, category: String, value: Double)
+}
