@@ -2,8 +2,11 @@ package graft
 
 import graft.cdc.ChangeFeed
 import graft.filters.{FilterCompiler, FilterParser}
+import graft.messages.Messages
 import graft.model.Subscription
-import graft.walrus.Walrus
+import graft.presence.Presence
+import graft.rates.Rates
+import graft.walrus.{Payload, Walrus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,7 +141,304 @@ object Queries {
       Some(s"SELECT subscription_id, count(*) AS n_changes FROM ($walrusOracle) GROUP BY 1"))
   )
 
-  val all: Seq[Q] = filterOps ++ coreQueries
+  // ---------------------------------------------------------------- messages
+
+  /** Model the message log from the events table (deterministic mapping used
+    * identically by the oracles). */
+  def messagesFromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir).select(
+      col("event_id").as("id"),
+      col("event_type").as("topic"),
+      col("props").as("payload"),
+      (col("user_id") % 2 === 0).as("private"),
+      lit("broadcast").as("extension"),
+      col("ts").as("inserted_at"))
+
+  private val msgsCte =
+    """WITH msgs AS (
+      |  SELECT event_id AS id, event_type AS topic, props AS payload,
+      |         (user_id % 2 = 0) AS private, 'broadcast' AS extension,
+      |         ts AS inserted_at
+      |  FROM events)""".stripMargin
+
+  private val since = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+  private val now = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+
+  private val messageQueries: Seq[Q] = Seq(
+    Q("w1_replay_topk",
+      (s, d) => Messages.replay(messagesFromEvents(s, d), "click", since, now, 25)
+        .select("topic", "id", "inserted_at"),
+      Some(s"""$msgsCte
+        |SELECT topic, id, inserted_at FROM (
+        |  SELECT topic, id, inserted_at,
+        |         row_number() OVER (ORDER BY inserted_at DESC, id DESC) rn
+        |  FROM msgs
+        |  WHERE private AND extension = 'broadcast' AND topic = 'click'
+        |    AND inserted_at >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND inserted_at < TIMESTAMP '2024-01-10 12:01:00')
+        |WHERE rn <= 25""".stripMargin)),
+    Q("w1_replay_per_topic",
+      (s, d) => Messages.replayPerTopic(messagesFromEvents(s, d), since, now, 25)
+        .select("topic", "id", "inserted_at"),
+      Some(s"""$msgsCte
+        |SELECT topic, id, inserted_at FROM (
+        |  SELECT topic, id, inserted_at,
+        |         row_number() OVER (PARTITION BY topic
+        |                            ORDER BY inserted_at DESC, id DESC) rn
+        |  FROM msgs
+        |  WHERE private AND extension = 'broadcast'
+        |    AND inserted_at >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND inserted_at < TIMESTAMP '2024-01-10 12:01:00')
+        |WHERE rn <= 25""".stripMargin)),
+    Q("s4_message_scan",
+      (s, d) => messagesFromEvents(s, d)
+        .where(col("topic") === "error" &&
+          col("inserted_at") >= lit(since) && col("inserted_at") < lit(now))
+        .select("id", "topic", "payload", "inserted_at"),
+      Some(s"""$msgsCte
+        |SELECT id, topic, payload, inserted_at FROM msgs
+        |WHERE topic = 'error'
+        |  AND inserted_at >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND inserted_at < TIMESTAMP '2024-01-10 12:00:00'""".stripMargin)),
+    Q("u3_replay_dedup",
+      (s, d) => {
+        val msgs = messagesFromEvents(s, d)
+        val replayed = Messages.replay(msgs, "click", since, now, 25)
+        val live = msgs.where(col("topic") === "click" &&
+          col("inserted_at") >= lit(since))
+        Messages.dedupAgainstReplayed(live, replayed)
+          .select("id", "topic", "inserted_at")
+      },
+      Some(s"""$msgsCte,
+        |replayed AS (
+        |  SELECT id FROM (
+        |    SELECT id, row_number() OVER (ORDER BY inserted_at DESC, id DESC) rn
+        |    FROM msgs
+        |    WHERE private AND extension = 'broadcast' AND topic = 'click'
+        |      AND inserted_at >= TIMESTAMP '2024-01-05 00:00:00'
+        |      AND inserted_at < TIMESTAMP '2024-01-10 12:01:00')
+        |  WHERE rn <= 25)
+        |SELECT id, topic, inserted_at FROM msgs
+        |WHERE topic = 'click' AND inserted_at >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND id NOT IN (SELECT id FROM replayed)""".stripMargin)),
+    Q("w2_retention",
+      (s, d) => Messages.retained(messagesFromEvents(s, d),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .groupBy("topic").agg(count(lit(1)).as("n_retained")),
+      Some(s"""$msgsCte
+        |SELECT topic, count(*) AS n_retained FROM msgs
+        |WHERE inserted_at >= TIMESTAMP '2024-01-17 00:00:00'
+        |GROUP BY 1""".stripMargin))
+  )
+
+  // ------------------------------------------------------------ aggregations
+
+  private val aggQueries: Seq[Q] = Seq(
+    Q("a1_counter",
+      (s, d) => Rates.counter(ev(s, d), Seq("event_type")),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY 1")),
+    Q("a2_rate_tumbling",
+      (s, d) => Rates.tumbling(ev(s, d), "ts", Seq("event_type"), 60),
+      Some("""SELECT event_type, count(*) AS n,
+        |       (epoch_us(ts)//1000000//60)*60 AS bucket_s
+        |FROM events GROUP BY event_type, bucket_s""".stripMargin)),
+    Q("a2_rate_sliding",
+      (s, d) => Rates.sliding(ev(s, d), "ts", Seq("event_type"), 60, 30),
+      Some("""WITH b AS (
+        |  SELECT event_type, (epoch_us(ts)//1000000//30)*30 AS bucket_s FROM events
+        |  UNION ALL
+        |  SELECT event_type, (epoch_us(ts)//1000000//30)*30 - 30 FROM events)
+        |SELECT event_type, count(*) AS n, bucket_s FROM b GROUP BY event_type, bucket_s""".stripMargin)),
+    Q("a2_rate_limit_trigger",
+      (s, d) => Rates.overLimit(
+        Rates.tumbling(ev(s, d), "ts", Seq("event_type"), 3600), 60),
+      Some("""SELECT * FROM (
+        |  SELECT event_type, count(*) AS n,
+        |         (epoch_us(ts)//1000000//3600)*3600 AS bucket_s
+        |  FROM events GROUP BY event_type, bucket_s)
+        |WHERE n > 60""".stripMargin)),
+    Q("a3_distinct_users",
+      (s, d) => ev(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users")),
+      Some("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1")),
+    Q("a5_agg_shapes",
+      (s, d) => ev(s, d).groupBy("user_id").agg(
+        concat_ws(",", array_sort(collect_list(col("event_type")))).as("types"),
+        bool_or(col("value") > 90).as("any_big"),
+        count(lit(1)).as("n")),
+      Some("""SELECT user_id,
+        |       array_to_string(list_sort(list(event_type)), ',') AS types,
+        |       bool_or(value > 90) AS any_big, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin)),
+    Q("a7_batch_groups",
+      (s, d) => messagesFromEvents(s, d)
+        .groupBy("private", "topic")
+        .agg(count(lit(1)).as("n_msgs"), sum(length(col("payload"))).as("bytes")),
+      Some(s"""$msgsCte
+        |SELECT private, topic, count(*) AS n_msgs, sum(length(payload)) AS bytes
+        |FROM msgs GROUP BY 1, 2""".stripMargin))
+  )
+
+  // ------------------------------------------------------------------- joins
+
+  private val joinQueries: Seq[Q] = Seq(
+    Q("j5_wildcard_catalog",
+      (s, d) => {
+        import s.implicits._
+        val pats = Seq("*", "c%", "error").toDF("pattern")
+        val cat = ev(s, d).select(col("event_type").as("tbl")).distinct()
+        pats.join(cat,
+          expr("tbl LIKE (CASE WHEN pattern = '*' THEN '%' ELSE pattern END)"))
+      },
+      Some("""WITH pats(pattern) AS (VALUES ('*'), ('c%'), ('error')),
+        |cat AS (SELECT DISTINCT event_type AS tbl FROM events)
+        |SELECT pattern, tbl FROM pats JOIN cat
+        |ON tbl LIKE (CASE WHEN pattern = '*' THEN '%' ELSE pattern END)""".stripMargin)),
+    Q("u2_semi_join",
+      (s, d) => ev(s, d).join(
+        ChangeFeed.table(s, d, "customer")
+          .where(col("c_acctbal") > 5000).select(col("c_custkey").as("user_id")),
+        Seq("user_id"), "left_semi"),
+      Some(s"""SELECT $evCols FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin)),
+    Q("j9_rls_probe",
+      (s, d) => {
+        val policy = ChangeFeed.table(s, d, "customer")
+          .where(col("c_acctbal") > 0).select(col("c_custkey").as("user_id"))
+        walrusMatch(s, d)
+          .join(ev(s, d).select("event_id", "user_id"), Seq("event_id"))
+          .join(broadcast(policy), Seq("user_id"), "left_semi")
+          .select("event_id", "subscription_id")
+      },
+      Some(s"""SELECT m.event_id, m.subscription_id FROM ($walrusOracle) m
+        |JOIN events e ON m.event_id = e.event_id
+        |WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin))
+  )
+
+  // --------------------------------------------------- payload shaping (P6-8)
+
+  private val payloadSubs: Seq[Subscription] = Seq(
+    Subscription("sel1", "public", "events",
+      FilterParser.parse("value=gt.50").toOption.get,
+      claimsRole = "authenticated",
+      selectedColumns = Seq("event_type", "user_id")),
+    Subscription("sel2", "public", "events",
+      FilterParser.parse("value=gt.50").toOption.get,
+      claimsRole = "authenticated"),
+    Subscription("sel3", "public", "events",
+      FilterParser.parse("event_type=eq.error").toOption.get,
+      claimsRole = "anon",
+      selectedColumns = Seq("event_type"))
+  )
+
+  private val payloadQueries: Seq[Q] = Seq(
+    Q("p6_column_projection",
+      (s, d) => {
+        val changes = ChangeFeed.fromTable(ev(s, d), "event_id", "ts", "events")
+        val matched = Walrus.matchedOnly(changes, payloadSubs, ev(s, d).schema, "events")
+        Payload.shape(matched, payloadSubs,
+            dataCols = Seq("event_id", "event_type", "user_id", "value"),
+            pk = Seq("event_id"))
+          .select(col("event_id"), col("claims_role"), col("selected_columns"),
+            col("record"), explode(col("subscription_ids")).as("subscription_id"))
+      },
+      Some(s"""$changesCte
+        |SELECT event_id, 'anon' AS claims_role, 'event_type' AS selected_columns,
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS record,
+        |       'sel3' AS subscription_id
+        |FROM changes WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, 'authenticated', '',
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                           user_id := user_id, value := value))::VARCHAR,
+        |       'sel2'
+        |FROM changes WHERE value > 50
+        |UNION ALL
+        |SELECT event_id, 'authenticated', 'event_type,user_id',
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                           user_id := user_id))::VARCHAR,
+        |       'sel1'
+        |FROM changes WHERE value > 50""".stripMargin)),
+    Q("p7_oversize_guard",
+      (s, d) => {
+        val df = ev(s, d)
+        val (_, errs) = Walrus.oversizeGuard(col("props"), 8)
+        df.select(col("event_id"),
+          when(length(col("props")) > 8, lit(null)).otherwise(col("props"))
+            .as("payload"),
+          errs.as("errors"))
+      },
+      Some("""SELECT event_id,
+        |  CASE WHEN length(props) > 8 THEN NULL ELSE props END AS payload,
+        |  CASE WHEN length(props) > 8 THEN ['Error 413: Payload Too Large'] END AS errors
+        |FROM events""".stripMargin)),
+    Q("p8_toast_merge",
+      (s, d) => {
+        val df = ev(s, d).select(
+          col("event_id"),
+          map(lit("props"),
+            when(col("event_type") === "error", lit(null)).otherwise(col("props")),
+            lit("etype"), col("event_type")).as("record"),
+          map(lit("props"), lit("OLD_PROPS"), lit("etype"), lit("OLD_TYPE"))
+            .as("old_record"))
+        df.select(col("event_id"),
+          Walrus.toastMerge(col("record"), col("old_record")).as("merged"))
+          .select(col("event_id"),
+            element_at(col("merged"), "props").as("props_out"),
+            element_at(col("merged"), "etype").as("etype_out"))
+      },
+      Some("""SELECT event_id,
+        |  CASE WHEN event_type = 'error' THEN 'OLD_PROPS' ELSE props END AS props_out,
+        |  event_type AS etype_out
+        |FROM events""".stripMargin))
+  )
+
+  // --------------------------------------------------------------- presence
+
+  private val presenceQueries: Seq[Q] = Seq(
+    Q("a4_presence_state",
+      (s, d) => {
+        val pe = ev(s, d).select(
+          col("event_type").as("topic"),
+          col("user_id").as("key"),
+          when(col("value") < 5, "untrack").otherwise("track").as("action"),
+          col("props").as("meta"),
+          col("ts"))
+        Presence.latestState(pe)
+      },
+      Some("""WITH pe AS (
+        |  SELECT event_type AS topic, user_id AS key,
+        |         CASE WHEN value < 5 THEN 'untrack' ELSE 'track' END AS action,
+        |         props AS meta, ts
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY topic, key
+        |                                   ORDER BY ts DESC, meta DESC) rn FROM pe)
+        |SELECT topic, key, meta, ts FROM r WHERE rn = 1 AND action = 'track'""".stripMargin)),
+    Q("a4_presence_sync",
+      (s, d) => {
+        val pe = ev(s, d).select(
+          col("event_type").as("topic"),
+          col("user_id").as("key"),
+          when(col("value") < 5, "untrack").otherwise("track").as("action"),
+          col("props").as("meta"),
+          col("ts"))
+        Presence.stateSync(Presence.latestState(pe))
+          .select(col("topic"),
+            size(col("presences")).as("n_present"))
+      },
+      Some("""WITH pe AS (
+        |  SELECT event_type AS topic, user_id AS key,
+        |         CASE WHEN value < 5 THEN 'untrack' ELSE 'track' END AS action,
+        |         props AS meta, ts
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY topic, key
+        |                                   ORDER BY ts DESC, meta DESC) rn FROM pe)
+        |SELECT topic, count(*) AS n_present FROM r
+        |WHERE rn = 1 AND action = 'track' GROUP BY 1""".stripMargin))
+  )
+
+  val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
+    aggQueries ++ joinQueries ++ payloadQueries ++ presenceQueries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

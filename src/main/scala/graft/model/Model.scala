@@ -77,7 +77,7 @@ final case class Message(
     extension: String, // 'broadcast' | 'presence'
     payload: String,   // JSON text
     event: String,
-    `private`: Boolean,
+    isPrivate: Boolean, // DF column name "private"; `private` is not encodable
     insertedAt: java.sql.Timestamp
 )
 

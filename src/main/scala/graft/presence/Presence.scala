@@ -1,0 +1,95 @@
+package graft.presence
+
+import graft.model.{PresenceDiff, PresenceEvent}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Presence: shared per-topic state with join/leave diffs — the Spark
+  * re-expression of Phoenix.Tracker's ORSWOT CRDT
+  * (/root/reference/lib/realtime_web/channels/presence.ex:8-12, state read
+  * /root/reference/lib/realtime_web/channels/realtime_channel/presence_handler.ex:193-200).
+  *
+  * Spark holds the state in `flatMapGroupsWithState` keyed by topic — a
+  * single authoritative partition per topic replaces CRDT merge (Spark's
+  * shuffle already gives each key one owner, so there is no multi-writer
+  * conflict to resolve; at 1000 executors topics hash-spread evenly).
+  * Diffs (joins/leaves) are the emitted rows; full state sync is a
+  * `collect_list` over the state store.
+  */
+object Presence {
+
+  /** Batch view: the final presence state implied by a track/untrack event
+    * log — last writer per (topic, key) wins, present iff last action is
+    * 'track' (mirrors tracker semantics incl. the `already_tracked` update
+    * path, presence_handler.ex:162-170). One shuffle on (topic, key). */
+  def latestState(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("topic", "key")
+      .orderBy(col("ts").desc, col("meta").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("action") === "track")
+      .select("topic", "key", "meta", "ts")
+  }
+
+  /** Full-state sync shape: {topic → [(key, meta)…]} as one row per topic
+    * (the `presence_state` push, presence_handler.ex:28-53). */
+  def stateSync(state: DataFrame): DataFrame =
+    state.groupBy("topic")
+      .agg(sort_array(collect_list(struct(col("key"), col("meta")))).as("presences"))
+
+  /** Streaming: per-topic state machine emitting presence_diff rows.
+    * State = Map[key → meta]; a track of a new key emits a join, an untrack
+    * of a present key emits a leave, meta changes emit join (update path).
+    * With `timeoutMs > 0`, idle topics are reaped via processing-time timeout
+    * (the analog of the reference's idle shutdown) — note that enabling it
+    * makes the engine schedule periodic empty micro-batches to fire timeouts,
+    * so it's opt-in for production streams, off for synchronous tests. */
+  def diffStream(
+      events: Dataset[PresenceEvent],
+      timeoutMs: Long = 0)(
+      implicit spark: SparkSession): Dataset[PresenceDiff] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState[Map[String, String], PresenceDiff](
+        OutputMode.Append, timeoutConf) {
+        (topic: String, evs: Iterator[PresenceEvent],
+         state: GroupState[Map[String, String]]) =>
+          if (state.hasTimedOut) {
+            val leaves = state.getOption.getOrElse(Map.empty).toSeq.map {
+              case (k, m) => PresenceDiff(topic, k, "leave", m)
+            }
+            state.remove()
+            leaves.iterator
+          } else {
+            var st = state.getOption.getOrElse(Map.empty)
+            val out = Seq.newBuilder[PresenceDiff]
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.meta)).foreach { e =>
+              e.action match {
+                case "track" =>
+                  val changed = !st.get(e.key).contains(e.meta)
+                  st = st.updated(e.key, e.meta)
+                  if (changed) out += PresenceDiff(topic, e.key, "join", e.meta)
+                case "untrack" =>
+                  st.get(e.key).foreach { m =>
+                    out += PresenceDiff(topic, e.key, "leave", m)
+                  }
+                  st = st.removed(e.key)
+                case _ => ()
+              }
+            }
+            if (st.isEmpty) state.remove()
+            else {
+              state.update(st)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

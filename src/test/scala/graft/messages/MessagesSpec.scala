@@ -1,0 +1,80 @@
+package graft.messages
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class MessagesSpec extends SparkSpec {
+  import spark.implicits._
+  import MessagesSpec.Msg
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  lazy val msgs = Seq(
+    Msg(1, "room1", "p1", true, "broadcast", t("2024-01-01 10:00:00")),
+    Msg(2, "room1", "p2", true, "broadcast", t("2024-01-01 10:00:01")),
+    Msg(3, "room1", "p3", false, "broadcast", t("2024-01-01 10:00:02")), // public → excluded
+    Msg(4, "room1", "p4", true, "presence", t("2024-01-01 10:00:03")),   // wrong extension
+    Msg(5, "room1", "p5", true, "broadcast", t("2024-01-01 09:00:00")),  // before since
+    Msg(6, "room1", "p6", true, "broadcast", t("2024-01-01 11:30:00")),  // after now+1min
+    Msg(7, "room2", "p7", true, "broadcast", t("2024-01-01 10:00:00"))
+  ).toDF().withColumnRenamed("insertedAt", "inserted_at").withColumnRenamed("priv", "private")
+
+  test("replay filters private/broadcast/topic/time and orders chronologically") {
+    val got = Messages.replay(msgs, "room1",
+      t("2024-01-01 09:30:00"), t("2024-01-01 10:30:00"), 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1, 2))
+  }
+
+  test("replay caps at the hard limit and keeps newest") {
+    val many = (1 to 40).map(i =>
+      Msg(i.toLong, "r", s"p$i", true, "broadcast", t(f"2024-01-01 10:${i % 60}%02d:00")))
+      .toDF().withColumnRenamed("insertedAt", "inserted_at").withColumnRenamed("priv", "private")
+    val got = Messages.replay(many, "r",
+      t("2024-01-01 00:00:00"), t("2024-01-02 00:00:00"), 99)
+      .count()
+    assert(got == Messages.ReplayHardLimit)
+  }
+
+  test("per-topic replay ranks within topic") {
+    val got = Messages.replayPerTopic(msgs,
+      t("2024-01-01 09:30:00"), t("2024-01-01 10:30:00"), 1)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2, 7)) // newest qualifying per topic
+  }
+
+  test("dedup drops already-replayed ids") {
+    val replayed = Seq((1L, "x")).toDF("id", "junk")
+    val got = Messages.dedupAgainstReplayed(msgs, replayed)
+      .select("id").as[Long].collect().toSet
+    assert(!got.contains(1L) && got.contains(2L))
+  }
+
+  test("partitioned write produces daily partitions and prunes on read") {
+    val dir = java.nio.file.Files.createTempDirectory("msglog").toString
+    val two = Seq(
+      Msg(1, "r", "a", true, "broadcast", t("2024-01-01 10:00:00")),
+      Msg(2, "r", "b", true, "broadcast", t("2024-01-02 10:00:00"))
+    ).toDF().withColumnRenamed("insertedAt", "inserted_at").withColumnRenamed("priv", "private")
+    Messages.write(two, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("inserted_date=2024-01-01", "inserted_date=2024-01-02"))
+    val pruned = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("inserted_date") === "2024-01-02")
+    assert(pruned.count() == 1)
+    // partition filter must reach the scan (pruning, not post-filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+
+  test("retention keeps only the last 72h") {
+    val got = Messages.retained(msgs, t("2024-01-04 10:00:01"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2, 3, 4, 6)) // 10:00:01 and later survive the -72h cutoff
+  }
+}
+
+object MessagesSpec {
+  case class Msg(id: Long, topic: String, payload: String, priv: Boolean,
+      extension: String, insertedAt: Timestamp)
+}
