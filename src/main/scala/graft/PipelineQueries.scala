@@ -1,0 +1,269 @@
+package graft
+
+import graft.cdc.ChangeFeed
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Queries.Q
+
+/** Training-data-pipeline queries (dedup / similarity / text / multimodal)
+  * with DuckDB oracles. All hashing is md5-hex based so both engines
+  * reproduce signatures bit-for-bit; float-valued similarity scores are
+  * never output — only pair membership, with thresholds verified to sit
+  * ≥1e-5 away from any actual pair score (summation-order noise is ~1e-15).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    ChangeFeed.table(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    ChangeFeed.table(s, d, "embeddings")
+
+  /** Shared oracle CTEs: words → distinct 3-gram shingles. */
+  private val shinglesCte =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |        for i in generate_series(1, len(ws)-2)]) AS sh FROM w)""".stripMargin
+
+  private val dedupQueries: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, d) => Dedup.exactSurvivors(docs(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin)),
+    Q("dedup_exact_pairs",
+      (s, d) => Dedup.exactPairs(docs(s, d), "text", "doc_id"),
+      Some("""WITH dg AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |kept AS (SELECT digest, min(doc_id) AS id_kept FROM dg GROUP BY 1)
+        |SELECT id_kept, doc_id AS id_dropped FROM dg JOIN kept USING (digest)
+        |WHERE doc_id != id_kept""".stripMargin)),
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+        shingleN = 3, threshold = 0.3, lenBucket = 50),
+      Some("""WITH w AS (SELECT doc_id, length(text) AS n,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, n // 50 AS blk,
+        |       list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |        for i in generate_series(1, len(ws)-2)]) AS sh FROM w)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        |FROM sh x JOIN sh y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |            len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3""".stripMargin)),
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashNearDups(docs(s, d), "text", "doc_id",
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5),
+      Some(s"""$shinglesCte,
+        |sig AS (SELECT doc_id, sh,
+        |        [list_min([md5(k::VARCHAR || ':' || s) for s in sh])
+        |         for k in generate_series(0,11)] AS sig FROM sh),
+        |banded AS (SELECT doc_id, j,
+        |           md5(array_to_string(sig[(j*3+1):(j*3+3)], ',')) AS key
+        |           FROM sig, generate_series(0,3) t(j)),
+        |cands AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x
+        |          JOIN banded y ON x.j = y.j AND x.key = y.key
+        |                        AND x.doc_id < y.doc_id)
+        |SELECT a AS id_a, b AS id_b,
+        |       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        |FROM cands JOIN sig sa ON cands.a = sa.doc_id
+        |           JOIN sig sb ON cands.b = sb.doc_id
+        |WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |            len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5""".stripMargin)),
+    Q("dedup_simhash",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash")),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |wh AS (SELECT doc_id,
+        |       CAST(list_sum([(strpos('0123456789abcdef', md5(wrd)[j+1:j+1]) - 1)::BIGINT
+        |                      << (4*(14-j)) for j in generate_series(0,14)]) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(ws) AS wrd FROM w)),
+        |bits AS (SELECT doc_id, b, sum((h >> b) & 1) AS cnt
+        |         FROM wh, generate_series(0,59) t(b) GROUP BY doc_id, b),
+        |nw AS (SELECT doc_id, len(ws) AS n FROM w)
+        |SELECT bits.doc_id,
+        |       CAST(sum(CASE WHEN cnt*2 > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+        |         AS simhash
+        |FROM bits JOIN nw ON bits.doc_id = nw.doc_id
+        |GROUP BY bits.doc_id""".stripMargin)),
+    Q("dedup_simhash_pairs",
+      (s, d) => Dedup.simhashNearDups(docs(s, d), "text", "doc_id",
+        maxHamming = 12, prefixBits = 8),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |wh AS (SELECT doc_id,
+        |       CAST(list_sum([(strpos('0123456789abcdef', md5(wrd)[j+1:j+1]) - 1)::BIGINT
+        |                      << (4*(14-j)) for j in generate_series(0,14)]) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(ws) AS wrd FROM w)),
+        |bits AS (SELECT doc_id, b, sum((h >> b) & 1) AS cnt
+        |         FROM wh, generate_series(0,59) t(b) GROUP BY doc_id, b),
+        |nw AS (SELECT doc_id, len(ws) AS n FROM w),
+        |sg AS (SELECT bits.doc_id,
+        |       CAST(sum(CASE WHEN cnt*2 > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        |       FROM bits JOIN nw ON bits.doc_id = nw.doc_id GROUP BY bits.doc_id)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |       bit_count(xor(x.sh, y.sh)) AS hamming
+        |FROM sg x JOIN sg y
+        |ON (x.sh >> 52) = (y.sh >> 52) AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sh, y.sh)) <= 12""".stripMargin)),
+    Q("dedup_embedding",
+      (s, d) => Dedup.embeddingNearDups(emb(s, d), "embedding", "vec_id", 0.4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.v, y.v) /
+        |      sqrt(list_dot_product(x.v, x.v)) /
+        |      sqrt(list_dot_product(y.v, y.v)) >= 0.4""".stripMargin))
+  )
+
+  private val annQueries: Seq[Q] = Seq(
+    Q("sim_ann_bruteforce",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+            "embedding", "vec_id", k = 5)
+          .select("query_id", "neighbor_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_dot_product(q.v, c.v)/sqrt(list_dot_product(q.v, q.v))
+        |        /sqrt(list_dot_product(c.v, c.v)) AS cos
+        |      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        |  FROM s) WHERE rn <= 5""".stripMargin)),
+    Q("sim_ann_ivf",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
+            "embedding", "vec_id", k = 5, nCentroids = 8, probe = 1)
+          .select("query_id", "neighbor_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv)/sqrt(list_dot_product(e.v, e.v))
+        |             /sqrt(list_dot_product(c.centv, c.centv)) DESC,
+        |           c.centroid_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |qb AS (SELECT query_id, qv, bucket FROM (
+        |  SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id AS bucket,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv)/sqrt(list_dot_product(e.v, e.v))
+        |             /sqrt(list_dot_product(c.centv, c.centv)) DESC,
+        |           c.centroid_id ASC) AS rn
+        |  FROM e, c WHERE e.vec_id < 10) WHERE rn <= 1),
+        |scored AS (SELECT qb.query_id, asg.vec_id AS neighbor_id,
+        |           list_dot_product(qb.qv, asg.v)/sqrt(list_dot_product(qb.qv, qb.qv))
+        |             /sqrt(list_dot_product(asg.v, asg.v)) AS cos
+        |           FROM asg JOIN qb USING (bucket)
+        |           WHERE qb.query_id != asg.vec_id)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin))
+  )
+
+  private val enSw = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+  private val deSw = TextAnalysis.stopwords("de").map(w => s"'$w'").mkString(", ")
+  private val frSw = TextAnalysis.stopwords("fr").map(w => s"'$w'").mkString(", ")
+
+  private val textQueries: Seq[Q] = Seq(
+    Q("text_tokens",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords")),
+      Some("""SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin)),
+    Q("text_quality",
+      (s, d) => TextAnalysis.qualityFeatures(docs(s, d), "text")
+        .select("doc_id", "n_chars_q", "n_tokens", "mean_word_len",
+          "punct_ratio", "stopword_ratio_en", "alpha_ratio"),
+      Some(s"""WITH q AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars_q,
+        |  len(ws) AS n_tokens,
+        |  round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(ws), 6)
+        |    AS mean_word_len,
+        |  round(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+        |    / length(text), 6) AS punct_ratio,
+        |  round(len([x for x in ws if x IN ($enSw)])::DOUBLE / len(ws), 6)
+        |    AS stopword_ratio_en,
+        |  round(len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / length(text), 6)
+        |    AS alpha_ratio
+        |FROM q""".stripMargin)),
+    Q("text_langid",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH q AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+        |h AS (SELECT doc_id,
+        |  [{'hits': len([x for x in ws if x IN ($deSw)]), 'lang': 'de'},
+        |   {'hits': len([x for x in ws if x IN ($enSw)]), 'lang': 'en'},
+        |   {'hits': len([x for x in ws if x IN ($frSw)]), 'lang': 'fr'}] AS scored
+        |  FROM q)
+        |SELECT doc_id,
+        |  CASE WHEN list_sort(scored)[3].hits > 0 THEN list_sort(scored)[3].lang
+        |       ELSE 'und' END AS lang_pred
+        |FROM h""".stripMargin)),
+    Q("text_fingerprint",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin))
+  )
+
+  private val multimodalQueries: Seq[Q] = Seq(
+    Q("mm_media_features",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(docs(s, d))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractFeatures(media)(s).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+        |  octet_length(encode(text)) AS n, md5(text) AS digest
+        |  FROM documents)
+        |SELECT media_id, media_type, n AS n_bytes,
+        |  CASE WHEN media_type = 'audio' THEN 0 ELSE 16 + n % 1024 END AS width,
+        |  CASE WHEN media_type = 'audio' THEN 0 ELSE 16 + (n // 2) % 1024 END AS height,
+        |  CASE WHEN media_type = 'image' THEN 0 ELSE n * 10 END AS duration_ms,
+        |  digest
+        |FROM m""".stripMargin)),
+    Q("mm_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(docs(s, d))
+          .as[Multimodal.MediaRecord]
+        Multimodal.sampleFrames(media, everyN = 2)(s).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame_bytes")).as("n_frame_bytes"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, n,
+        |      unnest(generate_series(0, (n + 255) // 256 - 1)) AS frame_idx
+        |      FROM m)
+        |SELECT media_id, frame_idx,
+        |       CASE WHEN (frame_idx+1)*256 <= n THEN 256
+        |            ELSE n - frame_idx*256 END AS n_frame_bytes
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin))
+  )
+
+  val all: Seq[Q] =
+    dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries
+}

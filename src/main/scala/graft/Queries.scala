@@ -438,7 +438,8 @@ object Queries {
   )
 
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
-    aggQueries ++ joinQueries ++ payloadQueries ++ presenceQueries
+    aggQueries ++ joinQueries ++ payloadQueries ++ presenceQueries ++
+    PipelineQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

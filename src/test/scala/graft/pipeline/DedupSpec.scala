@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docsDF = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark distributed engines here"),
+    (4L, "another unrelated short text with its own words entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val surv = Dedup.exactSurvivors(docsDF, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(surv(0L) == 2 && !surv.contains(1L) && surv(2L) == 1)
+    val pairs = Dedup.exactPairs(docsDF, "text", "doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
+
+  test("jaccard of identical is 1, disjoint is 0") {
+    val df = Seq((0L, "a b c d e"), (1L, "a b c d e"), (2L, "x y z w v"))
+      .toDF("id", "t")
+      .select(col("id"), Dedup.shingles(col("t"), 3).as("sh"))
+    val a = df.where(col("id") === 0).select(col("sh").as("sa"))
+    val b = df.where(col("id") === 1).select(col("sh").as("sb"))
+    val c = df.where(col("id") === 2).select(col("sh").as("sc"))
+    val j1 = a.crossJoin(b).select(Dedup.jaccard(col("sa"), col("sb"))).as[Double].head()
+    val j0 = a.crossJoin(c).select(Dedup.jaccard(col("sa"), col("sc"))).as[Double].head()
+    assert(j1 == 1.0 && j0 == 0.0)
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val got = Dedup.minhashNearDups(docsDF, "text", "doc_id",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L))) // exact dup always collides
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash similarity of identical signatures is 1") {
+    val df = Seq((0L, "a b c d e f g")).toDF("id", "t")
+      .select(Dedup.minhashSignature(Dedup.shingles(col("t"), 3), 8).as("sig"))
+    val sim = df.select(Dedup.minhashSimilarity(col("sig"), col("sig")))
+      .as[Double].head()
+    assert(sim == 1.0)
+  }
+
+  test("simhash: identical texts agree, near texts close, different far") {
+    val sh = docsDF.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    val hamNear = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hamFar = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamNear < hamFar)
+    assert(sh(0L) >= 0 && sh(0L) < (1L << 60))
+  }
+
+  test("ngram jaccard blocked pairs finds the near dup") {
+    val got = Dedup.ngramJaccardPairs(docsDF, "text", "doc_id",
+        shingleN = 3, threshold = 0.3, lenBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)))
+  }
+
+  test("embedding near-dups by cosine threshold") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // ~cos 0.995 with 0
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(e, "embedding", "vec_id", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+}

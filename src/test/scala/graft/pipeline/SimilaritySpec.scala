@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine is exact on axis-aligned vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head() == 0.0)
+    val df2 = Seq((Array(2.0, 0.0), Array(5.0, 0.0))).toDF("a", "b")
+    assert(df2.select(Similarity.cosine(col("a"), col("b"))).as[Double].head() == 1.0)
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self") {
+    val got = Similarity.bruteForceTopK(
+        corpus.where(col("vec_id") === 0), corpus, "embedding", "vec_id", 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L)) // cos: 1→.994, 4→.707, 2→0, 3→-1
+  }
+
+  test("IVF with all buckets probed equals brute force") {
+    val q = corpus.where(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(q, corpus, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, corpus, "embedding", "vec_id", 3,
+        nCentroids = 2, probe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("IVF probe=1 searches only the query's bucket") {
+    // centroids {0:(1,0), 1:(0.9,0.1)}; buckets: 0→{0}, 1→{1,2,3,4}.
+    // query 2=(0,1) lands in bucket 1 → neighbors from {1,3,4} (no self).
+    val q = corpus.where(col("vec_id") === 2)
+    val got = Similarity.ivfTopK(q, corpus, "embedding", "vec_id", 3,
+        nCentroids = 2, probe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+}
