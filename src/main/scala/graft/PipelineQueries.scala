@@ -110,7 +110,7 @@ object PipelineQueries {
         |ON (x.sh >> 52) = (y.sh >> 52) AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.sh, y.sh)) <= 12""".stripMargin)),
     Q("dedup_embedding",
-      (s, d) => Dedup.embeddingNearDups(emb(s, d), "embedding", "vec_id", 0.4),
+      (s, d) => Dedup.embeddingNearDups(emb(s, d), "embedding", "vec_id", 0.4, dim = 64),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT x.vec_id AS id_a, y.vec_id AS id_b
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
@@ -124,7 +124,7 @@ object PipelineQueries {
       (s, d) => {
         val e = emb(s, d)
         Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
-            "embedding", "vec_id", k = 5)
+            "embedding", "vec_id", k = 5, dim = 64)
           .select("query_id", "neighbor_id")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -141,7 +141,7 @@ object PipelineQueries {
       (s, d) => {
         val e = emb(s, d)
         Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
-            "embedding", "vec_id", k = 5, nCentroids = 8, probe = 1)
+            "embedding", "vec_id", k = 5, nCentroids = 8, probe = 1, dim = 64)
           .select("query_id", "neighbor_id")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

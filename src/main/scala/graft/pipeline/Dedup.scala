@@ -42,13 +42,22 @@ object Dedup {
 
   // --------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (space-joined), distinct. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = TextAnalysis.words(text)
+  /** Word n-gram shingles (space-joined), distinct, over an already-bound
+    * words array column. IMPORTANT: pass an attribute (a column staged via
+    * `withColumn`), not a `split(...)` expression — the lambda below
+    * references `ws` per element and HOF lambdas don't share
+    * subexpressions, so an inline split would re-tokenize the text once per
+    * shingle (O(len²) per doc). */
+  def shinglesOfWords(ws: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles of a text column (convenience for tests/small
+    * data; hot paths stage the words array first — see [[shinglesOfWords]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfWords(TextAnalysis.words(text), n)
 
   /** Jaccard similarity of two (distinct) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -89,10 +98,17 @@ object Dedup {
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
+    // persist (id, shingles, signature): the md5-heavy projection feeds the
+    // banded self-join twice plus the verification join — computing it once
+    // per doc instead of 4× dominates the runtime; it's also tiny relative
+    // to the text (signatures ≪ documents), so it caches even at scale
     val base = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("sh", shinglesOfWords(col("ws"), shingleN))
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .select("id", "sh", "sig")
+      .persist()
     val banded = base.select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val cands = banded.as("x").join(banded.as("y"),
@@ -108,10 +124,16 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Blocked n-gram Jaccard near-dup (no LSH): candidate pairs share a cheap
-    * blocking key (language + length bucket), then exact Jaccard filters.
-    * The blocking keeps the pair count ≪ n² — the portable baseline the LSH
-    * path is validated against. */
+  /** Blocked n-gram Jaccard near-dup (no LSH) via an inverted shingle
+    * index: explode (id, shingle), self-join on the shingle within a length
+    * block, count co-occurrences per pair → |a∩b|; |a∪b| = nₐ+n_b−|a∩b|.
+    *
+    * Scale shape: pairs with zero shingle overlap NEVER materialize (a
+    * pairwise array_intersect over all blocked pairs does n² interpreted
+    * set-ops; this does one codegen'd hash join + hash aggregate keyed by
+    * shingle/pair). Shuffle volume = shingle occurrence count, not n².
+    * A hot shingle shared by m docs contributes m² pair rows — at scale,
+    * drop top-frequency shingles (stop-shingles) to bound skew. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.3,
@@ -119,11 +141,21 @@ object Dedup {
     val base = df.select(
       col(idCol).as("id"),
       (length(col(textCol)) / lenBucket).cast("long").as("blk"),
-      shingles(col(textCol), shingleN).as("sh"))
-    base.as("x").join(base.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("sh", shinglesOfWords(col("ws"), shingleN))
+      .select(col("id"), col("blk"), col("sh"), size(col("sh")).as("n"))
+      .persist()
+    val inv = base.select(col("id"), col("blk"), col("n"),
+      explode(col("sh")).as("s"))
+    inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -132,26 +164,33 @@ object Dedup {
   /** Number of SimHash bits (60 = 15 md5 hex nibbles, fits a signed long). */
   val SimhashBits = 60
 
-  /** 60-bit word hash from md5 hex nibbles (portable integer arithmetic:
+  /** SimHash-60 signature: per-bit majority vote over word hashes, with a
+    * 60-bit word hash from md5 hex nibbles (portable integer arithmetic:
     * nibble value × 16^position over the first 15 hex chars — reproducible
-    * nibble-by-nibble in any engine with md5 + instr). */
-  private def wordHash60(w: Column): Column = {
-    val hex = md5(w)
-    (0 until 15).map { j =>
-      (instr(lit("0123456789abcdef"), substring(hex, j + 1, 1)) - 1)
-        .cast("long") * (1L << (4 * (14 - j)))
-    }.reduce(_ + _)
-  }
-
-  /** SimHash-60 signature: per-bit majority vote over word hashes. */
+    * nibble-by-nibble in any engine with md5 + instr).
+    *
+    * Performance shape: higher-order-function lambdas are interpreted and
+    * do NOT share common subexpressions, so each stage binds its result as
+    * a lambda variable before the next references it — md5 runs once per
+    * word, the 60-bit hash once per word, each shift once per (word, bit).
+    * A naive single-expression version re-evaluates md5 ~900× per word. */
   def simhash(text: Column): Column = {
     val ws = TextAnalysis.words(text)
     val nWords = size(ws)
+    // stage 1: one md5 per word (hex bound as lambda var downstream)
+    val hexes = transform(ws, w => md5(w))
+    // stage 2: one 60-bit hash per word; `hex` is a bound value, so the 15
+    // nibble lookups don't recompute the digest
+    val hashes = transform(hexes, hex =>
+      (0 until 15).map { j =>
+        (instr(lit("0123456789abcdef"), substring(hex, j + 1, 1)) - 1)
+          .cast("long") * (1L << (4 * (14 - j)))
+      }.reduce(_ + _))
+    // stage 3: per-bit counts; `h` is bound, so 60 shifts share one hash
     val bitCounts = aggregate(
-      ws,
+      hashes,
       array_repeat(lit(0), SimhashBits),
-      (acc, w) => {
-        val h = wordHash60(w)
+      (acc, h) => {
         val bits = array((0 until SimhashBits).map(b =>
           shiftright(h, b).bitwiseAND(1).cast("int")): _*)
         zip_with(acc, bits, (c, x) => c + x)
@@ -168,6 +207,7 @@ object Dedup {
       maxHamming: Int = 12, prefixBits: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
       .withColumn("blk", shiftright(col("sh"), 60 - prefixBits))
+      .persist() // hash once, join twice
     base.as("x").join(base.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -179,16 +219,46 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force — the
     * correctness baseline; see [[Similarity]] for the bucketed scale path).
-    */
+    *
+    * Executed as a `mapPartitions` primitive-array kernel over a broadcast
+    * of the L2-normalized vectors: an O(n²) dot-product loop is numeric
+    * kernel territory where interpreted array expressions (HOF folds,
+    * BroadcastNestedLoopJoin conditions) cost ~100× over primitive math.
+    * Each partition owns a slice of row indices and compares it against all
+    * higher indices from the broadcast — upper-triangle sharding, no
+    * shuffle, work balanced by interleaving (stride = #slices). Float order
+    * matches the expression fold (sequential sum), so results are
+    * bit-identical and oracle-stable. At 100 TB the broadcast side becomes
+    * a block-grid (each task gets a (block_i, block_j) pair of vector
+    * blocks); the kernel is unchanged. */
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
+      threshold: Double, dim: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Similarity.normalized(df, vecCol, "v")
+      .select(col(idCol).cast("long").as("id"), col("v"))
+      .as[(Long, Array[Double])]
+    val all = base.collect().sortBy(_._1) // ids + normalized vectors, ~dim×8B each
+    val bc = spark.sparkContext.broadcast(all)
+    val nSlices = spark.sparkContext.defaultParallelism
+    spark.sparkContext.parallelize(0 until nSlices, nSlices)
+      .mapPartitions { slices =>
+        val vs = bc.value
+        val n = vs.length
+        slices.flatMap { slice =>
+          Iterator.range(slice, n, nSlices).flatMap { i =>
+            val (ia, va) = vs(i)
+            Iterator.range(i + 1, n).flatMap { j =>
+              val (ib, vb) = vs(j)
+              var s = 0.0
+              var k = 0
+              while (k < va.length) { s += va(k) * vb(k); k += 1 }
+              if (s >= threshold) Iterator.single((ia, ib)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
   }
 }

@@ -1,0 +1,60 @@
+package graft.api
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SubscriptionRegistrySpec extends AnyFunSuite {
+
+  private val tSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("details", StringType)))
+  private def reg = new SubscriptionRegistry(Map(
+    ("public", "test") -> tSchema,
+    ("public", "other") -> tSchema,
+    ("audit", "log") -> tSchema))
+
+  test("subscribe validates and canonicalizes") {
+    val r = reg
+    val got = r.subscribe("s1", "public", "test", "id=gt.0,details=eq.x")
+    assert(got.isRight && got.toOption.get.head.filters.head.column == "details")
+    assert(r.forTable("public", "test").size == 1)
+  }
+
+  test("wildcard table expands across catalog") {
+    val r = reg
+    val got = r.subscribe("s1", "public", "*")
+    assert(got.toOption.get.map(_.table).sorted == Seq("other", "test"))
+    assert(r.all.size == 2)
+  }
+
+  test("wildcard schema expands, select on wildcard rejected") {
+    val r = reg
+    assert(r.subscribe("s1", "*", "*").toOption.get.size == 3)
+    assert(r.subscribe("s2", "*", "test", selectedColumns = Seq("id")).isLeft)
+  }
+
+  test("upsert replaces same (id, entity)") {
+    val r = reg
+    r.subscribe("s1", "public", "test", "id=gt.0")
+    r.subscribe("s1", "public", "test", "id=gt.5")
+    assert(r.all.size == 1 && r.all.head.filters.head.value == "5")
+  }
+
+  test("invalid filters and unknown columns are rejected at subscribe time") {
+    val r = reg
+    assert(r.subscribe("s1", "public", "test", "nope=eq.1").isLeft)
+    assert(r.subscribe("s1", "public", "test", "id=eq.abc").isLeft)
+    assert(r.subscribe("s1", "public", "test", "id=foo.1").isLeft)
+    assert(r.subscribe("s1", "public", "nosuch").isLeft)
+    assert(r.subscribe("s1", "public", "test",
+      selectedColumns = Seq("ghost")).isLeft)
+    assert(r.all.isEmpty)
+  }
+
+  test("unsubscribe removes all entity rows of the id") {
+    val r = reg
+    r.subscribe("s1", "public", "*")
+    r.subscribe("s2", "public", "test")
+    assert(r.unsubscribe("s1") == 2)
+    assert(r.all.map(_.subscriptionId) == Seq("s2"))
+  }
+}
