@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain("formatted")` for the headline
+  * queries so scan pushdown, broadcast choices, and whole-stage-codegen
+  * coverage can be inspected (`runMain graft.Explain [sfDir] [name...]`). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("j1_walrus_match", "p2_filter_gt", "w1_replay_per_topic",
+        "a2_rate_tumbling", "u2_semi_join", "j9_rls_probe",
+        "dedup_minhash_lsh", "sim_ann_bruteforce", "p6_column_projection")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

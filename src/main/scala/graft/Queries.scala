@@ -437,9 +437,68 @@ object Queries {
         |WHERE rn = 1 AND action = 'track' GROUP BY 1""".stripMargin))
   )
 
+  // ------------------------------------------- config / routing / set / scalar
+
+  private val miscQueries: Seq[Q] = Seq(
+    // J6: publication-config aggregation (actions bool_or + add-tables list)
+    Q("j6_config_agg",
+      (s, d) => ChangeFeed.fromTable(ev(s, d), "event_id", "ts", "events")
+        .groupBy(col("event_type").as("publication"))
+        .agg(
+          bool_or(col("change_type") === "INSERT").as("pub_insert"),
+          bool_or(col("change_type") === "UPDATE").as("pub_update"),
+          bool_or(col("change_type") === "DELETE").as("pub_delete"),
+          count(lit(1)).as("n_changes")),
+      Some(s"""$changesCte
+        |SELECT event_type AS publication,
+        |       bool_or(change_type = 'INSERT') AS pub_insert,
+        |       bool_or(change_type = 'UPDATE') AS pub_update,
+        |       bool_or(change_type = 'DELETE') AS pub_delete,
+        |       count(*) AS n_changes
+        |FROM changes GROUP BY 1""".stripMargin)),
+    // J8: node-routing — group subscriber ids per owning node (id → node map)
+    Q("j8_node_routing",
+      (s, d) => ev(s, d)
+        .select((col("user_id") % 4).as("node"), col("user_id"))
+        .distinct()
+        .groupBy("node")
+        .agg(concat_ws(",", array_sort(collect_set(col("user_id"))))
+          .as("subscriber_ids")),
+      Some("""WITH m AS (SELECT DISTINCT user_id % 4 AS node, user_id FROM events)
+        |SELECT node,
+        |       array_to_string(list_sort(list(user_id)), ',') AS subscriber_ids
+        |FROM m GROUP BY 1""".stripMargin)),
+    // U1: UNION ALL sentinel row (always-returned aggregate alongside rows)
+    Q("u1_union_sentinel",
+      (s, d) => {
+        val counts = ev(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+        val sentinel = ev(s, d).agg(count(lit(1)).as("n"))
+          .select(lit("*").as("event_type"), col("n"))
+        counts.unionByName(sentinel)
+      },
+      Some("""SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '*', count(*) FROM events""".stripMargin)),
+    // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
+    // format + epoch-millis roundtrip + stable hash
+    Q("f_scalar_funcs",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("ts_iso"),
+        (unix_millis(col("ts"))).as("epoch_ms"),
+        col("value").cast("string").cast("double").as("value_roundtrip"),
+        md5(concat_ws("|", col("event_id"), col("event_type"))).as("param_hash")),
+      Some("""SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso,
+        |  epoch_us(ts) // 1000 AS epoch_ms,
+        |  CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip,
+        |  md5(event_id::VARCHAR || '|' || event_type) AS param_hash
+        |FROM events""".stripMargin))
+  )
+
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
     aggQueries ++ joinQueries ++ payloadQueries ++ presenceQueries ++
-    PipelineQueries.all
+    miscQueries ++ PipelineQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
