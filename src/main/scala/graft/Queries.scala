@@ -135,8 +135,17 @@ object Queries {
     walrusMatch(spark, sfDir)
       .groupBy("subscription_id").agg(count("*").as("n_changes"))
 
+  /** J1 via the degenerate-case generic evaluator — must equal the compiled
+    * path bit-for-bit (same oracle). */
+  def walrusGeneric(spark: SparkSession, sfDir: String): DataFrame = {
+    val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
+    graft.walrus.GenericMatch.matchExploded(
+      changes, flagshipSubs, ev(spark, sfDir).schema, "events", "event_id")
+  }
+
   private val coreQueries: Seq[Q] = Seq(
     Q("j1_walrus_match", walrusMatch, Some(walrusOracle)),
+    Q("j1_walrus_generic", walrusGeneric, Some(walrusOracle)),
     Q("p5_action_filter", actionFilterCounts,
       Some(s"SELECT subscription_id, count(*) AS n_changes FROM ($walrusOracle) GROUP BY 1"))
   )
@@ -393,6 +402,38 @@ object Queries {
         |FROM events""".stripMargin))
   )
 
+  private val error401Query: Seq[Q] = Seq(
+    // In-band error rows: the 'anon' role is RLS-denied → its subscribers
+    // still receive rows, with record suppressed and a 401 error attached.
+    Q("p_error_rows_401",
+      (s, d) => {
+        val changes = ChangeFeed.fromTable(ev(s, d), "event_id", "ts", "events")
+        val matched = Walrus.matchedOnly(changes, payloadSubs, ev(s, d).schema, "events")
+        Payload.shape(matched, payloadSubs,
+            dataCols = Seq("event_id", "event_type", "user_id", "value"),
+            pk = Seq("event_id"), unauthorizedRoles = Set("anon"))
+          .select(col("event_id"), col("claims_role"), col("record"),
+            element_at(col("errors"), 1).as("error"),
+            explode(col("subscription_ids")).as("subscription_id"))
+      },
+      Some(s"""$changesCte
+        |SELECT event_id, 'anon' AS claims_role, NULL AS record,
+        |       'Error 401: Unauthorized' AS error, 'sel3' AS subscription_id
+        |FROM changes WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, 'authenticated', to_json(struct_pack(
+        |         event_id := event_id, event_type := event_type,
+        |         user_id := user_id, value := value))::VARCHAR,
+        |       NULL, 'sel2'
+        |FROM changes WHERE value > 50
+        |UNION ALL
+        |SELECT event_id, 'authenticated', to_json(struct_pack(
+        |         event_id := event_id, event_type := event_type,
+        |         user_id := user_id))::VARCHAR,
+        |       NULL, 'sel1'
+        |FROM changes WHERE value > 50""".stripMargin))
+  )
+
   // --------------------------------------------------------------- presence
 
   private val presenceQueries: Seq[Q] = Seq(
@@ -497,8 +538,8 @@ object Queries {
   )
 
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
-    aggQueries ++ joinQueries ++ payloadQueries ++ presenceQueries ++
-    miscQueries ++ PipelineQueries.all
+    aggQueries ++ joinQueries ++ payloadQueries ++ error401Query ++
+    presenceQueries ++ miscQueries ++ PipelineQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -87,4 +87,23 @@ final class SubscriptionRegistry(
   }
 
   def unsubscribeAll(ids: Seq[String]): Int = ids.map(unsubscribe).sum
+
+  /** Re-validate all subscriptions against a new catalog (the reference
+    * re-checks publication oids every 60 s, replication_poller.ex:240-292):
+    * subscriptions whose table vanished or whose filters/selected columns
+    * no longer validate under the new schema are dropped. Returns the
+    * dropped (id, schema, table) keys. */
+  def revalidate(newCatalog: Map[(String, String), StructType])
+      : Seq[(String, String, String)] = synchronized {
+    val dropped = subs.filter { case ((_, sch, tbl), s) =>
+      newCatalog.get((sch, tbl)) match {
+        case None => true // table gone
+        case Some(ts) =>
+          s.filters.exists(f => FilterCompiler.validate(f, ts).isLeft) ||
+            s.selectedColumns.exists(c => !ts.fieldNames.contains(c))
+      }
+    }.keys.toSeq
+    subs --= dropped
+    dropped.sorted
+  }
 }

@@ -29,15 +29,23 @@ object Payload {
     * @param pk        primary-key column names (always kept in projections).
     * @param maxBytes  oversize guard threshold (413 + 64-byte rule).
     */
+  /** Reference error strings (in-band error rows, 20260626120000:449-488).
+    */
+  val Err400 = "Error 400: Bad Request, no primary key"
+  val Err401 = "Error 401: Unauthorized"
+  val Err413 = "Error 413: Payload Too Large"
+
   def shape(
       matched: DataFrame,
       subs: Seq[Subscription],
       dataCols: Seq[String],
       pk: Seq[String],
-      maxBytes: Int = 1 << 20): DataFrame = {
+      maxBytes: Int = 1 << 20,
+      unauthorizedRoles: Set[String] = Set.empty): DataFrame = {
     val groups = subs.groupBy(s => (s.claimsRole, s.selectedColumns.sorted)).toSeq
       .sortBy { case ((role, sel), _) => (role, sel.mkString(",")) }
     val hasOld = matched.columns.exists(_.startsWith("old_"))
+    val noPk = pk.isEmpty
     val branches = groups.map { case ((role, selected), ss) =>
       val keep = Walrus.projectRecord(dataCols, selected, pk)
       val groupIds = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
@@ -49,6 +57,18 @@ object Payload {
             to_json(struct(oldKeep.map(c => col(s"old_$c").as(c)): _*)))
         } else lit(null).cast(StringType)
       val tooLarge = octet_length(recordJson) > maxBytes
+      // error precedence mirrors apply_rls: 400 (no pk) > 401 (role denied
+      // by RLS) > 413 (oversize); error rows are DELIVERED, with the record
+      // suppressed (401/400) or value-truncated (413)
+      val denied = unauthorizedRoles.contains(role)
+      val errs =
+        if (noPk) array(lit(Err400))
+        else if (denied) array(lit(Err401))
+        else when(tooLarge, array(lit(Err413)))
+          .otherwise(lit(null).cast(ArrayType(StringType)))
+      val rec =
+        if (noPk || denied) lit(null).cast(StringType)
+        else when(tooLarge, lit(null).cast(StringType)).otherwise(recordJson)
       matched
         .withColumn("ids", array_intersect(col("subscription_ids"), groupIds))
         .where(size(col("ids")) > 0)
@@ -59,11 +79,10 @@ object Payload {
             lit(role).as("claims_role") :+
             lit(if (selected.isEmpty) "" else selected.sorted.mkString(","))
               .as("selected_columns") :+
-            when(tooLarge, lit(null).cast(StringType)).otherwise(recordJson)
-              .as("record") :+
-            oldJson.as("old_record") :+
-            when(tooLarge, array(lit("Error 413: Payload Too Large")))
-              .otherwise(lit(null).cast(ArrayType(StringType))).as("errors") :+
+            rec.as("record") :+
+            (if (noPk || denied) lit(null).cast(StringType) else oldJson)
+              .as("old_record") :+
+            errs.as("errors") :+
             sort_array(col("ids")).as("subscription_ids")): _*)
     }
     branches.reduce(_ unionByName _)

@@ -50,6 +50,20 @@ class SubscriptionRegistrySpec extends AnyFunSuite {
     assert(r.all.isEmpty)
   }
 
+  test("revalidate drops subscriptions invalidated by schema change") {
+    val r = reg
+    r.subscribe("s1", "public", "test", "details=eq.x")
+    r.subscribe("s2", "public", "test", "id=gt.0")
+    r.subscribe("s3", "public", "other", "id=gt.0")
+    // new catalog: 'details' column dropped from test; 'other' table gone
+    val newCat = Map(
+      ("public", "test") -> StructType(Seq(StructField("id", IntegerType))),
+      ("audit", "log") -> tSchema)
+    val dropped = r.revalidate(newCat)
+    assert(dropped.map(_._1).sorted == Seq("s1", "s3"))
+    assert(r.all.map(_.subscriptionId) == Seq("s2"))
+  }
+
   test("unsubscribe removes all entity rows of the id") {
     val r = reg
     r.subscribe("s1", "public", "*")

@@ -1,0 +1,61 @@
+package graft.walrus
+
+import graft.SparkSpec
+import graft.filters.FilterParser
+import graft.model.Subscription
+import org.apache.spark.sql.functions._
+
+/** Payload shaping: per-group projection, TOAST fallback, and the in-band
+  * error-row matrix (400 no-pk, 401 unauthorized, 413 oversize). */
+class PayloadSpec extends SparkSpec {
+  import spark.implicits._
+  import PayloadSpec.Chg
+
+  lazy val matched = {
+    val changes = Seq(
+      Chg(1, "INSERT", "small", "2024-01-01T00:00:00.000Z"),
+      Chg(2, "UPDATE", "x" * 100, "2024-01-01T00:00:01.000Z")
+    ).toDF().withColumnRenamed("payload", "details")
+    Walrus.matchSubscriptions(changes, subs, changes.drop("change_type", "commit_timestamp").schema, "t")
+  }
+
+  lazy val subs = Seq(
+    Subscription("sAuth", "public", "t", Nil, claimsRole = "authenticated"),
+    Subscription("sAnon", "public", "t", Nil, claimsRole = "anon"))
+
+  private def shaped(pk: Seq[String], maxBytes: Int = 1 << 20,
+      denied: Set[String] = Set.empty) =
+    Payload.shape(matched, subs, Seq("id", "details"), pk, maxBytes, denied)
+
+  test("401: denied role gets error row, record suppressed, ids kept") {
+    val rows = shaped(pk = Seq("id"), denied = Set("anon"))
+      .select("claims_role", "record", "errors", "subscription_ids")
+      .as[(String, String, Seq[String], Seq[String])].collect()
+    val anon = rows.filter(_._1 == "anon")
+    assert(anon.nonEmpty && anon.forall(r =>
+      r._2 == null && r._3 == Seq(Payload.Err401) && r._4 == Seq("sAnon")))
+    val auth = rows.filter(_._1 == "authenticated")
+    assert(auth.forall(r => r._2 != null && r._3 == null))
+  }
+
+  test("400: table without pk errors every row") {
+    val rows = shaped(pk = Nil)
+      .select("record", "errors").as[(String, Seq[String])].collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => r._1 == null && r._2 == Seq(Payload.Err400)))
+  }
+
+  test("413: oversize record suppressed with error, small rows intact") {
+    val rows = shaped(pk = Seq("id"), maxBytes = 60)
+      .where(col("claims_role") === "authenticated")
+      .select("id", "record", "errors").as[(Int, String, Seq[String])]
+      .collect().sortBy(_._1)
+    assert(rows(0)._2 != null && rows(0)._3 == null)       // small row ok
+    assert(rows(1)._2 == null && rows(1)._3 == Seq(Payload.Err413))
+  }
+}
+
+object PayloadSpec {
+  case class Chg(id: Int, change_type: String, payload: String,
+      commit_timestamp: String)
+}
