@@ -73,8 +73,8 @@ object PipelineQueries {
         |WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
         |            len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5""".stripMargin)),
     Q("dedup_simhash",
-      (s, d) => docs(s, d).select(col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash")),
+      (s, d) => Dedup.simhashDF(docs(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id"),
       Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |           FROM documents),
         |wh AS (SELECT doc_id,

@@ -200,12 +200,40 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash-60 as a relational plan: explode words, hash each DISTINCT
+    * word once (the vocabulary is tiny relative to the corpus — word hashes
+    * are shared across all documents via a broadcast join), then 60
+    * codegen'd conditional sums per document. Same arithmetic as
+    * [[simhash]] (identical signatures), but fully inside whole-stage
+    * codegen — no interpreted HOF in the hot path — and the per-word md5
+    * count drops from |corpus tokens| to |vocabulary|. */
+  def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.words(col(textCol))).as("w"))
+    val hexNibbles = (0 until 15).map { j =>
+      (instr(lit("0123456789abcdef"), substring(md5(col("w")), j + 1, 1)) - 1)
+        .cast("long") * (1L << (4 * (14 - j)))
+    }.reduce(_ + _)
+    val vocab = toks.select("w").distinct().withColumn("h", hexNibbles)
+    val aggs = count(lit(1)).as("n_words") +:
+      (0 until SimhashBits).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
+    val perDoc = toks.join(broadcast(vocab), "w")
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+    perDoc.select(col("id"),
+      (0 until SimhashBits).map { b =>
+        when(col(s"b$b") * 2 > col("n_words"), lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash near-dup pairs: block on the top `prefixBits` bits (cheap LSH
     * on the signature prefix), verify hamming distance ≤ maxHamming. */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 12, prefixBits: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val base = simhashDF(df, textCol, idCol)
+      .withColumnRenamed("simhash", "sh")
       .withColumn("blk", shiftright(col("sh"), 60 - prefixBits))
       .persist() // hash once, join twice
     base.as("x").join(base.as("y"),

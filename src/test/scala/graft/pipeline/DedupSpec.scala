@@ -51,6 +51,14 @@ class DedupSpec extends SparkSpec {
     assert(sim == 1.0)
   }
 
+  test("relational simhashDF equals the expression simhash") {
+    val expr = docsDF.select(col("doc_id"), Dedup.simhash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    val rel = Dedup.simhashDF(docsDF, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(rel == expr)
+  }
+
   test("simhash: identical texts agree, near texts close, different far") {
     val sh = docsDF.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.messages.Messages
+import graft.rates.Rates
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY §2.8): windowed rate aggregation over an
+  * unbounded stream with watermark, and the DB-origin broadcast roundtrip
+  * (S7): append to the partitioned log → streaming read = outbound feed. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingSpec.Tick
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("rate windows aggregate a live stream (update mode, watermark)") {
+    val input = MemoryStream[Tick](spark)
+    val rates = Rates.tumbling(
+      input.toDF().withWatermark("ts", "10 seconds"), "ts", Seq("k"), 60)
+    val q = rates.writeStream.format("memory").queryName("rates_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Tick("a", t("2024-01-01 00:00:05")),
+        Tick("a", t("2024-01-01 00:00:25")),
+        Tick("b", t("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+      input.addData(Tick("a", t("2024-01-01 00:00:45")))
+      q.processAllAvailable()
+      val got = spark.table("rates_out")
+        .select("k", "bucket_s", "n").as[(String, Long, Long)].collect().toSet
+      val base = t("2024-01-01 00:00:00").getTime / 1000
+      assert(got == Set(("a", base, 3L), ("b", base + 60, 1L)))
+    } finally q.stop()
+  }
+
+  test("limit trigger fires on the stream when a bucket crosses the cap") {
+    val input = MemoryStream[Tick](spark)
+    val over = Rates.overLimit(
+      Rates.tumbling(input.toDF(), "ts", Seq("k"), 60), 2)
+    val q = over.writeStream.format("memory").queryName("limit_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Tick("a", t("2024-01-01 00:00:01")), Tick("a", t("2024-01-01 00:00:02")),
+        Tick("a", t("2024-01-01 00:00:03")), Tick("b", t("2024-01-01 00:00:04")))
+      q.processAllAvailable()
+      val got = spark.table("limit_out").select("k").as[String].collect().toSeq
+      assert(got == Seq("a")) // only a exceeded 2 events in the bucket
+    } finally q.stop()
+  }
+
+  test("S7 roundtrip: rows appended to the log stream back out") {
+    val dir = java.nio.file.Files.createTempDirectory("s7log").toString
+    val mk = (id: Long, ts: String) => (id, "room", "{\"x\":1}", true,
+      "broadcast", t(ts))
+    val cols = Seq("id", "topic", "payload", "private", "extension", "inserted_at")
+    Messages.write(Seq(mk(1, "2024-01-01 10:00:00")).toDF(cols: _*), dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+      .groupBy("topic").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("s7_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s7_out").as[(String, Long)].collect().toSet ==
+        Set(("room", 1L)))
+      // a second realtime.send() lands in the stream on the next trigger
+      Messages.write(Seq(mk(2, "2024-01-02 10:00:00")).toDF(cols: _*), dir)
+      q.processAllAvailable()
+      assert(spark.table("s7_out").as[(String, Long)].collect().toSet ==
+        Set(("room", 2L)))
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  case class Tick(k: String, ts: Timestamp)
+}
