@@ -111,7 +111,9 @@ object Queries {
   def walrusMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
     val dataSchema = ev(spark, sfDir).schema
-    Walrus.matchedOnly(changes, flagshipSubs, dataSchema, "events")
+    // explode drops empty id arrays itself — no matchedOnly pre-filter, so
+    // the predicate battery is evaluated exactly once per change
+    Walrus.matchSubscriptions(changes, flagshipSubs, dataSchema, "events")
       .select(col("event_id"),
         explode(col("subscription_ids")).as("subscription_id"))
   }
@@ -143,9 +145,51 @@ object Queries {
       changes, flagshipSubs, ev(spark, sfDir).schema, "events", "event_id")
   }
 
+  /** 200 generated subscriptions across ops/actions — the N-subs × M-changes
+    * fan-out (SURVEY §7.4) at a realistic registry size. The Spark side and
+    * the oracle SQL are generated from the same parameters. */
+  val manySubs: Seq[(Subscription, String)] = (0 until 200).map { i =>
+    val action = Seq("*", "INSERT", "UPDATE", "DELETE")(i % 4)
+    val et = Seq("click", "view", "error", "purchase", "signup")(i % 5)
+    val thr = (i * 37) % 100
+    val (dsl, where) = (i % 8) match {
+      case 0 => (s"value=gt.$thr", s"value > $thr")
+      case 1 => (s"value=lte.$thr", s"value <= $thr")
+      case 2 => (s"event_type=eq.$et", s"event_type = '$et'")
+      case 3 =>
+        val ids = Seq(i % 50, (i + 7) % 50, (i + 13) % 50)
+        (s"user_id=in.(${ids.mkString(",")})", s"user_id IN (${ids.mkString(",")})")
+      case 4 => (s"event_type=not.eq.$et,value=gte.$thr",
+        s"event_type != '$et' AND value >= $thr")
+      case 5 => (s"event_type=like.${et.take(2)}%", s"event_type LIKE '${et.take(2)}%'")
+      case 6 => (s"value=lt.$thr,user_id=gt.${i % 40}",
+        s"value < $thr AND user_id > ${i % 40}")
+      case _ => (s"event_type=imatch.^${et.toUpperCase}$$",
+        s"regexp_matches(event_type, '(?i)^${et.toUpperCase}$$')")
+    }
+    val id = f"m$i%03d"
+    val sub = Subscription(id, "public", "events",
+      FilterParser.parse(dsl).fold(e => sys.error(e), identity),
+      actionFilter = action)
+    val actionCond = if (action == "*") "" else s"change_type = '$action' AND "
+    (sub, s"SELECT event_id, '$id' AS subscription_id FROM changes WHERE $actionCond($where)")
+  }
+
+  def walrusMatch200(spark: SparkSession, sfDir: String): DataFrame = {
+    val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
+    Walrus.matchSubscriptions(changes, manySubs.map(_._1), ev(spark, sfDir).schema, "events")
+      .select(col("event_id"),
+        explode(col("subscription_ids")).as("subscription_id"))
+  }
+
+  private val walrus200Oracle =
+    s"""$changesCte
+       |${manySubs.map(_._2).mkString("", "\nUNION ALL ", "")}""".stripMargin
+
   private val coreQueries: Seq[Q] = Seq(
     Q("j1_walrus_match", walrusMatch, Some(walrusOracle)),
     Q("j1_walrus_generic", walrusGeneric, Some(walrusOracle)),
+    Q("j1_walrus_200subs", walrusMatch200, Some(walrus200Oracle)),
     Q("p5_action_filter", actionFilterCounts,
       Some(s"SELECT subscription_id, count(*) AS n_changes FROM ($walrusOracle) GROUP BY 1"))
   )
