@@ -310,6 +310,18 @@ object Queries {
         |         (epoch_us(ts)//1000000//3600)*3600 AS bucket_s
         |  FROM events GROUP BY event_type, bucket_s)
         |WHERE n > 60""".stripMargin)),
+    // client presence window (5 calls / 30 s, realtime_channel.ex:756):
+    // rate-limited (topic, key) windows
+    Q("a2_presence_window_limit",
+      (s, d) => Rates.overLimit(
+        Rates.tumbling(ev(s, d).select(
+          col("event_type").as("topic"), col("user_id").as("key"), col("ts")),
+          "ts", Seq("topic", "key"), 30), 5),
+      Some("""SELECT * FROM (
+        |  SELECT event_type AS topic, user_id AS key, count(*) AS n,
+        |         (epoch_us(ts)//1000000//30)*30 AS bucket_s
+        |  FROM events GROUP BY topic, key, bucket_s)
+        |WHERE n > 5""".stripMargin)),
     Q("a3_distinct_users",
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users")),

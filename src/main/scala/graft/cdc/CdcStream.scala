@@ -69,7 +69,9 @@ object CdcStream {
       // load-shed: drop the whole batch, keep the telemetry (O10)
       bus.record(BatchStats(batchId, nChanges, 0L, shed = true))
     } else {
-      val matched = Walrus.matchedOnly(batch, subs, dataSchema, table)
+      // the shaped branches (one per payload group) each scan `matched`;
+      // cache the micro-batch so the predicate battery runs once
+      val matched = Walrus.matchedOnly(batch, subs, dataSchema, table).persist()
       val shaped = Payload.shape(matched, subs,
         dataCols = dataSchema.fieldNames.toSeq, pk = pk)
       // encode once per (change × payload group), then explode subscribers;
@@ -90,6 +92,7 @@ object CdcStream {
       deliveries.collect().foreach { r =>
         bus.offer(Delivery(r.getString(0), r.getString(1))); n += 1
       }
+      matched.unpersist()
       bus.record(BatchStats(batchId, nChanges, n, shed = false))
     }
   }
