@@ -111,11 +111,15 @@ object Queries {
   def walrusMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
     val dataSchema = ev(spark, sfDir).schema
-    // explode drops empty id arrays itself — no matchedOnly pre-filter, so
-    // the predicate battery is evaluated exactly once per change
+    // explode_outer + post-filter on the GENERATED column: plain explode
+    // makes InferFiltersFromGenerate add a pre-Generate filter that
+    // re-evaluates the whole predicate battery (size(...)>0); the outer
+    // variant keeps the battery to exactly one evaluation per change and
+    // the null rows are dropped by a cheap attribute filter after
     Walrus.matchSubscriptions(changes, flagshipSubs, dataSchema, "events")
       .select(col("event_id"),
-        explode(col("subscription_ids")).as("subscription_id"))
+        explode_outer(col("subscription_ids")).as("subscription_id"))
+      .where(col("subscription_id").isNotNull)
   }
 
   private val walrusOracle =
@@ -179,7 +183,8 @@ object Queries {
     val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
     Walrus.matchSubscriptions(changes, manySubs.map(_._1), ev(spark, sfDir).schema, "events")
       .select(col("event_id"),
-        explode(col("subscription_ids")).as("subscription_id"))
+        explode_outer(col("subscription_ids")).as("subscription_id"))
+      .where(col("subscription_id").isNotNull)
   }
 
   private val walrus200Oracle =
