@@ -3,7 +3,7 @@ package graft.walrus
 import graft.model.Subscription
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 /** Client-payload shaping for matched changes — the output half of the
   * reference's `apply_rls` (P6 column projection, P7 oversize guard, P8
@@ -85,6 +85,21 @@ object Payload {
             errs.as("errors") :+
             sort_array(col("ids")).as("subscription_ids")): _*)
     }
-    branches.reduce(_ unionByName _)
+    if (branches.isEmpty) {
+      // no subscribers (e.g. every socket disconnected mid-stream): an
+      // empty result with the output schema, not a reduce-on-empty crash
+      val schema = StructType(
+        pk.map(c => StructField(c, matched.schema(c).dataType)) ++ Seq(
+          StructField(Walrus.TypeCol, StringType),
+          StructField("commit_timestamp", StringType),
+          StructField("claims_role", StringType),
+          StructField("selected_columns", StringType),
+          StructField("record", StringType),
+          StructField("old_record", StringType),
+          StructField("errors", ArrayType(StringType)),
+          StructField("subscription_ids", ArrayType(StringType))))
+      matched.sparkSession.createDataFrame(
+        matched.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else branches.reduce(_ unionByName _)
   }
 }

@@ -45,6 +45,12 @@ class PayloadSpec extends SparkSpec {
       rows.forall(r => r._1 == null && r._2 == Seq(Payload.Err400)))
   }
 
+  test("empty subscription set yields an empty, well-typed result") {
+    val out = Payload.shape(matched, Nil, Seq("id", "details"), Seq("id"))
+    assert(out.count() == 0)
+    assert(out.columns.contains("subscription_ids"))
+  }
+
   test("413: oversize record suppressed with error, small rows intact") {
     val rows = shaped(pk = Seq("id"), maxBytes = 60)
       .where(col("claims_role") === "authenticated")
