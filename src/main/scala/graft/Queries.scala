@@ -345,7 +345,8 @@ object Queries {
         .groupBy("private", "topic")
         .agg(count(lit(1)).as("n_msgs"), sum(length(col("payload"))).as("bytes")),
       Some(s"""$msgsCte
-        |SELECT private, topic, count(*) AS n_msgs, sum(length(payload)) AS bytes
+        |SELECT private, topic, count(*) AS n_msgs,
+        |       CAST(sum(length(payload)) AS BIGINT) AS bytes
         |FROM msgs GROUP BY 1, 2""".stripMargin))
   )
 
@@ -414,19 +415,23 @@ object Queries {
       },
       Some(s"""$changesCte
         |SELECT event_id, 'anon' AS claims_role, 'event_type' AS selected_columns,
-        |       to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS record,
+        |       CASE WHEN change_type = 'DELETE' THEN NULL ELSE
+        |         to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
+        |       END AS record,
         |       'sel3' AS subscription_id
         |FROM changes WHERE event_type = 'error'
         |UNION ALL
         |SELECT event_id, 'authenticated', '',
-        |       to_json(struct_pack(event_id := event_id, event_type := event_type,
-        |                           user_id := user_id, value := value))::VARCHAR,
+        |       CASE WHEN change_type = 'DELETE' THEN NULL ELSE
+        |         to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                             user_id := user_id, value := value))::VARCHAR END,
         |       'sel2'
         |FROM changes WHERE value > 50
         |UNION ALL
         |SELECT event_id, 'authenticated', 'event_type,user_id',
-        |       to_json(struct_pack(event_id := event_id, event_type := event_type,
-        |                           user_id := user_id))::VARCHAR,
+        |       CASE WHEN change_type = 'DELETE' THEN NULL ELSE
+        |         to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                             user_id := user_id))::VARCHAR END,
         |       'sel1'
         |FROM changes WHERE value > 50""".stripMargin)),
     Q("p7_oversize_guard",
@@ -436,11 +441,11 @@ object Queries {
         df.select(col("event_id"),
           when(length(col("props")) > 8, lit(null)).otherwise(col("props"))
             .as("payload"),
-          errs.as("errors"))
+          element_at(errs, 1).as("error"))
       },
       Some("""SELECT event_id,
         |  CASE WHEN length(props) > 8 THEN NULL ELSE props END AS payload,
-        |  CASE WHEN length(props) > 8 THEN ['Error 413: Payload Too Large'] END AS errors
+        |  CASE WHEN length(props) > 8 THEN 'Error 413: Payload Too Large' END AS error
         |FROM events""".stripMargin)),
     Q("p8_toast_merge",
       (s, d) => {
@@ -482,16 +487,47 @@ object Queries {
         |       'Error 401: Unauthorized' AS error, 'sel3' AS subscription_id
         |FROM changes WHERE event_type = 'error'
         |UNION ALL
-        |SELECT event_id, 'authenticated', to_json(struct_pack(
-        |         event_id := event_id, event_type := event_type,
-        |         user_id := user_id, value := value))::VARCHAR,
+        |SELECT event_id, 'authenticated', CASE WHEN change_type = 'DELETE' THEN NULL ELSE
+        |         to_json(struct_pack(
+        |           event_id := event_id, event_type := event_type,
+        |           user_id := user_id, value := value))::VARCHAR END,
         |       NULL, 'sel2'
         |FROM changes WHERE value > 50
         |UNION ALL
-        |SELECT event_id, 'authenticated', to_json(struct_pack(
-        |         event_id := event_id, event_type := event_type,
-        |         user_id := user_id))::VARCHAR,
+        |SELECT event_id, 'authenticated', CASE WHEN change_type = 'DELETE' THEN NULL ELSE
+        |         to_json(struct_pack(
+        |           event_id := event_id, event_type := event_type,
+        |           user_id := user_id))::VARCHAR END,
         |       NULL, 'sel1'
+        |FROM changes WHERE value > 50""".stripMargin)),
+    // In-band 400 rows: a table with no primary key cannot key payloads —
+    // every delivery carries record=NULL and the 400 error (reference
+    // 20260626120000:449-457).
+    Q("p_error_rows_400",
+      (s, d) => {
+        val changes = ChangeFeed.fromTable(ev(s, d), "event_id", "ts", "events")
+        val matched = Walrus.matchedOnly(changes, payloadSubs, ev(s, d).schema, "events")
+        Payload.shape(matched, payloadSubs,
+            dataCols = Seq("event_id", "event_type", "user_id", "value"),
+            pk = Seq.empty)
+          .select(col("claims_role"), col("record"),
+            element_at(col("errors"), 1).as("error"),
+            explode(col("subscription_ids")).as("subscription_id"))
+          .groupBy("claims_role", "record", "error", "subscription_id")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""$changesCte
+        |SELECT 'anon' AS claims_role, NULL AS record,
+        |       'Error 400: Bad Request, no primary key' AS error,
+        |       'sel3' AS subscription_id, count(*) AS n
+        |FROM changes WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT 'authenticated', NULL, 'Error 400: Bad Request, no primary key',
+        |       'sel2', count(*)
+        |FROM changes WHERE value > 50
+        |UNION ALL
+        |SELECT 'authenticated', NULL, 'Error 400: Bad Request, no primary key',
+        |       'sel1', count(*)
         |FROM changes WHERE value > 50""".stripMargin))
   )
 

@@ -4,9 +4,9 @@ import graft.model.Subscription
 import graft.walrus.{Payload, Walrus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 import scala.jdk.CollectionConverters._
 
 /** Structured-Streaming CDC pipeline: change stream → WALRUS match →
@@ -19,42 +19,80 @@ import scala.jdk.CollectionConverters._
   *  - poll cadence → `Trigger.ProcessingTime` (micro-batch);
   *    `max_changes`/batch → `maxFilesPerTrigger`/`maxOffsetsPerTrigger`
   *    on the source;
-  *  - per-tenant rate limit → batch-level gate in `foreachBatch`: if the
-  *    batch exceeds the events/sec cap the whole batch is dropped and
-  *    counted, exactly the reference's load-shedding (O10,
-  *    replication_poller.ex:404-415);
+  *  - per-tenant rate limit → per-tenant gate in `foreachBatch`: tenants
+  *    whose batch row count exceeds their events/batch cap have exactly
+  *    their rows dropped and counted — the reference sheds per tenant
+  *    keyed by the tenant's RateCounter (O10,
+  *    replication_poller.ex:404-415), never one tenant shedding everyone;
   *  - encode-once (O6): the payload JSON is serialized once per (change ×
   *    payload group) BEFORE the per-subscriber explode;
   *  - ordering: per-topic order preserved by partitioning on the table —
   *    at scale, repartition the stream by (schema, table) so each topic
   *    drains in commit order within its partition;
-  *  - delivery: at-most-once like the reference (no sink-side ack); with a
+  *  - delivery: **executor-side** — frames leave from the partition that
+  *    produced them (`foreachPartition` → sink), never through the driver;
+  *    the delivery count rides back on a LongAccumulator from the same
+  *    pass. At 1000 executors the driver handles only telemetry.
+  *    At-most-once like the reference (no sink-side ack); with a
   *    checkpointLocation Spark upgrades this to at-least-once — dedup on
   *    (change pk, subscription_id) makes it effectively-once.
   */
 object CdcStream {
 
   /** Per-batch statistics surfaced to the caller (the analog of the
-    * reference's poll telemetry). */
+    * reference's poll telemetry). `shedTenants` maps each rate-limited
+    * tenant to the number of rows dropped for it. */
   final case class BatchStats(
-      batchId: Long, nChanges: Long, nDeliveries: Long, shed: Boolean)
+      batchId: Long, nChanges: Long, nDeliveries: Long, shed: Boolean,
+      shedTenants: Map[String, Long] = Map.empty)
 
   /** One delivery: a subscriber id and the pre-encoded frame it receives. */
   final case class Delivery(subscriptionId: String, frame: String)
 
+  /** Executor-side delivery contract: `offer` is called on the partition
+    * that produced the frame. Implementations must be serializable and
+    * JVM-local-state-free (talk to an external system, or to a
+    * static registry like [[MemoryBus]]). */
+  trait DeliverySink extends Serializable {
+    def offer(d: Delivery): Unit
+  }
+
   /** In-memory delivery bus for tests / local runs; a Kafka producer or
-    * socket fan-out slots in behind the same interface in production. */
-  final class MemoryBus extends Serializable {
-    private val q = new ConcurrentLinkedQueue[Delivery]()
-    private val stats = new ConcurrentLinkedQueue[BatchStats]()
-    def offer(d: Delivery): Unit = q.add(d)
-    def record(s: BatchStats): Unit = stats.add(s)
-    def deliveries: Seq[Delivery] = q.asScala.toSeq
-    def batches: Seq[BatchStats] = stats.asScala.toSeq
+    * socket fan-out slots in behind the same [[DeliverySink]] interface in
+    * production.
+    *
+    * The queues live in a JVM-static registry keyed by `busId`, NOT in the
+    * serialized object: when Spark ships the sink closure to a task and
+    * deserializes a copy, `offer` still lands in the shared JVM-local
+    * queue (executor-local on a real cluster — which is the point: frames
+    * must not transit the driver). */
+  final class MemoryBus private[cdc] (val busId: String) extends DeliverySink {
+    def offer(d: Delivery): Unit = MemoryBus.queue(busId).add(d)
+    def record(s: BatchStats): Unit = MemoryBus.stats(busId).add(s)
+    def deliveries: Seq[Delivery] = MemoryBus.queue(busId).asScala.toSeq
+    def batches: Seq[BatchStats] = MemoryBus.stats(busId).asScala.toSeq
+  }
+
+  object MemoryBus {
+    private val queues = new ConcurrentHashMap[String, ConcurrentLinkedQueue[Delivery]]()
+    private val statsQ = new ConcurrentHashMap[String, ConcurrentLinkedQueue[BatchStats]]()
+    private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+    def apply(): MemoryBus = new MemoryBus("bus-" + ids.incrementAndGet())
+    private def queue(id: String): ConcurrentLinkedQueue[Delivery] =
+      queues.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[Delivery]())
+    private def stats(id: String): ConcurrentLinkedQueue[BatchStats] =
+      statsQ.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[BatchStats]())
   }
 
   /** Run one micro-batch of the CDC pipeline (also usable in plain batch
-    * mode): match → shape → gate → encode-once → explode → deliver. */
+    * mode): per-tenant gate → match → shape → encode-once → explode →
+    * executor-side delivery.
+    *
+    * @param tenantCol      column identifying the tenant; None = the whole
+    *                       batch is one tenant gated by `defaultTenantLimit`.
+    * @param tenantLimits   per-tenant events/batch overrides.
+    * @param defaultTenantLimit cap for tenants not in `tenantLimits`.
+    */
   def processBatch(
       batch: DataFrame,
       subs: Seq[Subscription],
@@ -63,15 +101,38 @@ object CdcStream {
       pk: Seq[String],
       bus: MemoryBus,
       batchId: Long = 0L,
-      maxEventsPerBatch: Long = Long.MaxValue): Unit = {
-    val nChanges = batch.count()
-    if (nChanges > maxEventsPerBatch) {
-      // load-shed: drop the whole batch, keep the telemetry (O10)
-      bus.record(BatchStats(batchId, nChanges, 0L, shed = true))
-    } else {
-      // the shaped branches (one per payload group) each scan `matched`;
-      // cache the micro-batch so the predicate battery runs once
-      val matched = Walrus.matchedOnly(batch, subs, dataSchema, table).persist()
+      tenantCol: Option[String] = None,
+      tenantLimits: Map[String, Long] = Map.empty,
+      defaultTenantLimit: Long = Long.MaxValue): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      // per-tenant row counts: one small aggregate (map-side combined; the
+      // result is |tenants| rows — the tenant dimension, not the data)
+      val (kept, nChanges, shedTenants): (DataFrame, Long, Map[String, Long]) =
+        tenantCol match {
+          case Some(tc) =>
+            val counts = cached.groupBy(col(tc).cast("string").as("_tenant"))
+              .agg(count(lit(1)).as("_n"))
+              .collect()
+              .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1))
+            val total = counts.map(_._2).sum
+            val shed = counts.filter { case (t, n) =>
+              n > tenantLimits.getOrElse(t, defaultTenantLimit)
+            }.toMap
+            val keptDf =
+              if (shed.isEmpty) cached
+              else cached.where(!col(tc).cast("string").isin(shed.keys.toSeq: _*))
+            (keptDf, total, shed)
+          case None =>
+            val n = cached.count()
+            if (n > defaultTenantLimit) (cached.limit(0), n, Map("*" -> n))
+            else (cached, n, Map.empty[String, Long])
+        }
+      val matched = Walrus.matchedOnly(kept, subs, dataSchema, table)
+      // shape is a SINGLE projection pass (no per-group re-scan), so no
+      // mid-pipeline persist is needed: gate → match → shape → explode →
+      // sink is one narrow plan
       val shaped = Payload.shape(matched, subs,
         dataCols = dataSchema.fieldNames.toSeq, pk = pk)
       // encode once per (change × payload group), then explode subscribers;
@@ -88,13 +149,18 @@ object CdcStream {
           lit("}")))
         .select(explode(col("subscription_ids")).as("subscription_id"),
           col("frame"))
-      var n = 0L
-      deliveries.collect().foreach { r =>
-        bus.offer(Delivery(r.getString(0), r.getString(1))); n += 1
+      // executor-side fan-out: the driver never sees a frame; the delivery
+      // count rides back on an accumulator from the same pass
+      val acc = spark.sparkContext.longAccumulator(s"graft.deliveries.$batchId")
+      val sink: DeliverySink = bus
+      deliveries.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var n = 0L
+        it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
+        acc.add(n)
       }
-      matched.unpersist()
-      bus.record(BatchStats(batchId, nChanges, n, shed = false))
-    }
+      bus.record(BatchStats(batchId, nChanges, acc.value,
+        shed = shedTenants.nonEmpty, shedTenants = shedTenants))
+    } finally cached.unpersist()
   }
 
   /** Attach the CDC pipeline to a streaming change DataFrame. */
@@ -106,13 +172,15 @@ object CdcStream {
       pk: Seq[String],
       bus: MemoryBus,
       maxEventsPerBatch: Long = Long.MaxValue,
-      triggerMs: Long = 100L): StreamingQuery =
+      triggerMs: Long = 100L,
+      tenantCol: Option[String] = None,
+      tenantLimits: Map[String, Long] = Map.empty): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, subs, dataSchema, table, pk, bus, batchId,
-          maxEventsPerBatch)
+          tenantCol, tenantLimits, maxEventsPerBatch)
       }
       .start()
 }

@@ -68,6 +68,17 @@ object FilterCompiler {
       case Some(field) =>
         val c = col(f.column)
         val dt = field.dataType
+        // The whole branch is guarded: a filter value that does not cast to
+        // the column type (e.g. 'abc' for an int column) fails CLOSED like
+        // missing columns and unknown ops do, instead of crashing the plan
+        // build of every co-compiled subscription. validate() remains the
+        // place that surfaces the error to the subscriber.
+        try compileUnsafe(f, c, dt)
+        catch { case _: Exception => lit(false) }
+    }
+  }
+
+  private def compileUnsafe(f: Filter, c: Column, dt: DataType): Column = {
         val base: Column = f.op match {
           case "eq"  => c === typedLit(f.value, dt)
           case "neq" => c =!= typedLit(f.value, dt)
@@ -96,7 +107,6 @@ object FilterCompiler {
           case "is" | "isdistinct" => base // negation folded in (IS NOT / <=>)
           case _ => if (f.negate) !base else base
         }
-    }
   }
 
   /** AND-fold a filter list; empty list ⇒ visible. */

@@ -17,14 +17,16 @@ import org.apache.spark.sql.types._
   *   columns" shape as a relational plan.
   *
   * Typed comparison without compile-time types: each change row carries a
-  * `map<col,string>` plus a `map<col,double>` for numeric columns; a filter
-  * compares numerically when its column is numeric, else lexically (same
-  * outcome as the reference's cast-both-sides-to-column-type for the
+  * `map<col,string>`, a `map<col,double>` for fractional columns, and a
+  * `map<col,decimal(38,10)>` for integral/decimal columns (exact — a double would
+  * corrupt bigint keys beyond 2^53); a filter compares exactly-decimal when
+  * its column is integral, numerically when fractional, else lexically
+  * (same outcome as the reference's cast-both-sides-to-column-type for the
   * supported types). Fail-closed on unknown columns; SQL null semantics.
   *
   * Scale shape: the filter table broadcasts (it is the small dimension);
   * the change stream is never shuffled before the per-subscription
-  * conjunction aggregate, which is keyed by (change pk, subscription) —
+  * conjunction aggregate, which is keyed by (change ordinal, subscription) —
   * map-side partial aggregation collapses most of it. Cost is
   * O(|changes| × |filters of the table|) predicate evaluations — the price
   * of full generality, which is why [[Walrus.matchSubscriptions]] is the
@@ -55,24 +57,37 @@ object GenericMatch {
         when(col("f_op") === "__true__", lit(1)).otherwise(col("n_filters")))
   }
 
-  /** Runtime predicate for one (change, filter) pair. `sv`/`nv` are the
-    * row's value as string / double (null when the column is missing or the
-    * value is null); `isNum` whether the column is numeric. */
+  /** Runtime predicate for one (change, filter) pair. `sv`/`nv`/`iv` are
+    * the row's value as string / double / exact decimal (null when the
+    * column is missing or the value is null); `isInt`/`isNum` whether the
+    * column is integral / fractional. */
   private def evalFilter(): Column = {
-    val sv = col("_sv"); val nv = col("_nv")
-    val isNum = col("_is_num"); val exists = col("_col_exists")
+    val sv = col("_sv"); val nv = col("_nv"); val iv = col("_iv")
+    val isNum = col("_is_num"); val isInt = col("_is_int")
+    val exists = col("_col_exists")
     val fv = col("f_value"); val fnum = col("f_value").cast("double")
+    // decimal(38,10) carries every long exactly (19 digits + 10 scale ≤ 38)
+    // while still rejecting e.g. '10.5' = bigint 10 (no rounding, unlike a
+    // cast to decimal(38,0))
+    val fdec = col("f_value").cast("decimal(38,10)")
     val base =
       when(col("f_op") === "__true__", lit(true))
         .when(!exists, lit(false)) // fail closed: unknown column
-        .when(col("f_op") === "eq", when(isNum, nv === fnum).otherwise(sv === fv))
-        .when(col("f_op") === "neq", when(isNum, nv =!= fnum).otherwise(sv =!= fv))
-        .when(col("f_op") === "lt", when(isNum, nv < fnum).otherwise(sv < fv))
-        .when(col("f_op") === "lte", when(isNum, nv <= fnum).otherwise(sv <= fv))
-        .when(col("f_op") === "gt", when(isNum, nv > fnum).otherwise(sv > fv))
-        .when(col("f_op") === "gte", when(isNum, nv >= fnum).otherwise(sv >= fv))
+        .when(col("f_op") === "eq",
+          when(isInt, iv === fdec).when(isNum, nv === fnum).otherwise(sv === fv))
+        .when(col("f_op") === "neq",
+          when(isInt, iv =!= fdec).when(isNum, nv =!= fnum).otherwise(sv =!= fv))
+        .when(col("f_op") === "lt",
+          when(isInt, iv < fdec).when(isNum, nv < fnum).otherwise(sv < fv))
+        .when(col("f_op") === "lte",
+          when(isInt, iv <= fdec).when(isNum, nv <= fnum).otherwise(sv <= fv))
+        .when(col("f_op") === "gt",
+          when(isInt, iv > fdec).when(isNum, nv > fnum).otherwise(sv > fv))
+        .when(col("f_op") === "gte",
+          when(isInt, iv >= fdec).when(isNum, nv >= fnum).otherwise(sv >= fv))
         .when(col("f_op") === "in",
-          when(isNum, exists_in_num(nv)).otherwise(array_contains(col("f_values"), sv)))
+          when(isInt, exists_in_dec(iv)).when(isNum, exists_in_num(nv))
+            .otherwise(array_contains(col("f_values"), sv)))
         .when(col("f_op") === "like", expr("_sv LIKE f_value"))
         .when(col("f_op") === "ilike", expr("_sv ILIKE f_value"))
         .when(col("f_op") === "match", expr("_sv RLIKE f_value"))
@@ -92,6 +107,9 @@ object GenericMatch {
   private def exists_in_num(nv: Column): Column =
     exists(col("f_values"), v => v.cast("double") === nv)
 
+  private def exists_in_dec(iv: Column): Column =
+    exists(col("f_values"), v => v.cast("decimal(38,10)") === iv)
+
   /** Match changes against subscriptions via the generic runtime path.
     * Returns one row per (change, matched subscription) — same contract as
     * exploding [[Walrus.matchSubscriptions]]'s `subscription_ids`. */
@@ -103,8 +121,13 @@ object GenericMatch {
       pkCol: String,
       schemaName: String = "public"): DataFrame = {
     val spark = changes.sparkSession
+    val integralCols = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) ||
+        f.dataType.isInstanceOf[DecimalType] => f.name
+    }.toSeq
     val numericCols = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] => f.name
+      case f if f.dataType.isInstanceOf[NumericType] &&
+        !integralCols.contains(f.name) => f.name
     }.toSeq
     val allCols = schema.fieldNames.toSeq
     val strMap = map(allCols.flatMap(c =>
@@ -113,11 +136,22 @@ object GenericMatch {
       if (numericCols.isEmpty) map().cast(MapType(StringType, DoubleType))
       else map(numericCols.flatMap(c =>
         Seq(lit(c), col(c).cast("double"))): _*)
+    val intMap =
+      if (integralCols.isEmpty) map().cast(MapType(StringType, DecimalType(38, 10)))
+      else map(integralCols.flatMap(c =>
+        Seq(lit(c), col(c).cast("decimal(38,10)"))): _*)
     val fr = filterRows(spark, subs, table, schemaName)
     val hasType = changes.columns.contains(Walrus.TypeCol)
     val joined = changes
+      // unique per-change ordinal: the conjunction aggregate must be keyed
+      // per change ROW, not per pk — one batch can legally carry several
+      // changes of the same pk (INSERT then UPDATE), and folding them
+      // together would sum n_pass across both while n_req stays
+      // max(n_filters), corrupting the match
+      .withColumn("_change_ord", monotonically_increasing_id())
       .withColumn("_vals_str", strMap)
       .withColumn("_vals_num", numMap)
+      .withColumn("_vals_int", intMap)
       .crossJoin(broadcast(fr))
       .where(if (hasType)
           col("action_filter") === "*" || col("action_filter") === col(Walrus.TypeCol)
@@ -125,12 +159,18 @@ object GenericMatch {
       .withColumn("_col_exists",
         col("f_op") === "__true__" ||
           array_contains(lit(allCols.toArray), col("f_column")))
-      .withColumn("_is_num", array_contains(lit(numericCols.toArray), col("f_column")))
+      .withColumn("_is_num",
+        if (numericCols.isEmpty) lit(false)
+        else array_contains(lit(numericCols.toArray), col("f_column")))
+      .withColumn("_is_int",
+        if (integralCols.isEmpty) lit(false)
+        else array_contains(lit(integralCols.toArray), col("f_column")))
       .withColumn("_sv", element_at(col("_vals_str"), col("f_column")))
       .withColumn("_nv", element_at(col("_vals_num"), col("f_column")))
+      .withColumn("_iv", element_at(col("_vals_int"), col("f_column")))
       .withColumn("_pass", evalFilter())
     joined
-      .groupBy(col(pkCol), col("subscription_id"))
+      .groupBy(col("_change_ord"), col(pkCol), col("subscription_id"))
       .agg(sum(when(col("_pass"), 1).otherwise(0)).as("n_pass"),
         max(col("n_filters")).as("n_req"))
       .where(col("n_pass") === col("n_req"))

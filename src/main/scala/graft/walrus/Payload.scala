@@ -12,10 +12,23 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructTyp
   * subscriber (O3/O4, /root/reference/lib/realtime/tenants/repo/migrations/
   * 20260626120000_readd_postgrest_filter_ops.ex:413-417,540-545,638-648).
   *
-  * Each group is a narrow projection over the matched stream (no shuffle);
-  * the record is serialized to JSON **once per group** before any
-  * per-subscriber fan-out — encode-once (O6). Groups are unioned; Spark
-  * executes them as parallel branches over the same scan.
+  * Each group is one arm of a SINGLE projection over the matched stream
+  * (no shuffle, ONE scan): per change row we build an array of per-group
+  * payload structs — `when(size(ids)>0, struct(role, cols, record, …))` —
+  * and `inline` it, the same battery trick as [[Walrus.matchSubscriptions]].
+  * The record is serialized to JSON **once per group** before any
+  * per-subscriber fan-out — encode-once (O6) — and a group's JSON build is
+  * only evaluated when the group matched (CaseWhen laziness). The previous
+  * shape (G unioned branches, each re-scanning `matched`) was G× I/O on a
+  * 100 TB micro-batch; this is 1×.
+  *
+  * Payload fidelity (reference migration 20260626120000:583-647):
+  *  - `record` only for INSERT/UPDATE (else absent);
+  *  - `old_record` for UPDATE, and for DELETE with **pk-only** columns when
+  *    RLS is enabled (deletes can't be secured row-wise);
+  *  - oversize (413): the record is kept, but values whose text form
+  *    exceeds 64 bytes are dropped (`to_json` omits null fields, matching
+  *    `jsonb_object_agg`'s row filter at :604,646).
   */
 object Payload {
 
@@ -41,22 +54,36 @@ object Payload {
       dataCols: Seq[String],
       pk: Seq[String],
       maxBytes: Int = 1 << 20,
-      unauthorizedRoles: Set[String] = Set.empty): DataFrame = {
+      unauthorizedRoles: Set[String] = Set.empty,
+      rlsEnabled: Boolean = false): DataFrame = {
     val groups = subs.groupBy(s => (s.claimsRole, s.selectedColumns.sorted)).toSeq
       .sortBy { case ((role, sel), _) => (role, sel.mkString(",")) }
     val hasOld = matched.columns.exists(_.startsWith("old_"))
     val noPk = pk.isEmpty
-    val branches = groups.map { case ((role, selected), ss) =>
+    val isIns = col(Walrus.TypeCol) === "INSERT"
+    val isUpd = col(Walrus.TypeCol) === "UPDATE"
+    val isDel = col(Walrus.TypeCol) === "DELETE"
+    // a value's text form over 64 bytes is dropped from oversize payloads;
+    // to_json omits null struct fields, so nulling = jsonb_object_agg skip
+    val branches: Seq[Column] = groups.map { case ((role, selected), ss) =>
       val keep = Walrus.projectRecord(dataCols, selected, pk)
       val groupIds = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
-      val recordJson = to_json(struct(keep.map(col): _*))
+      val recordFull = to_json(struct(keep.map(col): _*))
+      val recordTrunc = to_json(struct(keep.map(c =>
+        when(octet_length(col(c).cast(StringType)) > 64, lit(null))
+          .otherwise(col(c)).as(c)): _*))
+      val tooLarge = octet_length(recordFull) > maxBytes
       val oldJson =
         if (hasOld) {
           val oldKeep = keep.filter(c => matched.columns.contains(s"old_$c"))
-          when(col(Walrus.TypeCol) =!= "INSERT",
-            to_json(struct(oldKeep.map(c => col(s"old_$c").as(c)): _*)))
+          val delKeep = if (rlsEnabled) oldKeep.filter(pk.contains) else oldKeep
+          def enc(cols: Seq[String]): Column = when(tooLarge,
+              to_json(struct(cols.map(c =>
+                when(octet_length(col(s"old_$c").cast(StringType)) > 64, lit(null))
+                  .otherwise(col(s"old_$c")).as(c)): _*)))
+            .otherwise(to_json(struct(cols.map(c => col(s"old_$c").as(c)): _*)))
+          when(isUpd, enc(oldKeep)).when(isDel, enc(delKeep))
         } else lit(null).cast(StringType)
-      val tooLarge = octet_length(recordJson) > maxBytes
       // error precedence mirrors apply_rls: 400 (no pk) > 401 (role denied
       // by RLS) > 413 (oversize); error rows are DELIVERED, with the record
       // suppressed (401/400) or value-truncated (413)
@@ -68,22 +95,18 @@ object Payload {
           .otherwise(lit(null).cast(ArrayType(StringType)))
       val rec =
         if (noPk || denied) lit(null).cast(StringType)
-        else when(tooLarge, lit(null).cast(StringType)).otherwise(recordJson)
-      matched
-        .withColumn("ids", array_intersect(col("subscription_ids"), groupIds))
-        .where(size(col("ids")) > 0)
-        .select(
-          (pk.map(col) :+
-            col(Walrus.TypeCol) :+
-            col("commit_timestamp") :+
-            lit(role).as("claims_role") :+
-            lit(if (selected.isEmpty) "" else selected.sorted.mkString(","))
-              .as("selected_columns") :+
-            rec.as("record") :+
-            (if (noPk || denied) lit(null).cast(StringType) else oldJson)
-              .as("old_record") :+
-            errs.as("errors") :+
-            sort_array(col("ids")).as("subscription_ids")): _*)
+        else when(isIns || isUpd,
+          when(tooLarge, recordTrunc).otherwise(recordFull))
+      val ids = array_intersect(col("subscription_ids"), groupIds)
+      when(size(ids) > 0, struct(
+        lit(role).as("claims_role"),
+        lit(if (selected.isEmpty) "" else selected.sorted.mkString(","))
+          .as("selected_columns"),
+        rec.as("record"),
+        (if (noPk || denied) lit(null).cast(StringType) else oldJson)
+          .as("old_record"),
+        errs.as("errors"),
+        sort_array(ids).as("subscription_ids")))
     }
     if (branches.isEmpty) {
       // no subscribers (e.g. every socket disconnected mid-stream): an
@@ -100,6 +123,25 @@ object Payload {
           StructField("subscription_ids", ArrayType(StringType))))
       matched.sparkSession.createDataFrame(
         matched.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else branches.reduce(_ unionByName _)
+    } else {
+      // single pass: arm per group, drop unmatched arms, inline the rest.
+      // inline_outer + null post-filter (not plain inline): the plain
+      // generator makes InferFiltersFromGenerate add a pre-Generate
+      // size(..)>0 filter that re-evaluates every arm twice — same pitfall
+      // as the match battery (commit 4f05edc)
+      val arms = filter(array(branches: _*), b => b.isNotNull)
+      matched
+        .select(
+          (pk.map(col) :+
+            col(Walrus.TypeCol) :+
+            col("commit_timestamp") :+
+            arms.as("_groups")): _*)
+        .select(
+          (pk.map(col) :+
+            col(Walrus.TypeCol) :+
+            col("commit_timestamp") :+
+            inline_outer(col("_groups"))): _*)
+        .where(col("claims_role").isNotNull)
+    }
   }
 }

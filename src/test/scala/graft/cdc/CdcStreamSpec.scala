@@ -5,12 +5,15 @@ import graft.filters.FilterParser
 import graft.model.Subscription
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
 
 /** End-to-end CDC stream: MemoryStream → WALRUS → shaped frames on the bus,
-  * including the load-shedding gate (O10). */
+  * including the per-tenant load-shedding gate (O10) and the executor-side
+  * delivery contract. */
 class CdcStreamSpec extends SparkSpec {
   import spark.implicits._
-  import CdcStreamSpec.Change
+  import CdcStreamSpec.{Change, TChange}
 
   private def f(dsl: String) = FilterParser.parse(dsl).toOption.get
 
@@ -23,7 +26,7 @@ class CdcStreamSpec extends SparkSpec {
 
   test("streamed changes arrive as encoded frames per subscriber") {
     val input = MemoryStream[Change](spark)
-    val bus = new CdcStream.MemoryBus
+    val bus = CdcStream.MemoryBus()
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
       pk = Seq("id"), bus = bus, triggerMs = 10L)
     try {
@@ -43,7 +46,7 @@ class CdcStreamSpec extends SparkSpec {
 
   test("rate-limit gate sheds oversized batches with telemetry") {
     val input = MemoryStream[Change](spark)
-    val bus = new CdcStream.MemoryBus
+    val bus = CdcStream.MemoryBus()
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
       pk = Seq("id"), bus = bus, maxEventsPerBatch = 2, triggerMs = 10L)
     try {
@@ -55,9 +58,57 @@ class CdcStreamSpec extends SparkSpec {
       assert(bus.deliveries.isEmpty)
     } finally q.stop()
   }
+
+  test("per-tenant gate sheds only the over-limit tenant, with telemetry") {
+    val tSchema = Seq.empty[TChange].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val tSubs = Seq(Subscription("sAll", "public", "t", Nil))
+    val changes = (
+      (1 to 5).map(i => TChange(i, "noisy", "INSERT", 60.0,
+        s"2024-01-01T00:00:0$i.000Z")) ++
+      (6 to 7).map(i => TChange(i, "quiet", "INSERT", 60.0,
+        s"2024-01-01T00:00:0$i.000Z"))).toDF()
+    val bus = CdcStream.MemoryBus()
+    CdcStream.processBatch(changes, tSubs, tSchema, "t", pk = Seq("id"),
+      bus = bus, tenantCol = Some("tenant"),
+      tenantLimits = Map("noisy" -> 3L), defaultTenantLimit = 100L)
+    val b = bus.batches.head
+    // only the noisy tenant's 5 rows shed; quiet tenant's 2 delivered
+    assert(b.nChanges == 7 && b.shed && b.shedTenants == Map("noisy" -> 5L))
+    assert(b.nDeliveries == 2 && bus.deliveries.size == 2)
+    assert(bus.deliveries.forall(d => d.subscriptionId == "sAll" &&
+      !d.frame.contains("noisy")))
+  }
+
+  test("delivery happens on executor task threads, not the driver") {
+    CdcStreamSpec.offerThreads.clear()
+    // a sink that records the thread each offer ran on, via the same
+    // static-registry pattern MemoryBus uses (a closure-captured queue
+    // would be serialized into the task and its COPY mutated instead)
+    val sink: CdcStream.DeliverySink = new CdcStreamSpec.ThreadRecordingSink
+    // drive the same executor-side path processBatch uses
+    val deliveries = (1 to 8).map(i => (s"s$i", s"frame$i")).toDF(
+      "subscription_id", "frame")
+    deliveries.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach(r => sink.offer(CdcStream.Delivery(r.getString(0), r.getString(1))))
+    }
+    val names = CdcStreamSpec.offerThreads.asScala.toSeq
+    assert(names.size == 8)
+    // local[n] runs tasks on "Executor task launch worker-*" threads; the
+    // driver's main/test thread never touches a frame
+    assert(names.forall(_.contains("Executor task launch worker")))
+  }
 }
 
 object CdcStreamSpec {
   case class Change(id: Int, change_type: String, value: Double,
       commit_timestamp: String)
+  case class TChange(id: Int, tenant: String, change_type: String,
+      value: Double, commit_timestamp: String)
+
+  val offerThreads = new ConcurrentLinkedQueue[String]()
+  class ThreadRecordingSink extends CdcStream.DeliverySink {
+    def offer(d: CdcStream.Delivery): Unit =
+      offerThreads.add(Thread.currentThread().getName)
+  }
 }

@@ -51,13 +51,43 @@ class PayloadSpec extends SparkSpec {
     assert(out.columns.contains("subscription_ids"))
   }
 
-  test("413: oversize record suppressed with error, small rows intact") {
+  test("413: oversize record keeps only values ≤64 bytes, with error") {
     val rows = shaped(pk = Seq("id"), maxBytes = 60)
       .where(col("claims_role") === "authenticated")
       .select("id", "record", "errors").as[(Int, String, Seq[String])]
       .collect().sortBy(_._1)
     assert(rows(0)._2 != null && rows(0)._3 == null)       // small row ok
-    assert(rows(1)._2 == null && rows(1)._3 == Seq(Payload.Err413))
+    // oversize row: record delivered, but the 100-byte value is dropped
+    // (reference 20260626120000:604 keeps values with octet_length ≤ 64)
+    assert(rows(1)._2 == """{"id":2}""" && rows(1)._3 == Seq(Payload.Err413))
+  }
+
+  test("record only for INSERT/UPDATE; DELETE carries old_record instead") {
+    val changes = Seq(
+      Chg(7, "DELETE", "gone", "2024-01-01T00:00:02.000Z")
+    ).toDF().withColumnRenamed("payload", "details")
+      .withColumn("old_id", col("id"))
+      .withColumn("old_details", lit("prior"))
+    val m = Walrus.matchSubscriptions(changes, subs,
+      changes.drop("change_type", "commit_timestamp", "old_id", "old_details").schema, "t")
+    val rows = Payload.shape(m, subs, Seq("id", "details"), Seq("id"))
+      .select("record", "old_record").as[(String, String)].collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r._1 == null && r._2 == """{"id":7,"details":"prior"}"""))
+  }
+
+  test("DELETE old_record is pk-only when RLS is enabled") {
+    val changes = Seq(
+      Chg(7, "DELETE", "gone", "2024-01-01T00:00:02.000Z")
+    ).toDF().withColumnRenamed("payload", "details")
+      .withColumn("old_id", col("id"))
+      .withColumn("old_details", lit("prior"))
+    val m = Walrus.matchSubscriptions(changes, subs,
+      changes.drop("change_type", "commit_timestamp", "old_id", "old_details").schema, "t")
+    val rows = Payload.shape(m, subs, Seq("id", "details"), Seq("id"),
+        rlsEnabled = true)
+      .select("old_record").as[String].collect()
+    assert(rows.nonEmpty && rows.forall(_ == """{"id":7}"""))
   }
 }
 
