@@ -617,6 +617,56 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n FROM events GROUP BY 1
         |UNION ALL
         |SELECT '*', count(*) FROM events""".stripMargin)),
+    // S2: binary pgoutput decode — encode each event row as a wire-format
+    // Begin+Insert (with a per-partition Relation preamble), then decode
+    // through the relation registry; the oracle computes the expected
+    // decode output directly from the typed columns, so the query proves
+    // decode(encode(row)) == row on real data.
+    Q("s2_wal_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.cdc.PgOutput
+        import graft.cdc.PgOutput.{RelColumn, RelationMeta, TText, TNull}
+        val events = ev(s, d).select(
+          col("event_id").cast("long"), col("event_type"),
+          col("user_id").cast("long"), col("value").cast("double"),
+          unix_micros(col("ts")).as("ts_us"))
+          .as[(Long, String, Long, Double, Long)]
+        val relId = 42
+        val meta = RelationMeta(relId, "public", "events", "d", Seq(
+          RelColumn("event_id", "int8", isKey = true),
+          RelColumn("event_type", "text", isKey = false),
+          RelColumn("user_id", "int8", isKey = false),
+          RelColumn("value", "float8", isKey = false)))
+        val encoded = events.mapPartitions { it =>
+          var first = true
+          it.flatMap { case (id, et, uid, v, tsUs) =>
+            val rel =
+              if (first) { first = false; Seq((-1L, PgOutput.encodeRelation(meta))) }
+              else Nil
+            rel ++ Seq(
+              (id * 2, PgOutput.encodeBegin(id, tsUs, (id % Int.MaxValue).toInt)),
+              (id * 2 + 1, PgOutput.encodeInsert(relId, Seq(
+                TText(id.toString),
+                Option(et).map(TText(_)).getOrElse(TNull),
+                TText(uid.toString), TText(v.toString)))))
+          }
+        }
+        PgOutput.decodeChanges(encoded.toDF("seq", "msg"), "msg", "seq")
+          .where(col("message") === "INSERT")
+          .select(
+            element_at(col("record"), "event_id").cast("long").as("event_id"),
+            element_at(col("record"), "event_type").as("event_type"),
+            element_at(col("record"), "user_id").cast("long").as("user_id"),
+            element_at(col("record"), "value").cast("double").as("value"),
+            col("change_schema"), col("change_table"), col("commit_timestamp"))
+      },
+      Some("""SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+        |       CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(value AS DOUBLE) AS value,
+        |       'public' AS change_schema, 'events' AS change_table,
+        |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS commit_timestamp
+        |FROM events""".stripMargin)),
     // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
     // format + epoch-millis roundtrip + stable hash
     Q("f_scalar_funcs",

@@ -1,0 +1,128 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.cdc.PgOutput._
+import java.nio.ByteBuffer
+
+/** Binary pgoutput decode: relation registry, tuple markers (n/u/t/b),
+  * transaction state, truncate fan-out, and a schema change mid-stream. */
+class PgOutputSpec extends SparkSpec {
+
+  private val relEvents = RelationMeta(42, "public", "events", "d", Seq(
+    RelColumn("id", "int8", isKey = true),
+    RelColumn("name", "text", isKey = false)))
+
+  private def seqd(msgs: Array[Byte]*): Iterator[(Long, Array[Byte])] =
+    msgs.zipWithIndex.map { case (m, i) => (i.toLong, m) }.iterator
+
+  test("Relation → Insert → Update decodes against the registry") {
+    val out = decodeIterator(seqd(
+      encodeBegin(7L, 1700000000000000L, 11),
+      encodeRelation(relEvents),
+      encodeInsert(42, Seq(TText("1"), TText("alice"))),
+      encodeUpdate(42, Some(Seq(TText("1"), TText("alice"))),
+        Seq(TText("1"), TText("bob"))),
+      encodeCommit(7L, 8L, 1700000000000000L))).toSeq
+    assert(out.map(_.message) ==
+      Seq("BEGIN", "RELATION", "INSERT", "UPDATE", "COMMIT"))
+    val ins = out(2)
+    assert(ins.change_table == "events" && ins.change_schema == "public")
+    assert(ins.record == Map("id" -> "1", "name" -> "alice"))
+    assert(ins.xid == 11 && ins.commit_timestamp == "2023-11-14T22:13:20.000Z")
+    val upd = out(3)
+    assert(upd.record("name") == "bob" && upd.old_record("name") == "alice")
+  }
+
+  test("schema change mid-stream: a newer Relation overwrites the registry") {
+    val relV2 = RelationMeta(42, "public", "events", "d", Seq(
+      RelColumn("id", "int8", isKey = true),
+      RelColumn("name", "text", isKey = false),
+      RelColumn("age", "int4", isKey = false)))
+    val out = decodeIterator(seqd(
+      encodeRelation(relEvents),
+      encodeInsert(42, Seq(TText("1"), TText("alice"))),
+      encodeRelation(relV2), // ALTER TABLE ADD COLUMN mid-stream
+      encodeInsert(42, Seq(TText("2"), TText("bob"), TText("33"))))).toSeq
+    assert(out(1).record == Map("id" -> "1", "name" -> "alice"))
+    assert(out(3).record == Map("id" -> "2", "name" -> "bob", "age" -> "33"))
+  }
+
+  test("unchanged-TOAST marker lands in unchanged_toast, not record") {
+    val out = decodeIterator(seqd(
+      encodeRelation(relEvents),
+      encodeUpdate(42, None, Seq(TText("1"), TToast)))).toSeq
+    val upd = out(1)
+    assert(upd.record == Map("id" -> "1"))
+    assert(upd.unchanged_toast == Seq("name"))
+  }
+
+  test("explicit SQL NULL is an entry with null value") {
+    val out = decodeIterator(seqd(
+      encodeRelation(relEvents),
+      encodeInsert(42, Seq(TText("1"), TNull)))).toSeq
+    assert(out(1).record == Map("id" -> "1", "name" -> null))
+  }
+
+  test("DELETE carries the key tuple as old_record") {
+    val out = decodeIterator(seqd(
+      encodeRelation(relEvents),
+      encodeDelete(42, Seq(TText("1"), TNull)))).toSeq
+    assert(out(1).message == "DELETE" && out(1).record == null)
+    assert(out(1).old_record("id") == "1")
+  }
+
+  test("TRUNCATE fans out one record per truncated relation") {
+    val relOther = RelationMeta(43, "public", "users", "d", Seq(
+      RelColumn("id", "int8", isKey = true)))
+    val out = decodeIterator(seqd(
+      encodeRelation(relEvents),
+      encodeRelation(relOther),
+      encodeTruncate(Seq(42, 43)))).toSeq
+    val tr = out.filter(_.message == "TRUNCATE")
+    assert(tr.map(_.change_table) == Seq("events", "users"))
+  }
+
+  test("tuple for an unknown relation id decodes as UNSUPPORTED") {
+    val out = decodeIterator(seqd(
+      encodeInsert(99, Seq(TText("1"))))).toSeq
+    assert(out.head.message == "UNSUPPORTED")
+  }
+
+  test("binary-format ('b') values decode typed: bool, int8, timestamp, uuid") {
+    val relBin = RelationMeta(50, "public", "bin", "d", Seq(
+      RelColumn("ok", "bool", isKey = false),
+      RelColumn("n", "int8", isKey = false),
+      RelColumn("at", "timestamp", isKey = false),
+      RelColumn("u", "uuid", isKey = false)))
+    def bval(data: Array[Byte]): Array[Byte] =
+      Array('b'.toByte) ++ ByteBuffer.allocate(4).putInt(data.length).array() ++ data
+    val tuple = ByteBuffer.allocate(2).putShort(4.toShort).array() ++
+      bval(Array(1.toByte)) ++
+      bval(ByteBuffer.allocate(8).putLong(123456789L).array()) ++
+      bval(ByteBuffer.allocate(8).putLong(1700000000000000L - PgEpochMicros).array()) ++
+      bval(ByteBuffer.allocate(16).putLong(0x1122334455667788L).putLong(0x99aabbccddeeff00L).array())
+    val insert = Array('I'.toByte) ++
+      ByteBuffer.allocate(4).putInt(50).array() ++ Array('N'.toByte) ++ tuple
+    val out = decodeIterator(seqd(encodeRelation(relBin), insert)).toSeq
+    val rec = out(1).record
+    assert(rec("ok") == "true" && rec("n") == "123456789")
+    assert(rec("at") == "2023-11-14T22:13:20.000Z")
+    assert(rec("u") == "11223344-5566-7788-99aa-bbccddeeff00")
+  }
+
+  test("DataFrame-level decode runs per partition with its own registry") {
+    import spark.implicits._
+    // two partitions, each with its own Relation preamble (as a real slot
+    // re-sends Relation after reconnect) — registry is partition-local
+    val msgs: Seq[(Int, Long, Array[Byte])] = Seq(
+      (0, 0L, encodeRelation(relEvents)),
+      (0, 1L, encodeInsert(42, Seq(TText("1"), TText("p0")))),
+      (1, 0L, encodeRelation(relEvents)),
+      (1, 1L, encodeInsert(42, Seq(TText("2"), TText("p1")))))
+    val df = msgs.toDF("p", "seq", "msg").repartition(2, $"p")
+    val decoded = PgOutput.decodeChanges(df, "msg", "seq")
+    val names = decoded.filter(_.message == "INSERT")
+      .collect().map(_.record("name")).sorted.toSeq
+    assert(names == Seq("p0", "p1"))
+  }
+}
