@@ -191,12 +191,45 @@ object Queries {
     s"""$changesCte
        |${manySubs.map(_._2).mkString("", "\nUNION ALL ", "")}""".stripMargin
 
+  /** TRUNCATE routing: truncate rows (no row data) reach `*`-action
+    * subscribers only, with filters bypassed. */
+  def walrusTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+    val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
+      .withColumn(Walrus.TypeCol,
+        when(col("event_id") % 17 === 0, "TRUNCATE").otherwise(col(Walrus.TypeCol)))
+    Walrus.matchSubscriptions(changes, flagshipSubs, ev(spark, sfDir).schema, "events")
+      .select(col("event_id"), col(Walrus.TypeCol),
+        explode_outer(col("subscription_ids")).as("subscription_id"))
+      .where(col("subscription_id").isNotNull)
+  }
+
+  private val truncateOracle =
+    """WITH changes AS (
+      |  SELECT *, CASE WHEN event_id % 17 = 0 THEN 'TRUNCATE'
+      |                 WHEN event_id % 10 < 6 THEN 'INSERT'
+      |                 WHEN event_id % 10 < 9 THEN 'UPDATE'
+      |                 ELSE 'DELETE' END AS change_type
+      |  FROM events)
+      |SELECT event_id, change_type, 'sub01' AS subscription_id FROM changes
+      |  WHERE change_type = 'INSERT' AND value > 50 AND event_type = 'click'
+      |UNION ALL SELECT event_id, change_type, 'sub02' FROM changes
+      |  WHERE change_type = 'TRUNCATE' OR user_id IN (1,2,3)
+      |UNION ALL SELECT event_id, change_type, 'sub03' FROM changes
+      |  WHERE change_type = 'TRUNCATE' OR event_type NOT LIKE 'c%'
+      |UNION ALL SELECT event_id, change_type, 'sub04' FROM changes
+      |  WHERE change_type = 'UPDATE' AND value <= 10
+      |UNION ALL SELECT event_id, change_type, 'sub05' FROM changes
+      |  WHERE change_type = 'DELETE'
+      |UNION ALL SELECT event_id, change_type, 'sub06' FROM changes
+      |  WHERE change_type = 'TRUNCATE' OR (user_id >= 45 AND value < 20)""".stripMargin
+
   private val coreQueries: Seq[Q] = Seq(
     Q("j1_walrus_match", walrusMatch, Some(walrusOracle)),
     Q("j1_walrus_generic", walrusGeneric, Some(walrusOracle)),
     Q("j1_walrus_200subs", walrusMatch200, Some(walrus200Oracle)),
     Q("p5_action_filter", actionFilterCounts,
-      Some(s"SELECT subscription_id, count(*) AS n_changes FROM ($walrusOracle) GROUP BY 1"))
+      Some(s"SELECT subscription_id, count(*) AS n_changes FROM ($walrusOracle) GROUP BY 1")),
+    Q("p_truncate_routing", walrusTruncate, Some(truncateOracle))
   )
 
   // ---------------------------------------------------------------- messages
@@ -372,6 +405,67 @@ object Queries {
         Seq("user_id"), "left_semi"),
       Some(s"""SELECT $evCols FROM events
         |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin)),
+    // S1/J1 multi-table: one heterogeneous change stream (events +
+    // customer in the generic decoded-WAL map shape), matched against
+    // subscriptions on both tables — and a '*'-table subscription — in a
+    // SINGLE battery pass (no per-table query, reference drains all
+    // published tables per poll).
+    Q("j_multi_table",
+      (s, d) => {
+        import graft.walrus.MultiTableMatch
+        def generic(df: DataFrame, table: String, idCol: String): DataFrame = {
+          val m = pmod(col(idCol), lit(10))
+          df.select(
+            lit("public").as("change_schema"), lit(table).as("change_table"),
+            when(m < 6, "INSERT").when(m < 9, "UPDATE").otherwise("DELETE")
+              .as("change_type"),
+            map(df.columns.toSeq.flatMap(c =>
+              Seq(lit(c), col(c).cast("string"))): _*).as("record"))
+        }
+        val evDf = ev(s, d).select("event_id", "event_type", "user_id", "value")
+        val cuDf = ChangeFeed.table(s, d, "customer")
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+        val stream = generic(evDf, "events", "event_id")
+          .unionByName(generic(cuDf, "customer", "c_custkey"))
+        val registry = Map(
+          ("public", "events") -> evDf.schema,
+          ("public", "customer") -> cuDf.schema)
+        val mtSubs = Seq(
+          Subscription("me1", "public", "events",
+            FilterParser.parse("value=gt.50").toOption.get),
+          Subscription("me2", "public", "events",
+            FilterParser.parse("event_type=eq.click").toOption.get,
+            actionFilter = "INSERT"),
+          Subscription("mc1", "public", "customer",
+            FilterParser.parse("c_acctbal=gt.5000").toOption.get),
+          Subscription("mAll", "public", "*", Nil))
+        MultiTableMatch.matchSubscriptions(stream, registry, mtSubs)
+          .select(col("change_table"),
+            coalesce(element_at(col("record"), "event_id"),
+              element_at(col("record"), "c_custkey")).cast("long").as("entity_id"),
+            explode_outer(col("subscription_ids")).as("subscription_id"))
+          .where(col("subscription_id").isNotNull)
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |         CASE WHEN event_id % 10 < 6 THEN 'INSERT'
+        |              WHEN event_id % 10 < 9 THEN 'UPDATE'
+        |              ELSE 'DELETE' END AS change_type
+        |  FROM events),
+        |cu AS (
+        |  SELECT c_custkey, c_acctbal,
+        |         CASE WHEN c_custkey % 10 < 6 THEN 'INSERT'
+        |              WHEN c_custkey % 10 < 9 THEN 'UPDATE'
+        |              ELSE 'DELETE' END AS change_type
+        |  FROM customer)
+        |SELECT 'events' AS change_table, CAST(event_id AS BIGINT) AS entity_id,
+        |       'me1' AS subscription_id FROM ev WHERE value > 50
+        |UNION ALL SELECT 'events', CAST(event_id AS BIGINT), 'me2' FROM ev
+        |  WHERE change_type = 'INSERT' AND event_type = 'click'
+        |UNION ALL SELECT 'customer', CAST(c_custkey AS BIGINT), 'mc1' FROM cu
+        |  WHERE c_acctbal > 5000
+        |UNION ALL SELECT 'events', CAST(event_id AS BIGINT), 'mAll' FROM ev
+        |UNION ALL SELECT 'customer', CAST(c_custkey AS BIGINT), 'mAll' FROM cu""".stripMargin)),
     Q("j9_rls_probe",
       (s, d) => {
         val policy = ChangeFeed.table(s, d, "customer")

@@ -61,13 +61,22 @@ object FilterCompiler {
   }
 
   /** Compile one filter to a predicate Column against `schema`. */
-  def compile(f: Filter, schema: StructType): Column = {
+  def compile(f: Filter, schema: StructType): Column =
+    compileWith(f, schema, col(_))
+
+  /** Compile against an arbitrary column accessor — e.g.
+    * `c => element_at(col("record"), c)` for the generic
+    * `map<col,string>` WAL shape, where the accessed value is cast to the
+    * schema's column type before comparison. `schema` still provides the
+    * typing and the fail-closed missing-column check. */
+  def compileWith(f: Filter, schema: StructType,
+      access: String => Column): Column = {
     val fieldOpt = schema.fields.find(_.name == f.column)
     fieldOpt match {
       case None => lit(false) // fail closed: filter names a missing column
       case Some(field) =>
-        val c = col(f.column)
         val dt = field.dataType
+        val c = access(f.column).cast(dt)
         // The whole branch is guarded: a filter value that does not cast to
         // the column type (e.g. 'abc' for an int column) fails CLOSED like
         // missing columns and unknown ops do, instead of crashing the plan

@@ -60,12 +60,16 @@ final case class Subscription(
   )
 }
 
-/** Change types carried on the CDC stream. */
+/** Change types carried on the CDC stream. TRUNCATE rows carry no row
+  * data (reference `TruncatedRelation`, changes.ex:61-64, decoded from
+  * the wire 'T' message) — they route to `action_filter = "*"` subscribers
+  * only, with filters bypassed. */
 object ChangeType {
   val Insert = "INSERT"
   val Update = "UPDATE"
   val Delete = "DELETE"
-  val All = Seq(Insert, Update, Delete)
+  val Truncate = "TRUNCATE"
+  val All = Seq(Insert, Update, Delete, Truncate)
 }
 
 /** A message-log row (broadcast / replay), reference messages table:

@@ -168,7 +168,13 @@ object GenericMatch {
       .withColumn("_sv", element_at(col("_vals_str"), col("f_column")))
       .withColumn("_nv", element_at(col("_vals_num"), col("f_column")))
       .withColumn("_iv", element_at(col("_vals_int"), col("f_column")))
-      .withColumn("_pass", evalFilter())
+      // TRUNCATE: no row data, filters bypassed (the action_filter='*'
+      // gate above already routed it) — keep parity with the compiled path
+      .withColumn("_pass",
+        if (hasType)
+          when(col(Walrus.TypeCol) === graft.model.ChangeType.Truncate, lit(true))
+            .otherwise(evalFilter())
+        else evalFilter())
     joined
       .groupBy(col("_change_ord"), col(pkCol), col("subscription_id"))
       .agg(sum(when(col("_pass"), 1).otherwise(0)).as("n_pass"),

@@ -1,0 +1,75 @@
+package graft.walrus
+
+import graft.filters.FilterCompiler
+import graft.model.{ChangeType, Subscription}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+
+/** Multi-table subscription matching over a heterogeneous change stream —
+  * the real S1 shape: the reference's poll loop drains ONE slot carrying
+  * every published table per poll (migration
+  * 20260326120000_list_changes_with_slot_count.ex:42-56), so the matcher
+  * must route all tables in one pass, not one query per table.
+  *
+  * Input is the decoded-WAL generic shape ([[graft.cdc.PgOutput]] output):
+  * `change_schema`, `change_table`, `change_type`, `record:
+  * map<string,string>`. Each registered table contributes its compiled
+  * filter groups to ONE predicate battery; a group's arm is
+  * `(change_schema, change_table) = (s,t) && action && filters`, with the
+  * filters compiled through [[FilterCompiler.compileWith]] so the map's
+  * text values are cast to the table's real column types before
+  * comparison (same typing as the single-table compiled path).
+  *
+  * Scale shape: identical to [[Walrus.matchSubscriptions]] — a single
+  * narrow whole-stage projection over the stream, zero shuffle, zero join;
+  * the table dispatch is just another constant-foldable conjunct. The
+  * stream stays partitioned by (schema, table, lsn) from the decode stage,
+  * so per-topic commit order is preserved within partitions.
+  */
+object MultiTableMatch {
+
+  /** Match a heterogeneous change stream against subscriptions over all
+    * registered tables in one battery pass. Adds `subscription_ids`.
+    *
+    * @param registry (schema, table) → the table's data schema (used to
+    *                 type filter comparisons; tables absent from the
+    *                 registry match nothing — fail closed).
+    */
+  def matchSubscriptions(
+      changes: DataFrame,
+      registry: Map[(String, String), StructType],
+      subs: Seq[Subscription]): DataFrame = {
+    // resolve wildcards driver-side: a '*' subscription arms one group per
+    // registered table (the catalog is the small dimension)
+    val resolved: Seq[((String, String), Subscription)] = for {
+      s <- subs.map(_.canonical)
+      k @ (sch, tbl) <- registry.keys.toSeq.sorted
+      if (s.schema == "*" || s.schema == sch) && (s.table == "*" || s.table == tbl)
+    } yield (k, s)
+    val groups = resolved
+      .groupBy { case (k, s) => (k, s.actionFilter, s.filters) }
+      .toSeq.sortBy(_._1.toString)
+    val armed: Seq[Column] = groups.map { case (((sch, tbl), action, filters), pairs) =>
+      val dataSchema = registry((sch, tbl))
+      val tablePred =
+        col("change_schema") === lit(sch) && col("change_table") === lit(tbl)
+      val filterPred = filters
+        .map(f => FilterCompiler.compileWith(f, dataSchema,
+          c => element_at(col("record"), lit(c))))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val actionPred =
+        if (action == "*") filterPred
+        else col(Walrus.TypeCol) === lit(action) && filterPred
+      val pred = tablePred &&
+        when(col(Walrus.TypeCol) === lit(ChangeType.Truncate),
+          lit(action == "*")).otherwise(actionPred)
+      val ids = array(pairs.map(_._2.subscriptionId).distinct.sorted.map(lit): _*)
+      when(pred, ids)
+    }
+    val idsCol =
+      if (armed.isEmpty) array().cast(ArrayType(StringType))
+      else array_sort(flatten(filter(array(armed: _*), a => a.isNotNull)))
+    changes.withColumn("subscription_ids", idsCol)
+  }
+}

@@ -58,8 +58,15 @@ object Walrus {
     val armed: Seq[Column] = groups.map { case ((action, filters), ss) =>
       val pred0 = FilterCompiler.compileAll(filters, schema)
       val pred =
-        if (action == "*" || !hasType) pred0
-        else col(TypeCol) === lit(action) && pred0
+        if (!hasType) pred0
+        else {
+          val normal =
+            if (action == "*") pred0 else col(TypeCol) === lit(action) && pred0
+          // TRUNCATE carries no row data — filters can't apply; it routes
+          // to action='*' subscribers only (ChangeType doc, changes.ex:61)
+          when(col(TypeCol) === lit(graft.model.ChangeType.Truncate),
+            lit(action == "*")).otherwise(normal)
+        }
       val ids = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
       when(pred, ids)
     }

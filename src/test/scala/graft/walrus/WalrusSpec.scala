@@ -61,6 +61,26 @@ class WalrusSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("TRUNCATE routes to '*' subscribers only, filters bypassed") {
+    val subs = Seq(
+      // '*' action with a filter the truncate row can't satisfy — still
+      // delivered: truncate has no row data, filters are inapplicable
+      Subscription("sStar", "public", "t", f("value=gt.1000")),
+      Subscription("sIns", "public", "t", Nil, actionFilter = "INSERT"),
+      Subscription("sDel", "public", "t", Nil, actionFilter = "DELETE"))
+    val withTrunc = changes.withColumn("change_type",
+      when($"id" === 2, "TRUNCATE").otherwise($"change_type"))
+    val out = Walrus.matchSubscriptions(withTrunc, subs, dataSchema, "t")
+      .select($"id", $"subscription_ids")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(out(2) == Seq("sStar"))
+    assert(out(1) == Seq("sIns")) // normal rows unaffected
+    // generic path agrees
+    val gen = GenericMatch.matchExploded(withTrunc, subs, dataSchema, "t", "id")
+      .as[(Int, String)].collect().toSet
+    assert(gen.filter(_._1 == 2) == Set((2, "sStar")))
+  }
+
   test("projectRecord keeps pk and selection") {
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Seq("a"), Seq("id")) == Seq("id", "a"))
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Nil, Seq("id")) == Seq("id", "a", "b"))
