@@ -130,7 +130,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     // persist (id, shingles, signature): feeds the banded self-join twice
-    // plus the verification join; tiny relative to the text, caches at scale
+    // plus the verification join; tiny relative to the text, caches at
+    // scale. Cache OWNERSHIP is the session loop's: callers drop it via
+    // spark.catalog.clearCache() after consuming the result (Verify/Bench
+    // do, per query) — the returned plan is lazy so the query itself
+    // cannot unpersist
     val base = df.select(
       col(idCol).as("id"),
       TextAnalysis.words(col(textCol)).as("ws"))
@@ -277,45 +281,66 @@ object Dedup {
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force — the
     * correctness baseline; see [[Similarity]] for the bucketed scale path).
     *
-    * Executed as a `mapPartitions` primitive-array kernel over a broadcast
-    * of the L2-normalized vectors: an O(n²) dot-product loop is numeric
+    * Executed as a **block-grid**: vectors are hashed into `nBlocks`
+    * roughly-equal blocks (pmod of the id), each block is one grouped row
+    * of (id, normalized vector) pairs, and every upper-triangle grid cell
+    * (block_i ≤ block_j) becomes one task that runs a primitive-array
+    * dot-product kernel over its two blocks. Nothing is ever collected to
+    * the driver, and no single executor needs the whole corpus — each task
+    * holds exactly two blocks (2·n/B vectors), so memory per task is
+    * tunable with `nBlocks` independent of n. Replication cost is the
+    * standard O(n·B) block shuffle, vs the driver-broadcast variant's
+    * driver OOM at scale. The O(n²) dot-product loop itself is numeric
     * kernel territory where interpreted array expressions (HOF folds,
-    * BroadcastNestedLoopJoin conditions) cost ~100× over primitive math.
-    * Each partition owns a slice of row indices and compares it against all
-    * higher indices from the broadcast — upper-triangle sharding, no
-    * shuffle, work balanced by interleaving (stride = #slices). Float order
-    * matches the expression fold (sequential sum), so results are
-    * bit-identical and oracle-stable. At 100 TB the broadcast side becomes
-    * a block-grid (each task gets a (block_i, block_j) pair of vector
-    * blocks); the kernel is unchanged. */
+    * BroadcastNestedLoopJoin conditions) cost ~100× over primitive math;
+    * float summation order matches the expression fold (sequential sum),
+    * so scores are bit-identical and oracle-stable. Pairs are emitted as
+    * (smaller id, larger id), within-cell for the diagonal and cross-block
+    * otherwise — the exact pair set of the all-pairs loop. */
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, dim: Int = 0): DataFrame = {
+      threshold: Double, dim: Int = 0, nBlocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = Similarity.normalized(df, vecCol, "v")
-      .select(col(idCol).cast("long").as("id"), col("v"))
-      .as[(Long, Array[Double])]
-    val all = base.collect().sortBy(_._1) // ids + normalized vectors, ~dim×8B each
-    val bc = spark.sparkContext.broadcast(all)
-    val nSlices = spark.sparkContext.defaultParallelism
-    spark.sparkContext.parallelize(0 until nSlices, nSlices)
-      .mapPartitions { slices =>
-        val vs = bc.value
-        val n = vs.length
-        slices.flatMap { slice =>
-          Iterator.range(slice, n, nSlices).flatMap { i =>
-            val (ia, va) = vs(i)
-            Iterator.range(i + 1, n).flatMap { j =>
-              val (ib, vb) = vs(j)
-              var s = 0.0
-              var k = 0
-              while (k < va.length) { s += va(k) * vb(k); k += 1 }
-              if (s >= threshold) Iterator.single((ia, ib)) else Iterator.empty
-            }
-          }
+    val b =
+      if (nBlocks > 0) nBlocks
+      else math.max(4, math.ceil(math.sqrt(
+        spark.sparkContext.defaultParallelism * 2)).toInt)
+    // struct fields named _1/_2 so the tuple encoder below resolves; no
+    // persist needed: the two grid joins reference the identical subplan
+    // and ReuseExchange evaluates the block aggregation once per action
+    val blocks = Similarity.normalized(df, vecCol, "v")
+      .select(pmod(col(idCol).cast("long"), lit(b)).cast("int").as("blk"),
+        col(idCol).cast("long").as("id"), col("v"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("vecs"))
+    val grid = (for { i <- 0 until b; j <- i until b } yield (i, j))
+      .toDF("bi", "bj")
+    val cells = grid
+      .join(blocks.select(col("blk").as("bi"), col("vecs").as("va")), Seq("bi"))
+      .join(blocks.select(col("blk").as("bj"), col("vecs").as("vb")), Seq("bj"))
+      .select(col("bi"), col("bj"), col("va"), col("vb"))
+      .as[(Int, Int, Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
+    val pairs = cells.flatMap { case (bi, bj, va0, vb0) =>
+      // sort by id so the diagonal's i<j sharding and the emitted
+      // (min,max) ordering are deterministic
+      val va = va0.sortBy(_._1)
+      val vb = if (bi == bj) va else vb0.sortBy(_._1)
+      val diag = bi == bj
+      va.iterator.zipWithIndex.flatMap { case ((ia, xa), i) =>
+        val js = if (diag) Iterator.range(i + 1, vb.length)
+                 else Iterator.range(0, vb.length)
+        js.flatMap { j =>
+          val (ib, xb) = vb(j)
+          var s = 0.0
+          var k = 0
+          while (k < xa.length) { s += xa(k) * xb(k); k += 1 }
+          if (s >= threshold)
+            Iterator.single((math.min(ia, ib), math.max(ia, ib)))
+          else Iterator.empty
         }
       }
-      .toDF("id_a", "id_b")
+    }.toDF("id_a", "id_b")
+    pairs
   }
 }

@@ -86,4 +86,39 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L)))
   }
+
+  test("block-grid embedding dedup: 50k vectors, no driver materialization") {
+    // planted dup pairs: id and id+50000 share a vector direction; all
+    // other vectors are axis-distinct. Runs the full (block_i ≤ block_j)
+    // grid — the driver never holds the corpus (no collect/broadcast in
+    // the plan), each task two blocks.
+    val n = 50000
+    val planted = 40
+    // deterministic pseudo-random 8-dim vectors from murmur3: two distinct
+    // source ids agreeing on all 8 hashed components is ~(1/2001)^8 — at
+    // threshold 0.99999 only the planted exact dups can pair
+    val vec = "array(" + (0 until 8).map(j =>
+      s"(pmod(hash(src, $j), 2001) - 1000) / 1000.0D").mkString(",") + ")"
+    val e = spark.range(n + planted)
+      .selectExpr("id AS vec_id",
+        s"CASE WHEN id >= $n THEN id - $n ELSE id END AS src")
+      .selectExpr("vec_id", s"$vec AS embedding")
+    val got = Dedup.embeddingNearDups(e, "embedding", "vec_id",
+        threshold = 0.99999, nBlocks = 8)
+      .as[(Long, Long)].collect().toSet
+    val expected = (0 until planted).map(i => (i.toLong, (n + i).toLong)).toSet
+    assert(got == expected)
+  }
+
+  test("pipeline caches are owned by the session loop and fully dropped") {
+    spark.catalog.clearCache()
+    Dedup.minhashNearDups(docsDF, "text", "doc_id").count()
+    Dedup.ngramJaccardPairs(docsDF, "text", "doc_id").count()
+    // the queries persisted intermediates...
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    // ...and the session loop's clearCache (Verify/Bench run it per query)
+    // leaves no cached RDDs behind
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
