@@ -761,6 +761,62 @@ object Queries {
         |       'public' AS change_schema, 'events' AS change_table,
         |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS commit_timestamp
         |FROM events""".stripMargin)),
+    // Per-socket read-gating of presence/broadcast fan-out: presence
+    // diffs gated on presence_read (NULL → channel-time authorize),
+    // broadcasts on broadcast_read + not-already-replayed.
+    Q("j_dispatch_gating",
+      (s, d) => {
+        import graft.api.Dispatcher
+        val msgs = messagesFromEvents(s, d).select(
+          col("topic"), col("id").as("message_id"),
+          when(col("private"), "presence_diff").otherwise("broadcast")
+            .as("extension"))
+        val topics = array(lit("click"), lit("view"), lit("error"),
+          lit("purchase"), lit("signup"))
+        val sockets = ChangeFeed.table(s, d, "customer")
+          .where(col("c_custkey") < 100)
+          .select(col("c_custkey").cast("long").as("socket_id"),
+            element_at(topics, (pmod(col("c_custkey"), lit(5)) + 1).cast("int"))
+              .as("topic"),
+            when(pmod(col("c_custkey"), lit(3)) === 0, lit(true))
+              .when(pmod(col("c_custkey"), lit(3)) === 1, lit(false))
+              .as("presence_read"),
+            (pmod(col("c_custkey"), lit(2)) === 0).as("broadcast_read"))
+        val replayed = msgs
+          .where(pmod(col("message_id"), lit(7)) === 0).select("message_id")
+          .crossJoin(sockets.where(pmod(col("socket_id"), lit(4)) === 0)
+            .select("socket_id"))
+        Dispatcher.gate(msgs, sockets, Some(replayed))
+          .groupBy("socket_id", "status", "extension")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH msgs AS (
+        |  SELECT event_type AS topic, event_id AS message_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'presence_diff'
+        |              ELSE 'broadcast' END AS extension
+        |  FROM events),
+        |sockets AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS socket_id,
+        |         list_extract(['click','view','error','purchase','signup'],
+        |                      CAST(c_custkey % 5 + 1 AS INT)) AS topic,
+        |         CASE WHEN c_custkey % 3 = 0 THEN true
+        |              WHEN c_custkey % 3 = 1 THEN false END AS presence_read,
+        |         (c_custkey % 2 = 0) AS broadcast_read
+        |  FROM customer WHERE c_custkey < 100),
+        |g AS (
+        |  SELECT s.socket_id, m.extension, m.message_id,
+        |         CASE WHEN m.extension = 'presence_diff' THEN
+        |                CASE WHEN s.presence_read THEN 'deliver'
+        |                     WHEN s.presence_read IS NULL THEN 'authorize'
+        |                     ELSE 'withhold' END
+        |              ELSE CASE WHEN s.broadcast_read THEN 'deliver'
+        |                        ELSE 'withhold' END END AS status
+        |  FROM msgs m JOIN sockets s ON m.topic = s.topic)
+        |SELECT socket_id, status, extension, count(*) AS n FROM g
+        |WHERE status != 'withhold'
+        |  AND NOT (extension = 'broadcast' AND message_id % 7 = 0
+        |           AND socket_id % 4 = 0)
+        |GROUP BY 1, 2, 3""".stripMargin)),
     // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
     // format + epoch-millis roundtrip + stable hash
     Q("f_scalar_funcs",

@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-socket read-gating of presence/broadcast fan-out — the reference's
+  * message dispatcher (/root/reference/lib/realtime_web/channels/
+  * realtime_channel/message_dispatcher.ex:46-110) re-expressed
+  * relationally:
+  *
+  *  - `presence_diff` frames reach a socket only when its
+  *    `presence_read` authorization is TRUE; a NULL (not yet authorized —
+  *    presence wasn't enabled at join) defers to channel-time
+  *    authorization (`status = 'authorize'`, the `:authorize_presence_diff`
+  *    route); FALSE withholds silently.
+  *  - `broadcast` frames require `broadcast_read = true`, and skip
+  *    messages the socket already received via replay
+  *    (`already_replayed?`, the per-socket replayed-id set).
+  *
+  * Scale shape: messages ⨝ sockets is a plain hash join on `topic` (both
+  * sides partition by topic; no skew beyond topic popularity — salt hot
+  * topics upstream if needed), the gate itself is a codegen'd projection,
+  * and the replay exclusion is a left-anti-shaped join on
+  * (socket, message) that only applies to broadcast rows. Withheld rows
+  * never materialize past the filter.
+  */
+object Dispatcher {
+
+  /** Gate messages per socket. `messages`: (topic, message_id, extension ∈
+    * 'presence_diff'|'broadcast', …); `sockets`: (socket_id, topic,
+    * presence_read: nullable bool, broadcast_read: bool); `replayed`
+    * (optional): (socket_id, message_id) pairs already delivered via
+    * replay. Returns one row per (message × allowed socket) with `status`
+    * 'deliver' or 'authorize'. */
+  def gate(
+      messages: DataFrame,
+      sockets: DataFrame,
+      replayed: Option[DataFrame] = None): DataFrame = {
+    val joined = messages.join(sockets, "topic")
+      .withColumn("status",
+        when(col("extension") === "presence_diff",
+          when(col("presence_read") <=> true, "deliver")
+            .when(col("presence_read").isNull, "authorize")
+            .otherwise("withhold"))
+        .otherwise(
+          when(col("broadcast_read") <=> true, "deliver")
+            .otherwise("withhold")))
+      .where(col("status") =!= "withhold")
+    val unreplayed = replayed match {
+      case Some(r) =>
+        joined
+          .join(r.select(col("socket_id"), col("message_id"))
+              .withColumn("_replayed", lit(true)),
+            Seq("socket_id", "message_id"), "left")
+          .where(!(col("extension") === "broadcast" &&
+            coalesce(col("_replayed"), lit(false))))
+          .drop("_replayed")
+      case None => joined
+    }
+    unreplayed
+  }
+
+  /** The dispatcher's presence counter: delivered presence_diff count per
+    * topic (increment_presence_counter, message_dispatcher.ex:85). */
+  def presenceCounters(gated: DataFrame): DataFrame =
+    gated.where(col("extension") === "presence_diff" &&
+        col("status") === "deliver")
+      .groupBy("topic").agg(count(lit(1)).as("n_presence_delivered"))
+}

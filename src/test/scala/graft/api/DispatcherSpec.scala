@@ -1,0 +1,53 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-socket read-gating: presence_read tri-state, broadcast_read, and
+  * the replayed-message exclusion that only applies to broadcasts. */
+class DispatcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val messages = Seq(
+    ("room1", 1L, "presence_diff"),
+    ("room1", 2L, "broadcast"),
+    ("room1", 3L, "broadcast")
+  ).toDF("topic", "message_id", "extension")
+
+  lazy val sockets = Seq(
+    ("sTrue", "room1", Some(true), true),
+    ("sFalse", "room1", Some(false), true),
+    ("sNull", "room1", None, false)
+  ).toDF("socket_id", "topic", "presence_read", "broadcast_read")
+
+  test("presence diffs: true delivers, false withholds, null defers") {
+    val out = Dispatcher.gate(messages, sockets)
+      .where($"extension" === "presence_diff")
+      .select("socket_id", "status").as[(String, String)].collect().toMap
+    assert(out == Map("sTrue" -> "deliver", "sNull" -> "authorize"))
+  }
+
+  test("broadcasts gated by broadcast_read; replay skips only broadcasts") {
+    val replayed = Seq(("sTrue", 2L), ("sTrue", 1L))
+      .toDF("socket_id", "message_id")
+    val out = Dispatcher.gate(messages, sockets, Some(replayed))
+      .select("socket_id", "message_id", "extension")
+      .as[(String, Long, String)].collect().toSet
+    // sTrue: broadcast 2 replayed → only 3; presence 1 unaffected by the
+    // replay entry (replay applies to broadcasts only)
+    assert(out.contains(("sTrue", 1L, "presence_diff")))
+    assert(!out.contains(("sTrue", 2L, "broadcast")))
+    assert(out.contains(("sTrue", 3L, "broadcast")))
+    // sNull has broadcast_read=false → no broadcasts at all
+    assert(!out.exists(r => r._1 == "sNull" && r._3 == "broadcast"))
+    // sFalse receives broadcasts (read=true) but no presence diffs
+    assert(out.contains(("sFalse", 2L, "broadcast")))
+    assert(!out.exists(r => r._1 == "sFalse" && r._3 == "presence_diff"))
+  }
+
+  test("presence counter counts delivered diffs per topic") {
+    val n = Dispatcher.presenceCounters(Dispatcher.gate(messages, sockets))
+      .as[(String, Long)].collect().toMap
+    assert(n == Map("room1" -> 1L))
+  }
+}
