@@ -39,13 +39,20 @@ object Walrus {
 
   /** Compiled-predicate match: adds `subscription_ids: array<string>` (sorted,
     * possibly empty) to `changes`. `schema` is the data schema of the table
-    * the changes belong to (filters compile against it, fail-closed). */
+    * the changes belong to (filters compile against it, fail-closed).
+    *
+    * The battery is a native codegen'd [[graft.plans.SubscriptionBattery]]
+    * expression (one short-circuit block per group inside whole-stage
+    * codegen); `useCodegen = false` selects the equivalent HOF form
+    * (`array_sort∘flatten∘filter` over conditional arms, interpreted) kept
+    * for differential testing. */
   def matchSubscriptions(
       changes: DataFrame,
       subs: Seq[Subscription],
       schema: StructType,
       table: String = "",
-      schemaName: String = "public"): DataFrame = {
+      schemaName: String = "public",
+      useCodegen: Boolean = true): DataFrame = {
     val relevant = subs.filter(s =>
       (s.table == "*" || s.table == table || table.isEmpty) &&
       (s.schema == "*" || s.schema == schemaName))
@@ -55,7 +62,7 @@ object Walrus {
       .toSeq
       .sortBy(_._1.toString)
     val hasType = changes.columns.contains(TypeCol)
-    val armed: Seq[Column] = groups.map { case ((action, filters), ss) =>
+    val armed: Seq[(Column, Seq[String])] = groups.map { case ((action, filters), ss) =>
       val pred0 = FilterCompiler.compileAll(filters, schema)
       val pred =
         if (!hasType) pred0
@@ -67,12 +74,20 @@ object Walrus {
           when(col(TypeCol) === lit(graft.model.ChangeType.Truncate),
             lit(action == "*")).otherwise(normal)
         }
-      val ids = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
-      when(pred, ids)
+      (pred, ss.map(_.subscriptionId).sorted)
     }
     val idsCol =
       if (armed.isEmpty) array().cast(ArrayType(StringType))
-      else array_sort(flatten(filter(array(armed: _*), a => a.isNotNull)))
+      else if (useCodegen) {
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.unsafe.types.UTF8String
+        ColumnBridge.column(graft.plans.SubscriptionBattery(
+          armed.map(a => ColumnBridge.expression(a._1)),
+          armed.map(_._2.map(UTF8String.fromString).toArray).toArray))
+      } else
+        array_sort(flatten(filter(
+          array(armed.map { case (p, ids) => when(p, array(ids.map(lit): _*)) }: _*),
+          a => a.isNotNull)))
     changes.withColumn("subscription_ids", idsCol)
   }
 

@@ -81,6 +81,21 @@ class WalrusSpec extends SparkSpec {
     assert(gen.filter(_._1 == 2) == Set((2, "sStar")))
   }
 
+  test("codegen battery ≡ HOF battery (differential)") {
+    val subs = Seq(
+      Subscription("sA", "public", "t", f("value=gt.50,category=eq.a"), actionFilter = "INSERT"),
+      Subscription("sB", "public", "t", f("category=eq.a")),
+      Subscription("sC", "public", "t", Nil, actionFilter = "DELETE"),
+      Subscription("sD", "public", "t", f("category=eq.a")))
+    val withTrunc = changes.withColumn("change_type",
+      when($"id" === 3, "TRUNCATE").otherwise($"change_type"))
+    def run(cg: Boolean) =
+      Walrus.matchSubscriptions(withTrunc, subs, dataSchema, "t", useCodegen = cg)
+        .select($"id", $"subscription_ids")
+        .as[(Int, Seq[String])].collect().toMap
+    assert(run(true) == run(false))
+  }
+
   test("projectRecord keeps pk and selection") {
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Seq("a"), Seq("id")) == Seq("id", "a"))
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Nil, Seq("id")) == Seq("id", "a", "b"))
