@@ -169,7 +169,21 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id ASC) AS rn
-        |  FROM scored) WHERE rn <= 5""".stripMargin))
+        |  FROM scored) WHERE rn <= 5""".stripMargin)),
+    // IVF with spherical-k-means-trained centroids (Lloyd iterations as
+    // DataFrame aggregations). No SQL oracle — k-means isn't reasonably
+    // re-expressible in the DuckDB harness, so the driver records the
+    // weaker rows-only check; recall quality is spec-asserted against
+    // brute force on clustered data (SimilaritySpec).
+    Q("sim_ann_ivf_trained",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
+            "embedding", "vec_id", k = 5, nCentroids = 8, probe = 2,
+            dim = 64, trainIters = 3)
+          .select("query_id", "neighbor_id")
+      },
+      None)
   )
 
   private val enSw = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")

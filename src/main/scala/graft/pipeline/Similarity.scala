@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over embedding columns (`array<float>`): brute-force
   * cosine top-k as the correctness baseline, IVF (inverted-file) bucketing
@@ -82,6 +83,47 @@ object Similarity {
     normalized(corpus.orderBy(col(idCol)).limit(nCentroids), vecCol, "centv")
       .select(col(idCol).as("centroid_id"), col("centv"))
 
+  /** Spherical k-means (Lloyd) training for the IVF centroids, as plain
+    * DataFrame iterations: assign → per-bucket element-wise mean
+    * (posexplode + (bucket, pos) average, re-assembled in position order)
+    * → re-normalize. Init is the deterministic id-pick set from
+    * [[centroids]], so training is fully reproducible. Empty clusters drop
+    * out (k shrinks), matching Lloyd's standard behavior.
+    *
+    * Scale shape: each iteration is one broadcast-assign (narrow) plus a
+    * (bucket, pos)-keyed aggregate whose shuffle is n·dim rows — so train
+    * on a SAMPLE (`sampleFraction`) at 100 TB; centroid quality converges
+    * long before the full corpus is seen, and assignment of the full
+    * corpus stays the one narrow broadcast pass in [[assignBuckets]]. */
+  def trainCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 5, dim: Int = 0,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val sample =
+      if (sampleFraction < 1.0) corpus.sample(sampleFraction, 42) else corpus
+    val norm = normalized(sample, vecCol, "v")
+      .select(col(idCol), col("v")).persist()
+    var cents = centroids(corpus, vecCol, idCol, k)
+    try {
+      for (_ <- 1 to iters) {
+        val means = assignBuckets(norm, cents, idCol, dim)
+          .select(col("bucket"), posexplode(col("v")))
+          .groupBy("bucket", "pos").agg(avg("col").as("m"))
+          .groupBy("bucket")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("raw"))
+        cents = normalized(means, "raw", "centv")
+          .select(col("bucket").as("centroid_id"), col("centv"))
+        // materialize per iteration so the lineage doesn't stack iters
+        // of crossJoin plans (driver-side plan growth, not data)
+        cents = cents.sparkSession.createDataFrame(
+          cents.collect().toList.asJava, cents.schema)
+      }
+      cents
+    } finally norm.unpersist()
+  }
+
   /** Assign each (normalized) corpus vector to its nearest centroid —
     * narrow projection against broadcast centroids; the bucket becomes the
     * IVF partition key. */
@@ -103,8 +145,12 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nCentroids: Int, probe: Int = 1, dim: Int = 0): DataFrame = {
-    val cents = centroids(corpus, vecCol, idCol, nCentroids)
+      nCentroids: Int, probe: Int = 1, dim: Int = 0,
+      trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0)
+        trainCentroids(corpus, vecCol, idCol, nCentroids, trainIters, dim)
+      else centroids(corpus, vecCol, idCol, nCentroids)
     val corpusNorm = normalized(corpus, vecCol, "v")
       .select(col(idCol), col("v"))
     val bucketed = assignBuckets(corpusNorm, cents, idCol, dim)

@@ -50,7 +50,7 @@ object MultiTableMatch {
     val groups = resolved
       .groupBy { case (k, s) => (k, s.actionFilter, s.filters) }
       .toSeq.sortBy(_._1.toString)
-    val armed: Seq[Column] = groups.map { case (((sch, tbl), action, filters), pairs) =>
+    val armed: Seq[(Column, Seq[String])] = groups.map { case (((sch, tbl), action, filters), pairs) =>
       val dataSchema = registry((sch, tbl))
       val tablePred =
         col("change_schema") === lit(sch) && col("change_table") === lit(tbl)
@@ -64,12 +64,8 @@ object MultiTableMatch {
       val pred = tablePred &&
         when(col(Walrus.TypeCol) === lit(ChangeType.Truncate),
           lit(action == "*")).otherwise(actionPred)
-      val ids = array(pairs.map(_._2.subscriptionId).distinct.sorted.map(lit): _*)
-      when(pred, ids)
+      (pred, pairs.map(_._2.subscriptionId).distinct.sorted)
     }
-    val idsCol =
-      if (armed.isEmpty) array().cast(ArrayType(StringType))
-      else array_sort(flatten(filter(array(armed: _*), a => a.isNotNull)))
-    changes.withColumn("subscription_ids", idsCol)
+    changes.withColumn("subscription_ids", Walrus.battery(armed))
   }
 }

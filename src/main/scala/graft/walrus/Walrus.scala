@@ -76,20 +76,26 @@ object Walrus {
         }
       (pred, ss.map(_.subscriptionId).sorted)
     }
-    val idsCol =
-      if (armed.isEmpty) array().cast(ArrayType(StringType))
-      else if (useCodegen) {
-        import org.apache.spark.sql.graft.ColumnBridge
-        import org.apache.spark.unsafe.types.UTF8String
-        ColumnBridge.column(graft.plans.SubscriptionBattery(
-          armed.map(a => ColumnBridge.expression(a._1)),
-          armed.map(_._2.map(UTF8String.fromString).toArray).toArray))
-      } else
-        array_sort(flatten(filter(
-          array(armed.map { case (p, ids) => when(p, array(ids.map(lit): _*)) }: _*),
-          a => a.isNotNull)))
-    changes.withColumn("subscription_ids", idsCol)
+    changes.withColumn("subscription_ids", battery(armed, useCodegen))
   }
+
+  /** Battery column over (predicate, sorted ids) arms — codegen'd
+    * [[graft.plans.SubscriptionBattery]] by default, interpreted HOF form
+    * for differential testing. Shared by the single-table and
+    * [[MultiTableMatch]] paths. */
+  private[walrus] def battery(
+      armed: Seq[(Column, Seq[String])], useCodegen: Boolean = true): Column =
+    if (armed.isEmpty) array().cast(ArrayType(StringType))
+    else if (useCodegen) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.unsafe.types.UTF8String
+      ColumnBridge.column(graft.plans.SubscriptionBattery(
+        armed.map(a => ColumnBridge.expression(a._1)),
+        armed.map(_._2.map(UTF8String.fromString).toArray).toArray))
+    } else
+      array_sort(flatten(filter(
+        array(armed.map { case (p, ids) => when(p, array(ids.map(lit): _*)) }: _*),
+        a => a.isNotNull)))
 
   /** Match + drop changes nobody subscribed to (the common stream shape). */
   def matchedOnly(

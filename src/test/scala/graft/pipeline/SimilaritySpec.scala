@@ -47,4 +47,48 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(got == Set(1L, 3L, 4L))
   }
+
+  test("k-means centroids converge to the cluster directions") {
+    // three tight clusters around x, y, and -x; init picks the 3 smallest
+    // ids (all from the x cluster) — only TRAINED centroids separate them
+    val pts = (0 until 30).map { i =>
+      val base = i % 3 match {
+        case 0 => (1.0f, 0.02f * (i / 3))
+        case 1 => (0.02f * (i / 3), 1.0f)
+        case _ => (-1.0f, -0.02f * (i / 3))
+      }
+      (i.toLong, Array(base._1, base._2))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(pts, "embedding", "vec_id",
+        k = 3, iters = 5)
+      .select("centv").as[Array[Double]].collect()
+    // one trained centroid near each cluster direction
+    def nearest(dir: (Double, Double)): Double =
+      cents.map(c => c(0) * dir._1 + c(1) * dir._2).max
+    assert(nearest((1, 0)) > 0.95 && nearest((0, 1)) > 0.95 &&
+      nearest((-1, 0)) > 0.95)
+  }
+
+  test("trained IVF beats untrained recall on clustered data") {
+    val pts = (0 until 30).map { i =>
+      val base = i % 3 match {
+        case 0 => (1.0f, 0.02f * (i / 3))
+        case 1 => (0.02f * (i / 3), 1.0f)
+        case _ => (-1.0f, -0.02f * (i / 3))
+      }
+      (i.toLong, Array(base._1, base._2))
+    }.toDF("vec_id", "embedding")
+    val q = pts.where(col("vec_id") < 6)
+    val bf = Similarity.bruteForceTopK(q, pts, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(trainIters: Int): Double = {
+      val got = Similarity.ivfTopK(q, pts, "embedding", "vec_id", 5,
+          nCentroids = 3, probe = 1, trainIters = trainIters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val trained = recall(3)
+    assert(trained >= recall(0))
+    assert(trained > 0.9) // trained buckets align with the true clusters
+  }
 }
