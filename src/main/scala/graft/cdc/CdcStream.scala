@@ -163,6 +163,89 @@ object CdcStream {
     } finally cached.unpersist()
   }
 
+  /** One micro-batch of the RAW-WAL pipeline: harvest Relation messages
+    * into the cross-batch registry (driver state, like the reference's
+    * replication connection process), decode tuples against it, route all
+    * tables in one battery pass, deliver executor-side. `registry` is
+    * mutated — pass the same instance every batch. */
+  def processWalBatch(
+      batch: DataFrame,
+      bytesCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      registry: scala.collection.mutable.Map[Int, PgOutput.RelationMeta],
+      batchId: Long = 0L): Unit = {
+    val spark = batch.sparkSession
+    // 1. Relation harvest: R messages are rare (one per table per
+    // connection, plus schema changes) — a driver collect of just those
+    // bytes is the small-dimension update, not a data-path collect
+    batch
+      .where(substring(col(bytesCol), 1, 1) === lit("R".getBytes("UTF-8")))
+      .select(col(bytesCol)).collect()
+      .foreach { r =>
+        PgOutput.parseRelation(r.getAs[Array[Byte]](0))
+          .foreach(m => registry(m.id) = m)
+      }
+    // 2. decode with the updated registry; keep only row-level changes
+    val decoded = PgOutput.decodeChanges(batch, bytesCol, orderCol, registry.toMap)
+      .filter(c =>
+        c.message == "INSERT" || c.message == "UPDATE" ||
+        c.message == "DELETE" || c.message == "TRUNCATE")
+      .toDF()
+      .withColumnRenamed("message", Walrus.TypeCol)
+    // 3. one-pass multi-table match against the registry's schemas
+    val schemas = registry.values
+      .map(m => (m.namespace, m.name) -> PgOutput.sparkSchema(m)).toMap
+    val matched = graft.walrus.MultiTableMatch
+      .matchSubscriptions(decoded, schemas, subs)
+      .where(size(col("subscription_ids")) > 0)
+    // 4. encode-once frame per change, explode subscribers, executor sink
+    val deliveries = matched
+      .withColumn("frame", concat(
+        lit("{\"type\":\""), col(Walrus.TypeCol),
+        lit("\",\"schema\":\""), col("change_schema"),
+        lit("\",\"table\":\""), col("change_table"),
+        lit("\",\"commit_timestamp\":\""), col("commit_timestamp"),
+        lit("\",\"record\":"), coalesce(to_json(col("record")), lit("null")),
+        lit(",\"old_record\":"),
+        coalesce(to_json(col("old_record")), lit("null")),
+        lit("}")))
+      .select(explode(col("subscription_ids")).as("subscription_id"),
+        col("frame"))
+    val acc = spark.sparkContext.longAccumulator(s"graft.wal.deliveries.$batchId")
+    val sink: DeliverySink = bus
+    deliveries.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var n = 0L
+      it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
+      acc.add(n)
+    }
+    bus.record(BatchStats(batchId, -1L, acc.value, shed = false))
+  }
+
+  /** Attach the full raw-WAL pipeline (binary pgoutput frames in,
+    * per-subscriber frames out) to a streaming DataFrame of
+    * (orderCol, bytesCol) messages. The relation registry persists across
+    * micro-batches in driver state. */
+  def startWal(
+      msgs: DataFrame,
+      bytesCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      triggerMs: Long = 100L,
+      initialRegistry: Map[Int, PgOutput.RelationMeta] = Map.empty): StreamingQuery = {
+    val registry =
+      scala.collection.mutable.Map[Int, PgOutput.RelationMeta]() ++ initialRegistry
+    msgs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processWalBatch(batch, bytesCol, orderCol, subs, bus, registry, batchId)
+      }
+      .start()
+  }
+
   /** Attach the CDC pipeline to a streaming change DataFrame. */
   def start(
       changes: DataFrame,

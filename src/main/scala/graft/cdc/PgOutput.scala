@@ -216,14 +216,52 @@ object PgOutput {
       RelColumn(name, OidNames.getOrElse(oid, s"oid$oid"), (flags & 1) == 1)
     }
 
+  /** Parse a single Relation ('R') message standalone — the driver-side
+    * registry harvest for long-running streams, where a Relation seen in
+    * batch N must type tuples arriving in batch N+k (the reference keeps
+    * the relation map in its connection process state,
+    * replication_connection.ex:384-404). */
+  def parseRelation(bytes: Array[Byte]): Option[RelationMeta] = {
+    val r = new Reader(bytes)
+    if (r.i8().toChar != 'R') None
+    else {
+      val id = r.i32()
+      val ns = r.cstring(); val name = r.cstring()
+      val ident = r.i8().toChar.toString
+      Some(RelationMeta(id, ns, name, ident, decodeColumns(r, r.i16())))
+    }
+  }
+
+  /** Spark schema for a decoded relation (filter typing in the multi-table
+    * matcher; text map values cast to these types before comparison). */
+  def sparkSchema(meta: RelationMeta): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(meta.columns.map { c =>
+      val dt: DataType = c.typeName match {
+        case "bool" => BooleanType
+        case "int2" => ShortType
+        case "int4" => IntegerType
+        case "int8" => LongType
+        case "float4" => FloatType
+        case "float8" => DoubleType
+        case "numeric" => DecimalType(38, 18)
+        case "timestamp" | "timestamptz" => StringType // ISO text form
+        case _ => StringType
+      }
+      StructField(c.name, dt)
+    })
+  }
+
   /** Sequentially decode an ordered iterator of (seq, messageBytes),
     * maintaining the relation registry and the open-transaction state —
-    * the partition-local kernel. TRUNCATE fans out to one record per
-    * truncated relation, like the reference's per-table TruncatedRelation
-    * (changes.ex:61-64). */
-  def decodeIterator(msgs: Iterator[(Long, Array[Byte])])
+    * the partition-local kernel. `initial` seeds the registry with
+    * relations learned in earlier batches of a long-running stream.
+    * TRUNCATE fans out to one record per truncated relation, like the
+    * reference's per-table TruncatedRelation (changes.ex:61-64). */
+  def decodeIterator(msgs: Iterator[(Long, Array[Byte])],
+      initial: Map[Int, RelationMeta] = Map.empty)
       : Iterator[WalChange] = {
-    val registry = mutable.Map.empty[Int, RelationMeta]
+    val registry = mutable.Map.empty[Int, RelationMeta] ++ initial
     var txLsn = 0L
     var txXid = 0L
     var txTs = ""
@@ -309,13 +347,14 @@ object PgOutput {
     * `orderCol` (the WAL order within a partition — lsn or arrival seq).
     * Narrow: sorts within partitions, then one mapPartitions pass with a
     * partition-local registry. */
-  def decodeChanges(df: DataFrame, bytesCol: String, orderCol: String)
+  def decodeChanges(df: DataFrame, bytesCol: String, orderCol: String,
+      initial: Map[Int, RelationMeta] = Map.empty)
       : Dataset[WalChange] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(orderCol).cast("long").as("_seq"), col(bytesCol).as("_msg"))
       .sortWithinPartitions("_seq")
       .as[(Long, Array[Byte])]
-      .mapPartitions(it => decodeIterator(it))
+      .mapPartitions(it => decodeIterator(it, initial))
   }
 }

@@ -165,12 +165,18 @@ object Dedup {
     * pairwise array_intersect over all blocked pairs does n² interpreted
     * set-ops; this does one codegen'd hash join + hash aggregate keyed by
     * shingle/pair). Shuffle volume = shingle occurrence count, not n².
-    * A hot shingle shared by m docs contributes m² pair rows — at scale,
-    * drop top-frequency shingles (stop-shingles) to bound skew. */
+    * A hot shingle shared by m docs contributes m² pair rows — set
+    * `maxShinglePostings` to drop shingles whose posting list exceeds the
+    * cap (stop-shingles: "the the the" across a 100 TB corpus would melt
+    * one reducer). The cap is the standard approximation — intersections
+    * lose the dropped ubiquitous shingles, so jaccard is slightly
+    * UNDER-estimated for pairs that share them (never over), and a pair
+    * related only through stop-shingles is not a meaningful near-dup.
+    * Default 0 = exact (the oracle query runs exact). */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.3,
-      lenBucket: Int = 50): DataFrame = {
+      lenBucket: Int = 50, maxShinglePostings: Int = 0): DataFrame = {
     val base = df.select(
       col(idCol).as("id"),
       (length(col(textCol)) / lenBucket).cast("long").as("blk"),
@@ -178,8 +184,18 @@ object Dedup {
       .withColumn("sh", shinglesOfWords(col("ws"), shingleN))
       .select(col("id"), col("blk"), col("sh"), size(col("sh")).as("n"))
       .persist()
-    val inv = base.select(col("id"), col("blk"), col("n"),
+    val inv0 = base.select(col("id"), col("blk"), col("n"),
       explode(col("sh")).as("s"))
+    val inv =
+      if (maxShinglePostings <= 0) inv0
+      else {
+        // posting-list sizes: one small aggregate keyed by shingle; the
+        // hot tail is broadcast back as an anti-join (stop list is tiny
+        // by construction — only shingles above the cap)
+        val hot = inv0.groupBy("s").agg(count(lit(1)).as("m"))
+          .where(col("m") > maxShinglePostings).select("s")
+        inv0.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
         col("x.id") < col("y.id"))

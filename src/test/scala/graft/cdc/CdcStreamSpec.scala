@@ -80,6 +80,41 @@ class CdcStreamSpec extends SparkSpec {
       !d.frame.contains("noisy")))
   }
 
+  test("raw-WAL stream: registry persists across micro-batches") {
+    import PgOutput.{RelColumn, RelationMeta, TText}
+    val rel = RelationMeta(7, "public", "orders", "d", Seq(
+      RelColumn("id", "int8", isKey = true),
+      RelColumn("amount", "float8", isKey = false)))
+    val walSubs = Seq(
+      Subscription("sBig", "public", "orders", f("amount=gt.100")),
+      Subscription("sAll", "public", "orders", Nil))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val bus = CdcStream.MemoryBus()
+    val q = CdcStream.startWal(input.toDF().toDF("seq", "msg"),
+      "msg", "seq", walSubs, bus, triggerMs = 10L)
+    try {
+      // batch 1: Relation + one big insert
+      input.addData(
+        (0L, PgOutput.encodeRelation(rel)),
+        (1L, PgOutput.encodeBegin(1L, 1700000000000000L, 1)),
+        (2L, PgOutput.encodeInsert(7, Seq(TText("1"), TText("250.0")))),
+        (3L, PgOutput.encodeCommit(1L, 2L, 1700000000000000L)))
+      q.processAllAvailable()
+      // batch 2: a small insert, NO Relation message — decodes only if the
+      // registry survived the batch boundary (driver state)
+      input.addData(
+        (4L, PgOutput.encodeBegin(3L, 1700000001000000L, 2)),
+        (5L, PgOutput.encodeInsert(7, Seq(TText("2"), TText("50.0")))),
+        (6L, PgOutput.encodeCommit(3L, 4L, 1700000001000000L)))
+      q.processAllAvailable()
+      val byId = bus.deliveries.groupBy(_.subscriptionId)
+      assert(byId("sAll").size == 2)             // both inserts decoded
+      assert(byId("sBig").size == 1)             // typed filter: only 250.0
+      assert(byId("sBig").head.frame.contains("\"table\":\"orders\""))
+      assert(byId("sBig").head.frame.contains("\"id\":\"1\""))
+    } finally q.stop()
+  }
+
   test("delivery happens on executor task threads, not the driver") {
     CdcStreamSpec.offerThreads.clear()
     // a sink that records the thread each offer ran on, via the same

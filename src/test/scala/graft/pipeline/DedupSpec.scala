@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(sh(0L) >= 0 && sh(0L) < (1L << 60))
   }
 
+  test("stop-shingle cap drops hot-shingle work, keeps true near-dups") {
+    // every doc shares the hot prefix "common filler words"; only 0/1 are
+    // real near-dups. With the cap at 3, the ubiquitous prefix shingle's
+    // m² pair fan-out is skipped entirely.
+    val docs = (0 until 8).map { i =>
+      val tail = if (i == 1) "alpha beta gamma delta" // near-dup of 0
+                 else if (i == 0) "alpha beta gamma delta"
+                 else s"unique$i tail$i words$i only$i"
+      (i.toLong, s"common filler words $tail")
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.5, lenBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.5, lenBucket = 100,
+        maxShinglePostings = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1L)) && capped.contains((0L, 1L)))
+    // capped jaccard only under-estimates: no pair appears under the cap
+    // that the exact run rejected
+    assert(capped.subsetOf(exact))
+  }
+
   test("ngram jaccard blocked pairs finds the near dup") {
     val got = Dedup.ngramJaccardPairs(docsDF, "text", "doc_id",
         shingleN = 3, threshold = 0.3, lenBucket = 100)
