@@ -50,10 +50,10 @@ object MultiTableMatch {
     val groups = resolved
       .groupBy { case (k, s) => (k, s.actionFilter, s.filters) }
       .toSeq.sortBy(_._1.toString)
+    def tablePred(sch: String, tbl: String): Column =
+      col("change_schema") === lit(sch) && col("change_table") === lit(tbl)
     val armed: Seq[(Column, Seq[String])] = groups.map { case (((sch, tbl), action, filters), pairs) =>
       val dataSchema = registry((sch, tbl))
-      val tablePred =
-        col("change_schema") === lit(sch) && col("change_table") === lit(tbl)
       val filterPred = filters
         .map(f => FilterCompiler.compileWith(f, dataSchema,
           c => element_at(col("record"), lit(c))))
@@ -61,11 +61,23 @@ object MultiTableMatch {
       val actionPred =
         if (action == "*") filterPred
         else col(Walrus.TypeCol) === lit(action) && filterPred
-      val pred = tablePred &&
-        when(col(Walrus.TypeCol) === lit(ChangeType.Truncate),
-          lit(action == "*")).otherwise(actionPred)
-      (pred, pairs.map(_._2.subscriptionId).distinct.sorted)
+      (tablePred(sch, tbl) && actionPred,
+        pairs.map(_._2.subscriptionId).distinct.sorted)
     }
-    changes.withColumn("subscription_ids", Walrus.battery(armed))
+    // TRUNCATE hoisted around the battery (same shape as Walrus): one
+    // tiny per-table battery of the '*'-action subscriber sets, instead of
+    // a truncate conjunct inside every arm of the hot path
+    val truncArms: Seq[(Column, Seq[String])] = groups
+      .collect { case (((sch, tbl), "*", _), pairs) => ((sch, tbl), pairs) }
+      .groupBy(_._1).toSeq.sortBy(_._1.toString)
+      .map { case ((sch, tbl), gs) =>
+        (tablePred(sch, tbl),
+          gs.flatMap(_._2.map(_._2.subscriptionId)).distinct.sorted)
+      }
+    val idsCol =
+      if (armed.isEmpty) Walrus.battery(armed)
+      else when(col(Walrus.TypeCol) === lit(ChangeType.Truncate),
+        Walrus.battery(truncArms)).otherwise(Walrus.battery(armed))
+    changes.withColumn("subscription_ids", idsCol)
   }
 }

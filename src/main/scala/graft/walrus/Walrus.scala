@@ -65,18 +65,24 @@ object Walrus {
     val armed: Seq[(Column, Seq[String])] = groups.map { case ((action, filters), ss) =>
       val pred0 = FilterCompiler.compileAll(filters, schema)
       val pred =
-        if (!hasType) pred0
-        else {
-          val normal =
-            if (action == "*") pred0 else col(TypeCol) === lit(action) && pred0
-          // TRUNCATE carries no row data — filters can't apply; it routes
-          // to action='*' subscribers only (ChangeType doc, changes.ex:61)
-          when(col(TypeCol) === lit(graft.model.ChangeType.Truncate),
-            lit(action == "*")).otherwise(normal)
-        }
+        if (action == "*" || !hasType) pred0
+        else col(TypeCol) === lit(action) && pred0
       (pred, ss.map(_.subscriptionId).sorted)
     }
-    changes.withColumn("subscription_ids", battery(armed, useCodegen))
+    // TRUNCATE carries no row data — filters can't apply; it routes to
+    // action='*' subscribers only (ChangeType doc, changes.ex:61). Hoisted
+    // to ONE branch around the battery instead of a conjunct inside every
+    // arm: the truncate id set is a compile-time constant, and the hot
+    // (non-truncate) path saves G per-row type checks and ~30% of the
+    // generated method's bytecode (large methods fall off the JIT).
+    val starIds = groups.collect { case (("*", _), ss) => ss }
+      .flatten.map(_.subscriptionId).sorted
+    val bat = battery(armed, useCodegen)
+    val idsCol =
+      if (!hasType || armed.isEmpty) bat
+      else when(col(TypeCol) === lit(graft.model.ChangeType.Truncate),
+        array(starIds.map(lit): _*).cast(ArrayType(StringType))).otherwise(bat)
+    changes.withColumn("subscription_ids", idsCol)
   }
 
   /** Battery column over (predicate, sorted ids) arms — codegen'd

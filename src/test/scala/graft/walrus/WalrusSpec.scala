@@ -96,6 +96,40 @@ class WalrusSpec extends SparkSpec {
     assert(run(true) == run(false))
   }
 
+  test("battery runs inside whole-stage codegen, no fallback, at 200 arms") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // compile failure → throw
+    // AQE wraps everything in AdaptiveSparkPlanExec whose pre-execution
+    // plan has no WholeStageCodegen subtrees to inspect
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val subs200 = graft.Queries.manySubs.map(_._1)
+      // spark.range source: a LocalRelation would be constant-folded by
+      // ConvertToLocalRelation and never reach codegen
+      val wide = spark.range(100).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+        "id % 50 AS user_id",
+        "CAST(id % 100 AS DOUBLE) AS value",
+        "CASE WHEN id % 10 < 6 THEN 'INSERT' WHEN id % 10 < 9 THEN 'UPDATE' ELSE 'DELETE' END AS change_type")
+      val df = Walrus.matchSubscriptions(wide, subs200,
+        wide.drop("change_type").schema, "events")
+        .select(sum(size($"subscription_ids")))
+      assert(df.as[Long].head() > 0) // throws here if janino rejected the 200-arm method
+      val gen = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      // the battery Project sits INSIDE a WholeStageCodegen subtree (the
+      // `*(n)` star), and the count above already proved the generated
+      // method compiled (fallback=false would have thrown)
+      assert(!gen.contains("Found 0 WholeStageCodegen"))
+      assert(gen.contains("subscription_battery("))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("projectRecord keeps pk and selection") {
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Seq("a"), Seq("id")) == Seq("id", "a"))
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Nil, Seq("id")) == Seq("id", "a", "b"))
