@@ -103,8 +103,11 @@ object CdcStream {
       batchId: Long = 0L,
       tenantCol: Option[String] = None,
       tenantLimits: Map[String, Long] = Map.empty,
-      defaultTenantLimit: Long = Long.MaxValue): Unit = {
+      defaultTenantLimit: Long = Long.MaxValue,
+      rates: Option[graft.rates.TenantRateCounters] = None,
+      nowMs: Long = -1L): Unit = {
     val spark = batch.sparkSession
+    val now = if (nowMs >= 0) nowMs else System.currentTimeMillis()
     val cached = batch.persist()
     try {
       // per-tenant row counts: one small aggregate (map-side combined; the
@@ -117,9 +120,22 @@ object CdcStream {
               .collect()
               .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1))
             val total = counts.map(_._2).sum
+            // shed when over the per-batch cap OR when the cross-batch
+            // windowed rate is already triggered (the reference checks the
+            // RateCounter BEFORE processing the poll's rows,
+            // replication_poller.ex:404-415)
             val shed = counts.filter { case (t, n) =>
-              n > tenantLimits.getOrElse(t, defaultTenantLimit)
+              n > tenantLimits.getOrElse(t, defaultTenantLimit) ||
+                rates.exists(_.triggered(t, now))
             }.toMap
+            // only processed (kept) rows feed the rate window — shed rows
+            // are telemetry, so a throttled tenant recovers as its window
+            // drains
+            rates.foreach { rc =>
+              counts.foreach { case (t, n) =>
+                if (!shed.contains(t)) rc.add(t, n, now)
+              }
+            }
             val keptDf =
               if (shed.isEmpty) cached
               else cached.where(!col(tc).cast("string").isin(shed.keys.toSeq: _*))
@@ -257,13 +273,14 @@ object CdcStream {
       maxEventsPerBatch: Long = Long.MaxValue,
       triggerMs: Long = 100L,
       tenantCol: Option[String] = None,
-      tenantLimits: Map[String, Long] = Map.empty): StreamingQuery =
+      tenantLimits: Map[String, Long] = Map.empty,
+      rates: Option[graft.rates.TenantRateCounters] = None): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, subs, dataSchema, table, pk, bus, batchId,
-          tenantCol, tenantLimits, maxEventsPerBatch)
+          tenantCol, tenantLimits, maxEventsPerBatch, rates)
       }
       .start()
 }

@@ -50,3 +50,43 @@ object Rates {
   def overLimit(rates: DataFrame, limit: Long): DataFrame =
     rates.where(col("n") > limit)
 }
+
+/** Driver-side per-tenant RateCounter for the CDC poll loop — the
+  * cross-batch analog of the reference's RateCounter process state
+  * (rate_counter.ex:25-35,197-224: per-second buckets over a fixed
+  * window, avg = sum/len, limit trigger consulted by the poller BEFORE
+  * processing, replication_poller.ex:404-415). One instance lives on the
+  * driver per stream (like the reference's one counter process per
+  * tenant); micro-batch row counts feed it, and a triggered tenant's
+  * rows are shed without being counted — so the trigger clears once the
+  * window drains, exactly the reference's recovery behavior.
+  * Size: O(tenants × windowSec) driver memory — the tenant dimension. */
+final class TenantRateCounters(
+    windowSec: Int,
+    limitsPerSec: Map[String, Double] = Map.empty,
+    defaultLimitPerSec: Double = Double.MaxValue) extends Serializable {
+  import scala.collection.mutable
+  private final class St {
+    val buckets = mutable.Map[Long, Long]() // epoch second → events
+  }
+  private val state = mutable.Map[String, St]()
+  private def pruned(tenant: String, nowMs: Long): St = {
+    val st = state.getOrElseUpdate(tenant, new St)
+    val cutoff = nowMs / 1000 - windowSec
+    st.buckets.keys.filter(_ <= cutoff).toSeq.foreach(st.buckets.remove)
+    st
+  }
+  /** Record `n` processed events for `tenant` at `nowMs`. */
+  def add(tenant: String, n: Long, nowMs: Long): Unit = {
+    val st = pruned(tenant, nowMs)
+    val sec = nowMs / 1000
+    st.buckets(sec) = st.buckets.getOrElse(sec, 0L) + n
+  }
+  /** Average events/sec over the fixed-length window (sum/len — empty
+    * seconds count, like the reference's zero-filled ring). */
+  def avg(tenant: String, nowMs: Long): Double =
+    pruned(tenant, nowMs).buckets.values.sum.toDouble / windowSec
+  /** The poller's gate: is this tenant's current rate over its cap? */
+  def triggered(tenant: String, nowMs: Long): Boolean =
+    avg(tenant, nowMs) > limitsPerSec.getOrElse(tenant, defaultLimitPerSec)
+}

@@ -80,6 +80,31 @@ class CdcStreamSpec extends SparkSpec {
       !d.frame.contains("noisy")))
   }
 
+  test("windowed rate gate: trigger sheds later batches, clears as window drains") {
+    val tSchema = Seq.empty[TChange].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val tSubs = Seq(Subscription("sAll", "public", "t", Nil))
+    // 10 s window, cap 1 event/s per tenant
+    val rc = new graft.rates.TenantRateCounters(10, defaultLimitPerSec = 1.0)
+    def mkBatch(ids: Range) = ids.map(i =>
+      TChange(i, "tA", "INSERT", 60.0, "2024-01-01T00:00:00.000Z")).toDF()
+    def process(ids: Range, atSec: Long, batchId: Long, bus: CdcStream.MemoryBus) =
+      CdcStream.processBatch(mkBatch(ids), tSubs, tSchema, "t", Seq("id"),
+        bus, batchId, tenantCol = Some("tenant"), rates = Some(rc),
+        nowMs = atSec * 1000)
+    val bus = CdcStream.MemoryBus()
+    // t=0: 50 rows — counter was empty, batch delivered, window now 5/s
+    process(1 to 50, 0L, 0L, bus)
+    assert(bus.batches.last.nDeliveries == 50 && !bus.batches.last.shed)
+    // t=1: rate 5/s > 1/s → shed, and shed rows do NOT feed the window
+    process(51 to 52, 1L, 1L, bus)
+    assert(bus.batches.last.shed &&
+      bus.batches.last.shedTenants == Map("tA" -> 2L))
+    // t=20: the 10 s window drained → tenant recovers
+    process(53 to 54, 20L, 2L, bus)
+    assert(!bus.batches.last.shed && bus.batches.last.nDeliveries == 2)
+  }
+
   test("raw-WAL stream: registry persists across micro-batches") {
     import PgOutput.{RelColumn, RelationMeta, TText}
     val rel = RelationMeta(7, "public", "orders", "d", Seq(
