@@ -180,7 +180,7 @@ object PipelineQueries {
         val e = emb(s, d)
         Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
             "embedding", "vec_id", k = 5, nCentroids = 8, probe = 2,
-            dim = 64, trainIters = 3)
+            dim = 64, trainIters = 2, trainSampleFraction = 0.25)
           .select("query_id", "neighbor_id")
       },
       None)

@@ -146,10 +146,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
       nCentroids: Int, probe: Int = 1, dim: Int = 0,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0, trainSampleFraction: Double = 1.0): DataFrame = {
     val cents =
       if (trainIters > 0)
-        trainCentroids(corpus, vecCol, idCol, nCentroids, trainIters, dim)
+        trainCentroids(corpus, vecCol, idCol, nCentroids, trainIters, dim,
+          trainSampleFraction)
       else centroids(corpus, vecCol, idCol, nCentroids)
     val corpusNorm = normalized(corpus, vecCol, "v")
       .select(col(idCol), col("v"))
