@@ -11,7 +11,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("j1_walrus_match", "p2_filter_gt", "w1_replay_per_topic",
         "a2_rate_tumbling", "u2_semi_join", "j9_rls_probe",
-        "dedup_minhash_lsh", "sim_ann_bruteforce", "p6_column_projection")
+        "dedup_minhash_lsh", "sim_ann_bruteforce", "p6_column_projection",
+        "j1_walrus_200subs", "j_multi_table", "j_dispatch_gating",
+        "s2_wal_decode", "p_truncate_routing", "dedup_embedding")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

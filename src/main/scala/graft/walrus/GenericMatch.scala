@@ -71,9 +71,7 @@ object GenericMatch {
     // cast to decimal(38,0))
     val fdec = col("f_value").cast("decimal(38,10)")
     val base =
-      when(col("f_op") === "__true__", lit(true))
-        .when(!exists, lit(false)) // fail closed: unknown column
-        .when(col("f_op") === "eq",
+      when(col("f_op") === "eq",
           when(isInt, iv === fdec).when(isNum, nv === fnum).otherwise(sv === fv))
         .when(col("f_op") === "neq",
           when(isInt, iv =!= fdec).when(isNum, nv =!= fnum).otherwise(sv =!= fv))
@@ -99,10 +97,25 @@ object GenericMatch {
         .otherwise(lit(false))
     // negate wraps NOT; a null comparison stays null either way (SQL
     // three-valued logic) and the final coalesce makes it not-visible —
-    // same fail-closed outcome as the compiled path
+    // same fail-closed outcome as the compiled path.
+    // The fail-closed guards sit OUTSIDE the negation: a negated filter on
+    // a missing column (or unknown op) must stay not-visible, exactly like
+    // the compiled path's pre-negation lit(false) — negating the guard
+    // would fail OPEN (caught by MatchDifferentialSpec).
     val negated = when(col("f_negate"), !base).otherwise(base)
-    coalesce(negated, lit(false))
+    when(col("f_op") === "__true__", lit(true))
+      .when(!exists, lit(false)) // fail closed: unknown column
+      .when(!col("f_op").isin(knownOps: _*), lit(false)) // unknown op
+      // invalid `is` keyword (validate() would reject it at subscribe
+      // time) — compiled path yields lit(false) before negation
+      .when(col("f_op") === "is" &&
+        !lower(col("f_value")).isin("null", "true", "false", "unknown"),
+        lit(false))
+      .otherwise(coalesce(negated, lit(false)))
   }
+
+  private val knownOps: Seq[String] =
+    "__true__" +: graft.model.Filter.Ops.toSeq
 
   private def exists_in_num(nv: Column): Column =
     exists(col("f_values"), v => v.cast("double") === nv)

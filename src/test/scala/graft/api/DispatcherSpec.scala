@@ -50,4 +50,27 @@ class DispatcherSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(n == Map("room1" -> 1L))
   }
+
+  test("presence-state diffs flow through the per-socket gate end to end") {
+    // the reference flow: presence events → latest state → diff frames →
+    // per-socket presence_read gating (message_dispatcher.ex:46-85)
+    import graft.presence.Presence
+    val pe = Seq(
+      ("room1", "alice", "track", """{"s":1}""",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("room1", "bob", "track", """{"s":2}""",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      ("room1", "bob", "untrack", "",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:02"))
+    ).toDF("topic", "key", "action", "meta", "ts")
+    val diffs = Presence.latestState(pe)
+      .select($"topic", monotonically_increasing_id().as("message_id"),
+        lit("presence_diff").as("extension"), $"key")
+    val out = Dispatcher.gate(diffs, sockets)
+      .select("socket_id", "key", "status")
+      .as[(String, String, String)].collect().toSet
+    // only alice survives the untrack; only sTrue delivers, sNull defers
+    assert(out == Set(("sTrue", "alice", "deliver"),
+      ("sNull", "alice", "authorize")))
+  }
 }
