@@ -216,16 +216,28 @@ object CdcStream {
     val matched = graft.walrus.MultiTableMatch
       .matchSubscriptions(decoded, schemas, subs)
       .where(size(col("subscription_ids")) > 0)
-    // 4. encode-once frame per change, explode subscribers, executor sink
-    val deliveries = matched
+    // 4. payload shaping per (role, selected_columns) group — column
+    // projection against each table's pk from the Relation key flags —
+    // then encode-once frame, explode subscribers, executor sink
+    val pkByTable = registry.values
+      .map(m => (m.namespace, m.name) ->
+        m.columns.filter(_.isKey).map(_.name)).toMap
+    // unchanged-TOAST fallback (P8): columns the decoder marked 'u' are
+    // absent from `record`; map_zip_with unions keys with the old image,
+    // so they re-appear with their old values
+    val toastMerged = matched.withColumn("record",
+      when(col("record").isNotNull && col("old_record").isNotNull,
+        Walrus.toastMerge(col("record"), col("old_record")))
+        .otherwise(col("record")))
+    val shaped = Payload.shapeGeneric(toastMerged, subs, pkByTable)
+    val deliveries = shaped
       .withColumn("frame", concat(
         lit("{\"type\":\""), col(Walrus.TypeCol),
         lit("\",\"schema\":\""), col("change_schema"),
         lit("\",\"table\":\""), col("change_table"),
         lit("\",\"commit_timestamp\":\""), col("commit_timestamp"),
-        lit("\",\"record\":"), coalesce(to_json(col("record")), lit("null")),
-        lit(",\"old_record\":"),
-        coalesce(to_json(col("old_record")), lit("null")),
+        lit("\",\"record\":"), coalesce(col("record"), lit("null")),
+        lit(",\"old_record\":"), coalesce(col("old_record"), lit("null")),
         lit("}")))
       .select(explode(col("subscription_ids")).as("subscription_id"),
         col("frame"))

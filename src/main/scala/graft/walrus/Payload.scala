@@ -125,6 +125,7 @@ object Payload {
         matched.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       // single pass: arm per group, drop unmatched arms, inline the rest.
+      // (see shapeGeneric for the map-shaped WAL variant)
       // inline_outer + null post-filter (not plain inline): the plain
       // generator makes InferFiltersFromGenerate add a pre-Generate
       // size(..)>0 filter that re-evaluates every arm twice — same pitfall
@@ -141,6 +142,86 @@ object Payload {
             col(Walrus.TypeCol) :+
             col("commit_timestamp") :+
             inline_outer(col("_groups"))): _*)
+        .where(col("claims_role").isNotNull)
+    }
+  }
+
+  /** [[shape]] for the generic decoded-WAL stream (record/old_record as
+    * `map<string,string>`, multi-table): the same single-pass per-group
+    * arm structure, but column projection is a `map_filter` against each
+    * (group × table) keep-set (selected ∪ table pk; empty selection = all)
+    * and the JSON is `to_json` of the filtered map (text values — the
+    * wal2json-like generic form; the typed path keeps native JSON types).
+    * Record/old_record gating (INSERT/UPDATE vs UPDATE/DELETE, pk-only
+    * DELETE under RLS) matches [[shape]].
+    *
+    * @param matched output of [[MultiTableMatch.matchSubscriptions]] with
+    *                non-empty `subscription_ids`.
+    * @param pkByTable (schema, table) → pk column names.
+    */
+  def shapeGeneric(
+      matched: DataFrame,
+      subs: Seq[Subscription],
+      pkByTable: Map[(String, String), Seq[String]],
+      rlsEnabled: Boolean = false): DataFrame = {
+    val groups = subs.groupBy(s => (s.claimsRole, s.selectedColumns.sorted)).toSeq
+      .sortBy { case ((role, sel), _) => (role, sel.mkString(",")) }
+    val isIns = col(Walrus.TypeCol) === "INSERT"
+    val isUpd = col(Walrus.TypeCol) === "UPDATE"
+    val isDel = col(Walrus.TypeCol) === "DELETE"
+    val hasOld = matched.columns.contains("old_record")
+    def keepJson(m: Column, selected: Seq[String], pkOnly: Boolean): Column = {
+      // per-table keep-set: arms are per GROUP, so the table pk is folded
+      // in data-side via the change's (schema, table) columns
+      val perTable = pkByTable.toSeq.sortBy(_._1.toString).map {
+        case ((sch, tbl), pks) =>
+          val keep = if (pkOnly) pks else (selected ++ pks).distinct
+          val tablePred = col("change_schema") === sch && col("change_table") === tbl
+          val filtered =
+            if (selected.isEmpty && !pkOnly) m
+            else map_filter(m, (k, _) => k.isInCollection(keep))
+          (tablePred, to_json(filtered))
+      }
+      perTable.foldRight(lit(null).cast(StringType): Column) {
+        case ((p, j), acc) => when(p, j).otherwise(acc)
+      }
+    }
+    val branches: Seq[Column] = groups.map { case ((role, selected), ss) =>
+      val groupIds = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
+      val rec = when(isIns || isUpd, keepJson(col("record"), selected, pkOnly = false))
+      val old =
+        if (!hasOld) lit(null).cast(StringType)
+        else when(isUpd, keepJson(col("old_record"), selected, pkOnly = false))
+          .when(isDel, keepJson(col("old_record"), selected, pkOnly = rlsEnabled))
+      val ids = array_intersect(col("subscription_ids"), groupIds)
+      when(size(ids) > 0, struct(
+        lit(role).as("claims_role"),
+        lit(if (selected.isEmpty) "" else selected.sorted.mkString(","))
+          .as("selected_columns"),
+        rec.as("record"),
+        old.as("old_record"),
+        sort_array(ids).as("subscription_ids")))
+    }
+    if (branches.isEmpty)
+      matched.sparkSession.createDataFrame(
+        matched.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("change_schema", StringType),
+          StructField("change_table", StringType),
+          StructField(Walrus.TypeCol, StringType),
+          StructField("commit_timestamp", StringType),
+          StructField("claims_role", StringType),
+          StructField("selected_columns", StringType),
+          StructField("record", StringType),
+          StructField("old_record", StringType),
+          StructField("subscription_ids", ArrayType(StringType)))))
+    else {
+      val arms = filter(array(branches: _*), b => b.isNotNull)
+      matched
+        .select(col("change_schema"), col("change_table"), col(Walrus.TypeCol),
+          col("commit_timestamp"), arms.as("_groups"))
+        .select(col("change_schema"), col("change_table"), col(Walrus.TypeCol),
+          col("commit_timestamp"), inline_outer(col("_groups")))
         .where(col("claims_role").isNotNull)
     }
   }

@@ -137,6 +137,46 @@ class CdcStreamSpec extends SparkSpec {
       assert(byId("sBig").size == 1)             // typed filter: only 250.0
       assert(byId("sBig").head.frame.contains("\"table\":\"orders\""))
       assert(byId("sBig").head.frame.contains("\"id\":\"1\""))
+      // batch 3: UPDATE with an unchanged-TOAST amount + full old image —
+      // the shaped record must splice the old value back in (P8)
+      input.addData(
+        (7L, PgOutput.encodeUpdate(7,
+          Some(Seq(TText("1"), TText("250.0"))),
+          Seq(TText("1"), PgOutput.TToast))))
+      q.processAllAvailable()
+      val upd = bus.deliveries.filter(_.frame.contains("\"type\":\"UPDATE\""))
+      assert(upd.nonEmpty && upd.forall(d =>
+        d.frame.contains("\"amount\":\"250.0\"") && // toast-merged from old
+        d.frame.contains("\"old_record\":{")))
+    } finally q.stop()
+  }
+
+  test("raw-WAL frames project selected columns per subscription group") {
+    import PgOutput.{RelColumn, RelationMeta, TText}
+    val rel = RelationMeta(9, "public", "users", "d", Seq(
+      RelColumn("id", "int8", isKey = true),
+      RelColumn("name", "text", isKey = false),
+      RelColumn("email", "text", isKey = false)))
+    val walSubs = Seq(
+      Subscription("sNameOnly", "public", "users", Nil,
+        selectedColumns = Seq("name")),
+      Subscription("sAll", "public", "users", Nil))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val bus = CdcStream.MemoryBus()
+    val q = CdcStream.startWal(input.toDF().toDF("seq", "msg"),
+      "msg", "seq", walSubs, bus, triggerMs = 10L)
+    try {
+      input.addData(
+        (0L, PgOutput.encodeRelation(rel)),
+        (1L, PgOutput.encodeInsert(9,
+          Seq(TText("5"), TText("ada"), TText("a@x.io")))))
+      q.processAllAvailable()
+      val byId = bus.deliveries.groupBy(_.subscriptionId)
+      // selected columns ∪ pk for the group; full record for the other
+      assert(byId("sNameOnly").head.frame.contains("\"name\":\"ada\""))
+      assert(!byId("sNameOnly").head.frame.contains("email"))
+      assert(byId("sNameOnly").head.frame.contains("\"id\":\"5\""))
+      assert(byId("sAll").head.frame.contains("\"email\":\"a@x.io\""))
     } finally q.stop()
   }
 
