@@ -193,10 +193,13 @@ object CdcStream {
       registry: scala.collection.mutable.Map[Int, PgOutput.RelationMeta],
       batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    // two passes over the micro-batch (Relation harvest + decode)
+    val cached = batch.persist()
+    try {
     // 1. Relation harvest: R messages are rare (one per table per
     // connection, plus schema changes) — a driver collect of just those
     // bytes is the small-dimension update, not a data-path collect
-    batch
+    cached
       .where(substring(col(bytesCol), 1, 1) === lit("R".getBytes("UTF-8")))
       .select(col(bytesCol)).collect()
       .foreach { r =>
@@ -204,7 +207,7 @@ object CdcStream {
           .foreach(m => registry(m.id) = m)
       }
     // 2. decode with the updated registry; keep only row-level changes
-    val decoded = PgOutput.decodeChanges(batch, bytesCol, orderCol, registry.toMap)
+    val decoded = PgOutput.decodeChanges(cached, bytesCol, orderCol, registry.toMap)
       .filter(c =>
         c.message == "INSERT" || c.message == "UPDATE" ||
         c.message == "DELETE" || c.message == "TRUNCATE")
@@ -249,6 +252,7 @@ object CdcStream {
       acc.add(n)
     }
     bus.record(BatchStats(batchId, -1L, acc.value, shed = false))
+    } finally cached.unpersist()
   }
 
   /** Attach the full raw-WAL pipeline (binary pgoutput frames in,
