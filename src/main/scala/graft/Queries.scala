@@ -817,6 +817,79 @@ object Queries {
         |  AND NOT (extension = 'broadcast' AND message_id % 7 = 0
         |           AND socket_id % 4 = 0)
         |GROUP BY 1, 2, 3""".stripMargin)),
+    // S1 end-to-end: the FULL ingest edge under one oracle — events rows
+    // wire-encoded as pgoutput Inserts, decoded through the relation
+    // registry, matched by the one-pass multi-table battery, and shaped
+    // into per-(role, selected_columns) payload groups. Record maps keep
+    // ≤4 entries (scala.collection Map1-4 preserve insertion order, so
+    // to_json key order matches the DuckDB MAP literal).
+    Q("s1_wal_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.cdc.PgOutput
+        import graft.cdc.PgOutput.{RelColumn, RelationMeta, TText, TNull}
+        import graft.walrus.MultiTableMatch
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val events = ev(s, d).select(
+          col("event_id").cast("long"), col("event_type"),
+          col("user_id").cast("long"))
+          .as[(Long, String, Long)]
+        val relId = 77
+        val meta = RelationMeta(relId, "public", "events", "d", Seq(
+          RelColumn("event_id", "int8", isKey = true),
+          RelColumn("event_type", "text", isKey = false),
+          RelColumn("user_id", "int8", isKey = false)))
+        val encoded = events.mapPartitions { it =>
+          var first = true
+          it.flatMap { case (id, et, uid) =>
+            val rel =
+              if (first) { first = false; Seq((-1L, PgOutput.encodeRelation(meta))) }
+              else Nil
+            rel :+ (id, PgOutput.encodeInsert(relId, Seq(
+              TText(id.toString),
+              Option(et).map(TText(_)).getOrElse(TNull),
+              TText(uid.toString))))
+          }
+        }
+        val decoded = PgOutput.decodeChanges(encoded.toDF("seq", "msg"), "msg", "seq")
+          .filter(c => c.message == "INSERT")
+          .toDF().withColumnRenamed("message", Walrus.TypeCol)
+        val registry = Map(("public", "events") -> StructType(Seq(
+          StructField("event_id", LongType), StructField("event_type", StringType),
+          StructField("user_id", LongType))))
+        val walSubs = Seq(
+          Subscription("w1", "public", "events",
+            FilterParser.parse("user_id=gt.40").toOption.get),
+          Subscription("w2", "public", "events",
+            FilterParser.parse("event_type=eq.click").toOption.get,
+            claimsRole = "anon", selectedColumns = Seq("event_type")),
+          Subscription("w3", "public", "events", Nil))
+        val matched = MultiTableMatch.matchSubscriptions(decoded, registry, walSubs)
+          .where(size(col("subscription_ids")) > 0)
+        Payload.shapeGeneric(matched, walSubs,
+            Map(("public", "events") -> Seq("event_id")))
+          .select(col("claims_role"), col("selected_columns"), col("record"),
+            explode(col("subscription_ids")).as("subscription_id"))
+      },
+      Some("""SELECT 'anon' AS claims_role, 'event_type' AS selected_columns,
+        |       to_json(MAP {'event_id': event_id::VARCHAR,
+        |                    'event_type': event_type})::VARCHAR AS record,
+        |       'w2' AS subscription_id
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'authenticated', '',
+        |       to_json(MAP {'event_id': event_id::VARCHAR,
+        |                    'event_type': event_type,
+        |                    'user_id': user_id::VARCHAR})::VARCHAR,
+        |       'w1'
+        |FROM events WHERE user_id > 40
+        |UNION ALL
+        |SELECT 'authenticated', '',
+        |       to_json(MAP {'event_id': event_id::VARCHAR,
+        |                    'event_type': event_type,
+        |                    'user_id': user_id::VARCHAR})::VARCHAR,
+        |       'w3'
+        |FROM events""".stripMargin)),
     // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
     // format + epoch-millis roundtrip + stable hash
     Q("f_scalar_funcs",
