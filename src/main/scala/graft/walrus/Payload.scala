@@ -172,15 +172,20 @@ object Payload {
     val hasOld = matched.columns.contains("old_record")
     def keepJson(m: Column, selected: Seq[String], pkOnly: Boolean): Column = {
       // per-table keep-set: arms are per GROUP, so the table pk is folded
-      // in data-side via the change's (schema, table) columns
+      // in data-side via the change's (schema, table) columns. The
+      // project+serialize is ONE native call ([[graft.plans.JsonMapProject]])
+      // — map_filter (interpreted HOF) + to_json (CodegenFallback) would
+      // drop every arm out of whole-stage codegen
+      import org.apache.spark.sql.graft.ColumnBridge
       val perTable = pkByTable.toSeq.sortBy(_._1.toString).map {
         case ((sch, tbl), pks) =>
-          val keep = if (pkOnly) pks else (selected ++ pks).distinct
+          val keep =
+            if (pkOnly) Some(pks)
+            else if (selected.isEmpty) None
+            else Some((selected ++ pks).distinct)
           val tablePred = col("change_schema") === sch && col("change_table") === tbl
-          val filtered =
-            if (selected.isEmpty && !pkOnly) m
-            else map_filter(m, (k, _) => k.isInCollection(keep))
-          (tablePred, to_json(filtered))
+          (tablePred, ColumnBridge.column(
+            graft.plans.JsonMapProject(ColumnBridge.expression(m), keep)))
       }
       perTable.foldRight(lit(null).cast(StringType): Column) {
         case ((p, j), acc) => when(p, j).otherwise(acc)
