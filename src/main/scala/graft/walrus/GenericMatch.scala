@@ -188,10 +188,15 @@ object GenericMatch {
           when(col(Walrus.TypeCol) === graft.model.ChangeType.Truncate, lit(true))
             .otherwise(evalFilter())
         else evalFilter())
+    // drop failed (change, filter) rows BEFORE the conjunction aggregate:
+    // a group matches iff its surviving row count equals n_filters (a
+    // per-subscription constant carried on every row), so the shuffle
+    // carries only passing rows — usually a small fraction of the
+    // |changes| × |filters| cross product
     joined
+      .where(col("_pass"))
       .groupBy(col("_change_ord"), col(pkCol), col("subscription_id"))
-      .agg(sum(when(col("_pass"), 1).otherwise(0)).as("n_pass"),
-        max(col("n_filters")).as("n_req"))
+      .agg(count(lit(1)).as("n_pass"), max(col("n_filters")).as("n_req"))
       .where(col("n_pass") === col("n_req"))
       .select(col(pkCol), col("subscription_id"))
   }
