@@ -23,6 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * arrays ride along as a single reference object, not as literals in the
   * generated source.
   *
+  * Action dispatch: arms carrying an `actionTags` entry are grouped under
+  * ONE change-type comparison per distinct tag (a jump table over the
+  * 4 actions), instead of a `type = action` conjunct inside every arm —
+  * a row evaluates only its own action's arms plus the `*` arms. `ty`
+  * (the evaluated `typeExpr`) NULL skips all tagged arms, matching the
+  * SQL `type = action` null semantics.
+  *
   * Semantics identical to the HOF form (differential-tested): a NULL
   * predicate is not-matched (SQL three-valued logic folded to false), the
   * result is never null, and ids are globally sorted (binary UTF8 order,
@@ -30,24 +37,54 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SubscriptionBattery(
     preds: Seq[Expression],
-    armIds: Array[Array[UTF8String]])
+    armIds: Array[Array[UTF8String]],
+    actionTags: Array[String] = null,
+    typeExpr: Option[Expression] = None)
   extends Expression {
 
-  override def children: Seq[Expression] = preds
+  override def children: Seq[Expression] = preds ++ typeExpr.toSeq
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
+  @transient private lazy val tagU8: Array[UTF8String] =
+    if (actionTags == null) null
+    else actionTags.map(t => if (t == null) null else UTF8String.fromString(t))
+
+  /** Arm indices grouped as (tag, indices): the no-tag group first, then
+    * one group per distinct tag in first-appearance order. */
+  @transient private lazy val tagGroups: Seq[(Option[String], Seq[Int])] = {
+    val idx = preds.indices
+    if (actionTags == null) Seq((None, idx))
+    else {
+      val always = idx.filter(i => actionTags(i) == null)
+      val tagged = idx.filter(i => actionTags(i) != null)
+        .groupBy(i => actionTags(i)).toSeq.sortBy(_._1)
+        .map { case (t, is) => (Some(t), is) }
+      (Option.empty[String], always) +: tagged
+    }
+  }
+
   override def eval(input: InternalRow): Any = {
+    val ty: UTF8String = typeExpr match {
+      case Some(e) => e.eval(input).asInstanceOf[UTF8String]
+      case None => null
+    }
     val buf = new java.util.ArrayList[Object]()
-    var i = 0
-    while (i < preds.length) {
-      val v = preds(i).eval(input)
-      if (v != null && v.asInstanceOf[Boolean]) {
-        val ids = armIds(i)
-        var j = 0
-        while (j < ids.length) { buf.add(ids(j)); j += 1 }
+    tagGroups.foreach { case (tag, idxs) =>
+      val applies = tag match {
+        case None => true
+        case Some(_) => ty != null && tagU8(idxs.head).equals(ty)
       }
-      i += 1
+      if (applies) {
+        idxs.foreach { i =>
+          val v = preds(i).eval(input)
+          if (v != null && v.asInstanceOf[Boolean]) {
+            val ids = armIds(i)
+            var j = 0
+            while (j < ids.length) { buf.add(ids(j)); j += 1 }
+          }
+        }
+      }
     }
     val arr = buf.toArray
     java.util.Arrays.sort(arr)
@@ -58,19 +95,49 @@ case class SubscriptionBattery(
     val idsRef = ctx.addReferenceObj("armIds", armIds,
       "org.apache.spark.unsafe.types.UTF8String[][]")
     val list = ctx.freshName("batteryIds")
-    val armCodes = preds.zipWithIndex.map { case (p, i) =>
-      val c = p.genCode(ctx)
+    def armCode(i: Int): String = {
+      val c = preds(i).genCode(ctx)
       s"""
          |${c.code}
          |if (!${c.isNull} && ${c.value}) {
          |  java.util.Collections.addAll($list, (Object[]) $idsRef[$i]);
          |}""".stripMargin
     }
-    val arms = ctx.splitExpressionsWithCurrentInputs(armCodes, "subBattery",
-      ("java.util.ArrayList", list) :: Nil)
+    val tyCode = typeExpr.map(_.genCode(ctx))
+    val tagsRef =
+      if (tagU8 == null) null
+      else ctx.addReferenceObj("tags", tagU8,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+    // named locals (not the child's ExprCode temps) so the split
+    // functions can receive them as plain arguments
+    val tyNullVar = ctx.freshName("tyNull")
+    val tyVar = ctx.freshName("ty")
+    val tyEval = tyCode.map(tc =>
+      s"""
+         |${tc.code}
+         |boolean $tyNullVar = ${tc.isNull};
+         |org.apache.spark.unsafe.types.UTF8String $tyVar =
+         |  $tyNullVar ? null : ${tc.value};""".stripMargin).getOrElse("")
+    val blocks = tagGroups.map { case (tag, idxs) =>
+      val inner = idxs.map(armCode).mkString("\n")
+      tag match {
+        case Some(_) if tyCode.isDefined =>
+          s"""
+             |if (!$tyNullVar && $tagsRef[${idxs.head}].equals($tyVar)) {
+             |$inner
+             |}""".stripMargin
+        case _ => inner
+      }
+    }
+    val extraArgs = ("java.util.ArrayList", list) :: (if (tyCode.isDefined)
+      List(("boolean", tyNullVar),
+        ("org.apache.spark.unsafe.types.UTF8String", tyVar))
+      else Nil)
+    val arms = ctx.splitExpressionsWithCurrentInputs(blocks, "subBattery", extraArgs)
     val arr = ctx.freshName("batteryArr")
     ev.copy(code = code"""
       |java.util.ArrayList $list = new java.util.ArrayList();
+      |$tyEval
       |$arms
       |Object[] $arr = $list.toArray();
       |java.util.Arrays.sort($arr);
@@ -81,7 +148,9 @@ case class SubscriptionBattery(
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(preds = newChildren)
+    if (typeExpr.isDefined)
+      copy(preds = newChildren.dropRight(1), typeExpr = Some(newChildren.last))
+    else copy(preds = newChildren)
 
   override def prettyName: String = "subscription_battery"
 }

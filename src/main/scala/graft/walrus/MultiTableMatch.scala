@@ -52,32 +52,33 @@ object MultiTableMatch {
       .toSeq.sortBy(_._1.toString)
     def tablePred(sch: String, tbl: String): Column =
       col("change_schema") === lit(sch) && col("change_table") === lit(tbl)
-    val armed: Seq[(Column, Seq[String])] = groups.map { case (((sch, tbl), action, filters), pairs) =>
-      val dataSchema = registry((sch, tbl))
-      val filterPred = filters
-        .map(f => FilterCompiler.compileWith(f, dataSchema,
-          c => element_at(col("record"), lit(c))))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      val actionPred =
-        if (action == "*") filterPred
-        else col(Walrus.TypeCol) === lit(action) && filterPred
-      (tablePred(sch, tbl) && actionPred,
-        pairs.map(_._2.subscriptionId).distinct.sorted)
-    }
+    val armed: Seq[(Column, Seq[String], Option[String])] =
+      groups.map { case (((sch, tbl), action, filters), pairs) =>
+        val dataSchema = registry((sch, tbl))
+        val filterPred = filters
+          .map(f => FilterCompiler.compileWith(f, dataSchema,
+            c => element_at(col("record"), lit(c))))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        (tablePred(sch, tbl) && filterPred,
+          pairs.map(_._2.subscriptionId).distinct.sorted,
+          if (action == "*") None else Some(action))
+      }
     // TRUNCATE hoisted around the battery (same shape as Walrus): one
     // tiny per-table battery of the '*'-action subscriber sets, instead of
     // a truncate conjunct inside every arm of the hot path
-    val truncArms: Seq[(Column, Seq[String])] = groups
+    val truncArms: Seq[(Column, Seq[String], Option[String])] = groups
       .collect { case (((sch, tbl), "*", _), pairs) => ((sch, tbl), pairs) }
       .groupBy(_._1).toSeq.sortBy(_._1.toString)
       .map { case ((sch, tbl), gs) =>
         (tablePred(sch, tbl),
-          gs.flatMap(_._2.map(_._2.subscriptionId)).distinct.sorted)
+          gs.flatMap(_._2.map(_._2.subscriptionId)).distinct.sorted,
+          Option.empty[String])
       }
     val idsCol =
       if (armed.isEmpty) Walrus.battery(armed)
       else when(col(Walrus.TypeCol) === lit(ChangeType.Truncate),
-        Walrus.battery(truncArms)).otherwise(Walrus.battery(armed))
+        Walrus.battery(truncArms)).otherwise(
+        Walrus.battery(armed, typeCol = Some(col(Walrus.TypeCol))))
     changes.withColumn("subscription_ids", idsCol)
   }
 }

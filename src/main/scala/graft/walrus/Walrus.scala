@@ -62,13 +62,15 @@ object Walrus {
       .toSeq
       .sortBy(_._1.toString)
     val hasType = changes.columns.contains(TypeCol)
-    val armed: Seq[(Column, Seq[String])] = groups.map { case ((action, filters), ss) =>
-      val pred0 = FilterCompiler.compileAll(filters, schema)
-      val pred =
-        if (action == "*" || !hasType) pred0
-        else col(TypeCol) === lit(action) && pred0
-      (pred, ss.map(_.subscriptionId).sorted)
-    }
+    // action as a TAG, not a conjunct: the battery groups tagged arms
+    // under one change-type comparison per distinct action (jump table),
+    // so a row evaluates only its own action's arms plus the '*' arms
+    val armed: Seq[(Column, Seq[String], Option[String])] =
+      groups.map { case ((action, filters), ss) =>
+        val pred0 = FilterCompiler.compileAll(filters, schema)
+        val tag = if (action == "*" || !hasType) None else Some(action)
+        (pred0, ss.map(_.subscriptionId).sorted, tag)
+      }
     // TRUNCATE carries no row data — filters can't apply; it routes to
     // action='*' subscribers only (ChangeType doc, changes.ex:61). Hoisted
     // to ONE branch around the battery instead of a conjunct inside every
@@ -77,7 +79,8 @@ object Walrus {
     // generated method's bytecode (large methods fall off the JIT).
     val starIds = groups.collect { case (("*", _), ss) => ss }
       .flatten.map(_.subscriptionId).sorted
-    val bat = battery(armed, useCodegen)
+    val bat = battery(armed,
+      typeCol = if (hasType) Some(col(TypeCol)) else None, useCodegen)
     val idsCol =
       if (!hasType || armed.isEmpty) bat
       else when(col(TypeCol) === lit(graft.model.ChangeType.Truncate),
@@ -85,22 +88,35 @@ object Walrus {
     changes.withColumn("subscription_ids", idsCol)
   }
 
-  /** Battery column over (predicate, sorted ids) arms — codegen'd
-    * [[graft.plans.SubscriptionBattery]] by default, interpreted HOF form
-    * for differential testing. Shared by the single-table and
-    * [[MultiTableMatch]] paths. */
+  /** Battery column over (predicate, sorted ids, action tag) arms —
+    * codegen'd [[graft.plans.SubscriptionBattery]] by default, interpreted
+    * HOF form for differential testing. Shared by the single-table and
+    * [[MultiTableMatch]] paths. A tagged arm fires only when `typeCol`
+    * equals its tag (grouped dispatch in codegen); untagged arms always
+    * evaluate. */
   private[walrus] def battery(
-      armed: Seq[(Column, Seq[String])], useCodegen: Boolean = true): Column =
+      armed: Seq[(Column, Seq[String], Option[String])],
+      typeCol: Option[Column] = None,
+      useCodegen: Boolean = true): Column =
     if (armed.isEmpty) array().cast(ArrayType(StringType))
     else if (useCodegen) {
       import org.apache.spark.sql.graft.ColumnBridge
       import org.apache.spark.unsafe.types.UTF8String
+      val hasTags = armed.exists(_._3.isDefined)
       ColumnBridge.column(graft.plans.SubscriptionBattery(
         armed.map(a => ColumnBridge.expression(a._1)),
-        armed.map(_._2.map(UTF8String.fromString).toArray).toArray))
+        armed.map(_._2.map(UTF8String.fromString).toArray).toArray,
+        if (hasTags) armed.map(_._3.orNull).toArray else null,
+        if (hasTags) typeCol.map(ColumnBridge.expression) else None))
     } else
       array_sort(flatten(filter(
-        array(armed.map { case (p, ids) => when(p, array(ids.map(lit): _*)) }: _*),
+        array(armed.map { case (p, ids, tag) =>
+          val pred = (tag, typeCol) match {
+            case (Some(t), Some(tc)) => tc === lit(t) && p
+            case _ => p
+          }
+          when(pred, array(ids.map(lit): _*))
+        }: _*),
         a => a.isNotNull)))
 
   /** Match + drop changes nobody subscribed to (the common stream shape). */
