@@ -541,13 +541,25 @@ object Queries {
         |  CASE WHEN length(props) > 8 THEN NULL ELSE props END AS payload,
         |  CASE WHEN length(props) > 8 THEN 'Error 413: Payload Too Large' END AS error
         |FROM events""".stripMargin)),
+    // Three-way TOAST-merge semantics (the reference substitutes the old
+    // value only when the column is ABSENT from the new tuple):
+    //  - 'error' rows: props key absent from record (unchanged TOAST) →
+    //    falls back to the old value;
+    //  - 'click' rows: props key present with SQL NULL (explicit NULL) →
+    //    stays NULL, never the old value;
+    //  - other rows: props present → new value wins.
     Q("p8_toast_merge",
       (s, d) => {
         val df = ev(s, d).select(
           col("event_id"),
-          map(lit("props"),
-            when(col("event_type") === "error", lit(null)).otherwise(col("props")),
-            lit("etype"), col("event_type")).as("record"),
+          when(col("event_type") === "error",
+              map(lit("etype"), col("event_type")))
+            .when(col("event_type") === "click",
+              map(lit("props"), lit(null).cast("string"),
+                lit("etype"), col("event_type")))
+            .otherwise(
+              map(lit("props"), col("props"), lit("etype"), col("event_type")))
+            .as("record"),
           map(lit("props"), lit("OLD_PROPS"), lit("etype"), lit("OLD_TYPE"))
             .as("old_record"))
         df.select(col("event_id"),
@@ -557,7 +569,9 @@ object Queries {
             element_at(col("merged"), "etype").as("etype_out"))
       },
       Some("""SELECT event_id,
-        |  CASE WHEN event_type = 'error' THEN 'OLD_PROPS' ELSE props END AS props_out,
+        |  CASE WHEN event_type = 'error' THEN 'OLD_PROPS'
+        |       WHEN event_type = 'click' THEN NULL
+        |       ELSE props END AS props_out,
         |  event_type AS etype_out
         |FROM events""".stripMargin))
   )
@@ -759,7 +773,7 @@ object Queries {
         |       CAST(user_id AS BIGINT) AS user_id,
         |       CAST(value AS DOUBLE) AS value,
         |       'public' AS change_schema, 'events' AS change_table,
-        |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS commit_timestamp
+        |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS commit_timestamp
         |FROM events""".stripMargin)),
     // Per-socket read-gating of presence/broadcast fan-out: presence
     // diffs gated on presence_read (NULL → channel-time authorize),

@@ -136,9 +136,14 @@ object CdcStream {
                 if (!shed.contains(t)) rc.add(t, n, now)
               }
             }
+            // kept-rows filter keys must live in the same space as the
+            // counts keys (NULL → "null"): a bare isin() over a NULL
+            // tenant evaluates to NULL and where() would silently drop
+            // non-shed NULL-tenant rows whenever any tenant is shed
             val keptDf =
               if (shed.isEmpty) cached
-              else cached.where(!col(tc).cast("string").isin(shed.keys.toSeq: _*))
+              else cached.where(!coalesce(col(tc).cast("string"), lit("null"))
+                .isin(shed.keys.toSeq: _*))
             (keptDf, total, shed)
           case None =>
             val n = cached.count()
@@ -198,16 +203,39 @@ object CdcStream {
     try {
     // 1. Relation harvest: R messages are rare (one per table per
     // connection, plus schema changes) — a driver collect of just those
-    // bytes is the small-dimension update, not a data-path collect
-    cached
+    // bytes is the small-dimension update, not a data-path collect.
+    // Ordering discipline: harvested R messages are applied in WAL (seq)
+    // order, never collect()/partition order. The decode below is seeded
+    // with the batch-START registry plus only the EARLIEST R per relation
+    // from this batch — later (schema-changing) R messages reach tuples
+    // through decodeIterator's in-stream, in-order application, so a tuple
+    // preceding a mid-batch schema change is decoded against the schema
+    // that was current at its position, not the newest one. (Residual
+    // caveat, documented: a tuple in partition A that follows — by seq —
+    // a schema-change R that landed in partition B still sees the older
+    // schema; on real slots Relation messages are re-sent per chunk, so
+    // partition-local streams carry their own R messages.)
+    val harvested = cached
       .where(substring(col(bytesCol), 1, 1) === lit("R".getBytes("UTF-8")))
-      .select(col(bytesCol)).collect()
-      .foreach { r =>
-        PgOutput.parseRelation(r.getAs[Array[Byte]](0))
-          .foreach(m => registry(m.id) = m)
-      }
-    // 2. decode with the updated registry; keep only row-level changes
-    val decoded = PgOutput.decodeChanges(cached, bytesCol, orderCol, registry.toMap)
+      .select(col(orderCol).cast("long"), col(bytesCol)).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+      .flatMap { case (_, b) => PgOutput.parseRelation(b) }
+    // first sighting seeds ONLY relations unknown at batch start — a
+    // known relation's mid-batch R must reach earlier tuples through
+    // in-stream order, not by pre-seeding (that would decode them
+    // against the future schema)
+    val seedFirst = scala.collection.mutable.Map[Int, PgOutput.RelationMeta]()
+    harvested.foreach(m =>
+      if (!registry.contains(m.id) && !seedFirst.contains(m.id))
+        seedFirst(m.id) = m)
+    val decodeSeed = registry.toMap ++ seedFirst
+    // the cross-batch registry advances to the LATEST R per relation (in
+    // seq order) so the NEXT batch starts from this batch's final schemas
+    harvested.foreach(m => registry(m.id) = m)
+    // 2. decode against the batch-start snapshot (+ first sightings);
+    // keep only row-level changes
+    val decoded = PgOutput.decodeChanges(cached, bytesCol, orderCol, decodeSeed)
       .filter(c =>
         c.message == "INSERT" || c.message == "UPDATE" ||
         c.message == "DELETE" || c.message == "TRUNCATE")
@@ -226,8 +254,8 @@ object CdcStream {
       .map(m => (m.namespace, m.name) ->
         m.columns.filter(_.isKey).map(_.name)).toMap
     // unchanged-TOAST fallback (P8): columns the decoder marked 'u' are
-    // absent from `record`; map_zip_with unions keys with the old image,
-    // so they re-appear with their old values
+    // absent from `record` and re-appear with their old values; columns
+    // explicitly set to SQL NULL stay NULL (merge is by key absence)
     val toastMerged = matched.withColumn("record",
       when(col("record").isNotNull && col("old_record").isNotNull,
         Walrus.toastMerge(col("record"), col("old_record")))

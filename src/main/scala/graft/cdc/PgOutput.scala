@@ -152,13 +152,17 @@ object PgOutput {
     def hasRemaining: Boolean = bb.hasRemaining
   }
 
-  private val IsoMillis = java.time.format.DateTimeFormatter
-    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+  // Full microsecond precision: the reference decodes WAL timestamps to
+  // native DateTime at microsecond resolution (decoder epoch math) — only
+  // the wal2json/apply_rls edge truncates to millis. Truncating here would
+  // lose ordering information between commits inside the same millisecond.
+  private val IsoMicros = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
   private def isoFromPgMicros(pgMicros: Long): String = {
     val unixMicros = pgMicros + PgEpochMicros
-    IsoMillis.format(java.time.Instant.ofEpochSecond(
+    IsoMicros.format(java.time.Instant.ofEpochSecond(
       Math.floorDiv(unixMicros, 1000000L),
       Math.floorMod(unixMicros, 1000000L) * 1000L))
   }
@@ -186,7 +190,10 @@ object PgOutput {
             case "bool" => (data.nonEmpty && data(0) == 1.toByte).toString
             case "jsonb" => new String(data.drop(1), UTF_8) // version byte
             case "text" | "varchar" => new String(data, UTF_8)
-            case "timestamp" =>
+            // timestamptz shares the timestamp wire format (int64 pg-epoch
+            // micros, already UTC on the wire); oid 1184 is registered in
+            // TypeOids so it must not fall through to the hex fallback
+            case "timestamp" | "timestamptz" =>
               isoFromPgMicros(ByteBuffer.wrap(data).getLong())
             case "uuid" =>
               val bb = ByteBuffer.wrap(data)

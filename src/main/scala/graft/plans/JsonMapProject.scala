@@ -101,7 +101,10 @@ object JsonMapProject {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        // Jackson emits UPPERCASE hex (CharTypes.HC = "0123456789ABCDEF"),
+        // i.e. backslash-u001B not u001b -- lowercase would break to_json
+        // byte-parity for control chars 0x0B and 0x0E-0x1F
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04X")
         case _ => sb.append(c)
       }
       i += 1

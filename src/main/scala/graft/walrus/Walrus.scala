@@ -157,9 +157,17 @@ object Walrus {
     (tooLarge, errs)
   }
 
-  /** Unchanged-TOAST merge (P8): new value falls back to the old column value
-    * when the new side is null — `map_zip_with(record, old, coalesce)`
-    * (reference :588-599). Works on map<string,string> shaped records. */
+  /** Unchanged-TOAST merge (P8): a column falls back to its old value only
+    * when it is **absent** from the new tuple — the decoder omits 'u'
+    * (unchanged TOAST) columns from `record`. A key that is present with a
+    * SQL NULL value is an explicit NULL and must stay NULL: the reference
+    * substitutes only on key absence (`case when (c).name is null then
+    * (oc).value else (c).value end` over a FULL OUTER JOIN by name,
+    * reference :588-599), never on value nullness. Record keys keep their
+    * map order; old-only keys append after (same order `map_zip_with`
+    * produced, so downstream JSON serialization is unchanged). */
   def toastMerge(record: Column, oldRecord: Column): Column =
-    map_zip_with(record, oldRecord, (_, n, o) => coalesce(n, o))
+    map_concat(
+      record,
+      map_filter(oldRecord, (k, _) => !map_contains_key(record, k)))
 }

@@ -80,6 +80,33 @@ class CdcStreamSpec extends SparkSpec {
       !d.frame.contains("noisy")))
   }
 
+  test("NULL-tenant rows survive when another tenant is shed") {
+    val tSchema = Seq.empty[TChange].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val tSubs = Seq(Subscription("sAll", "public", "t", Nil))
+    // a bare isin() filter over a NULL tenant is NULL → where() would
+    // silently drop these rows whenever ANY tenant sheds
+    val changes = (
+      (1 to 5).map(i => TChange(i, "noisy", "INSERT", 60.0,
+        s"2024-01-01T00:00:0$i.000Z")) ++
+      (6 to 7).map(i => TChange(i, null, "INSERT", 60.0,
+        s"2024-01-01T00:00:0$i.000Z"))).toDF()
+    val bus = CdcStream.MemoryBus()
+    CdcStream.processBatch(changes, tSubs, tSchema, "t", pk = Seq("id"),
+      bus = bus, tenantCol = Some("tenant"),
+      tenantLimits = Map("noisy" -> 3L), defaultTenantLimit = 100L)
+    val b = bus.batches.head
+    assert(b.shedTenants == Map("noisy" -> 5L))
+    assert(b.nDeliveries == 2 && bus.deliveries.size == 2)
+    // and a shed of the NULL tenant itself keys as "null" in telemetry
+    val bus2 = CdcStream.MemoryBus()
+    CdcStream.processBatch(changes, tSubs, tSchema, "t", pk = Seq("id"),
+      bus = bus2, tenantCol = Some("tenant"),
+      tenantLimits = Map("null" -> 1L), defaultTenantLimit = 100L)
+    val b2 = bus2.batches.head
+    assert(b2.shedTenants == Map("null" -> 2L) && b2.nDeliveries == 5)
+  }
+
   test("windowed rate gate: trigger sheds later batches, clears as window drains") {
     val tSchema = Seq.empty[TChange].toDS().toDF()
       .drop("change_type", "commit_timestamp").schema
@@ -149,6 +176,38 @@ class CdcStreamSpec extends SparkSpec {
         d.frame.contains("\"amount\":\"250.0\"") && // toast-merged from old
         d.frame.contains("\"old_record\":{")))
     } finally q.stop()
+  }
+
+  test("mid-batch schema change: earlier tuples keep the older schema; " +
+      "registry advances to the latest R by seq order") {
+    import PgOutput.{RelColumn, RelationMeta, TText}
+    val v1 = RelationMeta(7, "public", "orders", "d", Seq(
+      RelColumn("id", "int8", isKey = true),
+      RelColumn("amount", "float8", isKey = false)))
+    // v2 RENAMES the second column — decode against the wrong version is
+    // observable in the frame's key name
+    val v2 = RelationMeta(7, "public", "orders", "d", Seq(
+      RelColumn("id", "int8", isKey = true),
+      RelColumn("amount_cents", "int8", isKey = false)))
+    val walSubs = Seq(Subscription("sAll", "public", "orders", Nil))
+    val batch = Seq(
+      (1L, PgOutput.encodeInsert(7, Seq(TText("1"), TText("250.0")))),
+      (2L, PgOutput.encodeRelation(v2)),
+      (3L, PgOutput.encodeInsert(7, Seq(TText("2"), TText("30000")))))
+      .toDF("seq", "msg").repartition(1)
+    val registry = scala.collection.mutable.Map(7 -> v1)
+    val bus = CdcStream.MemoryBus()
+    CdcStream.processWalBatch(batch, "msg", "seq", walSubs, bus, registry)
+    val frames = bus.deliveries.map(_.frame).sorted
+    // seq-1 tuple precedes the schema change → decoded against v1, even
+    // though the harvest saw v2 before decode ran
+    assert(frames.exists(f => f.contains("\"id\":\"1\"") &&
+      f.contains("\"amount\":\"250.0\"") && !f.contains("amount_cents")))
+    // seq-3 tuple follows the in-stream R → decoded against v2
+    assert(frames.exists(f => f.contains("\"id\":\"2\"") &&
+      f.contains("\"amount_cents\":\"30000\"")))
+    // the cross-batch registry advanced to v2 for the next batch
+    assert(registry(7).columns.map(_.name) == Seq("id", "amount_cents"))
   }
 
   test("raw-WAL frames project selected columns per subscription group") {

@@ -28,7 +28,7 @@ class PgOutputSpec extends SparkSpec {
     val ins = out(2)
     assert(ins.change_table == "events" && ins.change_schema == "public")
     assert(ins.record == Map("id" -> "1", "name" -> "alice"))
-    assert(ins.xid == 11 && ins.commit_timestamp == "2023-11-14T22:13:20.000Z")
+    assert(ins.xid == 11 && ins.commit_timestamp == "2023-11-14T22:13:20.000000Z")
     val upd = out(3)
     assert(upd.record("name") == "bob" && upd.old_record("name") == "alice")
   }
@@ -106,7 +106,7 @@ class PgOutputSpec extends SparkSpec {
     val out = decodeIterator(seqd(encodeRelation(relBin), insert)).toSeq
     val rec = out(1).record
     assert(rec("ok") == "true" && rec("n") == "123456789")
-    assert(rec("at") == "2023-11-14T22:13:20.000Z")
+    assert(rec("at") == "2023-11-14T22:13:20.000000Z")
     assert(rec("u") == "11223344-5566-7788-99aa-bbccddeeff00")
   }
 

@@ -134,6 +134,28 @@ class WalrusSpec extends SparkSpec {
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Seq("a"), Seq("id")) == Seq("id", "a"))
     assert(Walrus.projectRecord(Seq("id", "a", "b"), Nil, Seq("id")) == Seq("id", "a", "b"))
   }
+
+  test("toastMerge: old value only for ABSENT keys; explicit NULL stays NULL") {
+    // record: 'a' present, 'b' explicitly NULLed, 'c' absent (unchanged
+    // TOAST); old image has all three. Reference semantics: only 'c'
+    // falls back — an UPDATE that SET b = NULL must deliver b as null,
+    // not the stale old value.
+    val df = Seq(1).toDF("id").select(
+      map(lit("a"), lit("new_a"), lit("b"), lit(null).cast("string"))
+        .as("record"),
+      map(lit("a"), lit("old_a"), lit("b"), lit("old_b"), lit("c"), lit("old_c"))
+        .as("old_record"))
+    val m = df.select(Walrus.toastMerge($"record", $"old_record").as("m"))
+      .as[Map[String, String]].head()
+    assert(m == Map("a" -> "new_a", "b" -> null, "c" -> "old_c"))
+    assert(m.keySet.contains("b")) // key survives with a null value
+    // key order: record keys first (map order), old-only keys appended —
+    // downstream JSON serialization depends on this
+    val ordered = df.select(
+      map_keys(Walrus.toastMerge($"record", $"old_record")))
+      .as[Seq[String]].head()
+    assert(ordered == Seq("a", "b", "c"))
+  }
 }
 
 object WalrusSpec {
