@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   *    messages the socket already received via replay
   *    (`already_replayed?`, the per-socket replayed-id set).
   *
-  * Scale shape: messages ⨝ sockets is a plain hash join on `topic` (both
-  * sides partition by topic; no skew beyond topic popularity — salt hot
-  * topics upstream if needed), the gate itself is a codegen'd projection,
-  * and the replay exclusion is a left-anti-shaped join on
-  * (socket, message) that only applies to broadcast rows. Withheld rows
+  * Scale shape: messages ⨝ sockets is a broadcast hash join on `topic`
+  * (sockets are the small dimension; salt hot topics upstream if
+  * needed), the gate itself is a codegen'd projection, and the replay
+  * exclusion is a **broadcast of per-socket replay-id sets** — the
+  * reference caps replay at 25 messages per socket join
+  * (lib/realtime/messages.ex:10), so the set side is ≤ 25·|sockets| ids
+  * no matter how large the message stream is, and the stream itself
+  * never shuffles: gate → exclusion → output is one narrow codegen'd
+  * pass. (A pair-wise shuffle join would re-partition every gated
+  * message row by (socket, message) — at 100× stream volume that
+  * exchange, not the gate, would be the bottleneck.) Withheld rows
   * never materialize past the filter.
   */
 object Dispatcher {
@@ -48,9 +54,15 @@ object Dispatcher {
       .where(col("status") =!= "withhold")
     val unreplayed = replayed match {
       case Some(r) =>
+        // broadcast hash join on the (socket, message) pair: the replay
+        // side is bounded by the per-socket replay cap, so it broadcasts,
+        // and the message stream is probed hash-per-row without ever
+        // being re-partitioned (a shuffle join here would exchange every
+        // gated message row — the bottleneck at 100× stream volume; a
+        // per-socket array set would make the probe linear in set size)
         joined
-          .join(r.select(col("socket_id"), col("message_id"))
-              .withColumn("_replayed", lit(true)),
+          .join(broadcast(r.select(col("socket_id"), col("message_id"))
+              .withColumn("_replayed", lit(true))),
             Seq("socket_id", "message_id"), "left")
           .where(!(col("extension") === "broadcast" &&
             coalesce(col("_replayed"), lit(false))))

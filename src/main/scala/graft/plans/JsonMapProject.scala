@@ -86,7 +86,11 @@ object JsonMapProject {
   }
 
   /** Jackson-compatible string escape: `"`, `\`, \b \f \n \r \t, other
-    * chars < 0x20 as \u00XX; everything else raw. */
+    * chars < 0x20 as \u00XX; everything else raw. Shared with
+    * [[JsonStructProject]] (also called from its generated code). */
+  def appendQuotedString(sb: java.lang.StringBuilder, s: UTF8String): Unit =
+    appendQuoted(sb, s)
+
   private def appendQuoted(sb: java.lang.StringBuilder, s: UTF8String): Unit = {
     sb.append('"')
     val str = s.toString

@@ -48,6 +48,20 @@ object Payload {
   val Err401 = "Error 401: Unauthorized"
   val Err413 = "Error 413: Payload Too Large"
 
+  /** Serialize named typed fields to a JSON object, null fields omitted.
+    * Native [[graft.plans.JsonStructProject]] when every field type is
+    * supported — `to_json` is CodegenFallback and would drop the whole
+    * G-arm shaping projection out of whole-stage codegen — with a
+    * `to_json` fallback for exotic field types (timestamps, nested). */
+  private def jsonObj(
+      fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)]): Column =
+    if (fields.forall(f => graft.plans.JsonStructProject.supports(f._3))) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.plans.JsonStructProject(
+        fields.map(_._1), fields.map(f => ColumnBridge.expression(f._2))))
+    } else
+      to_json(struct(fields.map { case (n, c, _) => c.as(n) }: _*))
+
   def shape(
       matched: DataFrame,
       subs: Seq[Subscription],
@@ -68,20 +82,22 @@ object Payload {
     val branches: Seq[Column] = groups.map { case ((role, selected), ss) =>
       val keep = Walrus.projectRecord(dataCols, selected, pk)
       val groupIds = array(ss.map(_.subscriptionId).sorted.map(lit): _*)
-      val recordFull = to_json(struct(keep.map(col): _*))
-      val recordTrunc = to_json(struct(keep.map(c =>
-        when(octet_length(col(c).cast(StringType)) > 64, lit(null))
-          .otherwise(col(c)).as(c)): _*))
+      def dt(c: String) = matched.schema(c).dataType
+      val recordFull = jsonObj(keep.map(c => (c, col(c), dt(c))))
+      val recordTrunc = jsonObj(keep.map(c =>
+        (c, when(octet_length(col(c).cast(StringType)) > 64, lit(null))
+          .otherwise(col(c)), dt(c))))
       val tooLarge = octet_length(recordFull) > maxBytes
       val oldJson =
         if (hasOld) {
           val oldKeep = keep.filter(c => matched.columns.contains(s"old_$c"))
           val delKeep = if (rlsEnabled) oldKeep.filter(pk.contains) else oldKeep
           def enc(cols: Seq[String]): Column = when(tooLarge,
-              to_json(struct(cols.map(c =>
-                when(octet_length(col(s"old_$c").cast(StringType)) > 64, lit(null))
-                  .otherwise(col(s"old_$c")).as(c)): _*)))
-            .otherwise(to_json(struct(cols.map(c => col(s"old_$c").as(c)): _*)))
+              jsonObj(cols.map(c =>
+                (c, when(octet_length(col(s"old_$c").cast(StringType)) > 64,
+                    lit(null)).otherwise(col(s"old_$c")), dt(s"old_$c")))))
+            .otherwise(jsonObj(cols.map(c =>
+              (c, col(s"old_$c"), dt(s"old_$c")))))
           when(isUpd, enc(oldKeep)).when(isDel, enc(delKeep))
         } else lit(null).cast(StringType)
       // error precedence mirrors apply_rls: 400 (no pk) > 401 (role denied
