@@ -775,6 +775,40 @@ object Queries {
         |       'public' AS change_schema, 'events' AS change_table,
         |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS commit_timestamp
         |FROM events""".stripMargin)),
+    // S9 binary client frames: V2-serializer round-trip (encode a mixed
+    // broadcast / user_broadcast stream, decode, recover every field).
+    // The payload survives as opaque bytes; metadata only exists on
+    // user_broadcast frames.
+    Q("s9_v2_frames",
+      (s, d) => {
+        import s.implicits._
+        import graft.api.V2Frames
+        val events = ev(s, d).select(
+          col("event_id").cast("long"), col("event_type"), col("props"))
+          .as[(Long, String, String)]
+        events.map { case (id, et, props) =>
+          val bytes =
+            if (id % 2 == 0)
+              V2Frames.encodeBroadcast(et, "broadcast", props.getBytes("UTF-8"))
+            else
+              V2Frames.encodeUserBroadcast(et, "user_ev",
+                Some(s"""{"id":$id}"""), payloadIsJson = true,
+                props.getBytes("UTF-8"))
+          val f = V2Frames.decode(bytes)
+          (id, f.opcode, f.topic, f.event, f.metadata, f.payload_is_json,
+            new String(f.payload, "UTF-8"))
+        }.toDF("id", "opcode", "topic", "event", "metadata",
+          "payload_is_json", "payload_text")
+      },
+      Some("""SELECT event_id AS id,
+        |  CASE WHEN event_id % 2 = 0 THEN 2 ELSE 4 END AS opcode,
+        |  event_type AS topic,
+        |  CASE WHEN event_id % 2 = 0 THEN 'broadcast' ELSE 'user_ev' END AS event,
+        |  CASE WHEN event_id % 2 = 0 THEN NULL
+        |       ELSE '{"id":' || event_id || '}' END AS metadata,
+        |  (event_id % 2 != 0) AS payload_is_json,
+        |  props AS payload_text
+        |FROM events""".stripMargin)),
     // Per-socket read-gating of presence/broadcast fan-out: presence
     // diffs gated on presence_read (NULL → channel-time authorize),
     // broadcasts on broadcast_read + not-already-replayed.

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic stratified sampling,
+  * token-budget sequence packing, benchmark-contamination measurement,
+  * and exact heavy-hitter tokens. All are DuckDB-oracle-reproducible:
+  * sampling and bucketing decisions come from md5 (bit-identical in both
+  * engines), never from engine RNG.
+  *
+  * Scale notes per operator are on the methods; the common theme is that
+  * every decision is a pure projection over the row (sampling, packing
+  * bin) or a broadcast-side lookup (contamination), so the corpus scan
+  * stays narrow — the only shuffles are per-group aggregates over keys
+  * whose cardinality is data-independent (languages, benchmark hits,
+  * vocabulary).
+  */
+object Curation {
+
+  /** Deterministic hash bucket in [0, 4096): the top 24 bits of md5 taken
+    * mod 4096. Both engines compute the identical value
+    * (`('0x' || substr(md5(x),1,6))::BIGINT % 4096` in DuckDB), so a
+    * sample is reproducible across engines, runs, and cluster sizes —
+    * unlike `rand()`-based sampling, which is neither. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("long") % 4096
+
+  /** Stratified sampling with per-stratum rates: keep a row iff its id's
+    * hash bucket falls under `rate(stratum) × 4096` (rate resolution
+    * 1/4096). Rates are a small driver-side map compiled to a CASE chain
+    * — the sample is a pure narrow filter over the scan: no join, no
+    * shuffle, no RNG state, and adding executors cannot change which
+    * rows are kept. Reproducibility is what makes a 100 TB curation run
+    * auditable: re-running the pipeline selects the exact same corpus. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    def cap(rate: Double): Column = lit(math.floor(rate * 4096).toLong)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(cap(defaultRate)) { case ((k, r), acc) =>
+        when(col(stratumCol) === k, cap(r)).otherwise(acc)
+      }
+    df.where(hashBucket(col(idCol)) < threshold)
+  }
+
+  /** Token-budget packing: assign each document a bin id such that bin
+    * boundaries fall every `budget` tokens along the (partition, order)
+    * sequence — `bin = floor(exclusive-running-sum / budget)`, the
+    * ordered-chunking strategy (a bin may overflow by at most one
+    * document; true next-fit needs a sequential scan and is not
+    * cross-engine reproducible in SQL).
+    *
+    * Scale: the window partitions by (stratum, shard) — `nShards`
+    * spreads a hot stratum over the cluster instead of funneling one
+    * language's entire corpus through a single window task. Each
+    * partition's pack is independent; at 1000 executors the shuffle is
+    * one exchange on the composite key. */
+  def packTokenBudget(
+      df: DataFrame,
+      stratumCol: String,
+      orderCol: String,
+      tokensCol: Column,
+      budget: Long,
+      nShards: Int = 1): DataFrame = {
+    val shard = pmod(col(orderCol), lit(nShards)).as("shard")
+    val staged = df.withColumn("shard", shard)
+      .withColumn("n_tokens", tokensCol)
+    val w = Window.partitionBy(stratumCol, "shard").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged.withColumn("bin_id",
+      floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+  }
+
+  /** Benchmark contamination: for each document, the fraction of its
+    * distinct word n-gram shingles that appear in the benchmark set —
+    * the standard train/test-overlap check before training on scraped
+    * data.
+    *
+    * Scale: the benchmark side is aggregated to DISTINCT shingles and
+    * broadcast (benchmarks are small — thousands of docs — versus the
+    * corpus); the corpus explodes to (doc, shingle) rows once, probes
+    * the broadcast hash set, and aggregates hit counts per doc. The
+    * per-doc shingle totals ride along in the same pass (grouped after
+    * the semi-probe, no second scan). Nothing corpus-sized is ever
+    * broadcast or collected. */
+  def contamination(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.1): DataFrame = {
+    val docSh = docs
+      .select(col(idCol), Dedup.shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("shingle"))
+      .distinct()
+    docSh
+      .join(broadcast(benchSh).withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
+  /** Exact top-k tokens with a deterministic tie-break (count desc, token
+    * asc) — the honest version of heavy hitters when the vocabulary fits
+    * a shuffle (it does: token vocabulary is data-independent-ish and
+    * tiny next to the corpus). Partial map-side aggregation collapses
+    * each partition to its local vocabulary before the exchange; the
+    * final top-k is a TakeOrdered, never a global sort materialization.
+    */
+  def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.words(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+}
