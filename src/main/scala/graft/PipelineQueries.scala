@@ -1,7 +1,7 @@
 package graft
 
 import graft.cdc.ChangeFeed
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Queries.Q
@@ -278,6 +278,83 @@ object PipelineQueries {
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin))
   )
 
+  /** Curation operators (stratified sample / token packing / benchmark
+    * contamination / top-k tokens). Sampling and bucketing decisions are
+    * md5-based, so DuckDB reproduces row membership bit-for-bit; the
+    * benchmark set for the contamination check is the doc_id % 97 == 0
+    * slice of `documents`, the corpus is the rest. */
+  private val curationQueries: Seq[Q] = Seq(
+    Q("curation_sample",
+      (s, d) => Curation.stratifiedSample(docs(s, d), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.125)
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |        % 4096 <
+        |      CASE lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 512 END"""
+        .stripMargin)),
+    Q("curation_pack",
+      (s, d) => Curation.packTokenBudget(
+          docs(s, d).select("doc_id", "lang", "text"),
+          stratumCol = "lang", orderCol = "doc_id",
+          tokensCol = TextAnalysis.tokenCount(col("text")),
+          budget = 2000L, nShards = 4)
+        .select("doc_id", "lang", "shard", "n_tokens", "bin_id", "pack_key"),
+      Some("""WITH t AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(floor(COALESCE(sum(n_tokens) OVER
+        |    (PARTITION BY lang, shard ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2000.0) AS BIGINT) AS bin_id,
+        |  concat_ws('#', lang, shard,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER
+        |      (PARTITION BY lang, shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2000.0) AS BIGINT)) AS pack_key
+        |FROM t""".stripMargin)),
+    Q("curation_contamination",
+      (s, d) => {
+        val dd = docs(s, d)
+        Curation.contamination(
+            dd.where(col("doc_id") % 97 =!= 0), "text", "doc_id",
+            dd.where(col("doc_id") % 97 === 0), "text",
+            shingleN = 3, threshold = 0.1)
+          .select("doc_id", "n_shingles", "n_hits", "contamination",
+            "contaminated")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+        |        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |         for i in generate_series(1, len(ws)-2)])
+        |       ELSE [] END AS sh FROM w),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh
+        |          WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, len(sh) AS n_shingles,
+        |           unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END) AS shingle
+        |           FROM sh WHERE doc_id % 97 != 0),
+        |j AS (SELECT c.doc_id, c.n_shingles,
+        |      CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle)
+        |SELECT doc_id, n_shingles, CAST(sum(hit) AS BIGINT) AS n_hits,
+        |  CASE WHEN n_shingles = 0 THEN 0.0
+        |       ELSE round(sum(hit)::DOUBLE / n_shingles, 6) END AS contamination,
+        |  CASE WHEN n_shingles = 0 THEN 0.0
+        |       ELSE round(sum(hit)::DOUBLE / n_shingles, 6) END >= 0.1
+        |    AS contaminated
+        |FROM j GROUP BY doc_id, n_shingles""".stripMargin)),
+    Q("curation_topk",
+      (s, d) => Curation.topKTokens(docs(s, d), "text", k = 50),
+      Some("""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |             AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin))
+  )
+
   val all: Seq[Q] =
-    dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries
+    dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++
+      curationQueries
 }

@@ -34,7 +34,12 @@ object Curation {
     * — the sample is a pure narrow filter over the scan: no join, no
     * shuffle, no RNG state, and adding executors cannot change which
     * rows are kept. Reproducibility is what makes a 100 TB curation run
-    * auditable: re-running the pipeline selects the exact same corpus. */
+    * auditable: re-running the pipeline selects the exact same corpus.
+    *
+    * NULL handling (both deliberate, neither a silent drop): a NULL id
+    * hashes via the `"null"` sentinel key (same convention as the CDC
+    * tenant gate) so NULL-id rows are sampled like any other, and a NULL
+    * stratum falls through the CASE chain to `defaultRate`. */
   def stratifiedSample(
       df: DataFrame,
       stratumCol: String,
@@ -46,7 +51,8 @@ object Curation {
       .foldRight(cap(defaultRate)) { case ((k, r), acc) =>
         when(col(stratumCol) === k, cap(r)).otherwise(acc)
       }
-    df.where(hashBucket(col(idCol)) < threshold)
+    val key = coalesce(col(idCol).cast("string"), lit("null"))
+    df.where(hashBucket(key) < threshold)
   }
 
   /** Token-budget packing: assign each document a bin id such that bin
@@ -60,7 +66,13 @@ object Curation {
     * spreads a hot stratum over the cluster instead of funneling one
     * language's entire corpus through a single window task. Each
     * partition's pack is independent; at 1000 executors the shuffle is
-    * one exchange on the composite key. */
+    * one exchange on the composite key.
+    *
+    * The pack identity is the COMPOSITE key `(stratumCol, shard, bin_id)`
+    * — `bin_id` restarts at 0 in every (stratum, shard) partition, so
+    * grouping by `bin_id` alone would silently merge unrelated bins when
+    * `nShards > 1`. The emitted `pack_key` column encodes the composite
+    * so downstream grouping cannot get this wrong. */
   def packTokenBudget(
       df: DataFrame,
       stratumCol: String,
@@ -74,7 +86,9 @@ object Curation {
     val w = Window.partitionBy(stratumCol, "shard").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     staged.withColumn("bin_id",
-      floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+      .withColumn("pack_key",
+        concat_ws("#", col(stratumCol), col("shard"), col("bin_id")))
   }
 
   /** Benchmark contamination: for each document, the fraction of its
@@ -88,7 +102,14 @@ object Curation {
     * the broadcast hash set, and aggregates hit counts per doc. The
     * per-doc shingle totals ride along in the same pass (grouped after
     * the semi-probe, no second scan). Nothing corpus-sized is ever
-    * broadcast or collected. */
+    * broadcast or collected.
+    *
+    * Documents with fewer than `shingleN` words have no shingles to
+    * overlap and score `contamination = 0.0` (kept in the output via
+    * `explode_outer`, not dropped and not a crash — short and empty docs
+    * are ubiquitous in scraped corpora). Words arrays are staged as
+    * attributes before shingling so the tokenizer runs once per doc, not
+    * once per shingle (HOF lambdas don't share subexpressions). */
   def contamination(
       docs: DataFrame,
       textCol: String,
@@ -98,18 +119,21 @@ object Curation {
       shingleN: Int = 3,
       threshold: Double = 0.1): DataFrame = {
     val docSh = docs
-      .select(col(idCol), Dedup.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("_ws", TextAnalysis.words(col(textCol)))
+      .select(col(idCol), Dedup.shinglesOfWords(col("_ws"), shingleN).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_shingles"),
-        explode(col("sh")).as("shingle"))
+        explode_outer(col("sh")).as("shingle"))
     val benchSh = benchmark
-      .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("shingle"))
+      .withColumn("_ws", TextAnalysis.words(col(benchTextCol)))
+      .select(explode(Dedup.shinglesOfWords(col("_ws"), shingleN)).as("shingle"))
       .distinct()
     docSh
       .join(broadcast(benchSh).withColumn("_hit", lit(1)), Seq("shingle"), "left")
       .groupBy(col(idCol), col("n_shingles"))
       .agg(sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
       .withColumn("contamination",
-        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_shingles"), 6)))
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 

@@ -47,11 +47,20 @@ object Dedup {
     * `withColumn`), not a `split(...)` expression — the lambda below
     * references `ws` per element and HOF lambdas don't share
     * subexpressions, so an inline split would re-tokenize the text once per
-    * shingle (O(len²) per doc). */
+    * shingle (O(len²) per doc).
+    *
+    * Documents with fewer than `n` words (ubiquitous in real corpora:
+    * empty strings, one-word titles) yield an EMPTY array — matching
+    * DuckDB's `generate_series(1, len-2)` semantics — instead of the
+    * descending `sequence(0, negative)` that made `slice(_, 0, _)` throw.
+    * NULL text also yields an empty array (size(NULL) is NULL → CASE
+    * falls through). */
   def shinglesOfWords(ws: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    when(size(ws) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 
   /** Word n-gram shingles of a text column (convenience for tests/small
     * data; hot paths stage the words array first — see [[shinglesOfWords]]).
@@ -277,19 +286,60 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: block on the top `prefixBits` bits (cheap LSH
-    * on the signature prefix), verify hamming distance ≤ maxHamming. */
+    * on the signature prefix), verify hamming distance ≤ maxHamming.
+    *
+    * Hot-bucket guard (`maxBucket > 0`): a skewed corpus (boilerplate docs
+    * sharing a signature prefix) puts m docs in one prefix bucket, and the
+    * plain self-join then makes ONE task produce m² pair rows. With a cap,
+    * each oversized bucket is sub-split into `nsub = ⌈m / maxBucket⌉`
+    * groups and every upper-triangle (group_i ≤ group_j) cell becomes its
+    * own join key — the same block-grid shape as [[embeddingNearDups]].
+    * Per-task pair output is bounded by maxBucket², independent of m, and
+    * the result is EXACT (identical to the uncapped join — cells cover
+    * every pair exactly once), at the cost of replicating each hot-bucket
+    * row ~nsub+1 times through the shuffle. Default 0 keeps the plain
+    * single-join plan (what the oracle query runs). */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 12, prefixBits: Int = 8): DataFrame = {
-    val base = simhashDF(df, textCol, idCol)
+      maxHamming: Int = 12, prefixBits: Int = 8,
+      maxBucket: Int = 0): DataFrame = {
+    val base0 = simhashDF(df, textCol, idCol)
       .withColumnRenamed("simhash", "sh")
       .withColumn("blk", shiftright(col("sh"), 60 - prefixBits))
-      .persist() // hash once, join twice
-    base.as("x").join(base.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    if (maxBucket <= 0) {
+      val base = base0.persist() // hash once, join twice
+      base.as("x").join(base.as("y"),
+          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+    } else {
+      // bucket sizes: one tiny aggregate (≤ 2^prefixBits rows), broadcast
+      val sizes = base0.groupBy("blk").agg(count(lit(1)).as("m"))
+        .select(col("blk"),
+          ceil(col("m") / maxBucket).cast("int").as("nsub"))
+      val base = base0.join(broadcast(sizes), "blk")
+        .withColumn("g", pmod(col("id"), col("nsub")).cast("int"))
+        .persist()
+      // row with sub-group g is the LEFT member of cells (g, j), j ≥ g,
+      // and the RIGHT member of cells (i, g), i ≤ g — each unordered pair
+      // meets in exactly one cell; the diagonal (ci == cj) holds both
+      // orientations, dropped to one by the id ordering
+      val xrep = base.select(col("blk"), col("id"), col("sh"),
+        col("g").as("ci"),
+        explode(sequence(col("g"), col("nsub") - 1)).as("cj"))
+      val yrep = base.select(col("blk"), col("id"), col("sh"),
+        explode(sequence(lit(0), col("g"))).as("ci"),
+        col("g").as("cj"))
+      xrep.as("x").join(yrep.as("y"),
+          col("x.blk") === col("y.blk") &&
+          col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
+          (col("x.ci") < col("x.cj") || col("x.id") < col("y.id")))
+        .select(least(col("x.id"), col("y.id")).as("id_a"),
+          greatest(col("x.id"), col("y.id")).as("id_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+    }
   }
 
   // ------------------------------------------------------------- embeddings

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates Curation.scala: bin boundaries for packTokenBudget, short/empty
+  * docs in contamination, NULL-id/NULL-stratum handling in
+  * stratifiedSample, and tie-break determinism in topKTokens. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- stratified sample
+
+  test("stratifiedSample is deterministic and rate-proportional") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val run = () => Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.125)).select("id").as[Long].collect().toSet
+    val a = run()
+    assert(a == run(), "same input must select the same rows")
+    val byLang = Curation.stratifiedSample(df, "lang", "id",
+        Map("en" -> 0.5, "de" -> 0.125))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 2000 candidates per stratum; md5 buckets are uniform enough for ±20%
+    assert(math.abs(byLang("en") - 1000.0) < 200, s"en: ${byLang("en")}")
+    assert(math.abs(byLang("de") - 250.0) < 100, s"de: ${byLang("de")}")
+  }
+
+  test("stratifiedSample samples NULL ids via sentinel instead of dropping") {
+    val df = Seq((Some(1L), "en"), (None, "en"), (None, "en"))
+      .toDF("id", "lang")
+    // rate 1.0 keeps every bucket — NULL ids must survive, not vanish
+    val kept = Curation.stratifiedSample(df, "lang", "id", Map("en" -> 1.0))
+    assert(kept.count() == 3)
+    // and at rate 0 nothing survives (no sentinel special-casing)
+    val none = Curation.stratifiedSample(df, "lang", "id", Map("en" -> 0.0))
+    assert(none.count() == 0)
+  }
+
+  test("stratifiedSample: NULL stratum falls through to defaultRate") {
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "lang")
+    assert(Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.0), defaultRate = 1.0).count() == 2)
+    assert(Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 1.0), defaultRate = 0.0).count() == 0)
+  }
+
+  // ----------------------------------------------------------- token packing
+
+  test("packTokenBudget: exclusive prefix sum puts boundary doc in new bin") {
+    // budget 10, single shard: token counts 10,5,5,10 → prefix 0,10,15,20
+    // → bins 0,1,1,2. A doc exactly at the budget boundary OPENS the next
+    // bin (its own tokens are excluded from its prefix).
+    val df = Seq((0L, "s", 10), (1L, "s", 5), (2L, "s", 5), (3L, "s", 10))
+      .toDF("id", "stratum", "toks")
+    val got = Curation.packTokenBudget(df, "stratum", "id", col("toks"),
+        budget = 10L, nShards = 1)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("packTokenBudget: oversized doc overflows its bin by one doc only") {
+    // 25 tokens with budget 10: prefix 0 → bin 0; next doc prefix 25 → bin 2
+    val df = Seq((0L, "s", 25), (1L, "s", 3), (2L, "s", 3))
+      .toDF("id", "stratum", "toks")
+    val got = Curation.packTokenBudget(df, "stratum", "id", col("toks"),
+        budget = 10L, nShards = 1)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("packTokenBudget: shards pack independently; pack_key is composite") {
+    val df = (0L until 8L).map(i => (i, "s", 6)).toDF("id", "stratum", "toks")
+    val got = Curation.packTokenBudget(df, "stratum", "id", col("toks"),
+        budget = 10L, nShards = 2)
+      .select("id", "shard", "bin_id", "pack_key")
+      .as[(Long, Long, Long, String)].collect()
+    // per shard: 4 docs × 6 tokens, prefix 0,6,12,18 → bins 0,0,1,1
+    got.foreach { case (id, shard, bin, key) =>
+      assert(shard == id % 2)
+      val expected = if ((id / 2) < 2) 0L else 1L
+      assert(bin == expected, s"id=$id bin=$bin")
+      assert(key == s"s#$shard#$bin")
+    }
+    // bin_id alone collides across shards; pack_key does not conflate them
+    val keys = got.map(_._4).toSet
+    assert(keys.size == 4, s"expected 4 distinct packs, got $keys")
+  }
+
+  // ------------------------------------------------------------ contamination
+
+  test("contamination scores short and empty docs 0.0 without crashing") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // shares shingles with bench
+      (1L, "one"),                            // 1 word  < shingleN
+      (2L, ""),                               // empty
+      (3L, "totally unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, "text", "doc_id", bench, "text",
+        shingleN = 3, threshold = 0.5)
+      .select("doc_id", "contamination", "contaminated")
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (k, c, f) => k -> ((c, f)) }.toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), "every doc is scored")
+    assert(got(0L) == ((1.0, true)), "full overlap scores 1.0")
+    assert(got(1L) == ((0.0, false)), "1-word doc scores 0, not a crash")
+    assert(got(2L) == ((0.0, false)), "empty doc scores 0, not a crash")
+    assert(got(3L) == ((0.0, false)))
+  }
+
+  test("contamination computes partial overlap fractions") {
+    // corpus doc: words a..f → 4 distinct 3-shingles; bench covers the
+    // first 3 words → 1 shared shingle → 1/4
+    val corpus = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, "text", "doc_id", bench, "text",
+        shingleN = 3, threshold = 0.1)
+      .select("n_shingles", "n_hits", "contamination")
+      .as[(Int, Long, Double)].head()
+    assert(got == ((4, 1L, 0.25)))
+  }
+
+  // -------------------------------------------------------------- top-k tokens
+
+  test("topKTokens orders by count desc then token asc, and caps at k") {
+    val df = Seq("b a", "b a", "b c", "", "   ").toDF("text")
+    val got = Curation.topKTokens(df, "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    // b:3, a:2, c:1 → top-2 = b,a; empty/whitespace rows contribute nothing
+    assert(got == Seq(("b", 3L), ("a", 2L)))
+    val tied = Seq("x", "y", "z").toDF("text")
+    val t = Curation.topKTokens(tied, "text", k = 2).as[(String, Long)]
+      .collect().toSeq
+    assert(t == Seq(("x", 1L), ("y", 1L)), "ties break by token asc")
+  }
+}

@@ -92,6 +92,36 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact))
   }
 
+  test("simhash hot-bucket sub-split is exact vs the plain join") {
+    // varied small corpus: buckets of size > 1 plus singletons
+    val docs = (0 until 40).map { i =>
+      val base = s"shared lead words w${i % 5} x${i % 3}"
+      (i.toLong, s"$base tail${i % 7} more${i % 11} end$i")
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.simhashNearDups(docs, "text", "doc_id",
+        maxHamming = 30, prefixBits = 4, maxBucket = cap)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = run(0)
+    assert(exact.nonEmpty, "sanity: the corpus must produce pairs")
+    assert(run(3) == exact, "cap=3 sub-split must emit the exact pair set")
+    assert(run(1) == exact, "cap=1 (max splitting) must also be exact")
+  }
+
+  test("simhash hot bucket: 2k identical-prefix docs complete under the cap") {
+    // 2000 IDENTICAL texts → one signature, one prefix bucket. The plain
+    // join would compute all ~2M pairs in a single task; the cap bounds
+    // every cell to ≤ 200² pair candidates. Output is counted, not
+    // collected (hamming 0 ⇒ every pair passes the filter).
+    val n = 2000
+    val docs = (0 until n).map(i => (i.toLong, "same text every time here"))
+      .toDF("doc_id", "text")
+    val cnt = Dedup.simhashNearDups(docs, "text", "doc_id",
+        maxHamming = 12, prefixBits = 8, maxBucket = 200)
+      .count()
+    assert(cnt == n.toLong * (n - 1) / 2)
+  }
+
   test("ngram jaccard blocked pairs finds the near dup") {
     val got = Dedup.ngramJaccardPairs(docsDF, "text", "doc_id",
         shingleN = 3, threshold = 0.3, lenBucket = 100)
