@@ -26,7 +26,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   *                user_event, metadata, payload (:19-46)
   *
   * `enc` is 1 for JSON payloads, 0 for raw binary. A zero-length
-  * metadata field decodes as absent (the reference substitutes an empty
+  * metadata field decodes as `"{}"` (the reference substitutes an empty
   * map, :196-201). The reference server only decodes opcodes 0 and 3
   * (client→server) and encodes 1/2/4 (server→client); this codec handles
   * all five so either edge of the pipe can be modeled.
@@ -116,41 +116,63 @@ object V2Frames {
   }
 
   /** Decode one frame. `inbound` selects the client→server push layout
-    * (with ref) for opcode 0, like the reference's decode_binary. */
+    * (with ref) for opcode 0, like the reference's decode_binary.
+    *
+    * A truncated or corrupt frame (header bytes or a sized field running
+    * past the buffer) throws `IllegalArgumentException("truncated V2
+    * frame …")` — the analog of the reference's binary-pattern match
+    * failing to match — never an index-out-of-bounds from inside the
+    * cursor. Zero-length metadata decodes to `"{}"`: the reference
+    * substitutes an empty map when metadata_size is 0
+    * (v2_serializer.ex:196-201), and absent-vs-empty is not
+    * distinguishable on the wire. */
   def decode(bytes: Array[Byte], inbound: Boolean = false): Frame = {
     var pos = 0
-    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
-    def str(n: Int): String = {
-      val s = new String(bytes, pos, n, UTF_8); pos += n; s
+    def need(n: Int, what: String): Unit =
+      if (pos + n > bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated V2 frame: need $n byte(s) for $what at offset $pos, " +
+            s"have ${bytes.length - pos}")
+    def u8(what: String): Int = {
+      need(1, what); val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def str(n: Int, what: String): String = {
+      need(n, what); val s = new String(bytes, pos, n, UTF_8); pos += n; s
     }
     def tail(): Array[Byte] = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
-    u8() match {
+    u8("opcode") match {
       case Push if inbound =>
-        val (jl, rl, tl, el) = (u8(), u8(), u8(), u8())
-        Frame(Push, str(jl), str(rl), str(tl), str(el), null, null,
-          payload_is_json = false, tail())
+        val (jl, rl, tl, el) =
+          (u8("join_ref_size"), u8("ref_size"), u8("topic_size"), u8("event_size"))
+        Frame(Push, str(jl, "join_ref"), str(rl, "ref"), str(tl, "topic"),
+          str(el, "event"), null, null, payload_is_json = false, tail())
       case Push =>
-        val (jl, tl, el) = (u8(), u8(), u8())
-        Frame(Push, str(jl), null, str(tl), str(el), null, null,
-          payload_is_json = false, tail())
+        val (jl, tl, el) = (u8("join_ref_size"), u8("topic_size"), u8("event_size"))
+        Frame(Push, str(jl, "join_ref"), null, str(tl, "topic"),
+          str(el, "event"), null, null, payload_is_json = false, tail())
       case Reply =>
-        val (jl, rl, tl, sl) = (u8(), u8(), u8(), u8())
-        Frame(Reply, str(jl), str(rl), str(tl), null, str(sl), null,
-          payload_is_json = false, tail())
+        val (jl, rl, tl, sl) =
+          (u8("join_ref_size"), u8("ref_size"), u8("topic_size"), u8("status_size"))
+        Frame(Reply, str(jl, "join_ref"), str(rl, "ref"), str(tl, "topic"),
+          null, str(sl, "status"), null, payload_is_json = false, tail())
       case Broadcast =>
-        val (tl, el) = (u8(), u8())
-        Frame(Broadcast, null, null, str(tl), str(el), null, null,
-          payload_is_json = false, tail())
+        val (tl, el) = (u8("topic_size"), u8("event_size"))
+        Frame(Broadcast, null, null, str(tl, "topic"), str(el, "event"),
+          null, null, payload_is_json = false, tail())
       case UserBroadcastPush =>
-        val (jl, rl, tl, uel, ml) = (u8(), u8(), u8(), u8(), u8())
-        val enc = u8() == 1
-        Frame(UserBroadcastPush, str(jl), str(rl), str(tl), str(uel), null,
-          if (ml == 0) null else str(ml), enc, tail())
+        val (jl, rl, tl, uel, ml) = (u8("join_ref_size"), u8("ref_size"),
+          u8("topic_size"), u8("user_event_size"), u8("metadata_size"))
+        val enc = u8("encoding") == 1
+        Frame(UserBroadcastPush, str(jl, "join_ref"), str(rl, "ref"),
+          str(tl, "topic"), str(uel, "user_event"), null,
+          if (ml == 0) "{}" else str(ml, "metadata"), enc, tail())
       case UserBroadcast =>
-        val (tl, uel, ml) = (u8(), u8(), u8())
-        val enc = u8() == 1
-        Frame(UserBroadcast, null, null, str(tl), str(uel), null,
-          if (ml == 0) null else str(ml), enc, tail())
+        val (tl, uel, ml) =
+          (u8("topic_size"), u8("user_event_size"), u8("metadata_size"))
+        val enc = u8("encoding") == 1
+        Frame(UserBroadcast, null, null, str(tl, "topic"),
+          str(uel, "user_event"), null,
+          if (ml == 0) "{}" else str(ml, "metadata"), enc, tail())
       case other =>
         throw new IllegalArgumentException(s"unknown V2 opcode: $other")
     }
