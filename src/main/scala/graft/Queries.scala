@@ -775,6 +775,54 @@ object Queries {
         |       'public' AS change_schema, 'events' AS change_table,
         |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS commit_timestamp
         |FROM events""".stripMargin)),
+    // S1 (literal wal2json edge): render each event as a wal2json
+    // format-version-2 JSON row — the exact shape the reference's slot
+    // options produce (include-pk/-timestamp/-type-oids, format-version 2)
+    // — then decode through Wal2Json into the shared WalChange shape.
+    // Action mix: I/U/D by event_id mod 3; UPDATE carries an identity
+    // (old) image with value-1. The oracle recomputes the expected decode
+    // from the typed columns directly.
+    Q("s1_wal2json_decode",
+      (s, d) => {
+        import graft.cdc.Wal2Json
+        val e = ev(s, d).select(col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        val tsStr = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
+        val cols = format_string(
+          """[{"name":"event_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
+          col("event_id"), col("event_type"), col("value"))
+        val oldCols = format_string(
+          """[{"name":"event_id","type":"int8","typeoid":20,"value":%s},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
+          col("event_id"), col("value") - 1)
+        val pk = """[{"name":"event_id","type":"int8"}]"""
+        val m = pmod(col("event_id"), lit(3))
+        val json = when(m === 0, format_string(
+            s"""{"action":"I","schema":"public","table":"events","timestamp":"%s","columns":%s,"pk":$pk}""",
+            tsStr, cols))
+          .when(m === 1, format_string(
+            s"""{"action":"U","schema":"public","table":"events","timestamp":"%s","columns":%s,"identity":%s,"pk":$pk}""",
+            tsStr, cols, oldCols))
+          .otherwise(format_string(
+            s"""{"action":"D","schema":"public","table":"events","timestamp":"%s","identity":%s,"pk":$pk}""",
+            tsStr, oldCols))
+        Wal2Json.decodeChanges(
+            e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
+          .toDF()
+          .select(col("seq").as("event_id"), col("message"),
+            col("change_schema"), col("change_table"), col("commit_timestamp"),
+            element_at(col("record"), "event_type").as("event_type"),
+            element_at(col("record"), "value").cast("double").as("value_new"),
+            element_at(col("old_record"), "value").cast("double").as("value_old"))
+      },
+      Some("""SELECT event_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+        |       ELSE 'DELETE' END AS message,
+        |  'public' AS change_schema, 'events' AS change_table,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS commit_timestamp,
+        |  CASE WHEN event_id % 3 < 2 THEN event_type END AS event_type,
+        |  CASE WHEN event_id % 3 < 2 THEN value END AS value_new,
+        |  CASE WHEN event_id % 3 > 0 THEN value - 1 END AS value_old
+        |FROM events""".stripMargin)),
     // S9 binary client frames: V2-serializer round-trip (encode a mixed
     // broadcast / user_broadcast stream, decode, recover every field).
     // The payload survives as opaque bytes; metadata only exists on

@@ -1,0 +1,115 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** wal2json format-version-2 source parse (S1's literal edge): the
+  * reference's poll path drains the replication slot through wal2json with
+  * `format-version 2, include-pk, include-timestamp, include-type-oids`
+  * (/root/reference/lib/realtime/tenants/repo/migrations/
+  * 20260326120000_list_changes_with_slot_count.ex:42-56) and feeds each
+  * JSON row to `realtime.apply_rls` (wal ->> 'action' / 'schema' /
+  * 'table' / 'columns' / 'identity' / 'pk' / 'timestamp',
+  * …/20260626120000_readd_postgrest_filter_ops.ex:315-412). This decoder
+  * turns those JSON rows into the same [[PgOutput.WalChange]] rows the
+  * binary pgoutput scan produces, so both sources share the downstream
+  * match/shape path ([[graft.walrus.MultiTableMatch]], Walrus).
+  *
+  * Spark-first shape: wal2json v2 rows are self-describing (no Relation
+  * registry, unlike pgoutput), so the whole decode is a stateless
+  * `from_json` + projection — pure Catalyst, narrow, no mapPartitions, no
+  * per-partition ordering requirement. Column values keep wal2json's text
+  * rendering (`(x->'value') #>> '{}'` in apply_rls): numbers/bools decode
+  * to their literal text, strings unquoted, nested json as raw json text,
+  * SQL NULL as a present-with-null map entry.
+  *
+  * Unchanged-TOAST columns are OMITTED from `columns` by wal2json — the
+  * same key-absence contract [[graft.walrus.Walrus.toastMerge]] consumes
+  * (`unchanged_toast` stays empty; absence is the signal, exactly as the
+  * reference's FULL OUTER JOIN fallback works).
+  *
+  * Action mapping: I/U/D → INSERT/UPDATE/DELETE like apply_rls's CASE
+  * (:318-324); T → TRUNCATE and B/C → BEGIN/COMMIT for parity with our
+  * pgoutput decoder (the reference's poll never sees them — its `actions`
+  * option lists only insert/update/delete and include-transaction is
+  * false — and apply_rls would map them to ERROR); anything else →
+  * ERROR.
+  */
+object Wal2Json {
+
+  /** One wal2json v2 column entry. `value` is declared STRING so Spark's
+    * JSON reader renders any JSON value (number, bool, string, nested
+    * object/array) as its text — matching `#>> '{}'` extraction. */
+  private val colEntry = ArrayType(StructType(Seq(
+    StructField("name", StringType),
+    StructField("type", StringType),
+    StructField("typeoid", LongType),
+    StructField("value", StringType))))
+
+  /** The wal2json format-version-2 row schema (the fields apply_rls and
+    * generate_record consume; `pk` present via include-pk, `typeoid` via
+    * include-type-oids — null on wal2json ≤ 2.4, apply_rls coalesces to
+    * the type name, :376-380). */
+  val Schema: StructType = StructType(Seq(
+    StructField("action", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("timestamp", StringType),
+    StructField("columns", colEntry),
+    StructField("identity", colEntry),
+    StructField("pk", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType)))))))
+
+  /** Parse a wal2json v2 JSON string column to the typed struct. */
+  def parsed(json: Column): Column = from_json(json, Schema)
+
+  private def entriesToMap(entries: Column): Column =
+    map_from_entries(transform(entries,
+      e => struct(e.getField("name").as("key"),
+        e.getField("value").as("value"))))
+
+  /** wal2json renders `include-timestamp` as `YYYY-MM-DD HH:MI:SS.US+TZ`;
+    * normalize to the engine's canonical UTC ISO micros (same format the
+    * pgoutput decoder emits, and the shape apply_rls's to_char produces
+    * at millis — we keep micros; see PgOutput.IsoMicros rationale). */
+  private def isoTimestamp(ts: Column): Column =
+    date_format(ts.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+
+  /** Decode a DataFrame of wal2json v2 rows into the shared
+    * [[PgOutput.WalChange]] shape. `orderCol` becomes `seq` (the WAL
+    * order); wal2json's optional lsn/xid fields are not requested by the
+    * reference's slot options, so they decode as 0. */
+  def decodeChanges(df: DataFrame, jsonCol: String, orderCol: String)
+      : Dataset[PgOutput.WalChange] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = parsed(col(jsonCol)).as("w")
+    val a = col("w.action")
+    df.select(col(orderCol).cast("long").as("seq"), w)
+      .select(
+        col("seq"),
+        lit(0L).as("lsn"),
+        lit(0L).as("xid"),
+        when(a === "I", "INSERT").when(a === "U", "UPDATE")
+          .when(a === "D", "DELETE").when(a === "T", "TRUNCATE")
+          .when(a === "B", "BEGIN").when(a === "C", "COMMIT")
+          .otherwise("ERROR").as("message"),
+        col("w.schema").as("change_schema"),
+        col("w.table").as("change_table"),
+        isoTimestamp(col("w.timestamp")).as("commit_timestamp"),
+        entriesToMap(col("w.columns")).as("record"),
+        entriesToMap(col("w.identity")).as("old_record"),
+        array().cast("array<string>").as("unchanged_toast"))
+      .as[PgOutput.WalChange]
+  }
+
+  /** Full parsed view for consumers that need the per-row `pk` list or
+    * column type metadata (J4's is_pkey marking, dynamic casts): the
+    * typed struct exploded alongside the change shape. */
+  def decodeRaw(df: DataFrame, jsonCol: String): DataFrame =
+    df.withColumn("wal", parsed(col(jsonCol)))
+      .withColumn("pk_columns",
+        transform(col("wal.pk"), p => p.getField("name")))
+}

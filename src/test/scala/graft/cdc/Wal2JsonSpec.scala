@@ -1,0 +1,108 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** wal2json format-version-2 parse — fixtures follow the wal2json v2
+  * documented output shape with the reference's slot options (include-pk,
+  * include-timestamp, include-type-oids; list_changes migration :42-56). */
+class Wal2JsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(rows: (Long, String)*) =
+    Wal2Json.decodeChanges(rows.toSeq.toDF("seq", "w2j"), "w2j", "seq")
+
+  test("INSERT: typed values decode to their text rendering") {
+    val json =
+      """{"action":"I","schema":"public","table":"events",
+        |"timestamp":"2021-11-05 17:20:53.270228+00",
+        |"columns":[
+        | {"name":"id","type":"int8","typeoid":20,"value":42},
+        | {"name":"flag","type":"bool","typeoid":16,"value":true},
+        | {"name":"note","type":"text","typeoid":25,"value":"hi there"},
+        | {"name":"score","type":"float8","typeoid":701,"value":9.25},
+        | {"name":"gone","type":"text","typeoid":25,"value":null}],
+        |"pk":[{"name":"id","type":"int8"}]}""".stripMargin.replace("\n", "")
+    val f = decode((7L, json)).collect().head
+    assert(f.message == "INSERT")
+    assert(f.change_schema == "public" && f.change_table == "events")
+    assert(f.commit_timestamp == "2021-11-05T17:20:53.270228Z")
+    assert(f.record == Map("id" -> "42", "flag" -> "true",
+      "note" -> "hi there", "score" -> "9.25", "gone" -> null))
+    assert(f.old_record == null, "INSERT has no identity")
+    assert(f.unchanged_toast.isEmpty)
+    assert(f.seq == 7L)
+  }
+
+  test("UPDATE: identity becomes old_record; absent TOAST key stays absent") {
+    // wal2json omits unchanged TOAST columns from `columns` — the same
+    // key-absence contract toastMerge consumes (old image carries it)
+    val json =
+      """{"action":"U","schema":"public","table":"t",
+        |"timestamp":"2024-01-02 03:04:05.000001+00",
+        |"columns":[{"name":"id","type":"int4","typeoid":23,"value":1},
+        | {"name":"v","type":"text","typeoid":25,"value":"new"}],
+        |"identity":[{"name":"id","type":"int4","typeoid":23,"value":1},
+        | {"name":"v","type":"text","typeoid":25,"value":"old"},
+        | {"name":"big","type":"text","typeoid":25,"value":"toasted-old"}],
+        |"pk":[{"name":"id","type":"int4"}]}""".stripMargin.replace("\n", "")
+    val f = decode((1L, json)).collect().head
+    assert(f.message == "UPDATE")
+    assert(!f.record.contains("big"), "unchanged TOAST is key-absent")
+    assert(f.record == Map("id" -> "1", "v" -> "new"))
+    assert(f.old_record == Map("id" -> "1", "v" -> "old",
+      "big" -> "toasted-old"))
+  }
+
+  test("DELETE: identity only, record is null") {
+    val json =
+      """{"action":"D","schema":"s","table":"t",
+        |"timestamp":"2024-01-02 03:04:05.5+00",
+        |"identity":[{"name":"id","type":"int8","typeoid":20,"value":3}],
+        |"pk":[{"name":"id","type":"int8"}]}""".stripMargin.replace("\n", "")
+    val f = decode((1L, json)).collect().head
+    assert(f.message == "DELETE" && f.record == null)
+    assert(f.old_record == Map("id" -> "3"))
+    assert(f.commit_timestamp == "2024-01-02T03:04:05.500000Z")
+  }
+
+  test("jsonb column values decode as raw JSON text") {
+    val json =
+      """{"action":"I","schema":"p","table":"t","timestamp":"2024-01-01 00:00:00+00",
+        |"columns":[{"name":"doc","type":"jsonb","typeoid":3802,
+        | "value":{"a":[1,2],"b":"x"}}]}""".stripMargin.replace("\n", "")
+    val f = decode((1L, json)).collect().head
+    assert(f.record("doc") == """{"a":[1,2],"b":"x"}""")
+  }
+
+  test("action mapping: T/B/C and unknown→ERROR like apply_rls's CASE") {
+    val mk = (a: String) =>
+      s"""{"action":"$a","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00"}"""
+    val got = decode((0L, mk("T")), (1L, mk("B")), (2L, mk("C")),
+        (3L, mk("X")))
+      .collect().sortBy(_.seq).map(_.message).toSeq
+    assert(got == Seq("TRUNCATE", "BEGIN", "COMMIT", "ERROR"))
+  }
+
+  test("decodeRaw exposes pk column names and typeoids") {
+    val json =
+      """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00",
+        |"columns":[{"name":"a","type":"int8","typeoid":20,"value":1},
+        | {"name":"b","type":"text","typeoid":25,"value":"x"}],
+        |"pk":[{"name":"a","type":"int8"}]}""".stripMargin.replace("\n", "")
+    val raw = Wal2Json.decodeRaw(Seq(json).toDF("w2j"), "w2j")
+    val row = raw.select(col("pk_columns"),
+        col("wal.columns").getField("typeoid").as("oids")).collect().head
+    assert(row.getSeq[String](0) == Seq("a"))
+    assert(row.getSeq[Long](1) == Seq(20L, 25L))
+  }
+
+  test("typeoid absent (wal2json ≤ 2.4) still parses; type name remains") {
+    val json =
+      """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00",
+        |"columns":[{"name":"a","type":"integer","value":5}]}"""
+        .stripMargin.replace("\n", "")
+    val f = decode((1L, json)).collect().head
+    assert(f.record("a") == "5")
+  }
+}
