@@ -29,11 +29,13 @@ import scala.collection.mutable
   */
 object PgOutput {
 
-  /** Tuple value ADT for encode: SQL NULL, unchanged TOAST, text value. */
+  /** Tuple value ADT for encode: SQL NULL, unchanged TOAST, text value,
+    * binary-format value (the 'b' marker; decoded per the column type). */
   sealed trait TupleVal extends Serializable
   case object TNull extends TupleVal
   case object TToast extends TupleVal
   final case class TText(v: String) extends TupleVal
+  final case class TBinary(v: Array[Byte]) extends TupleVal
 
   /** One column of a Relation message. */
   final case class RelColumn(name: String, typeName: String, isKey: Boolean)
@@ -61,13 +63,22 @@ object PgOutput {
       old_record: Map[String, String],
       unchanged_toast: Seq[String])
 
-  /** Standard pg_type OIDs (public catalog constants) — the subset the
-    * reference's OidDatabase names (oid_database.ex). */
+  /** Standard pg_type OIDs (public catalog constants) — the scalar subset
+    * plus the matching array oids, following the reference's OidDatabase
+    * naming (`_`-prefix for arrays, oid_database.ex:36-170). */
   val TypeOids: Map[String, Int] = Map(
-    "bool" -> 16, "bytea" -> 17, "int8" -> 20, "int2" -> 21, "int4" -> 23,
-    "text" -> 25, "float4" -> 700, "float8" -> 701, "varchar" -> 1043,
-    "timestamp" -> 1114, "timestamptz" -> 1184, "numeric" -> 1700,
-    "uuid" -> 2950, "jsonb" -> 3802)
+    "bool" -> 16, "bytea" -> 17, "char" -> 18, "name" -> 19,
+    "int8" -> 20, "int2" -> 21, "int4" -> 23,
+    "text" -> 25, "json" -> 114, "float4" -> 700, "float8" -> 701,
+    "bpchar" -> 1042, "varchar" -> 1043,
+    "date" -> 1082, "time" -> 1083, "timestamp" -> 1114,
+    "timestamptz" -> 1184, "interval" -> 1186, "timetz" -> 1266,
+    "numeric" -> 1700, "uuid" -> 2950, "jsonb" -> 3802,
+    "_bool" -> 1000, "_bytea" -> 1001, "_int2" -> 1005, "_int4" -> 1007,
+    "_text" -> 1009, "_bpchar" -> 1014, "_varchar" -> 1015, "_int8" -> 1016,
+    "_float4" -> 1021, "_float8" -> 1022, "_date" -> 1182, "_time" -> 1183,
+    "_timestamp" -> 1115, "_timestamptz" -> 1185, "_interval" -> 1187,
+    "_numeric" -> 1231, "_uuid" -> 2951, "_jsonb" -> 3807)
   private val OidNames: Map[Int, String] = TypeOids.map(_.swap)
 
   /** Microseconds between the PG epoch (2000-01-01) and the Unix epoch. */
@@ -108,6 +119,8 @@ object PgOutput {
       case TText(v) =>
         val b = v.getBytes(UTF_8)
         Array('t'.toByte) ++ buf(4).putInt(b.length).array() ++ b
+      case TBinary(b) =>
+        Array('b'.toByte) ++ buf(4).putInt(b.length).array() ++ b
     }
 
   def encodeInsert(relId: Int, values: Seq[TupleVal]): Array[Byte] =
@@ -183,35 +196,157 @@ object PgOutput {
         case 'u' => toast += name
         case 't' => entries += name -> new String(r.take(r.i32()), UTF_8)
         case 'b' =>
-          // binary-format values: typed decode for the same set the
-          // reference handles (decoder.ex:246-280), hex otherwise
-          val data = r.take(r.i32())
-          val v = tpe match {
-            case "bool" => (data.nonEmpty && data(0) == 1.toByte).toString
-            case "jsonb" => new String(data.drop(1), UTF_8) // version byte
-            case "text" | "varchar" => new String(data, UTF_8)
-            // timestamptz shares the timestamp wire format (int64 pg-epoch
-            // micros, already UTC on the wire); oid 1184 is registered in
-            // TypeOids so it must not fall through to the hex fallback
-            case "timestamp" | "timestamptz" =>
-              isoFromPgMicros(ByteBuffer.wrap(data).getLong())
-            case "uuid" =>
-              val bb = ByteBuffer.wrap(data)
-              new java.util.UUID(bb.getLong(), bb.getLong()).toString
-            case "int2" => ByteBuffer.wrap(data).getShort().toString
-            case "int4" => ByteBuffer.wrap(data).getInt().toString
-            case "int8" => ByteBuffer.wrap(data).getLong().toString
-            case "float4" => ByteBuffer.wrap(data).getFloat().toString
-            case "float8" => ByteBuffer.wrap(data).getDouble().toString
-            case _ => data.map("%02x".format(_)).mkString
-          }
-          entries += name -> v
+          entries += name -> decodeBinaryValue(tpe, r.take(r.i32()))
         case other =>
           throw new IllegalArgumentException(s"bad tuple marker: $other")
       }
       i += 1
     }
     (entries.toMap, toast.toSeq)
+  }
+
+  /** Decode one binary-format ('b') column value to its Postgres TEXT
+    * rendering, so binary- and text-format tuples land in the identical
+    * `record` map. The reference's binary decoder covers only
+    * bool/jsonb/timestamp/text/uuid/bytea and CRASHES on anything else
+    * (decoder.ex:256-280, no fallthrough); the type-name catalog it keys
+    * on covers the full built-in space (oid_database.ex:36-170). Here the
+    * date/time family, numeric, interval, bytea, and the common array
+    * types decode to the exact `*_out` text forms; genuinely unknown
+    * types fall back to `\x`-prefixed hex (bytea-style — visibly opaque,
+    * never silently wrong-looking). */
+  def decodeBinaryValue(tpe: String, data: Array[Byte]): String = tpe match {
+    case "bool" => (data.nonEmpty && data(0) == 1.toByte).toString
+    case "jsonb" => new String(data.drop(1), UTF_8) // version byte
+    case "text" | "varchar" | "bpchar" | "char" | "name" | "json" =>
+      new String(data, UTF_8)
+    // timestamptz shares the timestamp wire format (int64 pg-epoch
+    // micros, already UTC on the wire)
+    case "timestamp" | "timestamptz" =>
+      isoFromPgMicros(ByteBuffer.wrap(data).getLong())
+    case "uuid" =>
+      val bb = ByteBuffer.wrap(data)
+      new java.util.UUID(bb.getLong(), bb.getLong()).toString
+    case "int2" => ByteBuffer.wrap(data).getShort().toString
+    case "int4" => ByteBuffer.wrap(data).getInt().toString
+    case "int8" => ByteBuffer.wrap(data).getLong().toString
+    case "float4" => ByteBuffer.wrap(data).getFloat().toString
+    case "float8" => ByteBuffer.wrap(data).getDouble().toString
+    case "bytea" => "\\x" + data.map("%02x".format(_)).mkString
+    case "date" => // int32 days since 2000-01-01
+      java.time.LocalDate.of(2000, 1, 1)
+        .plusDays(ByteBuffer.wrap(data).getInt().toLong).toString
+    case "time" => // int64 micros since midnight
+      timeText(ByteBuffer.wrap(data).getLong())
+    case "timetz" => // int64 micros + int32 zone (seconds west of UTC)
+      val bb = ByteBuffer.wrap(data)
+      val t = timeText(bb.getLong())
+      val zone = bb.getInt()
+      val east = -zone // displayed offset is seconds EAST (time.c timetz_out)
+      val sign = if (east < 0) "-" else "+"
+      val abs = math.abs(east)
+      val hh = f"${abs / 3600}%02d"
+      val mm = abs % 3600 / 60
+      t + sign + hh + (if (mm != 0) f":$mm%02d" else "")
+    case "interval" => intervalText(data)
+    case "numeric" => numericText(data)
+    case t if t.startsWith("_") => arrayText(data)
+    case _ => "\\x" + data.map("%02x".format(_)).mkString
+  }
+
+  /** `time_out` text: HH:MM:SS with the fractional micros trimmed of
+    * trailing zeros, omitted entirely when zero. */
+  private def timeText(micros: Long): String = {
+    val sec = micros / 1000000L
+    val frac = (micros % 1000000L).toInt
+    val base = f"${sec / 3600}%02d:${sec % 3600 / 60}%02d:${sec % 60}%02d"
+    if (frac == 0) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** `interval_out` postgres-style text: int64 micros + int32 days +
+    * int32 months on the wire; "N year(s) N mon(s) N day(s) HH:MM:SS[.f]"
+    * with zero parts omitted (time kept when everything is zero). */
+  private def intervalText(data: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(data)
+    val micros = bb.getLong(); val days = bb.getInt(); val months = bb.getInt()
+    val parts = mutable.ArrayBuffer.empty[String]
+    val years = months / 12; val mons = months % 12
+    def unit(n: Int, w: String): Unit = // interval_out: plural unless == 1
+      if (n != 0) parts += s"$n $w" + (if (n != 1) "s" else "")
+    unit(years, "year"); unit(mons, "mon"); unit(days, "day")
+    if (micros != 0 || parts.isEmpty) {
+      val sign = if (micros < 0) "-" else ""
+      val a = math.abs(micros)
+      parts += sign + timeText(a)
+    }
+    parts.mkString(" ")
+  }
+
+  /** `numeric_out` text from the wire format: ndigits/weight/sign/dscale
+    * headers then base-10000 digits. Exact decimal arithmetic — never a
+    * float round-trip. */
+  private def numericText(data: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(data)
+    val ndigits = bb.getShort().toInt
+    val weight = bb.getShort().toInt
+    val sign = bb.getShort() & 0xffff
+    val dscale = bb.getShort().toInt
+    sign match {
+      case 0xC000 => "NaN"
+      case 0xD000 => "Infinity"
+      case 0xF000 => "-Infinity"
+      case _ =>
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < ndigits) {
+          val d = java.math.BigDecimal.valueOf(bb.getShort().toLong)
+          acc = acc.add(d.scaleByPowerOfTen(4 * (weight - i)))
+          i += 1
+        }
+        if (sign == 0x4000) acc = acc.negate()
+        // trailing base-10000 zeros may exceed dscale; they are exact zeros
+        acc.setScale(dscale, java.math.RoundingMode.DOWN).toPlainString
+    }
+  }
+
+  /** `array_out` text from the wire format: ndim/hasnull/elemoid headers,
+    * per-dim (length, lower bound), then length-prefixed elements (-1 =
+    * NULL). Elements decode via their own oid and quote per array_out
+    * rules; multi-dim nests braces row-major. */
+  private def arrayText(data: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(data)
+    val ndim = bb.getInt(); bb.getInt() // hasnull (recomputable)
+    val elemOid = bb.getInt()
+    val elemType = OidNames.getOrElse(elemOid, s"oid$elemOid")
+    val dims = (0 until ndim).map { _ =>
+      val len = bb.getInt(); bb.getInt() // lower bound
+      len
+    }
+    if (ndim == 0) return "{}"
+    def quote(s: String): String = {
+      val needs = s.isEmpty || s.equalsIgnoreCase("null") ||
+        s.exists(c => c == '{' || c == '}' || c == ',' || c == '"' ||
+          c == '\\' || Character.isWhitespace(c))
+      if (!needs) s
+      else "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    }
+    def level(d: Int): String =
+      if (d == ndim) {
+        val len = bb.getInt()
+        if (len == -1) "NULL"
+        else {
+          val bytes = new Array[Byte](len); bb.get(bytes)
+          quote(decodeBinaryValue(elemType, bytes))
+        }
+      } else
+        (0 until dims(d)).map(_ => level(d + 1))
+          .mkString("{", ",", "}")
+    level(0)
   }
 
   private def decodeColumns(r: Reader, n: Int): Seq[RelColumn] =

@@ -41,7 +41,12 @@ object Presence {
 
   /** Streaming: per-topic state machine emitting presence_diff rows.
     * State = Map[key → meta]; a track of a new key emits a join, an untrack
-    * of a present key emits a leave, meta changes emit join (update path).
+    * of a present key emits a leave. A re-track of a LIVE key follows the
+    * reference's `already_tracked` path (presence_handler.ex:160-170):
+    * unchanged payload is a no-op (`:no_payload_change`), a changed
+    * payload becomes a Tracker.update — which Phoenix broadcasts as an
+    * update diff carrying the key in BOTH leaves (old meta) and joins
+    * (new meta), never as a bare join.
     * With `timeoutMs > 0`, idle topics are reaped via processing-time timeout
     * (the analog of the reference's idle shutdown) — note that enabling it
     * makes the engine schedule periodic empty micro-batches to fire timeouts,
@@ -72,9 +77,15 @@ object Presence {
             evs.toSeq.sortBy(e => (e.ts.getTime, e.meta)).foreach { e =>
               e.action match {
                 case "track" =>
-                  val changed = !st.get(e.key).contains(e.meta)
+                  st.get(e.key) match {
+                    case Some(old) if old == e.meta => // :no_payload_change
+                    case Some(old) => // already_tracked → update diff
+                      out += PresenceDiff(topic, e.key, "leave", old)
+                      out += PresenceDiff(topic, e.key, "join", e.meta)
+                    case None =>
+                      out += PresenceDiff(topic, e.key, "join", e.meta)
+                  }
                   st = st.updated(e.key, e.meta)
-                  if (changed) out += PresenceDiff(topic, e.key, "join", e.meta)
                 case "untrack" =>
                   st.get(e.key).foreach { m =>
                     out += PresenceDiff(topic, e.key, "leave", m)

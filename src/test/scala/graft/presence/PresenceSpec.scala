@@ -58,11 +58,35 @@ class PresenceSpec extends SparkSpec {
         PresenceEvent("room1", "u2", "track", "m2b", t("2024-01-01 10:01:02")))
       q.processAllAvailable()
       val b2 = spark.table("pdiff").as[PresenceDiff].collect().toSet -- b1
-      // leave for u1 with its tracked meta; one join for u2's meta change
-      // (the duplicate re-track of identical meta emits nothing)
+      // leave for u1 with its tracked meta; u2's meta change is an
+      // already_tracked UPDATE — leave(old) + join(new) in one diff
+      // (presence_handler.ex:162-170); the duplicate re-track of
+      // identical meta is a :no_payload_change no-op
       assert(b2 == Set(
         PresenceDiff("room1", "u1", "leave", "m1"),
+        PresenceDiff("room1", "u2", "leave", "m2"),
         PresenceDiff("room1", "u2", "join", "m2b")))
+    } finally q.stop()
+  }
+
+  test("already_tracked: update diff ordering is leave(old) then join(new)") {
+    implicit val s = spark
+    val input = MemoryStream[PresenceEvent](spark)
+    val q = Presence.diffStream(input.toDS())
+      .writeStream.format("memory").queryName("pdiff_upd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        PresenceEvent("r", "u", "track", "a", t("2024-01-01 10:00:00")),
+        PresenceEvent("r", "u", "track", "a", t("2024-01-01 10:00:01")),
+        PresenceEvent("r", "u", "track", "b", t("2024-01-01 10:00:02")))
+      q.processAllAvailable()
+      val got = spark.table("pdiff_upd").as[PresenceDiff].collect().toSeq
+      // join(a); re-track(a) no-op; re-track(b) → leave(a) + join(b)
+      assert(got == Seq(
+        PresenceDiff("r", "u", "join", "a"),
+        PresenceDiff("r", "u", "leave", "a"),
+        PresenceDiff("r", "u", "join", "b")))
     } finally q.stop()
   }
 }
