@@ -231,6 +231,54 @@ object PipelineQueries {
         |  CASE WHEN list_sort(scored)[3].hits > 0 THEN list_sort(scored)[3].lang
         |       ELSE 'und' END AS lang_pred
         |FROM h""".stripMargin)),
+    Q("text_repetition",
+      (s, d) => TextAnalysis.repetitionFeatures(docs(s, d), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |       count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1),
+        |bt AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |         [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]
+        |       ELSE [] END) AS b FROM w),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c) AS nb, max(c) AS mxb FROM bc GROUP BY 1)
+        |SELECT wa.doc_id, n_words,
+        |  round(nd::DOUBLE / n_words, 6) AS distinct_word_ratio,
+        |  round(mx::DOUBLE / n_words, 6) AS max_word_ratio,
+        |  COALESCE(round(mxb::DOUBLE / nb, 6), 0.0) AS top_bigram_ratio
+        |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id""".stripMargin)),
+    Q("text_gopher_filter",
+      (s, d) => TextAnalysis.gopherFilter(docs(s, d), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |       count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1),
+        |bt AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |         [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]
+        |       ELSE [] END) AS b FROM w),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c) AS nb, max(c) AS mxb FROM bc GROUP BY 1),
+        |f AS (SELECT wa.doc_id, n_words,
+        |      round(nd::DOUBLE / n_words, 6) AS distinct_word_ratio,
+        |      round(mx::DOUBLE / n_words, 6) AS max_word_ratio,
+        |      COALESCE(round(mxb::DOUBLE / nb, 6), 0.0) AS top_bigram_ratio
+        |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id)
+        |SELECT doc_id, n_words, distinct_word_ratio, max_word_ratio,
+        |  top_bigram_ratio,
+        |  n_words < 50 AS flag_too_short,
+        |  n_words > 100000 AS flag_too_long,
+        |  distinct_word_ratio < 0.3 AS flag_low_diversity,
+        |  max_word_ratio > 0.2 AS flag_repetitive_word,
+        |  top_bigram_ratio > 0.18 AS flag_repetitive_bigram,
+        |  NOT (n_words < 50) AND NOT (n_words > 100000)
+        |    AND NOT (distinct_word_ratio < 0.3)
+        |    AND NOT (max_word_ratio > 0.2)
+        |    AND NOT (top_bigram_ratio > 0.18) AS keep
+        |FROM f""".stripMargin)),
     Q("text_fingerprint",
       (s, d) => docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")),

@@ -73,4 +73,71 @@ object TextAnalysis {
     * rolling-hash fingerprint, collision-checked by dedup). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(lower(text))))))
+
+  /** Within-document repetition signals (the Gopher/RefinedWeb quality
+    * family): distinct-word ratio, most-frequent-word fraction, and
+    * most-frequent-bigram fraction.
+    *
+    * Relational shape, not per-doc HOF loops: tokens explode once and
+    * aggregate by (doc, token) — two codegen'd hash aggregates whose
+    * shuffle volume is the corpus token count. The per-doc alternative
+    * (`max` over `transform(distinct, w => size(filter(ws, = w)))`) is an
+    * interpreted O(n·distinct) lambda per row — the exact HOF trap the
+    * simhash work measured at ~100×. Single-word docs have no bigrams;
+    * their top_bigram_ratio is 0.0 (left join + coalesce, not a dropped
+    * row). */
+  def repetitionFeatures(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol), words(col(textCol)).as("ws"))
+    val wordAgg = base.select(col(idCol), explode(col("ws")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_word"))
+    val bigramAgg = base
+      .select(col(idCol), explode(when(size(col("ws")) >= 2, transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bigram"))
+    wordAgg.join(bigramAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("distinct_word_ratio"),
+        round(col("max_word").cast("double") / col("n_words"), 6)
+          .as("max_word_ratio"),
+        coalesce(
+          round(col("max_bigram").cast("double") / col("n_bigrams"), 6),
+          lit(0.0)).as("top_bigram_ratio"))
+  }
+
+  /** Gopher-style keep/drop quality gate: the boolean rules a curation
+    * pipeline actually filters on, with the signals they derive from kept
+    * in-band for auditability (a 100 TB run wants to know WHY a document
+    * dropped, not just that it did). Thresholds are the standard defaults;
+    * all tunable. */
+  def gopherFilter(
+      df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minDistinctRatio: Double = 0.3, maxWordRatio: Double = 0.2,
+      maxBigramRatio: Double = 0.18): DataFrame = {
+    val rep = repetitionFeatures(df, textCol, idCol)
+    rep
+      .withColumn("flag_too_short", col("n_words") < minWords)
+      .withColumn("flag_too_long", col("n_words") > maxWords)
+      .withColumn("flag_low_diversity",
+        col("distinct_word_ratio") < minDistinctRatio)
+      .withColumn("flag_repetitive_word",
+        col("max_word_ratio") > maxWordRatio)
+      .withColumn("flag_repetitive_bigram",
+        col("top_bigram_ratio") > maxBigramRatio)
+      .withColumn("keep",
+        !col("flag_too_short") && !col("flag_too_long") &&
+        !col("flag_low_diversity") && !col("flag_repetitive_word") &&
+        !col("flag_repetitive_bigram"))
+  }
 }

@@ -3,6 +3,46 @@ package graft.pipeline
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionFeatures: ratios for repeated, diverse, and tiny docs") {
+    val df = Seq(
+      (0L, "a a a a"),            // 1 distinct / 4; max word 4/4; bigram "a a" 3/3
+      (1L, "w x y z"),            // all distinct; every bigram unique
+      (2L, "one"),                // single word: no bigrams → ratio 0.0
+      (3L, "go go stop go stop")  // go:3/5, distinct 2/5, "go stop" 2/4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(df, "text", "doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((4L, 0.25, 1.0, 1.0)))
+    assert(got(1L) == ((4L, 1.0, 0.25, 0.333333)))
+    assert(got(2L) == ((1L, 1.0, 1.0, 0.0)), "1-word doc: bigram ratio 0, no crash")
+    assert(got(3L) == ((5L, 0.4, 0.6, 0.5)))
+  }
+
+  test("gopherFilter: flags fire on the right rule and compose into keep") {
+    val longDiverse = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val longRepetitive = (1 to 60).map(_ => "same").mkString(" ")
+    val shortDiverse = (1 to 10).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (0L, longDiverse),       // keeps
+      (1L, shortDiverse),      // too short, nothing else fires
+      (2L, longRepetitive)     // short? no (60 words) — but repetitive
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(df, "text", "doc_id")
+      .select("doc_id", "keep", "flag_too_short", "flag_repetitive_word",
+        "flag_low_diversity")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((true, false, false, false)))
+    assert(got(1L) == ((false, true, false, false)))
+    assert(got(2L)._1 == false && got(2L)._3 && got(2L)._4,
+      "all-same doc trips word-repetition and diversity flags")
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
