@@ -77,7 +77,15 @@ object Dedup {
 
   /** MinHash signature: k independent permutations approximated by keyed
     * md5; element i = min over shingles of md5("i:shingle"). Narrow, O(n·k).
-    */
+    *
+    * Measured alternative (round 4, sf0.1 warm, n=3): a universal-hash
+    * variant — ONE md5 per shingle + k modular permutations
+    * `(aᵢ·h+bᵢ) mod (2³¹−1)` over a 28-bit base hash — ran SLOWER
+    * (3.2-3.5 s vs 2.7-3.0 s for the whole LSH query) despite 12× fewer
+    * md5 calls: HOF lambdas are interpreted, so per-element EXPRESSION
+    * NODE COUNT (two element_at lookups + mul/add/mod/cast) costs more
+    * than one short-string md5 eval. Kept the md5 form; revisit only if
+    * signatures move into codegen (a custom Expression). */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shinglesCol,
