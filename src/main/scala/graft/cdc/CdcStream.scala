@@ -241,18 +241,32 @@ object CdcStream {
         c.message == "DELETE" || c.message == "TRUNCATE")
       .toDF()
       .withColumnRenamed("message", Walrus.TypeCol)
-    // 3. one-pass multi-table match against the registry's schemas
+    // 3-5. shared tail: match, shape, deliver
     val schemas = registry.values
       .map(m => (m.namespace, m.name) -> PgOutput.sparkSchema(m)).toMap
-    val matched = graft.walrus.MultiTableMatch
-      .matchSubscriptions(decoded, schemas, subs)
-      .where(size(col("subscription_ids")) > 0)
-    // 4. payload shaping per (role, selected_columns) group — column
-    // projection against each table's pk from the Relation key flags —
-    // then encode-once frame, explode subscribers, executor sink
     val pkByTable = registry.values
       .map(m => (m.namespace, m.name) ->
         m.columns.filter(_.isKey).map(_.name)).toMap
+    matchShapeDeliver(decoded, schemas, pkByTable, subs, bus, batchId)
+    } finally cached.unpersist()
+  }
+
+  /** The source-agnostic tail of the WAL pipeline — identical for binary
+    * pgoutput and wal2json JSON batches once both land in the decoded
+    * WalChange shape: one-pass multi-table battery match, TOAST merge by
+    * key absence (P8), per-(role, selected_columns) payload shaping,
+    * encode-once frame, subscriber explode, executor-side delivery. */
+  private def matchShapeDeliver(
+      decoded: DataFrame,
+      schemas: Map[(String, String), StructType],
+      pkByTable: Map[(String, String), Seq[String]],
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      batchId: Long): Unit = {
+    val spark = decoded.sparkSession
+    val matched = graft.walrus.MultiTableMatch
+      .matchSubscriptions(decoded, schemas, subs)
+      .where(size(col("subscription_ids")) > 0)
     // unchanged-TOAST fallback (P8): columns the decoder marked 'u' are
     // absent from `record` and re-appear with their old values; columns
     // explicitly set to SQL NULL stay NULL (merge is by key absence)
@@ -280,7 +294,84 @@ object CdcStream {
       acc.add(n)
     }
     bus.record(BatchStats(batchId, -1L, acc.value, shed = false))
+  }
+
+  /** One micro-batch of the wal2json pipeline. wal2json v2 rows are
+    * self-describing, so the schema "harvest" reads column names/types
+    * and pk lists from the rows themselves (small-dimension driver
+    * collect of DISTINCT tables, the analog of the Relation harvest) and
+    * folds them into the cross-batch `registry` — a late-arriving batch
+    * for a table with no rows this batch still matches via the registry.
+    */
+  def processWal2JsonBatch(
+      batch: DataFrame,
+      jsonCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      registry: scala.collection.mutable.Map[(String, String),
+        (StructType, Seq[String])],
+      batchId: Long = 0L): Unit = {
+    val cached = batch.persist()
+    try {
+      val raw = Wal2Json.decodeRaw(cached, jsonCol)
+      // schema harvest: aggregate to the LATEST (by seq) column/pk
+      // description PER TABLE executor-side, then collect one row per
+      // distinct table — the small dimension, never the change rows
+      val harvested = raw
+        .select(col(orderCol).cast("long").as("_seq"),
+          col("wal.schema").as("ns"), col("wal.table").as("tbl"),
+          col("wal.columns.name").as("names"),
+          col("wal.columns.type").as("types"),
+          col("pk_columns"))
+        .where(col("ns").isNotNull && col("names").isNotNull)
+        .groupBy("ns", "tbl")
+        .agg(max_by(struct(col("names"), col("types"), col("pk_columns")),
+          col("_seq")).as("d"))
+        .collect()
+      harvested.foreach { r =>
+        val d = r.getStruct(2)
+        val names = d.getSeq[String](0)
+        val types = d.getSeq[String](1)
+        val pks = Option(d.getSeq[String](2)).getOrElse(Nil)
+        val st = StructType(names.zip(types).map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, Wal2Json.sparkType(t))
+        })
+        registry((r.getString(0), r.getString(1))) = (st, pks)
+      }
+      val decoded = Wal2Json.decodeChanges(cached, jsonCol, orderCol)
+        .filter(c =>
+          c.message == "INSERT" || c.message == "UPDATE" ||
+          c.message == "DELETE" || c.message == "TRUNCATE")
+        .toDF()
+        .withColumnRenamed("message", Walrus.TypeCol)
+      matchShapeDeliver(decoded,
+        registry.map { case (k, v) => k -> v._1 }.toMap,
+        registry.map { case (k, v) => k -> v._2 }.toMap,
+        subs, bus, batchId)
     } finally cached.unpersist()
+  }
+
+  /** Attach the wal2json pipeline (format-v2 JSON rows in, per-subscriber
+    * frames out) to a streaming DataFrame — the same downstream as
+    * [[startWal]], different source decode. */
+  def startWal2Json(
+      msgs: DataFrame,
+      jsonCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      triggerMs: Long = 100L): StreamingQuery = {
+    val registry = scala.collection.mutable
+      .Map[(String, String), (StructType, Seq[String])]()
+    msgs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processWal2JsonBatch(batch, jsonCol, orderCol, subs, bus, registry,
+          batchId)
+      }
+      .start()
   }
 
   /** Attach the full raw-WAL pipeline (binary pgoutput frames in,

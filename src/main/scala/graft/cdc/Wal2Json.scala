@@ -112,4 +112,24 @@ object Wal2Json {
     df.withColumn("wal", parsed(col(jsonCol)))
       .withColumn("pk_columns",
         transform(col("wal.pk"), p => p.getField("name")))
+
+  /** Spark type for a wal2json `type` name. wal2json renders the SQL
+    * spelling (`integer`, `double precision`, `character varying(30)`,
+    * `timestamp without time zone`), unlike pgoutput's oid-derived short
+    * names — both spellings map here, to the same decisions as
+    * [[PgOutput.sparkSchema]] (filter values compile against these
+    * types; timestamps stay ISO text). */
+  def sparkType(pgType: String): DataType = {
+    val base = pgType.takeWhile(_ != '(').trim // strip (n[,m]) modifiers
+    base match {
+      case "bool" | "boolean" => BooleanType
+      case "int2" | "smallint" => ShortType
+      case "int4" | "integer" => IntegerType
+      case "int8" | "bigint" => LongType
+      case "float4" | "real" => FloatType
+      case "float8" | "double precision" => DoubleType
+      case "numeric" | "decimal" => DecimalType(38, 18)
+      case _ => StringType // text/varchar/timestamps/uuid/json/arrays…
+    }
+  }
 }

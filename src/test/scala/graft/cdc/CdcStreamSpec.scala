@@ -178,6 +178,51 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wal2json stream shares the downstream: typed filters, TOAST " +
+      "absence, registry across batches") {
+    val walSubs = Seq(
+      Subscription("sBig", "public", "orders", f("amount=gt.100")),
+      Subscription("sAll", "public", "orders", Nil))
+    def ins(seq: Long, id: Int, amount: Double): (Long, String) = (seq,
+      s"""{"action":"I","schema":"public","table":"orders",
+         |"timestamp":"2024-01-01 00:00:0$seq+00",
+         |"columns":[{"name":"id","type":"bigint","typeoid":20,"value":$id},
+         | {"name":"amount","type":"double precision","typeoid":701,"value":$amount}],
+         |"pk":[{"name":"id","type":"bigint"}]}""".stripMargin.replace("\n", ""))
+    val input = MemoryStream[(Long, String)](spark)
+    val bus = CdcStream.MemoryBus()
+    val q = CdcStream.startWal2Json(input.toDF().toDF("seq", "w2j"),
+      "w2j", "seq", walSubs, bus, triggerMs = 10L)
+    try {
+      input.addData(ins(0L, 1, 250.0))
+      q.processAllAvailable()
+      // batch 2 carries rows for the SAME table — and an UPDATE whose
+      // new image omits `amount` (unchanged TOAST is key-absent in
+      // wal2json): the old value must splice back in (P8)
+      input.addData(ins(1L, 2, 50.0), (2L,
+        s"""{"action":"U","schema":"public","table":"orders",
+           |"timestamp":"2024-01-01 00:00:03+00",
+           |"columns":[{"name":"id","type":"bigint","typeoid":20,"value":1}],
+           |"identity":[{"name":"id","type":"bigint","typeoid":20,"value":1},
+           | {"name":"amount","type":"double precision","typeoid":701,"value":250.0}],
+           |"pk":[{"name":"id","type":"bigint"}]}""".stripMargin.replace("\n", "")))
+      q.processAllAvailable()
+      val byId = bus.deliveries.groupBy(_.subscriptionId)
+      // typed gt filter (compiled against the harvested double type):
+      // only the 250.0 insert passes. The UPDATE's amount is TOAST-absent
+      // from the new image, and filters fail CLOSED on a missing column —
+      // exactly the reference's is_visible_through_filters over wal
+      // 'columns' (the merge applies to the OUTPUT record, not to filter
+      // visibility); 50.0 fails the comparison
+      assert(byId("sBig").size == 1)
+      assert(byId("sAll").size == 3)
+      val upd = bus.deliveries.filter(_.frame.contains("\"type\":\"UPDATE\""))
+      assert(upd.nonEmpty && upd.forall(d =>
+        d.frame.contains("\"amount\":\"250.0\"") &&
+        d.frame.contains("\"old_record\":{")))
+    } finally q.stop()
+  }
+
   test("mid-batch schema change: earlier tuples keep the older schema; " +
       "registry advances to the latest R by seq order") {
     import PgOutput.{RelColumn, RelationMeta, TText}
