@@ -141,10 +141,21 @@ object Dedup {
     base.join(sigs, "id")
   }
 
+  /** Hot-bucket guard (`maxBucket > 0`): a band bucket holding m docs
+    * (identical signatures across a boilerplate-heavy corpus) makes the
+    * plain self-join emit m² candidate rows in ONE task. With a cap,
+    * oversized buckets sub-split into ⌈m/maxBucket⌉ groups and every
+    * upper-triangle group cell becomes its own join key — the same exact
+    * block-grid as [[simhashNearDups]]; per-task candidate output is
+    * bounded by maxBucket², the pair set is IDENTICAL to the uncapped
+    * join. Bucket sizes are a same-keyed aggregate joined back on
+    * (band, key) — never broadcast (bucket count is data-sized, unlike
+    * simhash's ≤2^prefixBits). Default 0 keeps the plain plan (what the
+    * oracle runs). */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val rows = k / bands
     // persist (id, shingles, signature): feeds the banded self-join twice
     // plus the verification join; tiny relative to the text, caches at
@@ -161,11 +172,31 @@ object Dedup {
       .persist()
     val banded = base.select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cands = (if (maxBucket <= 0) {
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    } else {
+      val sizes = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("m"))
+        .select(col("band"), col("key"),
+          ceil(col("m") / maxBucket).cast("int").as("nsub"))
+      val sub = banded.join(sizes, Seq("band", "key"))
+        .withColumn("g", pmod(col("id"), col("nsub")).cast("int"))
+      val xrep = sub.select(col("band"), col("key"), col("id"),
+        col("g").as("ci"),
+        explode(sequence(col("g"), col("nsub") - 1)).as("cj"))
+      val yrep = sub.select(col("band"), col("key"), col("id"),
+        explode(sequence(lit(0), col("g"))).as("ci"),
+        col("g").as("cj"))
+      xrep.as("x").join(yrep.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
+          (col("x.ci") < col("x.cj") || col("x.id") < col("y.id")))
+        .select(least(col("x.id"), col("y.id")).as("id_a"),
+          greatest(col("x.id"), col("y.id")).as("id_b"))
+    }).distinct()
     val withSh = cands
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

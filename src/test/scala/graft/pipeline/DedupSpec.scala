@@ -92,6 +92,32 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact))
   }
 
+  test("minhash LSH hot-bucket sub-split is exact vs the plain join") {
+    val docs = (0 until 30).map { i =>
+      val tail = if (i % 3 == 0) "alpha beta gamma delta epsilon zeta"
+                 else s"unique$i tail${i % 4} words${i % 5} only$i more$i end$i"
+      (i.toLong, s"common lead $tail")
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.3, maxBucket = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = run(0)
+    assert(exact.nonEmpty, "sanity: identical-tail docs must pair")
+    assert(run(2) == exact && run(1) == exact)
+  }
+
+  test("minhash LSH: 2k identical docs complete under the bucket cap") {
+    // identical texts → identical signatures → every band bucket holds
+    // all 2k docs; the cap bounds each cell's candidate output to ≤ 200²
+    val n = 2000
+    val docs = (0 until n).map(i => (i.toLong, "same text every time here again"))
+      .toDF("doc_id", "text")
+    val cnt = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5, maxBucket = 200)
+      .count()
+    assert(cnt == n.toLong * (n - 1) / 2)
+  }
+
   test("simhash hot-bucket sub-split is exact vs the plain join") {
     // varied small corpus: buckets of size > 1 plus singletons
     val docs = (0 until 40).map { i =>
