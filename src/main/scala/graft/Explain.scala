@@ -13,7 +13,9 @@ object Explain {
         "a2_rate_tumbling", "u2_semi_join", "j9_rls_probe",
         "dedup_minhash_lsh", "sim_ann_bruteforce", "p6_column_projection",
         "j1_walrus_200subs", "j_multi_table", "j_dispatch_gating",
-        "s2_wal_decode", "p_truncate_routing", "dedup_embedding")
+        "s2_wal_decode", "p_truncate_routing", "dedup_embedding",
+        "s1_wal2json_decode", "curation_sample", "curation_pack",
+        "curation_contamination", "text_repetition", "text_gopher_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
