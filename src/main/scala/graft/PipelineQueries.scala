@@ -72,6 +72,39 @@ object PipelineQueries {
         |           JOIN sig sb ON cands.b = sb.doc_id
         |WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
         |            len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5""".stripMargin)),
+    // Near-dup clustering: connected components over the ngram-jaccard
+    // pair list (label propagation in Spark; recursive-CTE transitive
+    // closure in DuckDB — feasible because test clusters are tiny, while
+    // the Spark side stays linear in edges per round).
+    Q("dedup_clusters",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+          shingleN = 3, threshold = 0.3, lenBucket = 50)
+        Dedup.nearDupClusters(dd, "doc_id", pairs)
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, length(text) AS n,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, n // 50 AS blk,
+        |       list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |        for i in generate_series(1, len(ws)-2)]) AS sh FROM w),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |      FROM sh x JOIN sh y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |      WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |                  len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach AS (SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT d.doc_id,
+        |        least(d.doc_id, COALESCE(min(r.b), d.doc_id)) AS cluster_id
+        |        FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+        |        GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_cluster,
+        |  doc_id = cluster_id AS is_survivor
+        |FROM lab""".stripMargin)),
     Q("dedup_simhash",
       (s, d) => Dedup.simhashDF(docs(s, d), "text", "doc_id")
         .withColumnRenamed("id", "doc_id"),

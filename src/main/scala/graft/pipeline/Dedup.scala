@@ -381,6 +381,71 @@ object Dedup {
     }
   }
 
+  // ---------------------------------------------------------------- clusters
+
+  /** Connected components over a near-dup pair list — the end-step that
+    * turns pairwise matches into "which docs to keep": every document
+    * gets a `cluster_id` (the MINIMUM doc id reachable through undirected
+    * near-dup edges, deterministic), `n_cluster`, and `is_survivor`
+    * (the canonical minimum member).
+    *
+    * Algorithm: min-label propagation to fixpoint — labels start as the
+    * vertex id; each round every vertex takes the min of its own label
+    * and its neighbors' labels; stop when a round changes nothing. Each
+    * round is one join + one partial-aggregated groupBy on the vertex
+    * id; rounds needed = cluster diameter (near-dup clusters are
+    * shallow — dup groups are near-cliques). Driver coordination is one
+    * `count()` per round (iterative graph algorithms are driver-paced by
+    * nature); lineage is truncated with a local checkpoint every few
+    * rounds so round N's plan doesn't embed rounds 1..N-1 (the classic
+    * iterative-Spark OOM). Nothing vertex- or edge-sized ever reaches
+    * the driver. */
+  def connectedComponents(
+      vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist()
+    var labelsCheckpointed = false
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next0 = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+      // eager localCheckpoint every 5th round truncates lineage; its
+      // blocks must NOT be unpersisted afterwards (truncated lineage
+      // cannot recompute) — they are released by the session loop's
+      // clearCache, the repo's cache-ownership convention
+      val checkpointRound = i % 5 == 4
+      val next =
+        if (checkpointRound) next0.localCheckpoint(true) else next0.persist()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.label") =!= col("o.label")).count()
+      if (!labelsCheckpointed) labels.unpersist()
+      labels = next
+      labelsCheckpointed = checkpointRound
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Near-dup clusters + survivor flag over any pair list (minhash,
+    * simhash, jaccard, embedding — anything emitting (id_a, id_b)). */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val cc = connectedComponents(docs, idCol, pairs, aCol, bCol, maxIters)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_cluster"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as(idCol), col("cluster_id"), col("n_cluster"),
+        (col("id") === col("cluster_id")).as("is_survivor"))
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Embedding near-dup: pairs with cosine ≥ threshold (brute force — the

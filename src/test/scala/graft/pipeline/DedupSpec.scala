@@ -92,6 +92,30 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact))
   }
 
+  test("connected components: chains converge, clusters get min label") {
+    val verts = (0L to 9L).toDF("id")
+    // chain 0-1-2-3 (diameter forces multiple rounds), pair 5-6, singletons
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(verts, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"chain collapses to 0: $got")
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(4L) == 4L && got(9L) == 9L, "singletons keep their own id")
+  }
+
+  test("nearDupClusters marks survivors and sizes") {
+    val docsDF2 = Seq(
+      (10L, "x"), (11L, "x"), (12L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(docsDF2, "doc_id", pairs)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((10L, 3L, true)))
+    assert(got(11L) == ((10L, 3L, false)) && got(12L) == ((10L, 3L, false)))
+    assert(got(20L) == ((20L, 1L, true)) && got(30L) == ((30L, 1L, true)))
+  }
+
   test("minhash LSH hot-bucket sub-split is exact vs the plain join") {
     val docs = (0 until 30).map { i =>
       val tail = if (i % 3 == 0) "alpha beta gamma delta epsilon zeta"
