@@ -426,6 +426,18 @@ object PipelineQueries {
         |       ELSE round(sum(hit)::DOUBLE / n_shingles, 6) END >= 0.1
         |    AS contaminated
         |FROM j GROUP BY doc_id, n_shingles""".stripMargin)),
+    Q("curation_source_mix",
+      (s, d) => Curation.sourceMixReport(docs(s, d), "source", "text"),
+      Some("""WITH s AS (SELECT source, md5(text) AS digest,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round(avg(toks), 6) AS mean_tokens
+        |  FROM s GROUP BY 1)
+        |SELECT source, n_docs, n_exact_dups, total_tokens, mean_tokens,
+        |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS share_docs
+        |FROM a""".stripMargin)),
     Q("curation_topk",
       (s, d) => Curation.topKTokens(docs(s, d), "text", k = 50),
       Some("""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))

@@ -137,6 +137,28 @@ object Curation {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** Per-source mixing report — the numbers a pipeline reads before
+    * choosing [[stratifiedSample]] rates: document and token volume,
+    * exact-dup rate, and corpus share per source. One hash aggregate
+    * keyed by source; the share column is a window over the AGGREGATED
+    * rows (source cardinality — hundreds, not corpus-sized — so the
+    * single-partition global window is a non-issue; the corpus scan
+    * itself never re-partitions). */
+  def sourceMixReport(
+      df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val agg = df
+      .select(col(sourceCol), md5(col(textCol)).as("digest"),
+        TextAnalysis.tokenCount(col(textCol)).as("toks"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"),
+        sum(col("toks")).as("total_tokens"),
+        round(avg(col("toks")), 6).as("mean_tokens"))
+    agg.withColumn("share_docs",
+      round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy()), 6))
+  }
+
   /** Exact top-k tokens with a deterministic tie-break (count desc, token
     * asc) — the honest version of heavy hitters when the vocabulary fits
     * a shuffle (it does: token vocabulary is data-independent-ish and

@@ -123,6 +123,21 @@ class CurationSpec extends SparkSpec {
     assert(got == ((4, 1L, 0.25)))
   }
 
+  // ------------------------------------------------------------- source mix
+
+  test("sourceMixReport: volumes, dup rates, and shares per source") {
+    val df = Seq(
+      (0L, "web", "a b c"), (1L, "web", "a b c"), (2L, "web", "d e"),
+      (3L, "books", "f g h i")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceMixReport(df, "source", "text")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // web: 3 docs, 1 exact dup (two identical "a b c"), 8 tokens
+    assert(got("web") == ((3L, 1L, 8L, 2.666667, 0.75)))
+    assert(got("books") == ((1L, 0L, 4L, 4.0, 0.25)))
+  }
+
   // -------------------------------------------------------------- top-k tokens
 
   test("topKTokens orders by count desc then token asc, and caps at k") {
