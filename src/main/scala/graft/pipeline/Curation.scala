@@ -159,6 +159,25 @@ object Curation {
         sum(col("n_docs")).over(Window.partitionBy()), 6))
   }
 
+  /** Per-source sampling rates that hit a target token MIXTURE under a
+    * total token budget: rate(s) = min(1, share(s)·budget / tokens(s)).
+    * Driver-side pure arithmetic over the [[sourceMixReport]] output
+    * (source cardinality rows) — the result feeds [[stratifiedSample]],
+    * so the actual row selection stays a reproducible narrow filter.
+    * Sources missing from `targetShares` get rate 0 (explicitly out of
+    * the mixture); a source with fewer tokens than its target share
+    * caps at 1.0 (cannot oversample without replacement — the shortfall
+    * is reported by comparing achieved vs target downstream). */
+  def mixtureRates(
+      tokensBySource: Map[String, Long],
+      targetShares: Map[String, Double],
+      tokenBudget: Long): Map[String, Double] =
+    tokensBySource.map { case (s, toks) =>
+      val share = targetShares.getOrElse(s, 0.0)
+      val want = share * tokenBudget
+      s -> (if (toks <= 0) 0.0 else math.min(1.0, want / toks))
+    }
+
   /** Exact top-k tokens with a deterministic tie-break (count desc, token
     * asc) — the honest version of heavy hitters when the vocabulary fits
     * a shuffle (it does: token vocabulary is data-independent-ish and

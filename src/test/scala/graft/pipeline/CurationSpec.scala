@@ -138,6 +138,16 @@ class CurationSpec extends SparkSpec {
     assert(got("books") == ((1L, 0L, 4L, 4.0, 0.25)))
   }
 
+  test("mixtureRates: budget shares cap at 1.0 and exclude unlisted sources") {
+    val rates = Curation.mixtureRates(
+      tokensBySource = Map("web" -> 1000L, "books" -> 100L, "junk" -> 500L),
+      targetShares = Map("web" -> 0.5, "books" -> 0.5),
+      tokenBudget = 400L)
+    assert(rates("web") == 0.2)    // wants 200 of 1000
+    assert(rates("books") == 1.0)  // wants 200 of 100 → capped
+    assert(rates("junk") == 0.0)   // not in the mixture
+  }
+
   // -------------------------------------------------------------- top-k tokens
 
   test("topKTokens orders by count desc then token asc, and caps at k") {
