@@ -986,6 +986,22 @@ object Queries {
         |                    'user_id': user_id::VARCHAR})::VARCHAR,
         |       'w3'
         |FROM events""".stripMargin)),
+    // 2.7 scalar: realtime.quote_wal2json — add-tables escaping (strip
+    // one surrounding quote pair, backslash-prefix every char) over
+    // data-derived gnarly identifiers (spaces, commas, quotes)
+    Q("f_quote_wal2json",
+      (s, d) => {
+        import graft.cdc.Wal2Json
+        ev(s, d).select(col("event_id"),
+          Wal2Json.quoteWal2json(lit("public"),
+            concat(lit("\""), col("event_type"), lit(" t,x\"")))
+            .as("quoted"))
+      },
+      Some("""SELECT event_id,
+        |  regexp_replace('public', '(.)', '\\\1', 'g') || '.' ||
+        |  regexp_replace(regexp_replace('"' || event_type || ' t,x"',
+        |    '^"|"$', '', 'g'), '(.)', '\\\1', 'g') AS quoted
+        |FROM events""".stripMargin)),
     // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
     // format + epoch-millis roundtrip + stable hash
     Q("f_scalar_funcs",

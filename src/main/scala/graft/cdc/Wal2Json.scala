@@ -113,6 +113,22 @@ object Wal2Json {
       .withColumn("pk_columns",
         transform(col("wal.pk"), p => p.getField("name")))
 
+  /** `realtime.quote_wal2json` (…/20211116050929_create_realtime_quote
+    * _wal2json_function.ex:7-45): escape a `schema.table` pair for the
+    * wal2json `add-tables` option — ONE surrounding double-quote pair is
+    * stripped from each identifier part, then EVERY remaining character
+    * is backslash-prefixed, so commas/spaces/quotes inside identifiers
+    * cannot break the comma-separated add-tables list. (The reference's
+    * SQL checks the table part's trailing quote against the SCHEMA
+    * name's length — an off-by-identifier quirk that only misbehaves
+    * for quoted table names whose length differs from the schema's;
+    * this implementation applies the evident intent symmetrically.) */
+  def quoteWal2json(schemaName: Column, tableName: Column): Column = {
+    def strip(c: Column) = regexp_replace(c, "^\"|\"$", "")
+    def esc(c: Column) = regexp_replace(strip(c), "(.)", "\\\\$1")
+    concat(esc(schemaName), lit("."), esc(tableName))
+  }
+
   /** Spark type for a wal2json `type` name. wal2json renders the SQL
     * spelling (`integer`, `double precision`, `character varying(30)`,
     * `timestamp without time zone`), unlike pgoutput's oid-derived short

@@ -97,6 +97,19 @@ class Wal2JsonSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(20L, 25L))
   }
 
+  test("quoteWal2json escapes every char and strips one quote pair") {
+    def q(s: String, t: String): String = Seq(1).toDF("x")
+      .select(Wal2Json.quoteWal2json(lit(s), lit(t)).as("q"))
+      .as[String].head()
+    def esc(s: String): String = s.map(c => s"\\$c").mkString
+    // every char backslash-prefixed; ONE surrounding quote pair stripped
+    assert(q("public", "\"my tbl\"") == esc("public") + "." + esc("my tbl"))
+    // commas inside identifiers cannot split the add-tables list
+    assert(q("s", "a,b") == esc("s") + "." + esc("a,b"))
+    // interior quotes are escaped, not stripped
+    assert(q("s", "\"a\"b\"") == esc("s") + "." + esc("a\"b"))
+  }
+
   test("typeoid absent (wal2json ≤ 2.4) still parses; type name remains") {
     val json =
       """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00",
