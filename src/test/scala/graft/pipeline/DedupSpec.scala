@@ -103,6 +103,28 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == 4L && got(9L) == 9L, "singletons keep their own id")
   }
 
+  test("connected components ≡ union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 30
+      val edges = (0 until 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find with min-id representatives
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+          (0L until n.toLong).toDF("id"), "id",
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
   test("nearDupClusters marks survivors and sizes") {
     val docsDF2 = Seq(
       (10L, "x"), (11L, "x"), (12L, "x"), (20L, "y"), (30L, "z"))
