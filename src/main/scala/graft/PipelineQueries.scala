@@ -312,6 +312,32 @@ object PipelineQueries {
         |    AND NOT (max_word_ratio > 0.2)
         |    AND NOT (top_bigram_ratio > 0.18) AS keep
         |FROM f""".stripMargin)),
+    Q("text_tfidf",
+      (s, d) => TextAnalysis.tfidfKeywords(docs(s, d), "text", "doc_id", k = 5),
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |           FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, w AS token, tf, df,
+        |      round((tf * (n_docs + 1))::DOUBLE / (df + 1), 6) AS score
+        |      FROM tf JOIN dfq USING (w), n)
+        |SELECT doc_id, token, tf, df, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, token ASC) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin)),
+    Q("text_chunks",
+      (s, d) => TextAnalysis.chunkByTokens(docs(s, d), "text", "doc_id",
+        chunkTokens = 40, overlap = 8),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |      unnest(generate_series(0, len(ws) - 1, 32)) AS start FROM w)
+        |SELECT doc_id, start // 32 AS chunk_idx, start,
+        |  least(40, n - start) AS n_chunk_tokens,
+        |  array_to_string(ws[start + 1 : start + 40], ' ') AS chunk_text
+        |FROM c""".stripMargin)),
     Q("text_fingerprint",
       (s, d) => docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")),

@@ -115,6 +115,62 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_ratio"))
   }
 
+  /** Per-document top-k keywords by tf-idf, with a RATIONAL idf
+    * (`tf · (N+1)/(df+1)` instead of the classic log form): rankings stay
+    * tf-idf-shaped while the score is pure IEEE rational arithmetic —
+    * bit-identical across engines, so the cross-engine oracle can
+    * hash-match scores and the row_number cut (a log idf differs in the
+    * last ulp between libm implementations, which can flip orderings of
+    * near-tied scores).
+    *
+    * Relational shape: tokens explode once; tf = (doc, token) aggregate;
+    * document frequency = token aggregate over the tf rows; N is a
+    * broadcast single-row cross join. Top-k is a per-doc window over the
+    * scored rows (partitioned by doc — no global sort). */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val tf = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * (col("n_docs") + 1) / (col("df") + 1), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("w").as("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Fixed-token-window chunking with overlap — the pre-training
+    * chunker: each document yields windows of `chunkTokens` words every
+    * `chunkTokens - overlap` positions. A pure narrow projection
+    * (stage words → explode window starts → slice); chunk boundaries
+    * depend only on the document, so re-chunking any partition of a
+    * 100 TB corpus is reproducible and shuffle-free. */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    val base = df.select(col(idCol), words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+    base
+      .select(col(idCol), col("ws"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx"),
+        col("start"),
+        least(lit(chunkTokens), col("n") - col("start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Gopher-style keep/drop quality gate: the boolean rules a curation
     * pipeline actually filters on, with the signals they derive from kept
     * in-band for auditability (a 100 TB run wants to know WHY a document

@@ -22,6 +22,45 @@ class RepetitionSpec extends SparkSpec {
     assert(got(3L) == ((5L, 0.4, 0.6, 0.5)))
   }
 
+  test("tfidfKeywords ranks doc-distinctive tokens above ubiquitous ones") {
+    val df = Seq(
+      (0L, "spark spark catalyst common"),
+      (1L, "duck duck oracle common"),
+      (2L, "plain text here common")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(df, "text", "doc_id", k = 2)
+      .select("doc_id", "token", "rank")
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._3).map(_._2).toSeq }
+    // "common" appears in every doc (df=3) → never the top keyword;
+    // doubled distinctive tokens win rank 1
+    assert(got(0L).head == "spark" && !got(0L).contains("common"))
+    assert(got(1L).head == "duck")
+    // ties (all tf=1, df=1) break alphabetically
+    assert(got(2L) == Seq("here", "plain"))
+  }
+
+  test("chunkByTokens: overlapping windows cover every token") {
+    val df = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "text", "doc_id",
+        chunkTokens = 4, overlap = 1)
+      .select("chunk_idx", "start", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    // step 3: starts 0,3,6,9 → chunks of 4,4,4,1 tokens
+    assert(got.map(_._2) == Seq(0, 3, 6, 9))
+    assert(got.map(_._3) == Seq(4, 4, 4, 1))
+    assert(got.head._4 == "w1 w2 w3 w4")
+    assert(got(1)._4 == "w4 w5 w6 w7", "overlap repeats the boundary token")
+    assert(got.last._4 == "w10")
+    // single-word and empty docs chunk without crashing
+    val tiny = TextAnalysis.chunkByTokens(
+      Seq((1L, "one"), (2L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", chunkTokens = 4, overlap = 1)
+    assert(tiny.count() == 2)
+  }
+
   test("gopherFilter: flags fire on the right rule and compose into keep") {
     val longDiverse = (1 to 60).map(i => s"tok$i").mkString(" ")
     val longRepetitive = (1 to 60).map(_ => "same").mkString(" ")
