@@ -364,6 +364,29 @@ object Queries {
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users")),
       Some("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1")),
+    // Gap-based sessionization (30-min gap) + per-session aggregates —
+    // two windows then one grouped aggregate, all keyed by user
+    Q("a_sessionize",
+      (s, d) => {
+        import graft.rates.Rates
+        val sess = Rates.sessionize(
+          ev(s, d).select("user_id", "event_id", "ts"),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapMinutes = 30)
+        Rates.sessionStats(sess, "user_id", "ts")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin)),
     Q("a5_agg_shapes",
       (s, d) => ev(s, d).groupBy("user_id").agg(
         concat_ws(",", array_sort(collect_list(col("event_type")))).as("types"),

@@ -49,6 +49,39 @@ object Rates {
     * the load-shedding gate input (O10). */
   def overLimit(rates: DataFrame, limit: Long): DataFrame =
     rates.where(col("n") > limit)
+
+  /** Gap-based sessionization: a new session starts where the gap to the
+    * previous event of the same key exceeds `gapMinutes`. Classic two
+    * windows over (key, order): a lag for the break flag, a running sum
+    * for the session ordinal — ONE shuffle on the key; session ids are
+    * per-key ordinals so they're stable under any cluster size. Ties on
+    * the timestamp are broken by `tieCol` for deterministic ordering
+    * (equal timestamps always share a session either way — the gap is
+    * zero — but row-level output must be reproducible). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val gapUs = lit(gapMinutes.toLong * 60L * 1000000L)
+    val prev = lag(col(tsCol), 1).over(w)
+    val brk = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("_brk", brk)
+      .withColumn("session_seq", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_brk")
+  }
+
+  /** Per-session aggregate over [[sessionize]] output: event count and
+    * duration (micros, exact integer — no float division in the oracle
+    * path). */
+  def sessionStats(sessions: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame =
+    sessions.groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("duration_us"))
 }
 
 /** Driver-side per-tenant RateCounter for the CDC poll loop — the

@@ -41,4 +41,25 @@ class RatesSpec extends SparkSpec {
     assert(avg == 0.05) // 3/60
     assert(Rates.overLimit(rates, 2).select("k").as[String].collect().toSeq == Seq("a"))
   }
+
+  test("sessionize: gaps over the threshold start new sessions") {
+    val df = Seq(
+      ("u1", 1L, t("2024-01-01 10:00:00")),
+      ("u1", 2L, t("2024-01-01 10:10:00")), // 10 min → same session
+      ("u1", 3L, t("2024-01-01 11:00:00")), // 50 min → new session
+      ("u1", 4L, t("2024-01-01 11:00:00")), // tie → same session
+      ("u2", 5L, t("2024-01-01 10:00:00"))  // other user independent
+    ).toDF("user_id", "event_id", "ts")
+    val sess = Rates.sessionize(df, "user_id", "ts", "event_id", 30)
+    val got = sess.select("event_id", "session_seq")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    val stats = Rates.sessionStats(sess, "user_id", "ts")
+      .select("user_id", "session_seq", "n_events", "duration_us")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(stats(("u1", 1L)) == ((2L, 600000000L))) // 10 min
+    assert(stats(("u1", 2L)) == ((2L, 0L)))         // simultaneous pair
+    assert(stats(("u2", 1L)) == ((1L, 0L)))         // singleton
+  }
 }
