@@ -203,6 +203,22 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id ASC) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin)),
+    Q("sim_quantize_int8",
+      (s, d) => Similarity.quantizeInt8(emb(s, d), "embedding", "vec_id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |      CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |           ELSE list_transform(v, x -> CAST(round(x / scale) AS INT))
+        |      END AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  array_to_string(qv, ',') AS q_csv,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE round(list_max([abs(v[i] - qv[i] * scale)
+        |                   for i in generate_series(1, len(v))]), 6)
+        |  END AS max_abs_err
+        |FROM q""".stripMargin)),
     // IVF with spherical-k-means-trained centroids (Lloyd iterations as
     // DataFrame aggregations). No SQL oracle — k-means isn't reasonably
     // re-expressible in the DuckDB harness, so the driver records the

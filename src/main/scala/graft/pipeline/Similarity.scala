@@ -172,4 +172,35 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
+
+  /** Int8 scalar quantization per vector (the 4×-8× storage reduction
+    * step before writing an embedding corpus): symmetric scale =
+    * max|v|/127, q_i = round(v_i / scale). Pure narrow projection; each
+    * stage's result is bound as a row attribute before the next lambda
+    * references it (HOF lambdas re-evaluate free expressions per
+    * element). Emits the quantized vector plus an in-band quality
+    * signal (max absolute reconstruction error) — a 100 TB quantization
+    * run wants the error distribution without a second pass. All-zero
+    * vectors quantize to zeros with scale 0 rather than dividing by it.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String)
+      : DataFrame = {
+    val staged = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+    staged
+      .withColumn("q",
+        when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("scale")).cast("int"))))
+      .withColumn("max_abs_err",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(array_max(zip_with(col("v"), col("q"),
+            (x, qi) => abs(x - qi * col("scale"))))))
+      .select(col(idCol), round(col("scale"), 6).as("scale_r"),
+        concat_ws(",", col("q")).as("q_csv"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+  }
 }

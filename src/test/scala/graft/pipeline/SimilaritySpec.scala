@@ -91,4 +91,19 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= recall(0))
     assert(trained > 0.9) // trained buckets align with the true clusters
   }
+
+  test("int8 quantization: scale from max component, bounded error, zero-safe") {
+    val df = Seq(
+      (0L, Array(1.0f, -0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .as[(Long, Double, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // scale = 1/127 ≈ 0.007874; q = [127, round(-31.75) = -32, 0]
+    val (scale, csv, err) = got(0L)
+    assert(scale == 0.007874 && csv == "127,-32,0")
+    assert(err <= 1.0 / 127 / 2 + 1e-9, s"max error within half a step: $err")
+    assert(got(1L) == ((0.0, "0,0,0", 0.0)), "all-zero vector is safe")
+  }
 }
