@@ -846,6 +846,47 @@ object Queries {
         |  CASE WHEN event_id % 3 < 2 THEN value END AS value_new,
         |  CASE WHEN event_id % 3 > 0 THEN value - 1 END AS value_old
         |FROM events""".stripMargin)),
+    // CDC mirror: wal2json-encode a change stream keyed by user_id
+    // (~10 changes per key), decode through Wal2Json, and compact to the
+    // implied current state — last write per pk wins, trailing DELETE
+    // removes the row. End-to-end: JSON → WalChange → compaction.
+    Q("s1_wal_mirror",
+      (s, d) => {
+        import graft.cdc.{Mirror, Wal2Json}
+        val e = ev(s, d)
+        val m = pmod(col("event_id"), lit(3))
+        val cols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
+          col("user_id"), col("event_type"), col("value"))
+        val oldCols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s}]""",
+          col("user_id"))
+        val ts = """2024-01-01 00:00:00+00"""
+        val json = when(m === 0, format_string(
+            s"""{"action":"I","schema":"public","table":"events","timestamp":"$ts","columns":%s}""",
+            cols))
+          .when(m === 1, format_string(
+            s"""{"action":"U","schema":"public","table":"events","timestamp":"$ts","columns":%s,"identity":%s}""",
+            cols, oldCols))
+          .otherwise(format_string(
+            s"""{"action":"D","schema":"public","table":"events","timestamp":"$ts","identity":%s}""",
+            oldCols))
+        val decoded = Wal2Json.decodeChanges(
+          e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
+          .toDF()
+        Mirror.fromWal(decoded, "user_id")
+          .select(col("user_id").cast("long").as("user_id"), col("seq"),
+            element_at(col("record"), "event_type").as("event_type"),
+            element_at(col("record"), "value").cast("double").as("value"))
+      },
+      Some("""WITH c AS (SELECT event_id AS seq, user_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+        |       ELSE 'DELETE' END AS message,
+        |  event_type, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY seq DESC) AS rn FROM c)
+        |SELECT user_id, seq, event_type, value FROM r
+        |WHERE rn = 1 AND message != 'DELETE'""".stripMargin)),
     // S9 binary client frames: V2-serializer round-trip (encode a mixed
     // broadcast / user_broadcast stream, decode, recover every field).
     // The payload survives as opaque bytes; metadata only exists on

@@ -1,0 +1,41 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-stream compaction: materialize the CURRENT table state implied
+  * by a decoded WAL stream — last write per primary key wins, a trailing
+  * DELETE removes the row. The standard CDC consumer (a queryable mirror
+  * of the source table; the reference leaves this to subscribers, but
+  * every deployment that stores what it receives needs exactly this
+  * reduction).
+  *
+  * Scale shape: one shuffle on the pk, `row_number` per key in WAL order
+  * — no global sort; 100 TB of history compacts to |live keys| rows. For
+  * periodic re-compaction the input can be (previous mirror ∪ new
+  * changes) with the same code path, since a mirror row is just an
+  * INSERT-shaped change at its materialization seq.
+  */
+object Mirror {
+
+  /** Compact decoded changes (the [[PgOutput.WalChange]] shape) for one
+    * table: the pk value lives in `record` for INSERT/UPDATE and only in
+    * `old_record` for DELETE (reference DELETE carries the key tuple).
+    * `orderCol` is the WAL order (seq/lsn). Rows whose latest change is
+    * a DELETE disappear from the mirror. */
+  def fromWal(decoded: DataFrame, pkCol: String,
+      orderCol: String = "seq"): DataFrame = {
+    val key: Column = coalesce(
+      element_at(col("record"), pkCol),
+      element_at(col("old_record"), pkCol))
+    val w = Window.partitionBy("_pk").orderBy(col(orderCol).desc)
+    decoded
+      .withColumn("_pk", key)
+      .where(col("_pk").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("message") =!= "DELETE")
+      .select(col("_pk").as(pkCol), col(orderCol),
+        col("record"), col("commit_timestamp"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.cdc.PgOutput.WalChange
+
+class MirrorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ch(seq: Long, msg: String, rec: Map[String, String],
+      old: Map[String, String] = null): WalChange =
+    WalChange(seq, 0L, 0L, msg, "public", "t",
+      "2024-01-01T00:00:00.000000Z", rec, old, Nil)
+
+  test("mirror keeps the last write per pk; trailing DELETE removes") {
+    val changes = Seq(
+      ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),
+      ch(2, "UPDATE", Map("id" -> "1", "v" -> "b")),   // k1 final = b
+      ch(3, "INSERT", Map("id" -> "2", "v" -> "x")),
+      ch(4, "DELETE", null, Map("id" -> "2")),          // k2 gone
+      ch(5, "INSERT", Map("id" -> "3", "v" -> "y")),
+      ch(6, "DELETE", null, Map("id" -> "3")),
+      ch(7, "INSERT", Map("id" -> "3", "v" -> "z"))     // re-insert after delete
+    ).toDF()
+    val got = Mirror.fromWal(changes, "id")
+      .select("id", "seq").as[(String, Long)].collect().toMap
+    assert(got == Map("1" -> 2L, "3" -> 7L), s"got $got")
+    val v = Mirror.fromWal(changes, "id")
+      .select("id", "record").as[(String, Map[String, String])]
+      .collect().toMap
+    assert(v("1")("v") == "b" && v("3")("v") == "z")
+  }
+
+  test("DELETE pk is read from old_record (record is null)") {
+    val changes = Seq(
+      ch(1, "INSERT", Map("id" -> "9", "v" -> "a")),
+      ch(2, "DELETE", null, Map("id" -> "9"))).toDF()
+    assert(Mirror.fromWal(changes, "id").count() == 0)
+  }
+}
