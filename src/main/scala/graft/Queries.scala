@@ -387,6 +387,63 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin)),
+    // Ordered funnel: view → click → purchase per user, strictly-after
+    // chaining with deterministic (ts, event_id) tie-breaks
+    Q("a_funnel",
+      (s, d) => graft.rates.Rates.funnel(
+        ev(s, d).select("user_id", "event_id", "ts", "event_type"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        typeCol = "event_type", stages = Seq("view", "click", "purchase")),
+      Some("""WITH s0 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |s1 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |      AND (e.ts, e.event_id) > (s0.ts, s0.event_id)
+        |    WHERE e.event_type = 'click') WHERE rn = 1),
+        |s2 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |      AND (e.ts, e.event_id) > (s1.ts, s1.event_id)
+        |    WHERE e.event_type = 'purchase') WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s0.user_id IS NOT NULL THEN 1 ELSE 0 END +
+        |       CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END +
+        |       CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reached
+        |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |       LEFT JOIN s2 USING (user_id)""".stripMargin)),
+    // Column profiling: one aggregate per column, exact distincts,
+    // native min/max rendered as strings
+    Q("a_profile",
+      (s, d) => graft.pipeline.Profile.profile(ev(s, d),
+        Seq("event_id", "user_id", "event_type", "value")),
+      Some("""SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_s, CAST(max(event_id) AS VARCHAR) AS max_s
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT value) AS BIGINT),
+        |  CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR) FROM events"""
+        .stripMargin)),
     Q("a5_agg_shapes",
       (s, d) => ev(s, d).groupBy("user_id").agg(
         concat_ws(",", array_sort(collect_list(col("event_type")))).as("types"),

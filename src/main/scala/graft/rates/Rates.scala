@@ -82,6 +82,39 @@ object Rates {
       .agg(count(lit(1)).as("n_events"),
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"))
+
+  /** Ordered funnel: per key, how many of `stages` completed IN ORDER —
+    * stage i+1 must occur strictly after the chosen stage-i event, with
+    * (ts, tieCol) tuple comparison so equal timestamps resolve
+    * deterministically. One pass per stage: the earliest qualifying
+    * event via a per-key window, then a key-equi join carrying the
+    * (ts, tie) cursor forward — every shuffle is keyed by `keyCol`, no
+    * per-key event list ever materializes (the collect_list + fold
+    * alternative pulls each key's full history into one row). */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages.nonEmpty)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    def first(df: DataFrame, stage: String): DataFrame =
+      df.where(col(typeCol) === stage)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col(keyCol), col(tsCol).as("_t"), col(tieCol).as("_i"))
+    val firsts = stages.tail.scanLeft(first(events, stages.head)) {
+      (prev, stage) =>
+        first(events.join(prev, Seq(keyCol))
+          .where(struct(col(tsCol), col(tieCol)) >
+            struct(col("_t"), col("_i")))
+          .drop("_t", "_i"), stage)
+    }
+    val keys = events.select(col(keyCol)).distinct()
+    firsts.zipWithIndex.foldLeft(keys) { case (acc, (st, i)) =>
+      acc.join(st.select(col(keyCol), lit(1).as(s"_s$i")), Seq(keyCol), "left")
+    }.select(col(keyCol),
+      stages.indices.map(i => coalesce(col(s"_s$i"), lit(0))).reduce(_ + _)
+        .cast("long").as("reached"))
+  }
 }
 
 /** Driver-side per-tenant RateCounter for the CDC poll loop — the

@@ -62,4 +62,35 @@ class RatesSpec extends SparkSpec {
     assert(stats(("u1", 2L)) == ((2L, 0L)))         // simultaneous pair
     assert(stats(("u2", 1L)) == ((1L, 0L)))         // singleton
   }
+
+  test("funnel: stages must occur strictly in order") {
+    val df = Seq(
+      // u1 completes all three in order
+      ("u1", 1L, t("2024-01-01 10:00:00"), "view"),
+      ("u1", 2L, t("2024-01-01 10:01:00"), "click"),
+      ("u1", 3L, t("2024-01-01 10:02:00"), "buy"),
+      // u2 clicks BEFORE viewing → click doesn't count; reaches 1
+      ("u2", 4L, t("2024-01-01 10:00:00"), "click"),
+      ("u2", 5L, t("2024-01-01 10:01:00"), "view"),
+      // u3 same-timestamp view then click: event_id breaks the tie → 2
+      ("u3", 6L, t("2024-01-01 10:00:00"), "view"),
+      ("u3", 7L, t("2024-01-01 10:00:00"), "click"),
+      // u4 never starts
+      ("u4", 8L, t("2024-01-01 10:00:00"), "other")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Rates.funnel(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "buy"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("u1" -> 3L, "u2" -> 1L, "u3" -> 2L, "u4" -> 0L))
+  }
+
+  test("profile counts nulls and distincts exactly") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "a"), (null, "b"))
+      .toDF("x", "y")
+    val got = graft.pipeline.Profile.profile(df, Seq("x", "y"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("x") == (("x", 3L, 1L, 2L, "1", "2")))
+    assert(got("y") == (("y", 3L, 0L, 2L, "a", "b")))
+  }
 }
