@@ -794,6 +794,24 @@ object Queries {
         |SELECT node,
         |       array_to_string(list_sort(list(user_id)), ',') AS subscriber_ids
         |FROM m GROUP BY 1""".stripMargin)),
+    // Late-arriving dimension detection: facts whose dim key is absent
+    // from a partial dimension snapshot — broadcast anti-join against
+    // the dim, grouped orphan counts per missing key (the data-quality
+    // gate before a fact↔dim join at scale)
+    Q("j_late_dims",
+      (s, d) => {
+        val orders = ChangeFeed.table(s, d, "orders")
+        val cust = ChangeFeed.table(s, d, "customer")
+          .where(col("c_custkey") % 7 =!= 0) // partial snapshot
+        orders.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orphan_facts"))
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orphan_facts
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_custkey % 7 != 0)
+        |GROUP BY 1""".stripMargin)),
     // U1: UNION ALL sentinel row (always-returned aggregate alongside rows)
     Q("u1_union_sentinel",
       (s, d) => {

@@ -36,4 +36,32 @@ class MirrorSpec extends SparkSpec {
       ch(2, "DELETE", null, Map("id" -> "9"))).toDF()
     assert(Mirror.fromWal(changes, "id").count() == 0)
   }
+
+  test("incremental re-compaction equals full compaction") {
+    // a checkpointed mirror re-enters the same path as INSERT-shaped
+    // changes at its materialization seq — compacting (mirror(half1) ∪
+    // half2) must equal compacting the full history
+    val half1 = Seq(
+      ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),
+      ch(2, "INSERT", Map("id" -> "2", "v" -> "x")),
+      ch(3, "DELETE", null, Map("id" -> "2")),       // dead before checkpoint
+      ch(4, "INSERT", Map("id" -> "3", "v" -> "m")))
+    val half2 = Seq(
+      ch(5, "UPDATE", Map("id" -> "1", "v" -> "b")), // survives as update
+      ch(6, "DELETE", null, Map("id" -> "3")),       // dies after checkpoint
+      ch(7, "INSERT", Map("id" -> "2", "v" -> "y"))) // re-born after checkpoint
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      Mirror.fromWal(df, "id")
+    val full = compact((half1 ++ half2).toDF())
+      .select("id", "seq", "record")
+      .as[(String, Long, Map[String, String])].collect().toSet
+    val checkpoint = compact(half1.toDF())
+      .as[(String, Long, Map[String, String], String)].collect().map {
+        case (id, seq, rec, ts) => ch(seq, "INSERT", rec)
+      }
+    val incr = compact((checkpoint.toSeq ++ half2).toDF())
+      .select("id", "seq", "record")
+      .as[(String, Long, Map[String, String])].collect().toSet
+    assert(incr == full, s"$incr vs $full")
+  }
 }
