@@ -387,6 +387,35 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin)),
+    // Native session_window operator (the Structured-Streaming-ready
+    // sessionizer): merged-gap windows per user; a new window starts
+    // when the gap is >= the 30-minute timeout (an event landing exactly
+    // at the previous window's end does NOT extend it)
+    Q("a_session_window",
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .as("w_start"),
+          date_format(col("w.end"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .as("w_end"),
+          col("n_events")),
+      Some("""WITH o AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS w_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+        |    AS w_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_seq""".stripMargin)),
     // Ordered funnel: view → click → purchase per user, strictly-after
     // chaining with deterministic (ts, event_id) tie-breaks
     Q("a_funnel",
