@@ -412,28 +412,32 @@ object Dedup {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist()
-    var labelsCheckpointed = false
+    val spark = vertices.sparkSession
+    var persisted = vertices
+      .select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var labels = persisted
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next0 = labels.union(prop)
+      val next = labels.union(prop)
         .groupBy("id").agg(min("label").as("label"))
-      // eager localCheckpoint every 5th round truncates lineage; its
-      // blocks must NOT be unpersisted afterwards (truncated lineage
-      // cannot recompute) — they are released by the session loop's
-      // clearCache, the repo's cache-ownership convention
-      val checkpointRound = i % 5 == 4
-      val next =
-        if (checkpointRound) next0.localCheckpoint(true) else next0.persist()
+        .persist()
       changed = next.as("n").join(labels.as("o"), "id")
         .where(col("n.label") =!= col("o.label")).count()
-      if (!labelsCheckpointed) labels.unpersist()
-      labels = next
-      labelsCheckpointed = checkpointRound
+      persisted.unpersist()
+      persisted = next
+      // every 5th round, reset the Catalyst lineage by rebuilding the
+      // frame from the persisted round's RDD — round N's plan would
+      // otherwise embed rounds 1..N-1 (the iterative-Spark planning
+      // blow-up). Unlike localCheckpoint, the cache stays CATALOG-owned:
+      // the session loop's clearCache drops everything, and recompute
+      // after eviction still works (the RDD reads through the
+      // InMemoryRelation, whose child plan remains intact).
+      labels =
+        if (i % 5 == 4) spark.createDataFrame(next.rdd, next.schema)
+        else next
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
