@@ -991,6 +991,49 @@ object Queries {
         |                                   ORDER BY seq DESC) AS rn FROM c)
         |SELECT user_id, seq, event_type, value FROM r
         |WHERE rn = 1 AND message != 'DELETE'""".stripMargin)),
+    // SCD2 history from the same change stream: each INSERT/UPDATE is a
+    // version valid until the key's next change; DELETE closes without
+    // opening; the open version is is_current
+    Q("s1_wal_scd2",
+      (s, d) => {
+        import graft.cdc.{Mirror, Wal2Json}
+        val e = ev(s, d)
+        val m = pmod(col("event_id"), lit(3))
+        val tsStr = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
+        val cols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"}]""",
+          col("user_id"), col("event_type"))
+        val oldCols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s}]""",
+          col("user_id"))
+        val json = when(m === 0, format_string(
+            """{"action":"I","schema":"public","table":"events","timestamp":"%s","columns":%s}""",
+            tsStr, cols))
+          .when(m === 1, format_string(
+            """{"action":"U","schema":"public","table":"events","timestamp":"%s","columns":%s,"identity":%s}""",
+            tsStr, cols, oldCols))
+          .otherwise(format_string(
+            """{"action":"D","schema":"public","table":"events","timestamp":"%s","identity":%s}""",
+            tsStr, oldCols))
+        val decoded = Wal2Json.decodeChanges(
+          e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
+          .toDF()
+        Mirror.scd2FromWal(decoded, "user_id")
+          .select(col("user_id").cast("long").as("user_id"), col("seq"),
+            col("valid_from"), col("valid_to"), col("is_current"),
+            element_at(col("record"), "event_type").as("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_id AS seq, user_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+        |       ELSE 'DELETE' END AS message,
+        |  event_type,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS vts FROM events),
+        |w AS (SELECT *, lead(vts) OVER (PARTITION BY user_id ORDER BY seq)
+        |        AS valid_to FROM c)
+        |SELECT user_id, seq, vts AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current,
+        |  event_type
+        |FROM w WHERE message != 'DELETE'""".stripMargin)),
     // S9 binary client frames: V2-serializer round-trip (encode a mixed
     // broadcast / user_broadcast stream, decode, recover every field).
     // The payload survives as opaque bytes; metadata only exists on

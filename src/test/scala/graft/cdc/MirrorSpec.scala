@@ -37,6 +37,26 @@ class MirrorSpec extends SparkSpec {
     assert(Mirror.fromWal(changes, "id").count() == 0)
   }
 
+  test("scd2: versions chain, DELETE closes without opening, current flagged") {
+    def chT(seq: Long, msg: String, ts: String, rec: Map[String, String],
+        old: Map[String, String] = null): WalChange =
+      WalChange(seq, 0L, 0L, msg, "public", "t", ts, rec, old, Nil)
+    val changes = Seq(
+      chT(1, "INSERT", "t1", Map("id" -> "1", "v" -> "a")),
+      chT(2, "UPDATE", "t2", Map("id" -> "1", "v" -> "b")),
+      chT(3, "INSERT", "t3", Map("id" -> "2", "v" -> "x")),
+      chT(4, "DELETE", "t4", null, Map("id" -> "2"))).toDF()
+    val got = Mirror.scd2FromWal(changes, "id")
+      .select("id", "seq", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, String, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, Option(r._4), r._5))).toMap
+    assert(got(("1", 1L)) == (("t1", Some("t2"), false)), "closed by update")
+    assert(got(("1", 2L)) == (("t2", None, true)), "open version is current")
+    assert(got(("2", 3L)) == (("t3", Some("t4"), false)),
+      "DELETE closes the version but emits none itself")
+    assert(got.size == 3)
+  }
+
   test("incremental re-compaction equals full compaction") {
     // a checkpointed mirror re-enters the same path as INSERT-shaped
     // changes at its materialization seq — compacting (mirror(half1) ∪

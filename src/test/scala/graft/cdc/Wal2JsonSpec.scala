@@ -97,6 +97,17 @@ class Wal2JsonSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(20L, 25L))
   }
 
+  test("malformed JSON decodes as an in-band ERROR row, never a crash") {
+    val got = decode(
+        (1L, "{ this is not json"),
+        (2L, """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00","columns":[{"name":"a","type":"text","value":"ok"}]}"""))
+      .collect().sortBy(_.seq)
+    assert(got(0).message == "ERROR" && got(0).change_table == null &&
+      got(0).record == null, "corrupt row is data, not an exception")
+    assert(got(1).message == "INSERT" && got(1).record("a") == "ok",
+      "a corrupt row does not poison its batch")
+  }
+
   test("quoteWal2json escapes every char and strips one quote pair") {
     def q(s: String, t: String): String = Seq(1).toDF("x")
       .select(Wal2Json.quoteWal2json(lit(s), lit(t)).as("q"))
