@@ -489,7 +489,71 @@ object PipelineQueries {
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin))
   )
 
+  /** End-to-end composed pipeline: quality gate → exact dedup →
+    * stratified sample → token-budget pack, all in ONE lazily-composed
+    * plan — the proof that the operators a user would chain actually
+    * chain (each stage's semantics already verified alone; this verifies
+    * the composition against the same chain in SQL). */
+  private val e2eQueries: Seq[Q] = Seq(
+    Q("pipeline_curation_e2e",
+      (s, d) => {
+        val dd = docs(s, d)
+        val kept = TextAnalysis.gopherFilter(dd, "text", "doc_id")
+          .where(col("keep")).select("doc_id")
+        val keptDocs = dd.join(kept, "doc_id")
+        val survivors = Dedup.exactSurvivors(keptDocs, "text", "doc_id")
+          .select("doc_id")
+        val surDocs = keptDocs.join(survivors, "doc_id")
+        val sampled = Curation.stratifiedSample(surDocs, "lang", "doc_id",
+          Map("en" -> 0.75, "de" -> 0.5), defaultRate = 0.25)
+        Curation.packTokenBudget(sampled.select("doc_id", "lang", "text"),
+            "lang", "doc_id", TextAnalysis.tokenCount(col("text")),
+            budget = 1000L, nShards = 2)
+          .select("doc_id", "lang", "shard", "n_tokens", "bin_id", "pack_key")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |t0 AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM t0 GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |       count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1),
+        |bt AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |         [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]
+        |       ELSE [] END) AS b FROM w),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c) AS nb, max(c) AS mxb FROM bc GROUP BY 1),
+        |f AS (SELECT wa.doc_id, n_words,
+        |      round(nd::DOUBLE / n_words, 6) AS dr,
+        |      round(mx::DOUBLE / n_words, 6) AS mwr,
+        |      COALESCE(round(mxb::DOUBLE / nb, 6), 0.0) AS tbr
+        |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id),
+        |g AS (SELECT doc_id FROM f
+        |      WHERE NOT (n_words < 50) AND NOT (n_words > 100000)
+        |        AND NOT (dr < 0.3) AND NOT (mwr > 0.2) AND NOT (tbr > 0.18)),
+        |kd AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |       JOIN g USING (doc_id)),
+        |sur AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(text)),
+        |sd AS (SELECT kd.* FROM kd JOIN sur USING (doc_id)),
+        |samp AS (SELECT * FROM sd WHERE
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |    % 4096 <
+        |  CASE lang WHEN 'en' THEN 3072 WHEN 'de' THEN 2048 ELSE 1024 END),
+        |t AS (SELECT doc_id, lang, doc_id % 2 AS shard,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |      FROM samp)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(floor(COALESCE(sum(n_tokens) OVER
+        |    (PARTITION BY lang, shard ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 1000.0) AS BIGINT) AS bin_id,
+        |  concat_ws('#', lang, shard,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER
+        |      (PARTITION BY lang, shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 1000.0) AS BIGINT)) AS pack_key
+        |FROM t""".stripMargin)))
+
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++
-      curationQueries
+      curationQueries ++ e2eQueries
 }
