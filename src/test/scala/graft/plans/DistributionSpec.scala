@@ -49,4 +49,40 @@ class DistributionSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(salted == direct)
   }
+
+  // ---- plan-shape locks for the narrow curation operators: these must
+  // stay pure projections/filters over the scan — a shuffle sneaking in
+  // is a 100 TB regression even when results stay correct. (Sources are
+  // spark.range, not LocalRelation, so ConvertToLocalRelation can't
+  // constant-fold the plan away before the assertion.)
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("stratifiedSample is shuffle-free") {
+    val df = spark.range(1000).select(col("id"),
+      concat(lit("l"), pmod(col("id"), lit(3))).as("lang"))
+    val plan = physical(graft.pipeline.Curation.stratifiedSample(
+      df, "lang", "id", Map("l0" -> 0.5), defaultRate = 0.1))
+    assert(!plan.contains("Exchange"), s"sample must stay narrow:\n$plan")
+  }
+
+  test("chunkByTokens is shuffle-free") {
+    val df = spark.range(100).select(col("id"),
+      concat_ws(" ", lit("a b c d e f g"), col("id").cast("string")).as("text"))
+    val plan = physical(graft.pipeline.TextAnalysis.chunkByTokens(
+      df, "text", "id", chunkTokens = 3, overlap = 1))
+    assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
+  }
+
+  test("repetitionFeatures pre-aggregates before every exchange") {
+    val df = spark.range(100).select(col("id"),
+      lit("a b a c a b d").as("text"))
+    val plan = physical(
+      graft.pipeline.TextAnalysis.repetitionFeatures(df, "text", "id"))
+    // both token aggregates must show partial_ forms upstream of their
+    // exchange (map-side combine), and nothing may cross-join
+    assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
