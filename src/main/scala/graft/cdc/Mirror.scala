@@ -30,12 +30,20 @@ object Mirror {
     * a DELETE disappear from the mirror. */
   def fromWal(decoded: DataFrame, pkCol: String,
       orderCol: String = "seq"): DataFrame = {
+    // TRUNCATE empties the table: any key whose LATEST change precedes
+    // the last TRUNCATE is gone, even though no per-key DELETE exists.
+    // The boundary is one scalar aggregate (a narrow second scan of the
+    // change stream) broadcast into the main plan — no extra shuffle.
+    val lastTrunc = decoded.where(col("message") === "TRUNCATE")
+      .agg(max(col(orderCol)).as("_trunc_seq"))
     val w = Window.partitionBy("_pk").orderBy(col(orderCol).desc)
     decoded
       .withColumn("_pk", pkOf(pkCol))
       .where(col("_pk").isNotNull)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && col("message") =!= "DELETE")
+      .crossJoin(broadcast(lastTrunc))
+      .where(col("_trunc_seq").isNull || col(orderCol) > col("_trunc_seq"))
       .select(col("_pk").as(pkCol), col(orderCol),
         col("record"), col("commit_timestamp"))
   }
@@ -51,12 +59,25 @@ object Mirror {
     */
   def scd2FromWal(decoded: DataFrame, pkCol: String,
       orderCol: String = "seq"): DataFrame = {
+    // TRUNCATE closes every version open at its commit: valid_to is the
+    // earlier of the key's next change and the first TRUNCATE after the
+    // version opens. Truncates are DDL-rare, so the whole list fits one
+    // aggregate row (sorted (seq, ts) structs) broadcast into the plan;
+    // the per-row lookup is array_min∘filter — codegen, zero shuffle.
+    val truncs = decoded.where(col("message") === "TRUNCATE")
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("long").as("s"),
+        col("commit_timestamp").as("t")))).as("_truncs"))
     val w = Window.partitionBy("_pk").orderBy(col(orderCol))
     decoded
       .withColumn("_pk", pkOf(pkCol))
       .where(col("_pk").isNotNull)
-      .withColumn("valid_to", lead(col("commit_timestamp"), 1).over(w))
+      .withColumn("_next_change", lead(col("commit_timestamp"), 1).over(w))
       .where(col("message") =!= "DELETE")
+      .crossJoin(broadcast(truncs))
+      .withColumn("_next_trunc", array_min(filter(col("_truncs"),
+        x => x.getField("s") > col(orderCol).cast("long"))).getField("t"))
+      .withColumn("valid_to", least(col("_next_change"), col("_next_trunc")))
       .select(col("_pk").as(pkCol), col(orderCol),
         col("commit_timestamp").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"), col("record"))

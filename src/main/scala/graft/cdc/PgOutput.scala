@@ -247,7 +247,12 @@ object PgOutput {
       val abs = math.abs(east)
       val hh = f"${abs / 3600}%02d"
       val mm = abs % 3600 / 60
-      t + sign + hh + (if (mm != 0) f":$mm%02d" else "")
+      val ss = abs % 60
+      // EncodeTimezone (backend/utils/adt/datetime.c): minutes printed
+      // when minutes OR seconds nonzero; seconds printed when nonzero
+      t + sign + hh +
+        (if (mm != 0 || ss != 0) f":$mm%02d" else "") +
+        (if (ss != 0) f":$ss%02d" else "")
     case "interval" => intervalText(data)
     case "numeric" => numericText(data)
     case t if t.startsWith("_") => arrayText(data)

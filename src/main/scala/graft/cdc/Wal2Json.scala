@@ -73,9 +73,25 @@ object Wal2Json {
   /** wal2json renders `include-timestamp` as `YYYY-MM-DD HH:MI:SS.US+TZ`;
     * normalize to the engine's canonical UTC ISO micros (same format the
     * pgoutput decoder emits, and the shape apply_rls's to_char produces
-    * at millis — we keep micros; see PgOutput.IsoMicros rationale). */
-  private def isoTimestamp(ts: Column): Column =
-    date_format(ts.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    * at millis — we keep micros; see PgOutput.IsoMicros rationale).
+    *
+    * Formatted from epoch micros by pure arithmetic, NOT `date_format`:
+    * date_format renders in `spark.sql.session.timeZone`, so a non-UTC
+    * session would produce local-time text falsely labeled `Z`. The
+    * wal2json text carries an explicit zone offset, so the parsed
+    * instant — and therefore this output — is session-tz-independent. */
+  private def isoTimestamp(ts: Column): Column = {
+    val dayUs = lit(86400000000L)
+    val us = unix_micros(ts.cast("timestamp"))
+    val rem = pmod(us, dayUs) // micros since UTC midnight (nonneg)
+    val days = ((us - rem) / dayUs).cast("int") // exact floor division
+    format_string("%sT%02d:%02d:%02d.%06dZ",
+      date_add(to_date(lit("1970-01-01")), days).cast("string"),
+      (rem / lit(3600000000L)).cast("int"),
+      (rem % lit(3600000000L) / lit(60000000L)).cast("int"),
+      (rem % lit(60000000L) / lit(1000000L)).cast("int"),
+      (rem % lit(1000000L)).cast("int"))
+  }
 
   /** Decode a DataFrame of wal2json v2 rows into the shared
     * [[PgOutput.WalChange]] shape. `orderCol` becomes `seq` (the WAL

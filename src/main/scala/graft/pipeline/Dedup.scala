@@ -182,8 +182,11 @@ object Dedup {
         .agg(count(lit(1)).as("m"))
         .select(col("band"), col("key"),
           ceil(col("m") / maxBucket).cast("int").as("nsub"))
+      // sub-group from a type-agnostic hash: ids may be strings — a raw
+      // pmod(id, nsub) would null out (or ANSI-fail) non-numeric ids and
+      // silently drop every pair in capped buckets
       val sub = banded.join(sizes, Seq("band", "key"))
-        .withColumn("g", pmod(col("id"), col("nsub")).cast("int"))
+        .withColumn("g", pmod(xxhash64(col("id")), col("nsub")).cast("int"))
       val xrep = sub.select(col("band"), col("key"), col("id"),
         col("g").as("ci"),
         explode(sequence(col("g"), col("nsub") - 1)).as("cj"))
@@ -357,8 +360,10 @@ object Dedup {
       val sizes = base0.groupBy("blk").agg(count(lit(1)).as("m"))
         .select(col("blk"),
           ceil(col("m") / maxBucket).cast("int").as("nsub"))
+      // type-agnostic sub-group hash (ids may be strings; see
+      // minhashNearDups)
       val base = base0.join(broadcast(sizes), "blk")
-        .withColumn("g", pmod(col("id"), col("nsub")).cast("int"))
+        .withColumn("g", pmod(xxhash64(col("id")), col("nsub")).cast("int"))
         .persist()
       // row with sub-group g is the LEFT member of cells (g, j), j ≥ g,
       // and the RIGHT member of cells (i, g), i ≤ g — each unordered pair
@@ -440,6 +445,11 @@ object Dedup {
         else next
       i += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — cluster_ids are incomplete " +
+          "for clusters with diameter > maxIters; raise maxIters")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -57,6 +57,48 @@ class MirrorSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("TRUNCATE empties the mirror; later writes re-populate") {
+    val changes = Seq(
+      ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),
+      ch(2, "INSERT", Map("id" -> "2", "v" -> "x")),
+      ch(3, "TRUNCATE", null),                        // table emptied
+      ch(4, "INSERT", Map("id" -> "2", "v" -> "y"))   // re-born after
+    ).toDF()
+    val got = Mirror.fromWal(changes, "id")
+      .select("id", "seq").as[(String, Long)].collect().toMap
+    assert(got == Map("2" -> 4L), s"rows before TRUNCATE must not survive: $got")
+  }
+
+  test("TRUNCATE-free stream is unaffected by the truncate guard") {
+    val changes = Seq(
+      ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),
+      ch(2, "UPDATE", Map("id" -> "1", "v" -> "b"))).toDF()
+    assert(Mirror.fromWal(changes, "id").count() == 1)
+  }
+
+  test("scd2: TRUNCATE closes open versions at its commit timestamp") {
+    def chT(seq: Long, msg: String, ts: String, rec: Map[String, String],
+        old: Map[String, String] = null): WalChange =
+      WalChange(seq, 0L, 0L, msg, "public", "t", ts, rec, old, Nil)
+    val changes = Seq(
+      chT(1, "INSERT", "t1", Map("id" -> "1", "v" -> "a")),
+      chT(2, "UPDATE", "t2", Map("id" -> "1", "v" -> "b")), // open at trunc
+      chT(3, "INSERT", "t2", Map("id" -> "2", "v" -> "x")), // open at trunc
+      chT(4, "TRUNCATE", "t3", null),
+      chT(5, "INSERT", "t4", Map("id" -> "2", "v" -> "y"))) // reopens after
+    val got = Mirror.scd2FromWal(changes.toDF(), "id")
+      .select("id", "seq", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, String, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, Option(r._4), r._5))).toMap
+    assert(got(("1", 1L)) == (("t1", Some("t2"), false)), "closed by update")
+    assert(got(("1", 2L)) == (("t2", Some("t3"), false)),
+      "open version closed by TRUNCATE, not current")
+    assert(got(("2", 3L)) == (("t2", Some("t3"), false)),
+      "TRUNCATE beats the key's own later re-insert as the closer")
+    assert(got(("2", 5L)) == (("t4", None, true)), "post-truncate version open")
+    assert(got.size == 4)
+  }
+
   test("incremental re-compaction equals full compaction") {
     // a checkpointed mirror re-enters the same path as INSERT-shaped
     // changes at its materialization seq — compacting (mirror(half1) ∪

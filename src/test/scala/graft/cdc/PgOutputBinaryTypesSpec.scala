@@ -46,6 +46,18 @@ class PgOutputBinaryTypesSpec extends AnyFunSuite {
     assert(decodeBinaryValue("timetz", cat(noon, i32(0))) == "12:00:00+00")
   }
 
+  test("timetz: seconds component of the offset survives (EncodeTimezone)") {
+    val noon = i64(12L * 3600 * 1000000L)
+    // +05:30:30 east = 19830 s east = -19830 stored (seconds west)
+    assert(decodeBinaryValue("timetz", cat(noon, i32(-19830))) ==
+      "12:00:00+05:30:30")
+    // seconds with zero minutes still forces the minutes field: +05:00:30
+    assert(decodeBinaryValue("timetz", cat(noon, i32(-18030))) ==
+      "12:00:00+05:00:30")
+    assert(decodeBinaryValue("timetz", cat(noon, i32(19830))) ==
+      "12:00:00-05:30:30")
+  }
+
   // ---------------------------------------------------------------- numeric
 
   private def numeric(digits: Seq[Int], weight: Int, sign: Int,

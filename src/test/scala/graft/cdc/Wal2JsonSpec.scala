@@ -121,6 +121,27 @@ class Wal2JsonSpec extends SparkSpec {
     assert(q("s", "\"a\"b\"") == esc("s") + "." + esc("a\"b"))
   }
 
+  test("timestamp normalization is session-timezone independent") {
+    // date_format renders in spark.sql.session.timeZone — the formatter
+    // must instead derive the text from the epoch-micros instant, so a
+    // non-UTC session cannot produce local time falsely labeled Z
+    val mk = (ts: String) =>
+      s"""{"action":"I","schema":"s","table":"t","timestamp":"$ts","columns":[{"name":"a","type":"text","value":"x"}]}"""
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = decode(
+          (1L, mk("2021-11-05 17:20:53.270228+00")),
+          (2L, mk("2021-11-05 19:20:53.270228+02")), // same instant, +02 source
+          (3L, mk("2024-01-01 00:30:00+05:30")))
+        .collect().sortBy(_.seq).map(_.commit_timestamp).toSeq
+      assert(got == Seq(
+        "2021-11-05T17:20:53.270228Z",
+        "2021-11-05T17:20:53.270228Z",
+        "2023-12-31T19:00:00.000000Z"), s"got $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("typeoid absent (wal2json ≤ 2.4) still parses; type name remains") {
     val json =
       """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00",

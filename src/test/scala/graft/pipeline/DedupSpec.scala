@@ -164,6 +164,28 @@ class DedupSpec extends SparkSpec {
     assert(cnt == n.toLong * (n - 1) / 2)
   }
 
+  test("hot-bucket sub-split is exact with STRING doc ids") {
+    // the sub-group used to be pmod(id, nsub) — numeric-only; string ids
+    // nulled the group and silently dropped every pair in capped buckets
+    val docs = (0 until 30).map { i =>
+      val tail = if (i % 3 == 0) "alpha beta gamma delta epsilon zeta"
+                 else s"unique$i tail${i % 4} words${i % 5} only$i more$i end$i"
+      (f"doc-$i%04d", s"common lead $tail")
+    }.toDF("doc_id", "text")
+    def mh(cap: Int) = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.3, maxBucket = cap)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    val mhExact = mh(0)
+    assert(mhExact.nonEmpty, "sanity: identical-tail docs must pair")
+    assert(mh(2) == mhExact, "capped minhash must be exact on string ids")
+    def sh(cap: Int) = Dedup.simhashNearDups(docs, "text", "doc_id",
+        maxHamming = 30, prefixBits = 4, maxBucket = cap)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    val shExact = sh(0)
+    assert(shExact.nonEmpty)
+    assert(sh(2) == shExact, "capped simhash must be exact on string ids")
+  }
+
   test("simhash hot-bucket sub-split is exact vs the plain join") {
     // varied small corpus: buckets of size > 1 plus singletons
     val docs = (0 until 40).map { i =>
