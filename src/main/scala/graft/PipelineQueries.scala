@@ -149,7 +149,39 @@ object PipelineQueries {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE list_dot_product(x.v, y.v) /
         |      sqrt(list_dot_product(x.v, x.v)) /
-        |      sqrt(list_dot_product(y.v, y.v)) >= 0.4""".stripMargin))
+        |      sqrt(list_dot_product(y.v, y.v)) >= 0.4""".stripMargin)),
+    // Line-level (C4-style) dedup. The corpus is single-line word salad,
+    // so multi-line docs are synthesized deterministically in BOTH
+    // engines: 8-word lines plus one shared boilerplate header on every
+    // doc — the header's corpus-wide document frequency exceeds maxDocs=2
+    // and must vanish from every clean_text, while per-doc lines survive.
+    Q("dedup_lines",
+      (s, d) => {
+        val ws = split(trim(col("text")), "\\s+")
+        val nLines = ceil(size(ws) / lit(8.0)).cast("int")
+        val lined = concat(lit("the corpus shared header line\n"),
+          array_join(
+            transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(ws, i * 8 + 1, lit(8)), " ")),
+            "\n"))
+        Dedup.dedupLines(
+          docs(s, d).select(col("doc_id"), lined.as("text")),
+          "text", "doc_id", maxDocs = 2)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |        regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |l AS (SELECT doc_id, 'the corpus shared header line' || chr(10) ||
+        |        array_to_string([array_to_string(ws[i*8+1 : i*8+8], ' ')
+        |          for i in generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1)],
+        |          chr(10)) AS text FROM w),
+        |e AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |        generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM l),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN f.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN f.df <= 2 THEN e.line END, chr(10)
+        |    ORDER BY e.pos), '') AS clean_text
+        |FROM e JOIN f USING (line) GROUP BY e.doc_id""".stripMargin))
   )
 
   private val annQueries: Seq[Q] = Seq(
@@ -360,7 +392,80 @@ object PipelineQueries {
       Some("""SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+    // PII scrub. The corpus has no organic PII, so deterministic PII is
+    // appended per doc_id in BOTH engines (email iff id%2=0, IP iff
+    // id%3=0, phone iff id%5=0 — counts vary, has_pii is sometimes
+    // false), then counted and redacted. Patterns are java.regex/RE2
+    // portable; redaction order email→ip→phone is part of the contract.
+    Q("text_pii",
+      (s, d) => {
+        val id = col("doc_id")
+        val withPii = concat(col("text"),
+          when(pmod(id, lit(2)) === 0,
+            format_string(" contact u%d@example.com", id)).otherwise(lit("")),
+          when(pmod(id, lit(3)) === 0,
+            format_string(" from 10.%d.0.%d",
+              pmod(id, lit(200)), pmod(id, lit(250)))).otherwise(lit("")),
+          when(pmod(id, lit(5)) === 0,
+            format_string(" call 555-%03d-%04d",
+              pmod(id, lit(1000)), pmod(id, lit(10000)))).otherwise(lit("")))
+        graft.pipeline.Pii.scrub(
+          docs(s, d).select(col("doc_id"), withPii.as("text")),
+          "text", "doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN printf(' contact u%d@example.com', doc_id) ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN printf(' from 10.%d.0.%d', doc_id % 200, doc_id % 250)
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000)
+        |       ELSE '' END AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted,
+        |  (len(regexp_extract_all(t,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |   len(regexp_extract_all(t,
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+        |   len(regexp_extract_all(t,
+        |     '\+?\d{3}[- ]\d{3}[- ]\d{4}'))) > 0 AS has_pii
+        |FROM p""".stripMargin)),
+    // Character-trigram LM scoring: model trained on the corpus itself
+    // in both engines (trigram + bigram frequency tables), each doc
+    // scored by mean smoothed conditional log-prob and rare-trigram
+    // fraction. avg(ln) is the one float aggregate in the suite — the
+    // value is rounded at 1e-6 while cross-engine noise (libm ulps +
+    // summation order over ~150 terms) is bounded near 1e-13.
+    Q("text_lm_score",
+      (s, d) => graft.pipeline.NgramLm.scoreDocs(docs(s, d), "text",
+        "doc_id", vocabSize = 64, rareMax = 2),
+      Some("""WITH c3 AS (SELECT doc_id,
+        |        unnest(generate_series(1, length(text)-2)) AS i, text
+        |        FROM documents),
+        |tri AS (SELECT doc_id, substr(text, i, 3) AS g3,
+        |        substr(text, i, 2) AS g2 FROM c3),
+        |m3 AS (SELECT g3, count(*) AS cnt3 FROM tri GROUP BY 1),
+        |cb AS (SELECT doc_id,
+        |        unnest(generate_series(1, length(text)-1)) AS i, text
+        |        FROM documents),
+        |m2 AS (SELECT substr(text, i, 2) AS g2, count(*) AS cnt2
+        |       FROM cb GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(avg(ln((cnt3 + 1.0) / (cnt2 + 64.0))), 6) AS avg_logprob,
+        |  round(avg(CASE WHEN cnt3 <= 2 THEN 1.0 ELSE 0.0 END), 6) AS rare_frac
+        |FROM tri JOIN m3 USING (g3) JOIN m2 USING (g2)
+        |GROUP BY doc_id""".stripMargin))
   )
 
   private val multimodalQueries: Seq[Q] = Seq(
@@ -486,7 +591,86 @@ object PipelineQueries {
         |             AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
         |WHERE length(token) > 0
-        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin))
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)),
+    // Pack materialization: the packTokenBudget assignment turned into
+    // actual training sequences — each pack's docs concatenated in order
+    // with an end-of-document marker.
+    Q("curation_pack_concat",
+      (s, d) => {
+        val packed = Curation.packTokenBudget(
+          docs(s, d).select("doc_id", "lang", "text"),
+          stratumCol = "lang", orderCol = "doc_id",
+          tokensCol = TextAnalysis.tokenCount(col("text")),
+          budget = 2000L, nShards = 4)
+        Curation.materializePacks(packed, "text", "doc_id", sep = "<|eod|>")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, text, doc_id % 4 AS shard,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tokens,
+        |  concat_ws('#', lang, shard,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER
+        |      (PARTITION BY lang, shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2000.0) AS BIGINT)) AS pack_key
+        |  FROM t)
+        |SELECT pack_key, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  string_agg(text, '<|eod|>' ORDER BY doc_id) AS pack_text
+        |FROM p GROUP BY pack_key""".stripMargin)),
+    // Near-dup cross-split leakage: simhash pairs that straddle the
+    // md5-bucket train/test split flag the train side — the leak the
+    // exact-digest guard cannot see.
+    Q("curation_split_neardup",
+      (s, d) => {
+        val d0 = docs(s, d)
+        val split = Curation.leakageGuardedSplit(d0, "text", "doc_id",
+          testRate = 0.1).select("doc_id", "split")
+        val pairs = Dedup.simhashNearDups(d0, "text", "doc_id",
+          maxHamming = 12, prefixBits = 8)
+        Curation.nearDupLeaks(split, "doc_id", pairs)
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |wh AS (SELECT doc_id,
+        |       CAST(list_sum([(strpos('0123456789abcdef', md5(wrd)[j+1:j+1]) - 1)::BIGINT
+        |                      << (4*(14-j)) for j in generate_series(0,14)]) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(ws) AS wrd FROM w)),
+        |bits AS (SELECT doc_id, b, sum((h >> b) & 1) AS cnt
+        |         FROM wh, generate_series(0,59) t(b) GROUP BY doc_id, b),
+        |nw AS (SELECT doc_id, len(ws) AS n FROM w),
+        |sg AS (SELECT bits.doc_id,
+        |       CAST(sum(CASE WHEN cnt*2 > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        |       FROM bits JOIN nw ON bits.doc_id = nw.doc_id GROUP BY bits.doc_id),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sg x JOIN sg y
+        |       ON (x.sh >> 52) = (y.sh >> 52) AND x.doc_id < y.doc_id
+        |       WHERE bit_count(xor(x.sh, y.sh)) <= 12),
+        |sp AS (SELECT doc_id,
+        |       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |                 AS BIGINT) % 4096 < 409
+        |            THEN 'test' ELSE 'train' END AS split FROM documents),
+        |lk AS (SELECT DISTINCT u.x AS doc_id
+        |       FROM (SELECT a AS x, b AS y FROM pr
+        |             UNION ALL SELECT b AS x, a AS y FROM pr) u
+        |       JOIN sp t ON u.y = t.doc_id AND t.split = 'test')
+        |SELECT sp.doc_id, sp.split,
+        |  (sp.split = 'train' AND lk.doc_id IS NOT NULL) AS near_dup_leak
+        |FROM sp LEFT JOIN lk USING (doc_id)""".stripMargin)),
+    // Train/test split with exact-duplicate leakage guard: md5-bucket
+    // assignment (reproducible across engines/cluster sizes), TRAIN docs
+    // whose content digest appears in TEST flagged is_leak.
+    Q("curation_split_guarded",
+      (s, d) => Curation.leakageGuardedSplit(docs(s, d), "text", "doc_id",
+        testRate = 0.1),
+      Some("""WITH a AS (SELECT doc_id,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |            AS BIGINT) % 4096 < 409
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  md5(text) AS digest FROM documents)
+        |SELECT doc_id, split,
+        |  (split = 'train' AND digest IN
+        |     (SELECT digest FROM a WHERE split = 'test')) AS is_leak
+        |FROM a""".stripMargin))
   )
 
   /** End-to-end composed pipeline: quality gate → exact dedup →

@@ -91,6 +91,51 @@ object Curation {
         concat_ws("#", col(stratumCol), col("shard"), col("bin_id")))
   }
 
+  /** Materialize packed training sequences from [[packTokenBudget]]
+    * output: concatenate each pack's documents in `orderCol` order with
+    * `sep` (an end-of-document marker), carrying doc and token counts.
+    *
+    * Scale: one groupBy on the composite `pack_key` — the same key the
+    * packing window already partitioned by plus the bin, so cardinality
+    * is corpus_tokens/budget and every group holds ≈budget tokens of
+    * text: the collect_list per group is bounded by the pack budget by
+    * construction, never by corpus size. */
+  def materializePacks(packed: DataFrame, textCol: String,
+      orderCol: String, sep: String = "<|eod|>"): DataFrame =
+    packed.groupBy(col("pack_key"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(orderCol), col(textCol)))),
+            x => x.getField(textCol)),
+          sep).as("pack_text"))
+
+  /** Near-duplicate cross-split leakage: given a split assignment
+    * `(idCol, split)` and ANY near-dup pair list (minhash, simhash,
+    * jaccard, embedding), flag TRAIN docs that near-duplicate a TEST
+    * doc — the leak [[leakageGuardedSplit]]'s exact-digest guard cannot
+    * see. Returns `(idCol, split, near_dup_leak)`.
+    *
+    * Scale: pairs symmetrize (one union, no shuffle), semi-join against
+    * the test side on the pair endpoint, distinct leak ids, LEFT join
+    * back — every shuffle is keyed on the doc id; the pair list is the
+    * expensive input and it was already computed by the dedup pass the
+    * pipeline runs anyway. */
+  def nearDupLeaks(split: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val sym = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+    val testIds = split.where(col("split") === "test")
+      .select(col(idCol).as("y"))
+    val leakIds = sym.join(testIds, Seq("y"), "left_semi")
+      .select(col("x").as(idCol)).distinct().withColumn("_nd", lit(true))
+    split.join(leakIds, Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        (col("split") === "train" && col("_nd").isNotNull).as("near_dup_leak"))
+  }
+
   /** Benchmark contamination: for each document, the fraction of its
     * distinct word n-gram shingles that appear in the benchmark set —
     * the standard train/test-overlap check before training on scraped
@@ -191,4 +236,36 @@ object Curation {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** Deterministic train/test split with an exact-duplicate leakage
+    * guard: assignment by id hash bucket (`test` iff bucket <
+    * testRate·4096 — same reproducible md5 convention as
+    * [[stratifiedSample]]), then every TRAIN document whose content
+    * digest also appears in TEST is flagged `is_leak` (a held-out
+    * evaluation document that is trainable verbatim measures memory,
+    * not generalization). Returns `(idCol, split, is_leak)`; callers
+    * drop or keep flagged rows by policy.
+    *
+    * Scale: assignment is a pure narrow projection; the leak check is a
+    * digest-keyed LEFT join with both sides shuffled on md5(text). The
+    * test-side digest set at 100 TB is itself TB-sized, so it is NOT
+    * broadcast; a Bloom-filter pre-pass would cut the shuffle but
+    * admits false positives — wrong for a purge gate, fine as a
+    * pre-filter in front of this exact join if the shuffle ever
+    * dominates. Near-duplicate leakage composes: feed
+    * [[Dedup.minhashNearDups]] pairs that cross the split into the same
+    * flag. */
+  def leakageGuardedSplit(df: DataFrame, textCol: String, idCol: String,
+      testRate: Double): DataFrame = {
+    val cap = lit(math.floor(testRate * 4096).toLong)
+    val key = coalesce(col(idCol).cast("string"), lit("null"))
+    val assigned = df
+      .select(col(idCol), md5(col(textCol)).as("digest"),
+        when(hashBucket(key) < cap, "test").otherwise("train").as("split"))
+    val testDigests = assigned.where(col("split") === "test")
+      .select("digest").distinct().withColumn("_hit", lit(true))
+    assigned.join(testDigests, Seq("digest"), "left")
+      .select(col(idCol), col("split"),
+        (col("split") === "train" && col("_hit").isNotNull).as("is_leak"))
+  }
 }

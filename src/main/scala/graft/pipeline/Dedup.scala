@@ -40,6 +40,46 @@ object Dedup {
       .select(col("id_kept"), col(idCol).as("id_dropped"))
   }
 
+  /** C4/RefinedWeb-style LINE-level dedup: drop every line whose exact
+    * text occurs in more than `maxDocs` distinct documents (boilerplate —
+    * navbars, cookie notices, license headers — repeats corpus-wide while
+    * real prose does not), then reassemble each document from its
+    * surviving lines in original order. Returns
+    * `(idCol, clean_text, n_lines, n_removed)`; a document whose every
+    * line is boilerplate keeps an empty `clean_text` rather than
+    * vanishing (the caller decides whether empty docs drop).
+    *
+    * Scale shape: explode to (id, pos, line) is narrow; the line
+    * document-frequency is one groupBy on the line with a map-side
+    * partial distinct; the frequency joins back on the same line key —
+    * already co-partitioned with the explode output — and reassembly is
+    * one groupBy on the doc id. A hot boilerplate line skews its join
+    * key, but the per-key build side is a single count row, so the hash
+    * join streams; nothing is ever m² in the bucket size. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      maxDocs: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.groupBy("line")
+      .agg(countDistinct(col("id")).as("docfreq"))
+    lines.join(freq, Seq("line"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("docfreq") > maxDocs, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(
+                col("pos"), (col("docfreq") <= maxDocs).as("keep"),
+                col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .select(col("id").as(idCol), col("clean_text"),
+        col("n_lines"), col("n_removed"))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), distinct, over an already-bound

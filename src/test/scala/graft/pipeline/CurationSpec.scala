@@ -161,4 +161,58 @@ class CurationSpec extends SparkSpec {
       .collect().toSeq
     assert(t == Seq(("x", 1L), ("y", 1L)), "ties break by token asc")
   }
+
+  test("materializePacks concatenates in order with doc/token counts") {
+    val staged = Seq(
+      (1L, "en", "aaa bbb", 2L),
+      (3L, "en", "ccc", 1L),
+      (2L, "en", "ddd eee fff", 3L)).toDF("doc_id", "lang", "text", "n_tokens")
+      .withColumn("pack_key", lit("en#0#0"))
+    val got = Curation.materializePacks(staged, "text", "doc_id", sep = "|")
+      .as[(String, Long, Long, String)].head()
+    assert(got == (("en#0#0", 3L, 6L, "aaa bbb|ddd eee fff|ccc")),
+      "docs join in orderCol order, not input order")
+  }
+
+  test("nearDupLeaks flags only train docs paired with test docs") {
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "test")).toDF("doc_id", "split")
+    // 1-2 crosses (reversed endpoint order too: 5-4 crosses), 3-4 is
+    // train-train, 2-5 is test-test — test docs never flag
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 5L), (5L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Curation.nearDupLeaks(split, "doc_id", pairs)
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false))
+  }
+
+  // ------------------------------------------------- leakage-guarded split
+
+  test("leakageGuardedSplit: deterministic assignment, duplicates flagged") {
+    val base = (0L until 200L).map(i => (i, s"distinct text number $i"))
+    val first = Curation.leakageGuardedSplit(
+        base.toDF("doc_id", "text"), "text", "doc_id", testRate = 0.2)
+      .as[(Long, String, Boolean)].collect()
+    assert(first.forall(!_._3), "all-distinct corpus has zero leaks")
+    assert(first.count(_._2 == "test") > 0 && first.count(_._2 == "train") > 0)
+    val testId = first.find(_._2 == "test").get._1
+    val trainId = first.find(_._2 == "train").get._1
+    // duplicate one test doc's text into a train doc → that train doc
+    // (and only it) is a leak; the test doc itself is never flagged
+    val leaky = base.map { case (i, t) =>
+      if (i == trainId) (i, s"distinct text number $testId") else (i, t) }
+    val second = Curation.leakageGuardedSplit(
+        leaky.toDF("doc_id", "text"), "text", "doc_id", testRate = 0.2)
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(second(trainId)._3, "train dup of a test doc must flag")
+    assert(!second(testId)._3, "test docs are never leaks")
+    assert(second.values.count(_._3) == 1, "only the duplicated doc flags")
+    // re-run is bit-identical (no RNG anywhere)
+    val again = Curation.leakageGuardedSplit(
+        leaky.toDF("doc_id", "text"), "text", "doc_id", testRate = 0.2)
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(again == second)
+  }
 }

@@ -23,6 +23,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((0L, 1L)))
   }
 
+  test("line dedup removes corpus-frequent lines, preserves order") {
+    val docs = Seq(
+      (1L, "header\nalpha one\nbeta two"),
+      (2L, "header\ngamma three"),
+      (3L, "header\nalpha one\ndelta four")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "text", "doc_id", maxDocs = 2)
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "header" occurs in 3 docs > 2 → dropped; "alpha one" in 2 ≤ 2 → kept
+    assert(got(1L) == ((1L, "alpha one\nbeta two", 3L, 1L)))
+    assert(got(2L) == ((2L, "gamma three", 2L, 1L)))
+    assert(got(3L) == ((3L, "alpha one\ndelta four", 3L, 1L)))
+  }
+
+  test("line dedup: all-boilerplate doc keeps an empty clean_text row") {
+    val docs = Seq(
+      (1L, "same line"), (2L, "same line"),
+      (3L, "same line\nunique tail")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "text", "doc_id", maxDocs = 1)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3, "fully-scrubbed docs must not vanish")
+    assert(got(1L) == ((1L, "", 1L)) && got(2L) == ((2L, "", 1L)))
+    assert(got(3L) == ((3L, "unique tail", 1L)))
+  }
+
   test("jaccard of identical is 1, disjoint is 0") {
     val df = Seq((0L, "a b c d e"), (1L, "a b c d e"), (2L, "x y z w v"))
       .toDF("id", "t")
