@@ -422,31 +422,41 @@ object PipelineQueries {
         |       ELSE '' END ||
         |  CASE WHEN doc_id % 5 = 0
         |       THEN printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000)
-        |       ELSE '' END AS t FROM documents)
+        |       ELSE '' END AS t FROM documents),
+        |-- staged redaction: counts attribute each span to the kind that
+        |-- consumes it (emails on t, IPs on t1, phones on t2), matching
+        |-- the engine's semantics exactly
+        |s AS (SELECT doc_id, t,
+        |  regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t,
+        |  CAST(len(regexp_extract_all(t1,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
-        |  CAST(len(regexp_extract_all(t,
+        |  CAST(len(regexp_extract_all(t2,
         |    '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  regexp_replace(t2,
         |    '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted,
         |  (len(regexp_extract_all(t,
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-        |   len(regexp_extract_all(t,
+        |   len(regexp_extract_all(t1,
         |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
-        |   len(regexp_extract_all(t,
+        |   len(regexp_extract_all(t2,
         |     '\+?\d{3}[- ]\d{3}[- ]\d{4}'))) > 0 AS has_pii
-        |FROM p""".stripMargin)),
+        |FROM s2""".stripMargin)),
     // Character-trigram LM scoring: model trained on the corpus itself
     // in both engines (trigram + bigram frequency tables), each doc
     // scored by mean smoothed conditional log-prob and rare-trigram
     // fraction. avg(ln) is the one float aggregate in the suite — the
-    // value is rounded at 1e-6 while cross-engine noise (libm ulps +
-    // summation order over ~150 terms) is bounded near 1e-13.
+    // value is rounded at 1e-4 so cross-engine noise (libm ulps +
+    // summation order over ~150 terms, bounded near 1e-13) cannot
+    // plausibly straddle a rounding boundary.
     Q("text_lm_score",
       (s, d) => graft.pipeline.NgramLm.scoreDocs(docs(s, d), "text",
         "doc_id", vocabSize = 64, rareMax = 2),
@@ -462,7 +472,7 @@ object PipelineQueries {
         |m2 AS (SELECT substr(text, i, 2) AS g2, count(*) AS cnt2
         |       FROM cb GROUP BY 1)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |  round(avg(ln((cnt3 + 1.0) / (cnt2 + 64.0))), 6) AS avg_logprob,
+        |  round(avg(ln((cnt3 + 1.0) / (cnt2 + 64.0))), 4) AS avg_logprob,
         |  round(avg(CASE WHEN cnt3 <= 2 THEN 1.0 ELSE 0.0 END), 6) AS rare_frac
         |FROM tri JOIN m3 USING (g3) JOIN m2 USING (g2)
         |GROUP BY doc_id""".stripMargin))
@@ -666,7 +676,7 @@ object PipelineQueries {
         |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
         |            AS BIGINT) % 4096 < 409
         |       THEN 'test' ELSE 'train' END AS split,
-        |  md5(text) AS digest FROM documents)
+        |  md5(coalesce(text, '')) AS digest FROM documents)
         |SELECT doc_id, split,
         |  (split = 'train' AND digest IN
         |     (SELECT digest FROM a WHERE split = 'test')) AS is_leak

@@ -14,7 +14,9 @@ object WarmBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("events", "documents").foreach(t => graft.cdc.ChangeFeed.table(spark, sfDir, t).count())
-    val names = Seq("j1_walrus_200subs", "j1_walrus_generic", "dedup_simhash_pairs")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("j1_walrus_200subs", "j1_walrus_generic", "dedup_simhash_pairs")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (0 until 4).map { _ =>

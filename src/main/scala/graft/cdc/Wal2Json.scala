@@ -84,7 +84,12 @@ object Wal2Json {
     val dayUs = lit(86400000000L)
     val us = unix_micros(ts.cast("timestamp"))
     val rem = pmod(us, dayUs) // micros since UTC midnight (nonneg)
-    val days = ((us - rem) / dayUs).cast("int") // exact floor division
+    // (us - rem) is an exact multiple of dayUs; divide as DECIMAL so the
+    // quotient is exact over the full long range. Column `/` is double
+    // division — exact only while |us| < 2^53 µs (~285 years around
+    // epoch), beyond which the day (and the formatted text) would drift.
+    val days = ((us - rem).cast("decimal(20,0)") / dayUs.cast("decimal(20,0)"))
+      .cast("int")
     format_string("%sT%02d:%02d:%02d.%06dZ",
       date_add(to_date(lit("1970-01-01")), days).cast("string"),
       (rem / lit(3600000000L)).cast("int"),

@@ -259,8 +259,13 @@ object Curation {
       testRate: Double): DataFrame = {
     val cap = lit(math.floor(testRate * 4096).toLong)
     val key = coalesce(col(idCol).cast("string"), lit("null"))
+    // NULL text coalesces to '' before hashing (mirroring the id
+    // NULL-sentinel convention above): a NULL digest would make the
+    // left-join emit is_leak=false while a SQL `IN` oracle evaluates
+    // NULL, and a NULL-text train doc would silently never be flagged
+    // against NULL-text test docs.
     val assigned = df
-      .select(col(idCol), md5(col(textCol)).as("digest"),
+      .select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("digest"),
         when(hashBucket(key) < cap, "test").otherwise("train").as("split"))
     val testDigests = assigned.where(col("split") === "test")
       .select("digest").distinct().withColumn("_hit", lit(true))

@@ -62,9 +62,14 @@ object NgramLm {
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_grams"),
+        // Rounded at 1e-4, not 1e-6: cross-engine float noise (libm ulps,
+        // summation order) is ~1e-13, so the probability of a mean landing
+        // within noise of a .5e-4 boundary is negligible (~1e-9 per doc),
+        // where at 1e-6 grain it was only ~1e-7 — coarser grain makes the
+        // oracle comparison robust rather than merely probably-fine.
         round(avg(log(
           (coalesce(col("c3"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("c2"), lit(0L)) + lit(vocabSize.toDouble)))), 6)
+            (coalesce(col("c2"), lit(0L)) + lit(vocabSize.toDouble)))), 4)
           .as("avg_logprob"),
         round(avg(when(coalesce(col("c3"), lit(0L)) <= rareMax, 1.0)
           .otherwise(0.0)), 6).as("rare_frac"))

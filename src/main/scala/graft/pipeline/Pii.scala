@@ -29,14 +29,15 @@ object Pii {
     size(regexp_extract_all(text, lit(re), lit(0)))
 
   /** Per-document PII counts + flag: `(idCol, n_emails, n_ips,
-    * n_phones, has_pii)`. */
+    * n_phones, has_pii)`. Counts are STAGED to match the redaction
+    * order exactly (emails counted on the original text, IPs on the
+    * email-redacted text, phones on the email+IP-redacted text), so
+    * each count is precisely "spans that [[redact]] would replace with
+    * that placeholder" — an overlapping span (a phone-shaped string
+    * inside an email local part) is attributed to the kind that
+    * consumes it, never double-counted. */
   def features(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
-        countMatches(col(textCol), EmailRe).as("n_emails"),
-        countMatches(col(textCol), Ipv4Re).as("n_ips"),
-        countMatches(col(textCol), PhoneRe).as("n_phones"))
-      .withColumn("has_pii",
-        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+    scrub(df, textCol, idCol).drop("redacted")
 
   /** Replace PII spans with typed placeholder tokens. The order is fixed
     * and semantic: emails first (an email's domain may contain a dotted
@@ -51,13 +52,19 @@ object Pii {
       PhoneRe, "<PHONE>")
 
   /** Features + redacted text in ONE narrow projection (no self-join —
-    * the counts and the rewrite come from the same scan of the row). */
-  def scrub(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    * the counts and the rewrite come from the same scan of the row).
+    * Counts are staged against the redaction pipeline (see [[features]])
+    * so `n_emails + n_ips + n_phones` always equals the number of
+    * placeholder tokens present in `redacted`. */
+  def scrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     df.select(col(idCol),
         countMatches(col(textCol), EmailRe).as("n_emails"),
-        countMatches(col(textCol), Ipv4Re).as("n_ips"),
-        countMatches(col(textCol), PhoneRe).as("n_phones"),
-        redact(col(textCol)).as("redacted"))
+        countMatches(afterEmail, Ipv4Re).as("n_ips"),
+        countMatches(afterIp, PhoneRe).as("n_phones"),
+        regexp_replace(afterIp, PhoneRe, "<PHONE>").as("redacted"))
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
+  }
 }

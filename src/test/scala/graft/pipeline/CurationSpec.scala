@@ -215,4 +215,24 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
     assert(again == second)
   }
+
+  test("leakageGuardedSplit: NULL text hashes via sentinel, never NULL flag") {
+    // many ids so both splits get a NULL-text doc with high probability;
+    // a NULL-text train doc must flag against a NULL-text test doc, and
+    // is_leak must be a real boolean (the NULL digest would otherwise
+    // make Spark emit false where a SQL `IN` oracle emits NULL)
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 4 == 0) null else s"unique text $i"))
+    val got = Curation.leakageGuardedSplit(
+        rows.toDF("doc_id", "text"), "text", "doc_id", testRate = 0.3)
+      .as[(Long, String, Boolean)].collect()
+    val nullIds = rows.filter(_._2 == null).map(_._1).toSet
+    val bySplit = got.filter(r => nullIds(r._1)).groupBy(_._2)
+    assert(bySplit.contains("test") && bySplit.contains("train"),
+      "fixture must land NULL-text docs on both sides")
+    assert(bySplit("train").forall(_._3),
+      "every NULL-text train doc leaks against the NULL-text test docs")
+    assert(got.forall(r => nullIds(r._1) || !r._3),
+      "distinct non-null texts never flag")
+  }
 }

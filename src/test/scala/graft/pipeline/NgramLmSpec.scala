@@ -37,12 +37,12 @@ class NgramLmSpec extends SparkSpec {
     val p1 = math.log(4.0 / 69.0)
     assert(got(1L)._2 == 2L)
     assert(math.abs(got(1L)._3 - BigDecimal(p1)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     assert(got(1L)._4 == 0.0, "aaa count 3 > rareMax 2")
     // doc 2: aaa|aa and aab|aa → mean of ln(4/69), ln(2/69); aab is rare
     val p2 = (math.log(4.0 / 69.0) + math.log(2.0 / 69.0)) / 2.0
     assert(math.abs(got(2L)._3 - BigDecimal(p2)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     assert(got(2L)._4 == 0.5, "one of two positions is rare")
   }
 

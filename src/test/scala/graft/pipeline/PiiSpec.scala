@@ -45,6 +45,18 @@ class PiiSpec extends SparkSpec {
     assert(got == 0, "\\b must reject quads embedded in longer runs")
   }
 
+  test("staged counts: overlapping span attributed to the consuming kind") {
+    // the phone-shaped run sits inside the email local part; the email
+    // pass consumes it, so n_phones must be 0 — counts always equal the
+    // placeholders present in `redacted`
+    val got = Pii.scrub(
+        Seq((1L, "reach 555-123-4567@x.co today")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Int, Int, Int, String)].head()
+    assert(got == ((1, 0, 0, "reach <EMAIL> today")))
+  }
+
   test("scrub emits counts and redacted text from one projection") {
     val got = Pii.scrub(
         Seq((9L, "x@y.de at 8.8.8.8")).toDF("doc_id", "text"),
