@@ -841,6 +841,69 @@ object Queries {
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
         |                        WHERE c_custkey % 7 != 0)
         |GROUP BY 1""".stripMargin)),
+    // Backward as-of join (union + keyed running window — ONE shuffle,
+    // no row multiplication): each click enriched with the most recent
+    // prior error of the same user, nulled when staler than 2 h. The
+    // oracle is DuckDB's native ASOF JOIN with the same tolerance gate.
+    Q("j_asof_enrich",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("ts"))
+        val errors = e.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("err_id"), col("value").as("err_value"))
+        graft.operators.TemporalJoin.asOfBackward(
+            clicks, errors, Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            payload = Seq("err_id", "err_value"),
+            toleranceUs = Some(7200000000L))
+          .select("click_id", "user_id", "t_us",
+            "err_id", "err_value", "asof_ts_us")
+      },
+      Some("""WITH j AS (
+        |  SELECT c.click_id, c.user_id, c.t_us,
+        |         e.err_id, e.err_value, e.asof_ts_us
+        |  FROM (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_us, ts
+        |        FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN
+        |       (SELECT user_id, ts, event_id AS err_id, value AS err_value,
+        |               epoch_us(ts) AS asof_ts_us
+        |        FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts)
+        |SELECT click_id, user_id, t_us,
+        |  CASE WHEN t_us - asof_ts_us <= 7200000000 THEN err_id END AS err_id,
+        |  CASE WHEN t_us - asof_ts_us <= 7200000000 THEN err_value END
+        |    AS err_value,
+        |  CASE WHEN t_us - asof_ts_us <= 7200000000 THEN asof_ts_us END
+        |    AS asof_ts_us
+        |FROM j""".stripMargin)),
+    // Interval/range join via bin banding (equi-join on (key, bin) +
+    // exact range post-filter — never a nested-loop): clicks landing
+    // inside any [error, error+10min) window of the same user. The
+    // oracle is the literal inequality join, which DuckDB runs as an
+    // IEJoin.
+    Q("j_range_windows",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val wins = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts").as("w_start"),
+            expr("ts + INTERVAL 10 MINUTE").as("w_end"))
+        graft.operators.TemporalJoin.rangeJoinBinned(
+            clicks, wins, Seq("user_id"), pointTs = "ts",
+            startTs = "w_start", endTs = "w_end", binUs = 600000000L)
+          .select(col("click_id"), col("user_id"), col("err_id"),
+            unix_micros(col("ts")).as("t_us"))
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id,
+        |       e.event_id AS err_id, epoch_us(c.ts) AS t_us
+        |FROM events c JOIN events e ON c.user_id = e.user_id
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.ts >= e.ts
+        |  AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000""".stripMargin)),
     // U1: UNION ALL sentinel row (always-returned aggregate alongside rows)
     Q("u1_union_sentinel",
       (s, d) => {
