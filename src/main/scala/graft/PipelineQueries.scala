@@ -1,7 +1,7 @@
 package graft
 
 import graft.cdc.ChangeFeed
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Incremental, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Queries.Q
@@ -38,6 +38,25 @@ object PipelineQueries {
         |kept AS (SELECT digest, min(doc_id) AS id_kept FROM dg GROUP BY 1)
         |SELECT id_kept, doc_id AS id_dropped FROM dg JOIN kept USING (digest)
         |WHERE doc_id != id_kept""".stripMargin)),
+    // Cross-batch incremental dedup: Bloom prefilter (distributed
+    // build, broadcast literal-array test, zero UDFs) routes
+    // definite-new docs around the confirm anti-join — result is exact,
+    // so the oracle is the plain NOT IN. History = doc_id%3==0 "prior
+    // crawl"; batch = the rest.
+    Q("dedup_incremental",
+      (s, d) => {
+        val dd = docs(s, d)
+        Incremental.newDocs(
+          dd.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          dd.where(pmod(col("doc_id"), lit(3)) === 0),
+          "text", "doc_id", mBits = 1 << 17, k = 5)
+      },
+      Some("""WITH h AS (SELECT md5(coalesce(text, '')) AS digest
+        |            FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, md5(coalesce(text, '')) AS digest
+        |FROM documents
+        |WHERE doc_id % 3 != 0
+        |  AND md5(coalesce(text, '')) NOT IN (SELECT digest FROM h)""".stripMargin)),
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
         shingleN = 3, threshold = 0.3, lenBucket = 50),
@@ -360,6 +379,31 @@ object PipelineQueries {
         |    AND NOT (max_word_ratio > 0.2)
         |    AND NOT (top_bigram_ratio > 0.18) AS keep
         |FROM f""".stripMargin)),
+    // OOV rate against the corpus's own top-500 vocabulary (built by
+    // topKTokens, joined broadcast): the tokenizer-coverage signal per
+    // document. Zero-token docs score 0.0, never NULL.
+    Q("text_oov_rate",
+      (s, d) => {
+        val dd = docs(s, d)
+        val vocab = Curation.topKTokens(dd, "text", k = 500).select("token")
+        TextAnalysis.oovRate(dd, "text", "doc_id", vocab)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |        FROM documents),
+        |tk AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+        |v AS (SELECT t AS vt FROM (SELECT t, count(*) AS n FROM tk
+        |       GROUP BY 1 ORDER BY n DESC, t ASC LIMIT 500)),
+        |agg AS (SELECT d.doc_id,
+        |  CAST(count(k.t) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN k.t IS NOT NULL
+        |             AND k.t NOT IN (SELECT vt FROM v) THEN 1 END) AS BIGINT)
+        |    AS n_oov
+        |  FROM documents d LEFT JOIN tk k USING (doc_id) GROUP BY d.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE n_oov::DOUBLE / n_tokens END AS oov_rate
+        |FROM agg""".stripMargin)),
     Q("text_tfidf",
       (s, d) => TextAnalysis.tfidfKeywords(docs(s, d), "text", "doc_id", k = 5),
       Some("""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -531,6 +575,18 @@ object PipelineQueries {
         |        % 4096 <
         |      CASE lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 512 END"""
         .stripMargin)),
+    // Exact per-stratum budget: exactly min(n, |stratum|) docs per lang,
+    // chosen by the deterministic (md5(id), id) permutation; the
+    // two-phase rank keeps the global window input bounded by n × P,
+    // not the stratum size.
+    Q("curation_take_n",
+      (s, d) => Curation.takeExactN(docs(s, d), "lang", "doc_id", n = 30)
+        .select("doc_id", "lang"),
+      Some("""WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 30""".stripMargin)),
     Q("curation_pack",
       (s, d) => Curation.packTokenBudget(
           docs(s, d).select("doc_id", "lang", "text"),

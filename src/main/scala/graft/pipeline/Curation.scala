@@ -55,6 +55,38 @@ object Curation {
     df.where(hashBucket(key) < threshold)
   }
 
+  /** Exact per-stratum budget sampling: EXACTLY `min(n, |stratum|)` rows
+    * per stratum (versus [[stratifiedSample]]'s rate-proportional
+    * expectation) — the mixture-execution primitive for "give me
+    * precisely N documents per source". Selection order is the
+    * deterministic pseudo-random permutation `(md5(id), id)` — no RNG,
+    * so the chosen set is identical across engines, runs, and cluster
+    * sizes, and growing the corpus only ever swaps rows whose hash
+    * moved, never reshuffles everything.
+    *
+    * Scale: a naive rank-per-stratum window funnels EVERY row of a
+    * stratum through one reducer — a straggler at 100 TB where one
+    * source dominates. This is two-phase: phase 1 ranks within
+    * (stratum × input partition) and keeps ≤ n per cell (parallel width
+    * = number of scan partitions, no data-dependent skew), so phase 2's
+    * exact global rank per stratum sees at most n × P rows — bounded by
+    * the budget, not the corpus. */
+  def takeExactN(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val key = coalesce(col(idCol).cast("string"), lit("null"))
+    val ordered = df.withColumn("_h", md5(key))
+      .withColumn("_pid", spark_partition_id())
+    val preW = Window.partitionBy(col(stratumCol), col("_pid"))
+      .orderBy(col("_h"), col(idCol))
+    val finW = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_h"), col(idCol))
+    ordered
+      .withColumn("_pr", row_number().over(preW)).where(col("_pr") <= n)
+      .withColumn("_r", row_number().over(finW)).where(col("_r") <= n)
+      .drop("_h", "_pid", "_pr", "_r")
+  }
+
   /** Token-budget packing: assign each document a bin id such that bin
     * boundaries fall every `budget` tokens along the (partition, order)
     * sequence — `bin = floor(exclusive-running-sum / budget)`, the

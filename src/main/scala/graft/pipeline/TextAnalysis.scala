@@ -196,4 +196,33 @@ object TextAnalysis {
         !col("flag_low_diversity") && !col("flag_repetitive_word") &&
         !col("flag_repetitive_bigram"))
   }
+
+  /** Out-of-vocabulary rate per document against a vocabulary relation
+    * `(token)` — the tokenizer-design signal ("how much of this source
+    * does my vocab not cover"). Returns
+    * `(idCol, n_tokens, n_oov, oov_rate)`; zero-token documents score
+    * 0.0, not NULL (nothing is out of an empty token stream).
+    *
+    * Scale: tokens explode narrowly, the vocabulary joins as a
+    * broadcast (a vocab is driver-sized by construction — 32k/64k/128k
+    * entries), and the per-doc aggregate partial-combines map-side, so
+    * the only exchange is the final groupBy on the doc id. */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val vTok = vocab.columns.head
+    val hit = broadcast(vocab.select(col(vTok).as("_tok")).distinct()
+      .withColumn("_in_vocab", lit(true)))
+    df.select(col(idCol),
+        explode_outer(filter(words(col(textCol)), w => length(w) > 0))
+          .as("_tok"))
+      .join(hit, Seq("_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_tok")).as("n_tokens"),
+        count(when(col("_tok").isNotNull && col("_in_vocab").isNull, 1))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")))
+  }
 }

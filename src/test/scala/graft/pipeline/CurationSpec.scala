@@ -188,6 +188,30 @@ class CurationSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  // ------------------------------------------------------------ takeExactN
+
+  test("takeExactN: exact budget per stratum, deterministic, partition-stable") {
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val got = Curation.takeExactN(df, "lang", "doc_id", n = 10)
+      .as[(Long, String)].collect()
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("en" -> 10, "de" -> 10, "fr" -> 10))
+    // repartitioning must not change WHICH rows are selected (the
+    // two-phase pre-rank is a pure optimization)
+    val again = Curation.takeExactN(df.repartition(13), "lang", "doc_id", 10)
+      .as[(Long, String)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
+  test("takeExactN: stratum smaller than the budget returns it whole") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "xx")).toDF("doc_id", "lang")
+    val got = Curation.takeExactN(df, "lang", "doc_id", n = 10)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "en"), (2L, "en"), (3L, "xx")))
+  }
+
   // ------------------------------------------------- leakage-guarded split
 
   test("leakageGuardedSplit: deterministic assignment, duplicates flagged") {

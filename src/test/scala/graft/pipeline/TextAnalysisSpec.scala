@@ -116,6 +116,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fx == fy && fx != fz)
   }
 
+  test("oovRate: per-doc coverage vs vocab; zero-token doc scores 0.0") {
+    val docs = Seq(
+      (1L, "the cat sat"),         // all in vocab
+      (2L, "the zyx sat qqq"),     // 2 of 4 OOV
+      (3L, "   "),                 // zero tokens
+      (4L, "zzz")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "sat").toDF("token")
+    val got = TextAnalysis.oovRate(docs, "text", "doc_id", vocab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L) == ((4L, 2L, 0.5)))
+    assert(got(3L) == ((0L, 0L, 0.0)), "empty doc: no tokens, rate 0")
+    assert(got(4L) == ((1L, 1L, 1.0)))
+    assert(got.size == 4, "every input doc appears, tokens or not")
+  }
+
   test("quality features are computed and bounded") {
     val df = Seq((1L, "the quick, brown fox!")).toDF("doc_id", "text")
     val row = TextAnalysis.qualityFeatures(df, "text")
