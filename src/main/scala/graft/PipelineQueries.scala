@@ -169,6 +169,27 @@ object PipelineQueries {
         |WHERE list_dot_product(x.v, y.v) /
         |      sqrt(list_dot_product(x.v, x.v)) /
         |      sqrt(list_dot_product(y.v, y.v)) >= 0.4""".stripMargin)),
+    // SemDeDup-style semantic dedup: deterministic centroids → bucket
+    // assignment → within-bucket pair scan (k × (n/k)² instead of n²).
+    // Same 0.4 threshold/margin regime as dedup_embedding.
+    Q("dedup_semantic",
+      (s, d) => Dedup.semanticNearDups(emb(s, d), "embedding", "vec_id",
+        threshold = 0.4, nCentroids = 8, dim = 64),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv)/sqrt(list_dot_product(e.v, e.v))
+        |             /sqrt(list_dot_product(c.centv, c.centv)) DESC,
+        |           c.centroid_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       CAST(a.bucket AS BIGINT) AS bucket
+        |FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      sqrt(list_dot_product(a.v, a.v)) /
+        |      sqrt(list_dot_product(b.v, b.v)) >= 0.4""".stripMargin)),
     // Line-level (C4-style) dedup. The corpus is single-line word salad,
     // so multi-line docs are synthesized deterministically in BOTH
     // engines: 8-word lines plus one shared boilerplate header on every

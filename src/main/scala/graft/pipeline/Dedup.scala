@@ -573,4 +573,81 @@ object Dedup {
     }.toDF("id_a", "id_b")
     pairs
   }
+
+  /** SemDeDup-style semantic dedup: cluster the embedding space, then
+    * compare pairs ONLY within a cluster — the scale path that turns the
+    * all-pairs O(n²) of [[embeddingNearDups]] into k × (n/k)² work, on
+    * the observation that semantic duplicates land in the same cluster
+    * (cross-cluster near-dups are below the threshold by construction of
+    * the clustering; SemDeDup accepts that recall trade).
+    *
+    * Composition of the IVF machinery: [[Similarity.centroids]] (the
+    * deterministic id-pick set — swap [[Similarity.trainCentroids]] in
+    * production) → [[Similarity.assignBuckets]] (one broadcast-assign
+    * narrow pass) → a bucket-keyed self-join whose equi-key is the
+    * bucket id. Per-task work is the square of ONE cluster, controlled
+    * by `nCentroids` (SemDeDup sizing: k ≈ n/500); a pathologically hot
+    * cluster is the same skew surface as simhash prefix blocks — cap it
+    * by raising k or fall back to [[embeddingNearDups]]'s block grid
+    * within the bucket.
+    *
+    * Emits `(id_a, id_b, bucket)` with `id_a < id_b`, cosine ≥
+    * `threshold`.
+    *
+    * The within-cluster pair scan is the [[embeddingNearDups]] block
+    * grid with the bucket id prepended to the cell key: a naive
+    * self-join on `bucket` alone has only `nCentroids` distinct keys —
+    * `nCentroids` tasks no matter how many executors — where the
+    * per-bucket (block_i ≤ block_j) grid yields
+    * `nCentroids × B(B+1)/2` independent cells, and the dot runs as a
+    * primitive-array kernel instead of per-pair HOF folds. */
+  def semanticNearDups(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nCentroids: Int, dim: Int = 0,
+      nBlocks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b =
+      if (nBlocks > 0) nBlocks
+      else math.max(2, math.ceil(math.sqrt(
+        spark.sparkContext.defaultParallelism * 2.0 /
+          math.max(1, nCentroids))).toInt)
+    val norm = Similarity.normalized(df, vecCol, "v")
+      .select(col(idCol), col("v"))
+    val cents = Similarity.centroids(df, vecCol, idCol, nCentroids)
+    val asg = Similarity.assignBuckets(norm, cents, idCol, dim)
+    val blocks = asg
+      .select(col("bucket").cast("long").as("bucket"),
+        pmod(col(idCol).cast("long"), lit(b)).cast("int").as("blk"),
+        col(idCol).cast("long").as("id"), col("v"))
+      .groupBy("bucket", "blk")
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2")))
+        .as("vecs"))
+    val cells = blocks
+      .select(col("bucket"), col("blk").as("bi"), col("vecs").as("va"))
+      .join(blocks.select(col("bucket"), col("blk").as("bj"),
+        col("vecs").as("vb")), Seq("bucket"))
+      .where(col("bi") <= col("bj"))
+      .select(col("bucket"), col("bi"), col("bj"), col("va"), col("vb"))
+      .as[(Long, Int, Int,
+        Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
+    cells.flatMap { case (bucket, bi, bj, va0, vb0) =>
+      val va = va0.sortBy(_._1)
+      val vb = if (bi == bj) va else vb0.sortBy(_._1)
+      val diag = bi == bj
+      va.iterator.zipWithIndex.flatMap { case ((ia, xa), i) =>
+        val js = if (diag) Iterator.range(i + 1, vb.length)
+                 else Iterator.range(0, vb.length)
+        js.flatMap { j =>
+          val (ib, xb) = vb(j)
+          var s = 0.0
+          var k = 0
+          while (k < xa.length) { s += xa(k) * xb(k); k += 1 }
+          if (s >= threshold)
+            Iterator.single((math.min(ia, ib), math.max(ia, ib), bucket))
+          else Iterator.empty
+        }
+      }
+    }.toDF("id_a", "id_b", "bucket")
+  }
 }

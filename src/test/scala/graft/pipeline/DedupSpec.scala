@@ -260,6 +260,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("semanticNearDups: within-cluster pairs only, subset of all-pairs") {
+    // two tight clusters around +x and +y, one near-dup pair in each;
+    // centroids are the id-pick rows 0 and 1 (one per cluster direction)
+    val e = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)),  // centroid A (+x)
+      (1L, Array(0.05f, 1.0f, 0.0f)),  // centroid B (+y)
+      (2L, Array(0.99f, 0.08f, 0.0f)), // near 0
+      (3L, Array(0.04f, 0.98f, 0.0f)), // near 1
+      (4L, Array(0.0f, 0.0f, 1.0f))    // isolated (+z)
+    ).toDF("vec_id", "embedding")
+    val sem = Dedup.semanticNearDups(e, "embedding", "vec_id",
+        threshold = 0.9, nCentroids = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem == Set((0L, 2L), (1L, 3L)))
+    // recall contract: semantic pairs are a subset of the exact all-pairs
+    val full = Dedup.embeddingNearDups(e, "embedding", "vec_id", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(full))
+  }
+
   test("block-grid embedding dedup: 50k vectors, no driver materialization") {
     // planted dup pairs: id and id+50000 share a vector direction; all
     // other vectors are axis-distinct. Runs the full (block_i ≤ block_j)
