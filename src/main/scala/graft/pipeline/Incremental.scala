@@ -86,4 +86,30 @@ object Incremental {
       .select(col(idCol), col("digest"))
     definiteNew.unionByName(confirmedNew)
   }
+
+  /** Streaming twin of [[newDocs]] for a continuously-ingesting corpus:
+    * the FIRST occurrence of each content digest passes, every later
+    * arrival drops — Structured Streaming keeps the digest set as keyed
+    * state, so cross-micro-batch duplicates are caught, not just
+    * within-batch ones.
+    *
+    * With `watermark = Some((tsCol, delay))` the state is bounded:
+    * `dropDuplicatesWithinWatermark` expires a digest once the watermark
+    * passes it, trading unbounded memory for "duplicates farther apart
+    * than the horizon re-admit" — the standard streaming-dedup contract.
+    * Without a watermark the digest state grows with the corpus: correct,
+    * but only viable for bounded streams (at 100 TB, give a horizon, or
+    * run [[newDocs]] as a periodic batch reconciliation against the
+    * accumulated history). */
+  def streamNewDocs(stream: DataFrame, textCol: String, idCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val withDigest = stream
+      .withColumn("digest", md5(coalesce(col(textCol), lit(""))))
+    watermark match {
+      case Some((tsCol, delay)) =>
+        withDigest.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("digest")
+      case None => withDigest.dropDuplicates("digest")
+    }
+  }
 }

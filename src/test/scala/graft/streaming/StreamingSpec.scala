@@ -76,8 +76,34 @@ class StreamingSpec extends SparkSpec {
         Set(("room", 2L)))
     } finally q.stop()
   }
+  test("streaming incremental dedup: first digest wins across micro-batches") {
+    import StreamingSpec.Doc
+    val input = MemoryStream[Doc](spark)
+    val out = graft.pipeline.Incremental.streamNewDocs(
+      input.toDF(), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, "alpha", t("2024-01-01 00:00:01")),
+        Doc(2L, "beta", t("2024-01-01 00:00:02")),
+        Doc(3L, "alpha", t("2024-01-01 00:00:03"))) // within-batch dup
+      q.processAllAvailable()
+      // cross-batch dups must hit the keyed digest state, not just the
+      // batch-local distinct
+      input.addData(
+        Doc(4L, "alpha", t("2024-01-01 00:01:00")),
+        Doc(5L, "gamma", t("2024-01-01 00:01:01")))
+      q.processAllAvailable()
+      val got = spark.table("sdedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 5L),
+        "first 'alpha' survives; the within-batch (3) and cross-batch (4) dups drop")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
   case class Tick(k: String, ts: Timestamp)
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
 }
