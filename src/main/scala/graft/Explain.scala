@@ -15,7 +15,9 @@ object Explain {
         "j1_walrus_200subs", "j_multi_table", "j_dispatch_gating",
         "s2_wal_decode", "p_truncate_routing", "dedup_embedding",
         "s1_wal2json_decode", "curation_sample", "curation_pack",
-        "curation_contamination", "text_repetition", "text_gopher_filter")
+        "curation_contamination", "text_repetition", "text_gopher_filter",
+        "j_asof_enrich", "j_range_windows", "dedup_incremental",
+        "dedup_semantic", "curation_take_n", "text_oov_rate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

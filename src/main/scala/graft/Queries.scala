@@ -1097,6 +1097,73 @@ object Queries {
         |  valid_to IS NULL AS is_current,
         |  event_type
         |FROM w WHERE message != 'DELETE'""".stripMargin)),
+    // Point-in-time (feature-store) join: each fact enriched with the
+    // SCD2 dimension version VALID AT FACT TIME — scd2FromWal composed
+    // with the backward as-of join, then versions already closed at the
+    // fact's timestamp are nulled out (a fact after the key's DELETE
+    // sees no version, not the stale last one). The canonical
+    // training-feature extraction pattern: no leakage from the future,
+    // no resurrection of closed versions.
+    Q("j_asof_pit",
+      (s, d) => {
+        import graft.cdc.{Mirror, Wal2Json}
+        val e = ev(s, d)
+        val m = pmod(col("event_id"), lit(3))
+        val tsStr = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
+        val cols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"}]""",
+          col("user_id"), col("event_type"))
+        val oldCols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s}]""",
+          col("user_id"))
+        val json = when(m === 0, format_string(
+            """{"action":"I","schema":"public","table":"events","timestamp":"%s","columns":%s}""",
+            tsStr, cols))
+          .when(m === 1, format_string(
+            """{"action":"U","schema":"public","table":"events","timestamp":"%s","columns":%s,"identity":%s}""",
+            tsStr, cols, oldCols))
+          .otherwise(format_string(
+            """{"action":"D","schema":"public","table":"events","timestamp":"%s","identity":%s}""",
+            tsStr, oldCols))
+        val decoded = Wal2Json.decodeChanges(
+          e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
+          .toDF()
+        val iso = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+        val dim = Mirror.scd2FromWal(decoded, "user_id")
+          .select(col("user_id").cast("long").as("user_id"),
+            to_timestamp(col("valid_from"), iso).as("vfrom"),
+            to_timestamp(col("valid_to"), iso).as("vto"),
+            col("seq").as("ver_seq"),
+            element_at(col("record"), "event_type").as("ver_type"))
+        val facts = e.where(col("event_type") === "click")
+          .select(col("event_id").as("fact_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("ts"))
+        val joined = graft.operators.TemporalJoin.asOfBackward(
+          facts, dim, Seq("user_id"), leftTs = "ts", rightTs = "vfrom",
+          payload = Seq("ver_seq", "ver_type", "vto"))
+        val open = col("vto").isNull || unix_micros(col("vto")) > col("t_us")
+        joined.select(col("fact_id"), col("user_id"), col("t_us"),
+          when(open, col("ver_seq")).as("ver_seq"),
+          when(open, col("ver_type")).as("ver_type"))
+      },
+      Some("""WITH c AS (SELECT event_id AS seq, user_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+        |       ELSE 'DELETE' END AS message,
+        |  event_type, ts FROM events),
+        |w AS (SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY seq)
+        |        AS vto FROM c),
+        |v AS (SELECT user_id, seq AS ver_seq, event_type AS ver_type,
+        |        ts AS vfrom, vto FROM w WHERE message != 'DELETE'),
+        |f AS (SELECT event_id AS fact_id, user_id, epoch_us(ts) AS t_us, ts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT f.fact_id, f.user_id, f.t_us,
+        |             v.ver_seq, v.ver_type, v.vto, f.ts AS fts
+        |      FROM f ASOF LEFT JOIN v
+        |      ON f.user_id = v.user_id AND f.ts >= v.vfrom)
+        |SELECT fact_id, user_id, t_us,
+        |  CASE WHEN vto IS NULL OR vto > fts THEN ver_seq END AS ver_seq,
+        |  CASE WHEN vto IS NULL OR vto > fts THEN ver_type END AS ver_type
+        |FROM j""".stripMargin)),
     // S9 binary client frames: V2-serializer round-trip (encode a mixed
     // broadcast / user_broadcast stream, decode, recover every field).
     // The payload survives as opaque bytes; metadata only exists on

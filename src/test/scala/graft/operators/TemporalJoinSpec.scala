@@ -95,6 +95,23 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1L), (2L, 10L, 1L)))
   }
 
+  // ---------------------------------------------------- plan assertions
+
+  test("plans: asOf is window-over-union, range join is equi — never a loop join") {
+    val asOf = TemporalJoin.asOfBackward(leftDf, rightDf, Seq("k"),
+      "t", "rt", Seq("v"))
+    val asOfPlan = asOf.queryExecution.executedPlan.toString
+    assert(!asOfPlan.contains("Join"),
+      s"as-of must compile to union+window, not any join:\n$asOfPlan")
+    assert(asOfPlan.contains("Window"), asOfPlan)
+    val rj = TemporalJoin.rangeJoinBinned(pointsDf, intervalsDf, Seq("k"),
+      "t", "s", "e", binUs = 60L * 1000000L)
+    val rjPlan = rj.queryExecution.executedPlan.toString
+    assert(!rjPlan.contains("BroadcastNestedLoopJoin")
+      && !rjPlan.contains("CartesianProduct"),
+      s"range join must stay an equi-join on (key, bin):\n$rjPlan")
+  }
+
   test("rangeJoinBinned: bin wider than every interval still exact") {
     val got = TemporalJoin.rangeJoinBinned(pointsDf, intervalsDf, Seq("k"),
         "t", "s", "e", binUs = 86400L * 1000000L)
