@@ -449,6 +449,31 @@ object Queries {
         |       LEFT JOIN s2 USING (user_id)""".stripMargin)),
     // Column profiling: one aggregate per column, exact distincts,
     // native min/max rendered as strings
+    // Exact per-stratum quantiles of document length (sort-based
+    // percentile, rounded 1e-4 against interpolation ulps) — the
+    // length-distribution signal a curation run reads before picking
+    // truncation/packing budgets.
+    Q("a_quantiles",
+      (s, d) => graft.pipeline.Profile.quantiles(
+        ChangeFeed.table(s, d, "documents"), "lang", "n_chars",
+        Seq(0.5, 0.9, 0.99)),
+      Some("""SELECT lang, 0.5 AS p, round(quantile_cont(n_chars, 0.5), 4) AS q
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, 0.9, round(quantile_cont(n_chars, 0.9), 4)
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, 0.99, round(quantile_cont(n_chars, 0.99), 4)
+        |FROM documents GROUP BY lang""".stripMargin)),
+    // Exact fixed-width length histogram per language: integral-div
+    // bucketing (exact at any magnitude), one partial-aggregated groupBy.
+    Q("a_histogram",
+      (s, d) => graft.pipeline.Profile.histogram(
+        ChangeFeed.table(s, d, "documents"), "lang", "n_chars", 200L),
+      Some("""SELECT lang, (n_chars // 200) * 200 AS bucket_lo,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
     Q("a_profile",
       (s, d) => graft.pipeline.Profile.profile(ev(s, d),
         Seq("event_id", "user_id", "event_type", "value")),

@@ -28,4 +28,36 @@ object Profile {
         .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionByName _)
+
+  /** Exact per-stratum quantiles (sort-based `percentile`, linear
+    * interpolation): `(stratumCol, p, q)` — one row per requested
+    * percentile. Values round at 1e-4 so cross-engine interpolation
+    * ulp differences cannot flip the comparison (noise ~1e-13).
+    *
+    * Exact percentile buffers a stratum's values on its reducer — the
+    * deliberate trade for a bit-reproducible answer; at 100 TB per
+    * stratum, swap `percentile_approx` (bounded-memory t-digest style
+    * sketch) at the call site when ε-error is acceptable. */
+  def quantiles(df: DataFrame, stratumCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(percentile(col(valueCol), typedLit(ps)).as("_qs"))
+      .select(col(stratumCol), posexplode(col("_qs")).as(Seq("_i", "_q")))
+      .select(col(stratumCol),
+        element_at(typedLit(ps), col("_i").cast("int") + 1).as("p"),
+        round(col("_q"), 4).as("q"))
+
+  /** Exact fixed-width histogram per stratum:
+    * `(stratumCol, bucket_lo, n)` with `bucket_lo = binWidth ⌊v/binWidth⌋`
+    * (integral `div`, so the bucketing is exact at any magnitude —
+    * intended for nonnegative integral measures like lengths/counts).
+    * One partial-aggregated groupBy; bucket cardinality is value-range /
+    * binWidth, data-size-independent. */
+  def histogram(df: DataFrame, stratumCol: String, valueCol: String,
+      binWidth: Long): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol),
+        (expr(s"cast($valueCol AS bigint) div ${binWidth}L") * binWidth)
+          .as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
 }
