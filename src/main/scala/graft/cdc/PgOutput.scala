@@ -143,6 +143,32 @@ object PgOutput {
     buf(1 + 4 + 1 + 4 * relIds.size).put('T'.toByte).putInt(relIds.size)
       .put(options.toByte).tap(b => relIds.foreach(b.putInt)).array()
 
+  // Protocol v2 streamed in-progress transactions (logical_streaming of
+  // large transactions): Stream Start/Stop bracket a chunk; every data
+  // message inside a chunk carries the transaction xid right after its
+  // tag byte; Stream Commit/Abort end the transaction as a whole.
+
+  def encodeStreamStart(xid: Int, firstSegment: Boolean = true): Array[Byte] =
+    buf(1 + 4 + 1).put('S'.toByte).putInt(xid)
+      .put((if (firstSegment) 1 else 0).toByte).array()
+
+  def encodeStreamStop(): Array[Byte] = Array('E'.toByte)
+
+  def encodeStreamCommit(xid: Int, lsn: Long, endLsn: Long,
+      tsMicros1970: Long): Array[Byte] =
+    buf(1 + 4 + 1 + 8 + 8 + 8).put('c'.toByte).putInt(xid).put(0.toByte)
+      .putLong(lsn).putLong(endLsn)
+      .putLong(tsMicros1970 - PgEpochMicros).array()
+
+  def encodeStreamAbort(xid: Int, subXid: Int): Array[Byte] =
+    buf(1 + 4 + 4).put('A'.toByte).putInt(xid).putInt(subXid).array()
+
+  /** Wrap a data message for transmission inside a streamed chunk: the
+    * xid is injected between the tag byte and the payload, exactly as
+    * the v2 wire format prescribes. */
+  def streamed(xid: Int, msg: Array[Byte]): Array[Byte] =
+    Array(msg.head) ++ buf(4).putInt(xid).array() ++ msg.tail
+
   private implicit class Tap[A](private val a: A) extends AnyVal {
     def tap(f: A => Unit): A = { f(a); a }
   }
@@ -412,13 +438,48 @@ object PgOutput {
     var txLsn = 0L
     var txXid = 0L
     var txTs = ""
+    // protocol v2 streamed-transaction state: the open chunk's xid (-1
+    // outside a chunk) and the per-xid buffer of not-yet-committed
+    // changes. Buffer size is one in-flight transaction's changes — the
+    // same working set the reference's poller would hold for the batch.
+    var streamXid = -1L
+    val pending = mutable.Map.empty[Long, mutable.ArrayBuffer[WalChange]]
     def rel(id: Int): Option[RelationMeta] = registry.get(id)
     msgs.flatMap { case (seq, bytes) =>
       val r = new Reader(bytes)
       val unsupported = Seq(
         WalChange(seq, txLsn, txXid, "UNSUPPORTED", null, null, txTs,
           null, null, Nil))
-      r.i8().toChar match {
+      val tag = r.i8().toChar
+      // inside a streamed chunk every data message carries its xid
+      // between tag and payload — consume it so the payload parses
+      val chunkXid =
+        if (streamXid >= 0 && "RYIUDT".contains(tag)) r.i32().toLong
+        else -1L
+      val out: Seq[WalChange] = tag match {
+        case 'S' =>
+          streamXid = r.i32().toLong; r.i8() // first-segment flag
+          Nil
+        case 'E' =>
+          streamXid = -1L
+          Nil
+        case 'c' =>
+          val xid = r.i32().toLong; r.i8()
+          val lsn = r.i64(); r.i64()
+          val ts = isoFromPgMicros(r.i64())
+          // the buffered changes APPLY at commit: re-stamp with the
+          // commit's lsn/timestamp (their seq keeps the arrival order
+          // within the transaction; emission position = apply order)
+          val rows = pending.remove(xid).map(_.toSeq).getOrElse(Nil)
+            .map(c => c.copy(lsn = lsn, commit_timestamp = ts))
+          rows :+ WalChange(seq, lsn, xid, "COMMIT", null, null, ts,
+            null, null, Nil)
+        case 'A' =>
+          val xid = r.i32().toLong; r.i32() // sub-xid
+          pending.remove(xid) // discard — aborted work never applies
+          Seq(WalChange(seq, txLsn, xid, "STREAM_ABORT", null, null, txTs,
+            null, null, Nil))
+        case other => other match {
         case 'B' =>
           txLsn = r.i64(); txTs = isoFromPgMicros(r.i64()); txXid = r.i32().toLong
           Seq(WalChange(seq, txLsn, txXid, "BEGIN", null, null, txTs, null, null, Nil))
@@ -486,7 +547,15 @@ object PgOutput {
             WalChange(seq, txLsn, txXid, "TRUNCATE", m.namespace, m.name,
               txTs, null, null, Nil))
         case _ => unsupported
+        }
       }
+      if (chunkXid >= 0) {
+        // streamed data: hold until Stream Commit (or drop on Abort);
+        // the xid is stamped now, lsn/timestamp at commit
+        pending.getOrElseUpdate(chunkXid, mutable.ArrayBuffer.empty) ++=
+          out.map(_.copy(xid = chunkXid))
+        Nil
+      } else out
     }
   }
 

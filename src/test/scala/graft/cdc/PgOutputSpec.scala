@@ -125,4 +125,55 @@ class PgOutputSpec extends SparkSpec {
       .collect().map(_.record("name")).sorted.toSeq
     assert(names == Seq("p0", "p1"))
   }
+
+  test("v2 streamed transaction: chunks buffer, interleave, apply at commit") {
+    val out = decodeIterator(seqd(
+      // chunk 1 of streamed xid 77 (relation + one insert)
+      encodeStreamStart(77),
+      streamed(77, encodeRelation(relEvents)),
+      streamed(77, encodeInsert(42, Seq(TText("1"), TText("big-a")))),
+      encodeStreamStop(),
+      // a small transaction commits BETWEEN the chunks
+      encodeBegin(10L, 1700000000000000L, 90),
+      encodeInsert(42, Seq(TText("2"), TText("small"))),
+      encodeCommit(10L, 11L, 1700000000000000L),
+      // chunk 2 of xid 77, then its commit
+      encodeStreamStart(77, firstSegment = false),
+      streamed(77, encodeInsert(42, Seq(TText("3"), TText("big-b")))),
+      encodeStreamStop(),
+      encodeStreamCommit(77, 20L, 21L, 1700009999000000L))).toSeq
+    // the small txn's insert emits in place; the streamed changes emit
+    // only at Stream Commit, in chunk order, re-stamped with the commit
+    // lsn + timestamp and the stream's xid
+    assert(out.map(_.message) == Seq(
+      "BEGIN", "INSERT", "COMMIT",
+      "RELATION", "INSERT", "INSERT", "COMMIT"))
+    val small = out.find(c => c.message == "INSERT" && c.xid == 90).get
+    assert(small.record("name") == "small")
+    val big = out.filter(c => c.message == "INSERT" && c.xid == 77)
+    assert(big.map(_.record("name")) == Seq("big-a", "big-b"),
+      "chunk order preserved across Stream Stop/Start")
+    assert(big.forall(_.lsn == 20L), "re-stamped with the commit lsn")
+    assert(big.forall(_.commit_timestamp.startsWith("2023-11-15T")),
+      "streamed rows carry the STREAM commit ts, not the small txn's")
+  }
+
+  test("v2 streamed abort discards the transaction; registry survives") {
+    val out = decodeIterator(seqd(
+      encodeStreamStart(88),
+      streamed(88, encodeRelation(relEvents)),
+      streamed(88, encodeInsert(42, Seq(TText("9"), TText("ghost")))),
+      encodeStreamStop(),
+      encodeStreamAbort(88, 88),
+      // the relation learned inside the aborted stream still types
+      // later messages (metadata is not transactional work)
+      encodeBegin(30L, 1700000000000000L, 91),
+      encodeInsert(42, Seq(TText("4"), TText("alive"))),
+      encodeCommit(30L, 31L, 1700000000000000L))).toSeq
+    assert(!out.exists(c => c.record != null && c.record.get("name").contains("ghost")),
+      "aborted streamed changes never emit")
+    assert(out.count(_.message == "STREAM_ABORT") == 1)
+    val live = out.find(_.message == "INSERT").get
+    assert(live.record("name") == "alive" && live.change_table == "events")
+  }
 }
