@@ -1,7 +1,7 @@
 package graft
 
 import graft.cdc.ChangeFeed
-import graft.pipeline.{Curation, Dedup, Incremental, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Classifier, Curation, Dedup, Incremental, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Queries.Q
@@ -824,7 +824,187 @@ object PipelineQueries {
         |      / 1000.0) AS BIGINT)) AS pack_key
         |FROM t""".stripMargin)))
 
+  /** Round-6 additions: retrieval, span dedup, trainable classification,
+    * kNN graph, deterministic shuffle, exact-sum correlation. */
+  private val retrievalQueries: Seq[Q] = Seq(
+    // BM25 top-20 for a 3-term query. Rational idf (the log's argument)
+    // keeps every per-term score pure IEEE +,-,*,/ on identical inputs;
+    // per-term scores integer-ize at 1e-6 so document totals are exact
+    // BIGINT sums — ranking is bit-reproducible on both engines.
+    Q("text_bm25",
+      (s, d) => Retrieval.bm25TopK(docs(s, d), "text", "doc_id",
+        Seq("spark", "window", "merge"), k = 20),
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              w -> len(w) > 0) AS ws FROM documents),
+        |dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |       sum(dl)::DOUBLE / count(*) AS avgdl FROM dd),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+        |qtf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |        WHERE w IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df_t FROM qtf
+        |          GROUP BY 1),
+        |sc AS (SELECT doc_id, w,
+        |       CAST(round((n_docs - df_t + 0.5::DOUBLE) /
+        |           (df_t + 0.5::DOUBLE) *
+        |           (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |           (tf + 1.2::DOUBLE *
+        |             (1.0::DOUBLE - 0.75::DOUBLE +
+        |              0.75::DOUBLE * dl / avgdl)) *
+        |           1000000.0::DOUBLE) AS BIGINT) AS micro
+        |       FROM qtf JOIN dfreq USING (w), st),
+        |agg AS (SELECT doc_id, count(DISTINCT w) AS n_terms,
+        |        CAST(sum(micro) AS BIGINT) AS score_micro FROM sc
+        |        GROUP BY 1)
+        |SELECT doc_id, n_terms, score_micro, rank FROM (
+        |  SELECT doc_id, n_terms, score_micro,
+        |         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+        |           AS rank
+        |  FROM agg) WHERE rank <= 20""".stripMargin)),
+    // Duplicate-span fraction per doc: 10-word windows occurring ≥2
+    // times corpus-wide (the substring-dedup signal).
+    Q("dedup_spans",
+      (s, d) => Dedup.duplicateSpans(docs(s, d), "text", "doc_id",
+        spanN = 10, minOccurrences = 2),
+      Some("""WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws FROM documents),
+        |e AS (SELECT doc_id,
+        |      unnest([md5(array_to_string(ws[i+1:i+10], ' '))
+        |              for i in generate_series(0, len(ws) - 10)]) AS h
+        |      FROM w),
+        |f AS (SELECT h, count(*) AS occ FROM e GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |       sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        |       FROM e JOIN f USING (h) GROUP BY 1)
+        |SELECT w.doc_id,
+        |       CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |       CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+        |            ELSE round(pd.n_dup_spans::DOUBLE / pd.n_spans, 6)
+        |       END AS dup_span_fraction
+        |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin)),
+    // Multinomial NB: train on even doc_ids (labeled subset), classify
+    // the held-out odd half. Integer-ized log-probs → exact sums.
+    Q("text_nb_classifier",
+      (s, d) => {
+        val dd = docs(s, d)
+        Classifier.naiveBayes(
+          dd.where(pmod(col("doc_id"), lit(2)) === 0),
+          dd.where(pmod(col("doc_id"), lit(2)) === 1),
+          "text", "doc_id", "lang")
+      },
+      Some("""WITH tr AS (SELECT lang,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |trt AS (SELECT lang, unnest(ws) AS w FROM tr),
+        |ct AS (SELECT lang, w, count(*) AS cnt FROM trt GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS tok_c FROM trt GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM trt),
+        |nd AS (SELECT count(*) AS n_train FROM documents
+        |       WHERE doc_id % 2 = 0),
+        |cls AS (SELECT p.lang,
+        |        CAST(round(ln(p.nd_c::DOUBLE / nd.n_train) *
+        |          1000000.0::DOUBLE) AS BIGINT) AS prior_micro,
+        |        CAST(round(ln(1.0::DOUBLE / (tot.tok_c + voc.v)) *
+        |          1000000.0::DOUBLE) AS BIGINT) AS oov_micro
+        |        FROM (SELECT lang, count(*) AS nd_c FROM documents
+        |              WHERE doc_id % 2 = 0 GROUP BY 1) p
+        |        JOIN tot USING (lang), nd, voc),
+        |model AS (SELECT ct.lang, ct.w,
+        |          CAST(round(ln((ct.cnt + 1.0::DOUBLE) /
+        |            (tot.tok_c + voc.v)) * 1000000.0::DOUBLE) AS BIGINT)
+        |            AS logp_micro
+        |          FROM ct JOIN tot USING (lang), voc),
+        |te AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tfq AS (SELECT doc_id, w, count(*) AS tf FROM
+        |        (SELECT doc_id, unnest(ws) AS w FROM te) GROUP BY 1, 2),
+        |ts AS (SELECT tfq.doc_id, c.lang,
+        |       sum(tfq.tf * coalesce(m.logp_micro, c.oov_micro))
+        |         AS tok_micro
+        |       FROM tfq CROSS JOIN cls c
+        |       LEFT JOIN model m ON m.lang = c.lang AND m.w = tfq.w
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT dd.doc_id, c.lang,
+        |       CAST(c.prior_micro + coalesce(ts.tok_micro, 0) AS BIGINT)
+        |         AS score_micro
+        |       FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
+        |       CROSS JOIN cls c
+        |       LEFT JOIN ts ON ts.doc_id = dd.doc_id AND ts.lang = c.lang)
+        |SELECT doc_id, lang AS predicted, score_micro FROM (
+        |  SELECT doc_id, lang, score_micro,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score_micro DESC, lang ASC) AS rn
+        |  FROM sc) WHERE rn = 1""".stripMargin)),
+    // Bucketed kNN graph: every vector's top-5 within its IVF bucket.
+    Q("sim_knn_graph",
+      (s, d) => Similarity.knnGraphIvf(emb(s, d), "embedding", "vec_id",
+        k = 5, nCentroids = 8, dim = 64),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+        |      WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv)
+        |             /sqrt(list_dot_product(e.v, e.v))
+        |             /sqrt(list_dot_product(c.centv, c.centv)) DESC,
+        |           c.centroid_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |sc AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+        |       list_dot_product(a.v, b.v)
+        |         /sqrt(list_dot_product(a.v, a.v))
+        |         /sqrt(list_dot_product(b.v, b.v)) AS cos
+        |       FROM asg a JOIN asg b
+        |         ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+        |SELECT src_id, dst_id, rank FROM (
+        |  SELECT src_id, dst_id,
+        |         row_number() OVER (PARTITION BY src_id
+        |           ORDER BY cos DESC, dst_id ASC) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin)),
+    // Deterministic export shuffle: md5-derived shard + in-shard rank.
+    Q("curation_shuffle",
+      (s, d) => Curation.deterministicShuffle(docs(s, d), "doc_id",
+        seed = "s42", nShards = 16),
+      Some("""WITH h AS (SELECT doc_id,
+        |  md5('s42:' || coalesce(doc_id::VARCHAR, 'null')) AS k
+        |  FROM documents),
+        |s AS (SELECT doc_id, k,
+        |      ('0x' || substr(k, 1, 6))::BIGINT % 16 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |       row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |         AS pos
+        |FROM s""".stripMargin)),
+    // Exact-sum Pearson r per returnflag over 1e-6-quantized values.
+    Q("a_corr",
+      (s, d) => graft.pipeline.Profile.correlation(
+        ChangeFeed.table(s, d, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some("""WITH q AS (SELECT l_returnflag,
+        |  CAST(round(l_quantity * 1000000.0::DOUBLE) AS BIGINT) AS xi,
+        |  CAST(round(l_extendedprice * 1000000.0::DOUBLE) AS BIGINT) AS yi
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |      sum(xi::HUGEINT) AS sx, sum(yi::HUGEINT) AS sy,
+        |      sum(xi::HUGEINT * yi) AS sxy,
+        |      sum(xi::HUGEINT * xi) AS sxx,
+        |      sum(yi::HUGEINT * yi) AS syy
+        |      FROM q GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |        sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) /
+        |        sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+        |        6) AS r
+        |FROM a""".stripMargin)))
+
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++
-      curationQueries ++ e2eQueries
+      curationQueries ++ e2eQueries ++ retrievalQueries
 }

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trainable bag-of-words document classification — the quality/domain
+  * classifier stage of an LLM data pipeline (CCNet/GPT-3-style "does this
+  * look like the target distribution" filtering), as a multinomial Naive
+  * Bayes trained and applied entirely in the engine.
+  *
+  * Scale shape: training is two token aggregates (per-(label, token)
+  * counts and per-label totals) whose output is VOCABULARY-sized, not
+  * corpus-sized — it broadcasts. Scoring is one narrow token explode on
+  * the test side, a broadcast join against the model, and one aggregate
+  * per (doc, label); |labels| is a small constant multiplier, never a
+  * shuffle of its own.
+  *
+  * Determinism: per-(token, label) log-probabilities are integer-ized at
+  * 1e-6 (`BIGINT` micros) immediately after the one `ln` call, so every
+  * downstream sum is exact 64-bit arithmetic — order-independent and
+  * bit-reproducible. The `ln` itself is evaluated on identical doubles in
+  * both engines (rational counts), and a last-ulp difference only matters
+  * if the value sits within 1e-16 of a 1e-6 rounding boundary —
+  * vanishing at vocabulary scale (~1e-10 per value over V×C values).
+  */
+object Classifier {
+
+  /** Multinomial Naive Bayes with add-1 (Laplace) smoothing: train on
+    * `(textCol, labelCol)` rows of `train`, emit the argmax class per
+    * `test` row as `(idCol, predicted, score_micro)`.
+    *
+    * `P(w|c) = (count(w,c) + 1) / (tokens_c + V)`; a token unseen for a
+    * class — including tokens absent from training entirely — scores the
+    * same smoothed floor `1 / (tokens_c + V)`, so out-of-vocabulary
+    * handling IS the smoothing (no special case). Documents with zero
+    * tokens classify by prior alone. Ties break on the label string. */
+  def naiveBayes(train: DataFrame, test: DataFrame, textCol: String,
+      idCol: String, labelCol: String): DataFrame = {
+    val toks = (d: DataFrame, keep: Seq[String]) =>
+      d.select((keep.map(col) :+
+        explode(filter(TextAnalysis.words(col(textCol)),
+          w => length(w) > 0)).as("w")): _*)
+
+    val trainToks = toks(train, Seq(labelCol))
+    val classTok = trainToks.groupBy(col(labelCol), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTot = trainToks.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("tok_c"))
+    val vocab = trainToks.agg(countDistinct(col("w")).as("v"))
+    val nd = train.agg(count(lit(1)).as("nd"))
+
+    // classes: (label, prior_micro, oov_micro) — |C| rows.
+    val classes = train.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("nd_c"))
+      .crossJoin(nd).join(classTot, labelCol).crossJoin(vocab)
+      .select(col(labelCol),
+        round(log(col("nd_c").cast("double") / col("nd")) * lit(1e6))
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("tok_c") + col("v"))) * lit(1e6))
+          .cast("long").as("oov_micro"))
+
+    // model: (label, token, logp_micro) — V×C rows, broadcastable.
+    val model = classTok.join(classTot, labelCol).crossJoin(vocab)
+      .select(col(labelCol), col("w"),
+        round(log((col("cnt") + lit(1.0)) / (col("tok_c") + col("v"))) *
+          lit(1e6)).cast("long").as("logp_micro"))
+
+    val testTf = toks(test, Seq(idCol))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val tokScore = testTf
+      .crossJoin(broadcast(classes.select(col(labelCol), col("oov_micro"))))
+      .join(broadcast(model), Seq(labelCol, "w"), "left")
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("tf") * coalesce(col("logp_micro"), col("oov_micro")))
+        .as("tok_micro"))
+    // every (test doc × class) pair scores, even token-less docs
+    val scoredAll = test.select(col(idCol))
+      .crossJoin(broadcast(classes.select(col(labelCol), col("prior_micro"))))
+      .join(tokScore, Seq(idCol, labelCol), "left")
+      .select(col(idCol), col(labelCol),
+        (col("prior_micro") + coalesce(col("tok_micro"), lit(0L)))
+          .as("score_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col(labelCol).asc)
+    scoredAll.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col(labelCol).as("predicted"), col("score_micro"))
+  }
+}

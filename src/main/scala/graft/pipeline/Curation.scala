@@ -305,4 +305,30 @@ object Curation {
       .select(col(idCol), col("split"),
         (col("split") === "train" && col("_hit").isNotNull).as("is_leak"))
   }
+
+  /** Deterministic global shuffle into output shards — the final step of
+    * a training-data export (batch diversity needs documents decorrelated
+    * from crawl/source order, and the order must be REPRODUCIBLE so a
+    * resumed or re-run export yields byte-identical shards; `rand()`
+    * cannot promise that across cluster sizes).
+    *
+    * Each row gets a pseudo-random but deterministic position:
+    * `shard = top-24-md5-bits(seed:id) mod nShards`, `pos` = rank of the
+    * full digest within the shard. One shuffle, keyed by the shard —
+    * exactly the write partitioning the export needs (`repartition` on
+    * `shard` then `sortWithinPartitions` at the call site writes each
+    * shard in a single sequential pass); the per-shard sort is
+    * shard-sized, ~n/nShards, never global. NULL ids hash via the
+    * `"null"` sentinel like every other md5 decision in this file. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed),
+      coalesce(col(idCol).cast("string"), lit("null"))))
+    df.withColumn("_k", key)
+      .withColumn("shard",
+        conv(substring(col("_k"), 1, 6), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -80,6 +80,51 @@ object Dedup {
         col("n_lines"), col("n_removed"))
   }
 
+  /** Duplicate-SPAN detection (the signal behind suffix-array substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): hash every `spanN`-word window and count, per
+    * document, how many of its windows occur at least `minOccurrences`
+    * times corpus-wide (including intra-document repeats). A high
+    * `dup_span_fraction` marks boilerplate/templated text that exact and
+    * near-dup document matching both miss. Returns
+    * `(idCol, n_spans, n_dup_spans, dup_span_fraction)` for every
+    * document; docs shorter than `spanN` words report 0 spans.
+    *
+    * Scale shape: windows explode to |tokens| rows but carry only a
+    * 32-hex digest (never the span text) into the frequency groupBy, the
+    * digest-keyed join back is co-partitioned with it, and the per-doc
+    * rollup is one aggregate on the id. A corpus-hot span (the skew
+    * surface) concentrates join ROWS but its build side is a single
+    * count row, so the hash join streams — same discipline as
+    * [[dedupLines]]. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      spanN: Int = 10, minOccurrences: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("ws"))
+    val spans = base
+      .select(col("id"), col("ws"),
+        explode(when(size(col("ws")) >= spanN,
+            sequence(lit(0), size(col("ws")) - spanN))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"),
+        md5(concat_ws(" ", slice(col("ws"), col("i") + 1, lit(spanN))))
+          .as("h"))
+    val freq = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+    val perDoc = spans.join(freq, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= minOccurrences, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+    base.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_fraction",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6)))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), distinct, over an already-bound

@@ -60,4 +60,35 @@ object Profile {
         (expr(s"cast($valueCol AS bigint) div ${binWidth}L") * binWidth)
           .as("bucket_lo"))
       .agg(count(lit(1)).as("n"))
+
+  /** Exact-sum Pearson correlation per stratum over values quantized at
+    * 1e-6 — profiling "are these two measures related" without the
+    * nondeterminism of floating-point aggregation: a plain `corr()` sums
+    * doubles in partition order, so two runs of the SAME engine can
+    * disagree in the last ulps. Here each value becomes an integer
+    * (`round(v·1e6)` as DECIMAL), the five moment sums are EXACT decimal
+    * arithmetic (order-independent), and the closed-form r is computed
+    * once from those sums in double — identical on any engine, any
+    * partitioning, any cluster size. One partial-aggregated groupBy.
+    * Decimal(18) inputs bound the product sums at decimal(38): exact to
+    * ~1e37, far past any real corpus. */
+  def correlation(df: DataFrame, stratumCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def q(c: String) = round(col(c) * lit(1e6)).cast("decimal(18,0)")
+    val agg = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(stratumCol), q(xCol).as("xi"), q(yCol).as("yi"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("yi") * col("yi")).as("syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg.select(col(stratumCol), col("n"),
+      round(
+        (nd * d("sxy") - d("sx") * d("sy")) /
+          sqrt(nd * d("sxx") - d("sx") * d("sx")) /
+          sqrt(nd * d("syy") - d("sy") * d("sy")), 6).as("r"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — the "find training docs
+  * about X" query a curation pipeline runs constantly (topic-targeted
+  * sampling, eval-set mining, contamination triage).
+  *
+  * Scale shape: tokens are filtered to the query terms BEFORE any
+  * shuffle, so the aggregate that follows sees |matching tokens| rows,
+  * not |corpus tokens|. Document frequencies are a |terms|-row side
+  * that broadcasts; the final top-k is a distributed TakeOrdered, not a
+  * global sort.
+  *
+  * Determinism: BM25 needs idf, which is conventionally a log — but a
+  * log computed by two engines can differ in the last ulp. We use the
+  * rational idf variant `(N - df + 0.5) / (df + 0.5)` (the argument of
+  * the standard log-idf): every per-term score is then a chain of
+  * IEEE-754 +,-,*,/ on identical inputs, which both engines round
+  * identically. Per-term scores are integer-ized at 1e-6
+  * (`score_micro`), and per-document totals are exact BIGINT sums —
+  * order-independent, so the ranking is bit-reproducible anywhere.
+  */
+object Retrieval {
+
+  /** BM25 top-k: the `k` highest-scoring documents for a bag of query
+    * terms. Standard parameters `k1` (term-frequency saturation) and
+    * `b` (length normalization). Documents matching no term are not
+    * candidates (retrieval semantics). Emits
+    * `(idCol, n_terms, score_micro, rank)`. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val stats = base.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select("n_docs", "avgdl")
+    val qtf = base
+      .select(col("id"), col("dl"), explode(col("ws")).as("w"))
+      .where(col("w").isin(queryTerms: _*))
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy("w").agg(countDistinct(col("id")).as("df_t"))
+    // Per-(doc, term) score — pure rational double arithmetic, then
+    // integer-ized so the cross-term sum is exact and order-free.
+    val scored = qtf
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_t",
+        (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("micro", round(col("score_t") * lit(1e6)).cast("long"))
+    val perDoc = scored.groupBy("id")
+      .agg(countDistinct(col("w")).as("n_terms"),
+        sum(col("micro")).as("score_micro"))
+    // TakeOrderedAndProject does the distributed top-k; the rank window
+    // then runs over k rows only.
+    val topk = perDoc
+      .orderBy(col("score_micro").desc, col("id").asc).limit(k)
+    topk.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("id").asc)))
+      .select(col("id").as(idCol), col("n_terms"), col("score_micro"),
+        col("rank"))
+  }
+}

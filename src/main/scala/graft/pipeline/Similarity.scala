@@ -203,4 +203,35 @@ object Similarity {
         concat_ws(",", col("q")).as("q_csv"),
         round(col("max_abs_err"), 6).as("max_abs_err"))
   }
+
+  /** Bucketed k-NN GRAPH over the whole corpus (each vector's k nearest
+    * neighbors within its IVF bucket) — the input to SemDeDup-style
+    * semantic curation, graph-based diversity sampling, and kNN
+    * classification. Unlike [[ivfTopK]] (whose query side broadcasts),
+    * BOTH sides here are the corpus, so the physical shape is a bucketed
+    * self-join: assign buckets once (narrow, broadcast centroids), then
+    * equi-join on the bucket key — per-task work is bucket², total work
+    * ≈ n²/nCentroids, and nothing corpus-sized is ever broadcast or
+    * driver-collected. Pick nCentroids ~ √(n/target_bucket) at scale.
+    * Emits `(src_id, dst_id, rank)`, rank 1..k by cosine within the
+    * shared bucket (approximate by construction: cross-bucket neighbors
+    * are unseen — the standard IVF recall trade). */
+  def knnGraphIvf(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, nCentroids: Int, dim: Int = 0): DataFrame = {
+    val cents = centroids(corpus, vecCol, idCol, nCentroids)
+    val norm = normalized(corpus, vecCol, "v").select(col(idCol), col("v"))
+    val bucketed = assignBuckets(norm, cents, idCol, dim)
+    val left = bucketed.select(col("bucket"), col(idCol).as("src_id"),
+      col("v").as("sv"))
+    val right = bucketed.select(col("bucket"), col(idCol).as("dst_id"),
+      col("v").as("dv"))
+    val scored = left.join(right, "bucket")
+      .where(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        pairDot(dim)(col("sv"), col("dv")).as("cos"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("dst_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("rank"))
+  }
 }

@@ -259,4 +259,24 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(r => nullIds(r._1) || !r._3),
       "distinct non-null texts never flag")
   }
+
+  test("deterministicShuffle: reproducible, dense positions, partition-stable") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val run1 = Curation.deterministicShuffle(df, "id", "seed1", 8)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val run2 = Curation.deterministicShuffle(df.repartition(13), "id", "seed1", 8)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(run1.sameElements(run2),
+      "same seed → identical shards/positions at any input partitioning")
+    assert(run1.length == 200 && run1.map(_._1).distinct.length == 200)
+    assert(run1.forall(r => r._2 >= 0 && r._2 < 8))
+    run1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        "positions are dense 1..n within each shard")
+    }
+    val run3 = Curation.deterministicShuffle(df, "id", "seed2", 8)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(!run1.sameElements(run3), "different seed → different permutation")
+  }
 }

@@ -314,4 +314,31 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("duplicateSpans: shared 10-word window flags in both docs") {
+    import spark.implicits._
+    val span = "a b c d e f g h i j"
+    val df = Seq(
+      (1L, s"$span x"),   // windows: [a..j], [b..j x]
+      (2L, s"z $span"),   // windows: [z a..i], [a..j]
+      (3L, "too short")   // < 10 words → zero spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "text", "doc_id", spanN = 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)), "one of two windows is corpus-dup")
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((0L, 0L, 0.0)), "short doc reports zero, not missing")
+  }
+
+  test("duplicateSpans: intra-document repetition counts as duplication") {
+    import spark.implicits._
+    val span = "a b c d e f g h i j"
+    // 20 words: windows at i=0 and i=10 are both `span` → occ=2
+    val df = Seq((1L, s"$span $span")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "text", "doc_id", spanN = 10)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._2 == 11L, "20 words → 11 windows")
+    assert(got._3 == 2L, "both copies of the repeated span flag")
+  }
 }

@@ -28,4 +28,23 @@ class ProfileSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 2L), ("a", 200L, 2L), ("a", 400L, 1L),
       ("b", 200L, 1L)))
   }
+
+  test("correlation: exact-sum Pearson r, NULLs excluded") {
+    val df = Seq(
+      ("lin", Some(1.0), Some(2.0)), ("lin", Some(2.0), Some(4.0)),
+      ("lin", Some(3.0), Some(6.0)),
+      ("anti", Some(1.0), Some(3.0)), ("anti", Some(2.0), Some(2.0)),
+      ("anti", Some(3.0), Some(1.0)),
+      // Pearson((1,2,3),(1,3,2)) = 0.5 by hand
+      ("half", Some(1.0), Some(1.0)), ("half", Some(2.0), Some(3.0)),
+      ("half", Some(3.0), Some(2.0)),
+      ("half", Option.empty[Double], Some(9.0))
+    ).toDF("k", "x", "y")
+    val got = Profile.correlation(df, "k", "x", "y")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("lin") == ((3L, 1.0)))
+    assert(got("anti") == ((3L, -1.0)))
+    assert(got("half") == ((3L, 0.5)), "NULL x row drops from n and sums")
+  }
 }

@@ -106,4 +106,27 @@ class SimilaritySpec extends SparkSpec {
     assert(err <= 1.0 / 127 / 2 + 1e-9, s"max error within half a step: $err")
     assert(got(1L) == ((0.0, "0,0,0", 0.0)), "all-zero vector is safe")
   }
+
+  test("knnGraphIvf: neighbors stay in-bucket, ranked by cosine") {
+    import spark.implicits._
+    // Two orthogonal clusters; centroids = ids 0,1 (lowest ids) land one
+    // in each, so the bucketed self-join partitions the graph cleanly.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnGraphIvf(df, "embedding", "vec_id",
+        k = 2, nCentroids = 2, dim = 2)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val xCluster = Set(0L, 2L, 4L)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(xCluster.forall(s => got(s).forall(xCluster - s)),
+      "x-cluster neighbors never cross buckets")
+    assert(got(1L) == Seq(3L) && got(3L) == Seq(1L),
+      "2-vector bucket yields a single mutual neighbor")
+    // cos(2,4)=cos of (0.9,0.1)·(0.8,0.2) normalized > cos(2,0)? dot
+    // ordering: (2,0): .9/.905≈.9945, (2,4): (.72+.02)/(.905·.8246)≈.9915
+    assert(got(2L) == Seq(0L, 4L), "rank follows cosine, not id")
+  }
 }
