@@ -208,30 +208,73 @@ object Similarity {
     * neighbors within its IVF bucket) — the input to SemDeDup-style
     * semantic curation, graph-based diversity sampling, and kNN
     * classification. Unlike [[ivfTopK]] (whose query side broadcasts),
-    * BOTH sides here are the corpus, so the physical shape is a bucketed
-    * self-join: assign buckets once (narrow, broadcast centroids), then
-    * equi-join on the bucket key — per-task work is bucket², total work
-    * ≈ n²/nCentroids, and nothing corpus-sized is ever broadcast or
-    * driver-collected. Pick nCentroids ~ √(n/target_bucket) at scale.
-    * Emits `(src_id, dst_id, rank)`, rank 1..k by cosine within the
-    * shared bucket (approximate by construction: cross-bucket neighbors
-    * are unseen — the standard IVF recall trade). */
+    * BOTH sides here are the corpus, so the shape is: assign buckets
+    * once (narrow, broadcast centroids), shuffle by bucket, then a
+    * per-bucket primitive-array kernel computes the bucket² dots and a
+    * bounded heap keeps each source's top-k — per-task memory is one
+    * bucket of vectors (n/nCentroids × dim), per-task output n/k × k
+    * rows, and nothing corpus-sized is ever broadcast or
+    * driver-collected. Pick nCentroids ~ √(n/target_bucket) at scale;
+    * parallelism is nCentroids tasks (the IVF contract).
+    *
+    * Why a kernel and not a relational self-join + rank window: the
+    * join shape was built and MEASURED first — with the `dim`-unrolled
+    * dot the whole-stage-codegen'd pair projection generates a method
+    * too large for the JIT (500k pairs → 12 s warm at sf0.1; disabling
+    * codegen: 4 s; this kernel: <1 s). Same finding and fix as
+    * [[graft.pipeline.Dedup.embeddingNearDups]]'s pair loop. The
+    * kernel's sequential dot is bit-identical to the unrolled
+    * left-associated sum, so scores — and ranks — are unchanged.
+    *
+    * Emits `(src_id, dst_id, rank)`, rank 1..k by (cosine desc, dst
+    * asc) within the shared bucket (approximate by construction:
+    * cross-bucket neighbors are unseen — the standard IVF recall
+    * trade). Singleton buckets emit nothing for their member. */
   def knnGraphIvf(corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, nCentroids: Int, dim: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents = centroids(corpus, vecCol, idCol, nCentroids)
     val norm = normalized(corpus, vecCol, "v").select(col(idCol), col("v"))
-    val bucketed = assignBuckets(norm, cents, idCol, dim)
-    val left = bucketed.select(col("bucket"), col(idCol).as("src_id"),
-      col("v").as("sv"))
-    val right = bucketed.select(col("bucket"), col(idCol).as("dst_id"),
-      col("v").as("dv"))
-    val scored = left.join(right, "bucket")
-      .where(col("src_id") =!= col("dst_id"))
-      .select(col("src_id"), col("dst_id"),
-        pairDot(dim)(col("sv"), col("dv")).as("cos"))
-    val w = Window.partitionBy("src_id")
-      .orderBy(col("cos").desc, col("dst_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("src_id"), col("dst_id"), col("rank"))
+    val asg = assignBuckets(norm, cents, idCol, dim)
+    val ds = asg.select(col("bucket").cast("long").as("bucket"),
+        col(idCol).cast("long").as("id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+    ds.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val vecs = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val n = vecs.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      // worst candidate at the heap head: lower cos, then HIGHER dst id
+      val worstFirst = new java.util.Comparator[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      }
+      var i = 0
+      while (i < n) {
+        val (src, xs) = vecs(i)
+        val top = new java.util.PriorityQueue[(Double, Long)](k + 1, worstFirst)
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val (dst, ys) = vecs(j)
+            var s = 0.0
+            var m = 0
+            while (m < xs.length) { s += xs(m) * ys(m); m += 1 }
+            top.add((s, dst))
+            if (top.size > k) top.poll()
+          }
+          j += 1
+        }
+        val arr = new Array[(Double, Long)](top.size)
+        var q = top.size - 1
+        while (q >= 0) { arr(q) = top.poll(); q -= 1 }
+        var r = 0
+        while (r < arr.length) { out += ((src, arr(r)._2, r + 1)); r += 1 }
+        i += 1
+      }
+      out.iterator
+    }.toDF("src_id", "dst_id", "rank")
   }
 }
