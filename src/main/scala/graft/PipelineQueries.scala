@@ -1,7 +1,7 @@
 package graft
 
 import graft.cdc.ChangeFeed
-import graft.pipeline.{Classifier, Curation, Dedup, Incremental, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classifier, Curation, Dedup, Incremental, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Queries.Q
@@ -981,6 +981,41 @@ object PipelineQueries {
         |       row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
         |         AS pos
         |FROM s""".stripMargin)),
+    // PMI collocation mining: rational pmi_ratio from exact integer
+    // products (decimal² in Spark, HUGEINT in DuckDB) — identical
+    // doubles on both engines.
+    Q("text_collocations",
+      (s, d) => TextAnalysis.collocations(docs(s, d), "text", "doc_id",
+        minCount = 5L),
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              w -> len(w) > 0) AS ws FROM documents),
+        |t AS (SELECT unnest(ws) AS w FROM d),
+        |uni AS (SELECT w, count(*) AS c_uni FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_tokens FROM t),
+        |bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+        |                      for i in generate_series(1, len(ws) - 1)],
+        |                     recursive := true)
+        |       FROM d WHERE len(ws) >= 2),
+        |p AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY 1, 2
+        |      HAVING count(*) >= 5)
+        |SELECT w1, w2, c_pair,
+        |  round((p.c_pair::HUGEINT * n.n_tokens)::DOUBLE /
+        |        (u1.c_uni::HUGEINT * u2.c_uni)::DOUBLE, 6) AS pmi_ratio
+        |FROM p JOIN uni u1 ON u1.w = p.w1
+        |       JOIN uni u2 ON u2.w = p.w2, n""".stripMargin)),
+    // BPE tokenizer: train 20 merges on the corpus type table (driver
+    // loop over a vocabulary-sized aggregate, like k-means centroids),
+    // tokenize with the learned merges. Iterative-to-fixpoint — no SQL
+    // re-expression exists, so this entry is rows-only; correctness is
+    // spec-carried (hand-computed merges + invariants).
+    Q("text_bpe_tokenize",
+      (s, d) => {
+        val dd = docs(s, d)
+        val merges = Bpe.train(dd, "text", nMerges = 20)
+        Bpe.tokenize(dd, "text", "doc_id", merges)
+      },
+      None),
     // Exact-sum Pearson r per returnflag over 1e-6-quantized values.
     Q("a_corr",
       (s, d) => graft.pipeline.Profile.correlation(

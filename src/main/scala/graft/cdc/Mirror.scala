@@ -48,6 +48,60 @@ object Mirror {
         col("record"), col("commit_timestamp"))
   }
 
+  /** STREAMING twin of [[fromWal]]: maintain the mirror incrementally
+    * across micro-batches with keyed state — each batch emits only the
+    * keys it touched, as `(pk, op UPSERT|DELETE, seq, record,
+    * commit_timestamp)` rows (Update output mode; the consumer applies
+    * them to its store idempotently by (pk, seq)). State per key is the
+    * latest (seq, tombstone, record) — live-key-count-sized, the same
+    * asymptote as the batch mirror's output.
+    *
+    * Ordering: events WITHIN a batch fold in `orderCol` order; an event
+    * at or below the key's applied seq (replays, cross-batch overlap)
+    * is dropped — so at-least-once upstream delivery yields an
+    * exactly-once mirror. TRUNCATE is a cross-key control event that
+    * keyed state cannot see globally; route truncates to a control
+    * stream that resets the sink (documented non-goal here, matching
+    * the reference's truncate-as-broadcast-notification semantics). */
+  def streamUpserts(decoded: DataFrame, pkCol: String,
+      orderCol: String = "seq"): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = decoded
+      .withColumn("_pk", pkOf(pkCol))
+      .where(col("_pk").isNotNull &&
+        col("message").isin("INSERT", "UPDATE", "DELETE"))
+      .select(col("_pk").as("pk"), col("message"),
+        col(orderCol).cast("long").as("seq"), col("record"),
+        col("commit_timestamp").cast("string").as("ts"))
+      .as[(String, String, Long, Map[String, String], String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (pk: String,
+         events: Iterator[(String, String, Long, Map[String, String], String)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           (Long, Boolean, Map[String, String], String)]) =>
+          var st = state.getOption
+            .getOrElse((Long.MinValue, true, Map.empty[String, String], ""))
+          var changed = false
+          events.toSeq.sortBy(_._3).foreach { case (_, msg, seq, rec, ts) =>
+            if (seq > st._1) {
+              val del = msg == "DELETE"
+              st = (seq, del, if (del) Map.empty[String, String] else rec, ts)
+              changed = true
+            }
+          }
+          if (changed) {
+            state.update(st)
+            Iterator.single(
+              (pk, if (st._2) "DELETE" else "UPSERT", st._1, st._3, st._4))
+          } else Iterator.empty
+      }
+      .toDF("pk", "op", "seq", "record", "commit_timestamp")
+  }
+
   /** SCD-type-2 history from the same change stream: every INSERT/UPDATE
     * becomes a version row valid from its commit timestamp until the
     * key's NEXT change (of any kind — a DELETE closes the last version

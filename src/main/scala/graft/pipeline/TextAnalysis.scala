@@ -225,4 +225,49 @@ object TextAnalysis {
         when(col("n_tokens") === 0, 0.0)
           .otherwise(col("n_oov").cast("double") / col("n_tokens")))
   }
+
+  /** PMI collocation mining: adjacent word pairs whose co-occurrence is
+    * improbably high given their unigram frequencies — multiword
+    * expressions ("new york", "machine learning") that tokenization and
+    * dedup pipelines treat as units. Emits
+    * `(w1, w2, c_pair, pmi_ratio)` for pairs seen ≥ `minCount` times,
+    * where `pmi_ratio = c(w1,w2)·N / (c(w1)·c(w2))` — the PMI's
+    * argument, kept rational instead of logged: it ranks identically
+    * (log is monotone) and every engine computes the identical double
+    * from exact integer products. Products go through decimal(18)² →
+    * decimal(37) so they are exact far past BIGINT range.
+    *
+    * Scale shape: bigram extraction is a narrow zip of two array
+    * slices; the pair aggregate shuffles (w1, w2) keys with map-side
+    * combine; unigram counts are vocabulary-sized and broadcast back.
+    * The `minCount` filter applies BEFORE the unigram joins, so the
+    * joined row count is the (tiny) surviving-pair set. */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val base = df.select(col(idCol),
+      filter(words(col(textCol)), w => length(w) > 0).as("ws"))
+    val toks = base.select(explode(col("ws")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val nTotal = toks.agg(count(lit(1)).as("n_tokens"))
+    val bigrams = base
+      .where(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_pair"))
+      .where(col("c_pair") >= minCount)
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_uni").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_uni").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        round((d18(col("c_pair")) * d18(col("n_tokens"))).cast("double") /
+          (d18(col("c1")) * d18(col("c2"))).cast("double"), 6)
+          .as("pmi_ratio"))
+  }
 }

@@ -99,6 +99,41 @@ class MirrorSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("streamUpserts: keyed mirror across micro-batches, replay-immune") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[WalChange](spark)
+    val q = Mirror.streamUpserts(input.toDF(), "id")
+      .writeStream.format("memory").queryName("mirror_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),
+        ch(2, "UPDATE", Map("id" -> "1", "v" -> "b")),
+        ch(3, "INSERT", Map("id" -> "2", "v" -> "x")))
+      q.processAllAvailable()
+      val b1 = spark.table("mirror_out")
+        .select("pk", "op", "seq").as[(String, String, Long)].collect().toSet
+      assert(b1 == Set(("1", "UPSERT", 2L), ("2", "UPSERT", 3L)),
+        "one row per touched key, folded in-batch")
+      // batch 2: delete k2, replay k1's seq 2 (must be ignored)
+      input.addData(
+        ch(4, "DELETE", null, Map("id" -> "2")),
+        ch(2, "UPDATE", Map("id" -> "1", "v" -> "stale")))
+      q.processAllAvailable()
+      val all = spark.table("mirror_out")
+        .select("pk", "op", "seq").as[(String, String, Long)].collect()
+      assert(all.count(_._1 == "2") == 2 &&
+        all.contains(("2", "DELETE", 4L)), "tombstone emitted for k2")
+      assert(all.count(_._1 == "1") == 1, "replayed seq produced no row")
+      // batch 3: re-insert after delete
+      input.addData(ch(5, "INSERT", Map("id" -> "2", "v" -> "z")))
+      q.processAllAvailable()
+      val last = spark.table("mirror_out")
+        .select("pk", "op", "seq").as[(String, String, Long)].collect()
+      assert(last.contains(("2", "UPSERT", 5L)))
+    } finally q.stop()
+  }
+
   test("incremental re-compaction equals full compaction") {
     // a checkpointed mirror re-enters the same path as INSERT-shaped
     // changes at its materialization seq — compacting (mirror(half1) ∪

@@ -143,4 +143,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._3 > 0.7 && row._3 < 1.0)
     assert(row._4 == 0.25) // "the" of 4 tokens
   }
+
+  test("collocations: pmi ratio from exact counts, minCount gates") {
+    import spark.implicits._
+    // "new york" ×3 adjacent; "of the" ×2; singles elsewhere.
+    val df = Seq(
+      (1L, "new york new york new york of the"),
+      (2L, "of the city of new haven")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "text", "doc_id", minCount = 2L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // tokens: doc1 = 8, doc2 = 6 → N_tokens=14; bigrams within docs.
+    // c(new york)=3, c(new)=4, c(york)=3 → ratio = 3*14/(4*3) = 3.5
+    assert(got(("new", "york")) == ((3L, 3.5)))
+    // c(of the)=2, c(of)=3, c(the)=2 → 2*14/6 = 4.666667
+    assert(got(("of", "the")) == ((2L, 4.666667)))
+    // (york,new) bridges repeats: c=2, ratio = 2*14/(3*4) = 2.333333
+    assert(got(("york", "new")) == ((2L, 2.333333)))
+    assert(!got.contains(("the", "city")), "count-1 pairs gated out")
+  }
 }
