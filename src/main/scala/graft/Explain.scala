@@ -17,7 +17,9 @@ object Explain {
         "s1_wal2json_decode", "curation_sample", "curation_pack",
         "curation_contamination", "text_repetition", "text_gopher_filter",
         "j_asof_enrich", "j_range_windows", "dedup_incremental",
-        "dedup_semantic", "curation_take_n", "text_oov_rate")
+        "dedup_semantic", "curation_take_n", "text_oov_rate",
+        "text_bm25", "text_collocations", "text_nb_classifier",
+        "dedup_spans", "sim_knn_graph", "curation_shuffle", "a_corr")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
