@@ -968,6 +968,45 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY src_id
         |           ORDER BY cos DESC, dst_id ASC) AS rank
         |  FROM sc) WHERE rank <= 5""".stripMargin)),
+    // Hard-negative mining: cross-source neighbors from the in-bucket
+    // kNN shortlist (shortlist=10 → top-5 survivors per src).
+    Q("sim_hard_negatives",
+      (s, d) => Similarity.hardNegatives(emb(s, d), docs(s, d),
+        "embedding", "vec_id", "doc_id", "source",
+        k = 5, shortlist = 10, nCentroids = 8, dim = 64),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+        |      WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv)
+        |             /sqrt(list_dot_product(e.v, e.v))
+        |             /sqrt(list_dot_product(c.centv, c.centv)) DESC,
+        |           c.centroid_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |sc AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+        |       list_dot_product(a.v, b.v)
+        |         /sqrt(list_dot_product(a.v, a.v))
+        |         /sqrt(list_dot_product(b.v, b.v)) AS cos
+        |       FROM asg a JOIN asg b
+        |         ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        |shortlist AS (SELECT src_id, dst_id, rank FROM (
+        |  SELECT src_id, dst_id,
+        |         row_number() OVER (PARTITION BY src_id
+        |           ORDER BY cos DESC, dst_id ASC) AS rank
+        |  FROM sc) WHERE rank <= 10),
+        |xg AS (SELECT s.src_id, s.dst_id, s.rank
+        |       FROM shortlist s
+        |       JOIN documents d1 ON d1.doc_id = s.src_id
+        |       JOIN documents d2 ON d2.doc_id = s.dst_id
+        |       WHERE d1.source != d2.source)
+        |SELECT src_id, dst_id, neg_rank FROM (
+        |  SELECT src_id, dst_id,
+        |         row_number() OVER (PARTITION BY src_id
+        |           ORDER BY rank ASC) AS neg_rank
+        |  FROM xg) WHERE neg_rank <= 5""".stripMargin)),
     // Deterministic export shuffle: md5-derived shard + in-shard rank.
     Q("curation_shuffle",
       (s, d) => Curation.deterministicShuffle(docs(s, d), "doc_id",

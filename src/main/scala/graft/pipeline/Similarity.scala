@@ -277,4 +277,36 @@ object Similarity {
       out.iterator
     }.toDF("src_id", "dst_id", "rank")
   }
+
+  /** Hard-negative mining for contrastive training: for each vector,
+    * the `k` most similar vectors that belong to a DIFFERENT group
+    * (source, domain, language — whatever `groupCol` encodes). The
+    * standard shortlist approximation: take the in-bucket kNN shortlist
+    * (`shortlist` ≥ k), drop same-group neighbors, keep the top `k`
+    * survivors — negatives beyond the shortlist are by definition less
+    * hard, so the truncation is the accepted trade (mirrors "mine
+    * negatives from the ANN top-k" practice).
+    *
+    * Scale shape: [[knnGraphIvf]]'s kernel does the heavy work; the
+    * group metadata joins are id-keyed shuffles of the (n·shortlist)
+    * edge list against the metadata table — NOTHING corpus-sized is
+    * broadcast (metadata is corpus-cardinality). Re-ranking reuses the
+    * shortlist rank, so no new score computation happens. */
+  def hardNegatives(corpus: DataFrame, meta: DataFrame,
+      vecCol: String, idCol: String, metaIdCol: String, groupCol: String,
+      k: Int, shortlist: Int, nCentroids: Int, dim: Int = 0): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val g = knnGraphIvf(corpus, vecCol, idCol, shortlist, nCentroids, dim)
+    val srcMeta = meta.select(col(metaIdCol).cast("long").as("src_id"),
+      col(groupCol).as("_src_g"))
+    val dstMeta = meta.select(col(metaIdCol).cast("long").as("dst_id"),
+      col(groupCol).as("_dst_g"))
+    val w = Window.partitionBy("src_id").orderBy(col("rank").asc)
+    g.join(srcMeta, "src_id")
+      .join(dstMeta, "dst_id")
+      .where(col("_src_g") =!= col("_dst_g"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("neg_rank"))
+  }
 }

@@ -134,6 +134,38 @@ class MirrorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wal2json stream → streaming mirror, end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def row(seq: Long, action: String, id: String, v: String): (Long, String) = {
+      val cols = s"""[{"name":"id","type":"text","typeoid":25,"value":"$id"},
+        |{"name":"v","type":"text","typeoid":25,"value":"$v"}]""".stripMargin
+        .replace("\n", "")
+      val body = action match {
+        case "D" => s""""identity":$cols"""
+        case _   => s""""columns":$cols"""
+      }
+      (seq, s"""{"action":"$action","schema":"public","table":"t",
+        |"timestamp":"2024-01-01 00:00:00+00",$body}""".stripMargin
+        .replace("\n", ""))
+    }
+    val input = MemoryStream[(Long, String)](spark)
+    val decoded = Wal2Json.decodeChanges(
+      input.toDF().toDF("seq", "json"), "json", "seq").toDF()
+    val q = Mirror.streamUpserts(decoded, "id")
+      .writeStream.format("memory").queryName("w2j_mirror")
+      .outputMode("update").start()
+    try {
+      input.addData(row(1, "I", "k1", "a"), row(2, "U", "k1", "b"))
+      q.processAllAvailable()
+      input.addData(row(3, "D", "k1", "b"))
+      q.processAllAvailable()
+      val got = spark.table("w2j_mirror")
+        .select("pk", "op", "seq").as[(String, String, Long)].collect().toSet
+      assert(got == Set(("k1", "UPSERT", 2L), ("k1", "DELETE", 3L)),
+        "decoded wal2json rows drive the keyed mirror state")
+    } finally q.stop()
+  }
+
   test("incremental re-compaction equals full compaction") {
     // a checkpointed mirror re-enters the same path as INSERT-shaped
     // changes at its materialization seq — compacting (mirror(half1) ∪

@@ -39,4 +39,57 @@ class ClassifierSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().head
     assert(got._3 == -693147L - 3 * 287682L)
   }
+
+  test("naive bayes: randomized differential vs single-threaded reference") {
+    // Deterministic-seed random corpora; the reference implementation
+    // mirrors the operator's integer-ized arithmetic exactly (HALF_UP
+    // micros via BigDecimal — math.round would differ on negative .5).
+    def micro(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def toks(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    def referenceNb(train: Seq[(String, String)], test: Seq[(Long, String)])
+        : Map[Long, (String, Long)] = {
+      val trainToks = train.flatMap { case (t, l) => toks(t).map((l, _)) }
+      val ct = trainToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tot = trainToks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = trainToks.map(_._2).distinct.size.toLong
+      val nd = train.size.toLong
+      val ndc = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val labels = ndc.keys.toSeq.sorted
+      test.map { case (id, t) =>
+        val scores = labels.map { c =>
+          val prior = micro(math.log(ndc(c).toDouble / nd))
+          val tokSum = toks(t).groupBy(identity).map { case (w, ws) =>
+            val lp = ct.get((c, w))
+              .map(cnt => micro(math.log((cnt + 1.0) / (tot(c) + v))))
+              .getOrElse(micro(math.log(1.0 / (tot(c) + v))))
+            ws.size.toLong * lp
+          }.sum
+          c -> (prior + tokSum)
+        }
+        val best = scores.maxBy { case (c, s) => (s, c) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+        id -> best
+      }.toMap
+    }
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val labels = Vector("L1", "L2", "L3")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def text(max: Int) =
+        Seq.fill(rnd.nextInt(max))(alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" ")
+      val train = Seq.fill(30)((text(12), labels(rnd.nextInt(labels.size))))
+      val test = (1L to 20L).map(i => (i, text(8)))
+      val want = referenceNb(train, test)
+      val got = Classifier.naiveBayes(
+        train.toDF("text", "label"), test.toDF("doc_id", "text"),
+        "text", "doc_id", "label")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, s"differential mismatch at seed=$seed")
+    }
+  }
 }

@@ -129,4 +129,22 @@ class SimilaritySpec extends SparkSpec {
     // ordering: (2,0): .9/.905≈.9945, (2,4): (.72+.02)/(.905·.8246)≈.9915
     assert(got(2L) == Seq(0L, 4L), "rank follows cosine, not id")
   }
+
+  test("hardNegatives: same-group shortlist entries are skipped") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    // x-cluster {0,2,4}: 0 and 2 share a group, 4 differs → 0's hardest
+    // cross-group neighbor is 4 even though 2 is nearer.
+    val meta = Seq((0L, "g1"), (1L, "g1"), (2L, "g1"), (3L, "g2"),
+      (4L, "g2")).toDF("doc_id", "source")
+    val got = Similarity.hardNegatives(emb, meta, "embedding", "vec_id",
+        "doc_id", "source", k = 1, shortlist = 2, nCentroids = 2, dim = 2)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(0L -> 4L, 2L -> 4L, 4L -> 2L, 1L -> 3L, 3L -> 1L),
+      "same-group neighbors skipped; cross-group pairs kept both ways")
+  }
 }
