@@ -1055,6 +1055,24 @@ object PipelineQueries {
         Bpe.tokenize(dd, "text", "doc_id", merges)
       },
       None),
+    // Temperature (α=0.5) source mixing: sqrt-tempered weights,
+    // integer-ized so Σw is exact; rates identical on both engines.
+    Q("curation_temperature_mix",
+      (s, d) => Curation.temperatureMixRates(docs(s, d), "source", "text",
+        tokenBudget = 30000L),
+      Some("""WITH s AS (SELECT source,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |      FROM s GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |      CAST(round(sqrt(n_tokens) * 1000000.0::DOUBLE) AS BIGINT)
+        |        AS w_micro FROM a),
+        |t AS (SELECT sum(w_micro) AS w_total FROM w)
+        |SELECT source, n_tokens,
+        |  round(least(1.0::DOUBLE,
+        |    w_micro::DOUBLE / w_total * 30000 / n_tokens), 6) AS rate
+        |FROM w, t""".stripMargin)),
     // Exact-sum Pearson r per returnflag over 1e-6-quantized values.
     Q("a_corr",
       (s, d) => graft.pipeline.Profile.correlation(

@@ -255,6 +255,39 @@ object Curation {
       s -> (if (toks <= 0) 0.0 else math.min(1.0, want / toks))
     }
 
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * α-sampling rule: weight(s) ∝ tokens(s)^α, α < 1 upweights
+    * low-resource sources): per-source sampling rates hitting a total
+    * token budget under the tempered distribution,
+    * `rate(s) = min(1, q(s)·budget / tokens(s))` with
+    * `q(s) = w(s)/Σw`. One source-keyed aggregate (source-cardinality
+    * output), weights integer-ized at 1e-6 so Σw is an exact BIGINT —
+    * the rates are identical on any engine or partitioning. α = 0.5
+    * (the default) evaluates via `sqrt`, which IEEE requires correctly
+    * rounded — bit-exact everywhere; other α go through `pow`, where
+    * the last ulp is only conventionally identical (fine at the 1e-6
+    * rounding grain). Feed the result into [[stratifiedSample]] for the
+    * actual (narrow, reproducible) row selection. */
+  def temperatureMixRates(df: DataFrame, sourceCol: String,
+      textCol: String, tokenBudget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    val agg = df
+      .select(col(sourceCol),
+        TextAnalysis.tokenCount(col(textCol)).as("toks"))
+      .groupBy(sourceCol).agg(sum(col("toks")).as("n_tokens"))
+    val weight =
+      if (alpha == 0.5) sqrt(col("n_tokens"))
+      else pow(col("n_tokens"), lit(alpha))
+    val weighted = agg.withColumn("w_micro",
+      round(weight * lit(1e6)).cast("long"))
+    val tot = weighted.agg(sum(col("w_micro")).as("w_total"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_tokens"),
+        round(least(lit(1.0),
+          col("w_micro").cast("double") / col("w_total") *
+            tokenBudget / col("n_tokens")), 6).as("rate"))
+  }
+
   /** Exact top-k tokens with a deterministic tie-break (count desc, token
     * asc) — the honest version of heavy hitters when the vocabulary fits
     * a shuffle (it does: token vocabulary is data-independent-ish and

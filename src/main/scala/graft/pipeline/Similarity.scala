@@ -230,52 +230,112 @@ object Similarity {
     * asc) within the shared bucket (approximate by construction:
     * cross-bucket neighbors are unseen — the standard IVF recall
     * trade). Singleton buckets emit nothing for their member. */
+  /** Bounded top-k heap shared by the kNN kernels: keeps the k best
+    * (cos desc, dst asc) candidates; head is the current worst. */
+  private def worstFirst = new java.util.Comparator[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    }
+  }
+
+  private def topKInto(
+      top: java.util.PriorityQueue[(Double, Long)], k: Int,
+      srcId: Long, xs: Array[Double],
+      cands: Array[(Long, Array[Double])]): Unit = {
+    var j = 0
+    while (j < cands.length) {
+      val (dst, ys) = cands(j)
+      if (dst != srcId) {
+        var s = 0.0
+        var m = 0
+        while (m < xs.length) { s += xs(m) * ys(m); m += 1 }
+        top.add((s, dst))
+        if (top.size > k) top.poll()
+      }
+      j += 1
+    }
+  }
+
+  /** Drain a worst-first heap into best-first order. */
+  private def drain(top: java.util.PriorityQueue[(Double, Long)])
+      : Array[(Double, Long)] = {
+    val arr = new Array[(Double, Long)](top.size)
+    var q = top.size - 1
+    while (q >= 0) { arr(q) = top.poll(); q -= 1 }
+    arr
+  }
+
   def knnGraphIvf(corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, nCentroids: Int, dim: Int = 0): DataFrame = {
+      k: Int, nCentroids: Int, dim: Int = 0, nBlocks: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = centroids(corpus, vecCol, idCol, nCentroids)
     val norm = normalized(corpus, vecCol, "v").select(col(idCol), col("v"))
     val asg = assignBuckets(norm, cents, idCol, dim)
-    val ds = asg.select(col("bucket").cast("long").as("bucket"),
-        col(idCol).cast("long").as("id"), col("v"))
-      .as[(Long, Long, Array[Double])]
-    ds.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val vecs = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-      val n = vecs.length
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-      // worst candidate at the heap head: lower cos, then HIGHER dst id
-      val worstFirst = new java.util.Comparator[(Double, Long)] {
-        def compare(a: (Double, Long), b: (Double, Long)): Int = {
-          val c = java.lang.Double.compare(a._1, b._1)
-          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    if (nBlocks <= 1) {
+      // one task per bucket: full bucket² in a single kernel pass
+      val ds = asg.select(col("bucket").cast("long").as("bucket"),
+          col(idCol).cast("long").as("id"), col("v"))
+        .as[(Long, Long, Array[Double])]
+      ds.groupByKey(_._1).flatMapGroups { (_, it) =>
+        val vecs = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var i = 0
+        while (i < vecs.length) {
+          val (src, xs) = vecs(i)
+          val top = new java.util.PriorityQueue[(Double, Long)](k + 1,
+            worstFirst)
+          topKInto(top, k, src, xs, vecs)
+          val arr = drain(top)
+          var r = 0
+          while (r < arr.length) { out += ((src, arr(r)._2, r + 1)); r += 1 }
+          i += 1
         }
-      }
-      var i = 0
-      while (i < n) {
-        val (src, xs) = vecs(i)
-        val top = new java.util.PriorityQueue[(Double, Long)](k + 1, worstFirst)
-        var j = 0
-        while (j < n) {
-          if (j != i) {
-            val (dst, ys) = vecs(j)
-            var s = 0.0
-            var m = 0
-            while (m < xs.length) { s += xs(m) * ys(m); m += 1 }
-            top.add((s, dst))
-            if (top.size > k) top.poll()
-          }
-          j += 1
+        out.iterator
+      }.toDF("src_id", "dst_id", "rank")
+    } else {
+      // HOT-BUCKET GUARD: block grid WITHIN the bucket. A skewed
+      // assignment (one centroid owning a large slice of the corpus)
+      // would serialize that bucket's quadratic work into one task;
+      // splitting each bucket into nBlocks id-hash blocks makes the
+      // unit of work one (bucket, bi, bj) cell — nBlocks² cells per
+      // bucket, each bounded by (bucket/nBlocks)² — with a per-cell
+      // PARTIAL top-k (the same bounded heap) and a (src)-keyed merge
+      // whose input is k·nBlocks rows per source, never bucket-sized.
+      // Scores are the same sequential dots, so the merged graph is
+      // row-identical to the single-task path (spec-asserted).
+      val b = nBlocks
+      val blocks = asg
+        .select(col("bucket").cast("long").as("bucket"),
+          pmod(col(idCol).cast("long"), lit(b)).cast("int").as("blk"),
+          col(idCol).cast("long").as("id"), col("v"))
+        .groupBy("bucket", "blk")
+        .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2")))
+          .as("vecs"))
+      val cells = blocks
+        .select(col("bucket"), col("blk").as("bi"), col("vecs").as("va"))
+        .join(blocks.select(col("bucket"), col("blk").as("bj"),
+          col("vecs").as("vb")), Seq("bucket"))
+        .select(col("bi"), col("bj"), col("va"), col("vb"))
+        .as[(Int, Int,
+          Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
+      val partial = cells.flatMap { case (_, _, va, vb0) =>
+        val vb = vb0.sortBy(_._1)
+        va.iterator.flatMap { case (src, xs) =>
+          val top = new java.util.PriorityQueue[(Double, Long)](k + 1,
+            worstFirst)
+          topKInto(top, k, src, xs, vb)
+          drain(top).iterator.map { case (cos, dst) => (src, dst, cos) }
         }
-        val arr = new Array[(Double, Long)](top.size)
-        var q = top.size - 1
-        while (q >= 0) { arr(q) = top.poll(); q -= 1 }
-        var r = 0
-        while (r < arr.length) { out += ((src, arr(r)._2, r + 1)); r += 1 }
-        i += 1
-      }
-      out.iterator
-    }.toDF("src_id", "dst_id", "rank")
+      }.toDF("src_id", "dst_id", "cos")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src_id")
+        .orderBy(col("cos").desc, col("dst_id").asc)
+      partial.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("src_id"), col("dst_id"), col("rank"))
+    }
   }
 
   /** Hard-negative mining for contrastive training: for each vector,

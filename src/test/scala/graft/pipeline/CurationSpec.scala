@@ -279,4 +279,21 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(!run1.sameElements(run3), "different seed → different permutation")
   }
+
+  test("temperatureMixRates: sqrt tempering upweights small sources") {
+    import spark.implicits._
+    // s1: 100 tokens, s2: 400 tokens → w ∝ 10, 20 → q = 1/3, 2/3.
+    // budget 300: rate(s1) = min(1, 100/100) = 1.0; rate(s2) = 200/400.
+    val df = Seq(
+      ("s1", Array.fill(100)("t").mkString(" ")),
+      ("s2", Array.fill(400)("t").mkString(" "))).toDF("source", "text")
+    val got = Curation.temperatureMixRates(df, "source", "text", 300L)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("s1") == ((100L, 1.0)))
+    assert(got("s2") == ((400L, 0.5)))
+    // untempered proportional sampling would give both sources the
+    // SAME rate (300/500); sqrt tempering doubles s1's share density
+    assert(got("s1")._2 > got("s2")._2)
+  }
 }

@@ -147,4 +147,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(0L -> 4L, 2L -> 4L, 4L -> 2L, 1L -> 3L, 3L -> 1L),
       "same-group neighbors skipped; cross-group pairs kept both ways")
   }
+
+  test("knnGraphIvf: block-grid guard is row-identical to one-task path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 120L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.knnGraphIvf(emb, "embedding", "vec_id",
+        k = 4, nCentroids = 3, dim = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val grid = Similarity.knnGraphIvf(emb, "embedding", "vec_id",
+        k = 4, nCentroids = 3, dim = 8, nBlocks = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(grid == plain, "partial top-k merge reproduces the full kernel")
+  }
 }

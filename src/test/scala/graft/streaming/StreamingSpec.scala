@@ -53,6 +53,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows assemble on the stream; watermark closes them") {
+    val input = MemoryStream[Tick](spark)
+    val sessions = input.toDF().withWatermark("ts", "10 seconds")
+      .groupBy(col("k"), session_window(col("ts"), "30 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("session_window.start").cast("long").as("s"),
+        col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // one session of 2 events (gap 10 s < 30 s), then a 60 s gap
+      input.addData(
+        Tick("a", t("2024-01-01 00:00:00")),
+        Tick("a", t("2024-01-01 00:00:10")),
+        Tick("a", t("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions so append emits them
+      input.addData(Tick("b", t("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      input.addData(Tick("b", t("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .as[(String, Long, Long)].collect().toSet
+      val base = t("2024-01-01 00:00:00").getTime / 1000
+      assert(got.contains(("a", base, 2L)),
+        "two events 10 s apart fuse into one session")
+      assert(got.contains(("a", base + 70, 1L)),
+        "a 60 s gap starts a new session")
+    } finally q.stop()
+  }
+
   test("S7 roundtrip: rows appended to the log stream back out") {
     val dir = java.nio.file.Files.createTempDirectory("s7log").toString
     val mk = (id: Long, ts: String) => (id, "room", "{\"x\":1}", true,
