@@ -1073,6 +1073,19 @@ object PipelineQueries {
         |  round(least(1.0::DOUBLE,
         |    w_micro::DOUBLE / w_total * 30000 / n_tokens), 6) AS rate
         |FROM w, t""".stripMargin)),
+    // Robust stats: exact per-stratum median + MAD (two sort-based
+    // percentile passes; median table broadcasts back).
+    Q("a_robust_stats",
+      (s, d) => graft.pipeline.Profile.robustStats(
+        ChangeFeed.table(s, d, "lineitem"), "l_returnflag", "l_quantity"),
+      Some("""WITH v AS (SELECT l_returnflag, l_quantity::DOUBLE AS x
+        |           FROM lineitem WHERE l_quantity IS NOT NULL),
+        |m AS (SELECT l_returnflag, median(x) AS med FROM v GROUP BY 1),
+        |d AS (SELECT v.l_returnflag, m.med, abs(v.x - m.med) AS ad
+        |      FROM v JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(med), 4) AS median, round(median(ad), 4) AS mad
+        |FROM d GROUP BY 1""".stripMargin)),
     // Exact-sum Pearson r per returnflag over 1e-6-quantized values.
     Q("a_corr",
       (s, d) => graft.pipeline.Profile.correlation(

@@ -72,6 +72,32 @@ object Profile {
     * partitioning, any cluster size. One partial-aggregated groupBy.
     * Decimal(18) inputs bound the product sums at decimal(38): exact to
     * ~1e37, far past any real corpus. */
+  /** Robust per-stratum location/scale: exact median and MAD (median
+    * absolute deviation) — the outlier-resistant stats a pipeline uses
+    * to winsorize or flag anomalous feature values (mean/stddev move
+    * with the outliers they're supposed to catch; median/MAD don't).
+    *
+    * Two passes by construction (MAD needs the median first): each is
+    * one per-stratum sort-based percentile; the median table that joins
+    * back is stratum-cardinality and broadcasts. Values round at 1e-4
+    * against cross-engine interpolation ulps (same grain as
+    * [[quantiles]]); swap approx sketches per call site at TB-sized
+    * strata. */
+  def robustStats(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(stratumCol), col(valueCol).cast("double").as("_x"))
+    val med = vals.groupBy(col(stratumCol))
+      .agg(percentile(col("_x"), lit(0.5)).as("_med"))
+    vals.join(broadcast(med), stratumCol)
+      .select(col(stratumCol), col("_med"),
+        abs(col("_x") - col("_med")).as("_ad"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("_med")), 4).as("median"),
+        round(percentile(col("_ad"), lit(0.5)), 4).as("mad"))
+  }
+
   def correlation(df: DataFrame, stratumCol: String, xCol: String,
       yCol: String): DataFrame = {
     def q(c: String) = round(col(c) * lit(1e6)).cast("decimal(18,0)")

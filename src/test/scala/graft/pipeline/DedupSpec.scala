@@ -341,4 +341,33 @@ class DedupSpec extends SparkSpec {
     assert(got._2 == 11L, "20 words → 11 windows")
     assert(got._3 == 2L, "both copies of the repeated span flag")
   }
+
+  test("duplicateSpans: randomized differential vs reference counts") {
+    import spark.implicits._
+    val vocab = Vector("x", "y", "z")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(200 + seed)
+      val docs = (1L to 20L).map(i => (i,
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val spanN = 3
+      val windows = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          .sliding(spanN).filter(_.size == spanN).map(_.mkString(" ")).toSeq
+      }
+      val freq = windows.flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val want = windows.map { case (id, ws) =>
+        val dup = ws.count(freq(_) >= 2).toLong
+        val frac = if (ws.isEmpty) 0.0
+          else BigDecimal(dup.toDouble / ws.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, ws.size.toLong, dup, frac)
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "text",
+          "doc_id", spanN = spanN)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"differential mismatch at seed=$seed")
+    }
+  }
 }

@@ -38,4 +38,49 @@ class RetrievalSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got.forall(_._2 == 2), "both terms matched by top docs")
   }
+
+  test("bm25: randomized differential vs single-threaded reference") {
+    def micro(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def reference(docs: Seq[(Long, String)], terms: Seq[String], k: Int,
+        k1: Double, b: Double): Seq[(Long, Long, Long, Int)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      }
+      val n = docs.size.toLong
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+      val dfT = terms.map(t =>
+        t -> toks.count(_._2.contains(t)).toLong).toMap
+      val perDoc = toks.flatMap { case (id, ws) =>
+        val dl = ws.size.toLong
+        val matched = terms.filter(ws.contains)
+        if (matched.isEmpty) None
+        else {
+          val total = matched.map { t =>
+            val tf = ws.count(_ == t).toLong
+            val idf = (n - dfT(t) + 0.5) / (dfT(t) + 0.5)
+            micro(idf * (tf * (k1 + 1.0)) /
+              (tf + k1 * (1.0 - b + b * dl / avgdl)))
+          }.sum
+          Some((id, matched.size.toLong, total))
+        }
+      }
+      perDoc.sortBy { case (id, _, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, nt, s), i) => (id, nt, s, i + 1) }
+    }
+    val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val docs = (1L to 25L).map(i => (i,
+        Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val terms = Seq("w1", "w3")
+      val want = reference(docs, terms, 10, 1.2, 0.75)
+      val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "text",
+          "doc_id", terms, k = 10)
+        .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+      assert(got == want, s"differential mismatch at seed=$seed")
+    }
+  }
 }
