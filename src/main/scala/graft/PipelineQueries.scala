@@ -885,6 +885,40 @@ object PipelineQueries {
         |            ELSE round(pd.n_dup_spans::DOUBLE / pd.n_spans, 6)
         |       END AS dup_span_fraction
         |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin)),
+    // The substring-dedup TRANSFORM: tokens under any corpus-duplicated
+    // 10-word window removed, survivors reassembled in order.
+    Q("dedup_spans_removed",
+      (s, d) => Dedup.removeDuplicateSpans(docs(s, d), "text", "doc_id",
+        spanN = 10, minOccurrences = 2),
+      Some("""WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws FROM documents),
+        |sp AS (SELECT doc_id,
+        |       unnest([{'start': i,
+        |                'h': md5(array_to_string(ws[i+1:i+10], ' '))}
+        |               for i in generate_series(0, len(ws) - 10)],
+        |              recursive := true)
+        |       FROM w),
+        |f AS (SELECT h, count(*) AS occ FROM sp GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, start + d AS pos
+        |        FROM sp JOIN f USING (h), generate_series(0, 9) g(d)
+        |        WHERE occ >= 2),
+        |tok AS (SELECT doc_id,
+        |        unnest([{'pos': i - 1, 'w': ws[i]}
+        |                for i in generate_series(1, len(ws))],
+        |               recursive := true)
+        |        FROM w),
+        |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+        |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         WHERE c.pos IS NULL),
+        |re AS (SELECT doc_id,
+        |       array_to_string(list(w ORDER BY pos), ' ') AS clean_text,
+        |       count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT w.doc_id, coalesce(re.clean_text, '') AS clean_text,
+        |       CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       CAST(len(ws) - coalesce(re.n_kept, 0) AS BIGINT)
+        |         AS n_removed
+        |FROM w LEFT JOIN re USING (doc_id)""".stripMargin)),
     // Multinomial NB: train on even doc_ids (labeled subset), classify
     // the held-out odd half. Integer-ized log-probs → exact sums.
     Q("text_nb_classifier",

@@ -125,6 +125,57 @@ object Dedup {
             round(col("n_dup_spans").cast("double") / col("n_spans"), 6)))
   }
 
+  /** The REMOVAL counterpart of [[duplicateSpans]] (Lee et al.'s
+    * substring dedup as a transform): delete every token covered by at
+    * least one corpus-duplicated `spanN`-word window, reassemble the
+    * survivors in order. Returns
+    * `(idCol, clean_text, n_tokens, n_removed)`; a fully-boilerplate
+    * document keeps an empty `clean_text` rather than vanishing.
+    *
+    * Scale shape: same skeleton as [[dedupLines]] — digest-keyed
+    * frequency groupBy + streaming join back — plus a covered-position
+    * explode that is at most spanN rows per duplicated window (bounded
+    * by spanN × tokens, narrow), an anti-join on (id, pos) that
+    * co-partitions with the token explode, and one per-doc reassembly
+    * aggregate. Nothing is ever quadratic in a hot span's frequency:
+    * the frequency row is the build side. */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      spanN: Int = 10, minOccurrences: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("ws"))
+    val toks = base.select(col("id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    val spans = base
+      .select(col("id"), col("ws"),
+        explode(when(size(col("ws")) >= spanN,
+            sequence(lit(0), size(col("ws")) - spanN))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col("id"), col("start"),
+        md5(concat_ws(" ", slice(col("ws"), col("start") + 1, lit(spanN))))
+          .as("h"))
+    val freq = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+    val covered = spans.join(freq, Seq("h"))
+      .where(col("occ") >= minOccurrences)
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (spanN - 1)))
+          .as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+    val re = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("clean_text"))
+    base.select(col("id"),
+        coalesce(size(col("ws")), lit(0)).cast("long").as("n_tokens"))
+      .join(re, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), distinct, over an already-bound

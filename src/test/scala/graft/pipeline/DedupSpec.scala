@@ -342,6 +342,23 @@ class DedupSpec extends SparkSpec {
     assert(got._3 == 2L, "both copies of the repeated span flag")
   }
 
+  test("removeDuplicateSpans: covered tokens go, order survives") {
+    import spark.implicits._
+    val span = "a b c d e f g h i j"
+    val df = Seq(
+      (1L, s"pre $span post"),  // 12 words; dup window covers pos 1..10
+      (2L, s"$span"),           // exactly the span → fully removed
+      (3L, "tiny doc")          // < 10 words, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "text", "doc_id", spanN = 10)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("pre post", 12L, 10L)),
+      "only the duplicated window's tokens are removed, order kept")
+    assert(got(2L) == (("", 10L, 10L)), "fully-dup doc keeps empty text")
+    assert(got(3L) == (("tiny doc", 2L, 0L)))
+  }
+
   test("duplicateSpans: randomized differential vs reference counts") {
     import spark.implicits._
     val vocab = Vector("x", "y", "z")
