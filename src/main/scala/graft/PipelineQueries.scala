@@ -1041,6 +1041,37 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY src_id
         |           ORDER BY rank ASC) AS neg_rank
         |  FROM xg) WHERE neg_rank <= 5""".stripMargin)),
+    // Binary-signature Hamming retrieval: sign-bit quantization to two
+    // 32-bit words, bit_count(xor) distance — exact integer math end
+    // to end, no float parity concerns at all.
+    Q("sim_hamming_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.hammingTopK(e.where(col("vec_id") < 10), e,
+          "embedding", "vec_id", k = 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i)
+        |                      ELSE 0 END
+        |                 for i in generate_series(0, 31)]) AS BIGINT)
+        |    AS w0,
+        |  CAST(list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i)
+        |                      ELSE 0 END
+        |                 for i in generate_series(0, 31)]) AS BIGINT)
+        |    AS w1
+        |  FROM e),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       CAST(bit_count(xor(c.w0, q.w0)) +
+        |            bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamming
+        |       FROM sig q JOIN sig c ON q.vec_id != c.vec_id
+        |       WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, hamming, rank FROM (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY hamming ASC, neighbor_id ASC) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin)),
     // Deterministic export shuffle: md5-derived shard + in-shard rank.
     Q("curation_shuffle",
       (s, d) => Curation.deterministicShuffle(docs(s, d), "doc_id",

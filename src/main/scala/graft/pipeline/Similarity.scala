@@ -338,6 +338,50 @@ object Similarity {
     }
   }
 
+  /** Sign-bit binary quantization: a 64-dim embedding becomes two
+    * 32-bit words (bit i set iff component i > 0) — 32× smaller than
+    * float32, and Hamming distance approximates angular distance
+    * (binary passage retrieval / LSH sign-random-projection, Charikar
+    * 2002, with the identity basis). Two 32-bit words rather than one
+    * 64-bit word so every value stays below 2^32: both engines build
+    * the signature with exact integer arithmetic — no sign-bit or
+    * overflow edge anywhere. Pure narrow projection. */
+  def binarySignature(df: DataFrame, vecCol: String, idCol: String)
+      : DataFrame = {
+    def word(off: Int): Column =
+      (0 until 32).map(i =>
+        when(element_at(col("_v"), off + i + 1) > 0, lit(1L << i))
+          .otherwise(0L)).reduce(_ + _)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .select(col(idCol), word(0).as("w0"), word(32).as("w1"))
+  }
+
+  /** Hamming top-k over binary signatures: for each query vector the
+    * `k` corpus vectors with the fewest differing sign bits
+    * (`bit_count(xor)` — codegen'd integer ops, no floats anywhere, so
+    * cross-engine parity is EXACT, not margin-based). Queries
+    * broadcast; the corpus is scanned once; ties break on neighbor id.
+    * The 32-byte-per-row signature scan is the point at 100 TB: the
+    * float embeddings never leave their partitions. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = binarySignature(queries, vecCol, idCol)
+      .select(col(idCol).as("query_id"), col("w0").as("q0"),
+        col("w1").as("q1"))
+    val c = binarySignature(corpus, vecCol, idCol)
+      .select(col(idCol).as("neighbor_id"), col("w0"), col("w1"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1"))))
+          .cast("long").as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: for each vector,
     * the `k` most similar vectors that belong to a DIFFERENT group
     * (source, domain, language — whatever `groupCol` encodes). The

@@ -359,6 +359,17 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == (("tiny doc", 2L, 0L)))
   }
 
+  test("removeDuplicateSpans: 2k identical docs stay linear (no m² blowup)") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = (1L to 2000L).map(i => (i, text)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "text", "doc_id", spanN = 10)
+      .agg(count(lit(1)), sum(col("n_removed")))
+      .as[(Long, Long)].collect().head
+    assert(got == ((2000L, 2000L * 30)),
+      "every doc fully covered by corpus-duplicated windows")
+  }
+
   test("duplicateSpans: randomized differential vs reference counts") {
     import spark.implicits._
     val vocab = Vector("x", "y", "z")

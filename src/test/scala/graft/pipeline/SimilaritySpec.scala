@@ -148,6 +148,26 @@ class SimilaritySpec extends SparkSpec {
       "same-group neighbors skipped; cross-group pairs kept both ways")
   }
 
+  test("hammingTopK: sign-bit signatures, exact integer distances") {
+    import spark.implicits._
+    // 64-dim vectors differing in a known number of sign bits.
+    def vec(flips: Set[Int]): Seq[Float] =
+      (0 until 64).map(i => if (flips(i)) -1.0f else 1.0f)
+    val df = Seq(
+      (0L, vec(Set.empty)),          // query
+      (1L, vec(Set(0))),             // hamming 1
+      (2L, vec(Set(1, 40))),         // hamming 2 (one bit in each word)
+      (3L, vec((0 until 64).toSet)), // hamming 64
+      (4L, vec(Set(5)))              // hamming 1, higher id than 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(df.where(col("vec_id") === 0), df,
+        "embedding", "vec_id", k = 3)
+      .select("neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(got.toSeq == Seq((1L, 1L, 1), (4L, 1L, 2), (2L, 2L, 3)),
+      "distance ties break on neighbor id; both words counted")
+  }
+
   test("knnGraphIvf: block-grid guard is row-identical to one-task path") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
