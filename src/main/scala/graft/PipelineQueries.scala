@@ -1151,6 +1151,59 @@ object PipelineQueries {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       round(max(med), 4) AS median, round(median(ad), 4) AS mad
         |FROM d GROUP BY 1""".stripMargin)),
+    // Logistic linear probe on embeddings: train on even vec_ids
+    // (positive = label < 5), score the held-out half. Iterative →
+    // rows-only; convergence/determinism spec-carried (the synthetic
+    // labels are NOT linearly separable in embedding space, so the
+    // probe's accuracy here is ~chance — the operator's contract is
+    // deterministic training/scoring, asserted on separable data in
+    // ClassifierSpec).
+    Q("sim_linear_probe",
+      (s, d) => {
+        val e = emb(s, d)
+        Classifier.linearProbe(
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", "vec_id", positive = col("label") < 5, dim = 64)
+      },
+      None),
+    // CUBE rollup: every (lang, source) subtotal combination in one
+    // pass — Spark's native cube ↔ DuckDB GROUP BY CUBE, with the
+    // standard GROUPING bitmask disambiguating subtotal NULLs.
+    Q("a_cube",
+      (s, d) => docs(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
+      Some("""SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |    AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin)),
+    // Cohort retention: users bucketed by first-seen day, distinct
+    // actives per (cohort, day-age). Two user-keyed aggregates; the
+    // first-seen join is co-partitioned with the activity distinct.
+    Q("a_cohorts",
+      (s, d) => {
+        val ev = ChangeFeed.table(s, d, "events")
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("cohort"))
+        ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+          .join(first, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("d"), col("cohort")).cast("long").as("age"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .withColumn("cohort", col("cohort").cast("string"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort,
+        |       CAST(date_diff('day', cohort, d) AS BIGINT) AS age,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin)),
     // Exact-sum Pearson r per returnflag over 1e-6-quantized values.
     Q("a_corr",
       (s, d) => graft.pipeline.Profile.correlation(

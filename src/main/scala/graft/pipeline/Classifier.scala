@@ -86,4 +86,57 @@ object Classifier {
     scoredAll.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col(idCol), col(labelCol).as("predicted"), col("score_micro"))
   }
+
+  /** Logistic-regression LINEAR PROBE over an embedding column — the
+    * "train a small head on frozen embeddings" quality/domain
+    * classifier (the embedding-space analog of the fastText filter).
+    * Full-batch gradient descent: the weight vector (dim+1, bias last)
+    * lives on the driver like k-means centroids; each iteration is one
+    * corpus scan + a (component)-keyed aggregate of 1e-6-integer-ized
+    * gradient contributions — EXACT sums, so training is deterministic
+    * under any partitioning (a plain float sum would drift with
+    * partition order). At 100 TB, train on a sample (same contract as
+    * `Similarity.trainCentroids`); scoring the full corpus stays one
+    * narrow broadcast pass.
+    *
+    * Returns `(idCol, y, score_micro, predicted)` for `test` under the
+    * trained head. Iterative training has no SQL re-expression → gate
+    * entry is rows-only; the spec carries convergence + determinism. */
+  def linearProbe(train: DataFrame, test: DataFrame, vecCol: String,
+      idCol: String, positive: org.apache.spark.sql.Column, dim: Int,
+      iters: Int = 15, lr: Double = 2.0): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def prepared(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("x"),
+      when(positive, 1.0).otherwise(0.0).as("y"))
+    val tr = prepared(train)
+    val n = tr.count().toDouble
+    var w = Array.fill(dim + 1)(0.0)
+    def margin(weights: Array[Double]): org.apache.spark.sql.Column =
+      (1 to dim).map(i => element_at(col("x"), i) * lit(weights(i - 1)))
+        .reduce(_ + _) + lit(weights(dim))
+    for (_ <- 1 to iters) {
+      val resid = tr.withColumn("g",
+        lit(1.0) / (lit(1.0) + exp(-margin(w))) - col("y"))
+      // gradient components: g·x_j for j < dim, g for the bias row —
+      // integer-ized per row so the cross-partition sum is exact
+      val grads = resid
+        .select(posexplode(concat(col("x"), array(lit(1.0))))
+          .as(Seq("pos", "xv")), col("g"))
+        .select(col("pos"),
+          round(col("g") * col("xv") * lit(1e6)).cast("long").as("micro"))
+        .groupBy("pos").agg(sum(col("micro")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (grads.getOrElse(j, 0L) / 1e6) / n
+      }
+    }
+    prepared(test)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-margin(w))))
+      .select(col("id").as(idCol), col("y"),
+        round(col("p") * lit(1e6)).cast("long").as("score_micro"),
+        (col("p") >= 0.5).as("predicted"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ClassifierSpec extends SparkSpec {
   import spark.implicits._
@@ -91,5 +92,28 @@ class ClassifierSpec extends SparkSpec {
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got == want, s"differential mismatch at seed=$seed")
     }
+  }
+
+  test("linearProbe: separable data converges; training is partition-stable") {
+    val rnd = new scala.util.Random(11)
+    // positives cluster at +1 on dim 0, negatives at -1; dims 1-3 noise
+    def pt(sign: Double) = Seq(sign + rnd.nextGaussian() * 0.2,
+      rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+    val rows = (0L until 80L).map { i =>
+      val pos = i % 2 == 0
+      (i, pt(if (pos) 1.0 else -1.0), if (pos) "p" else "n")
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Classifier.linearProbe(df, df, "embedding", "vec_id",
+        positive = col("label") === "p", dim = 4, iters = 40, lr = 2.0)
+      .as[(Long, Double, Long, Boolean)].collect()
+    val acc = got.count(r => (r._2 == 1.0) == r._4).toDouble / got.length
+    assert(acc >= 0.95, s"separable toy data should classify: acc=$acc")
+    val again = Classifier.linearProbe(df.repartition(7), df, "embedding",
+        "vec_id", positive = col("label") === "p", dim = 4,
+        iters = 40, lr = 2.0)
+      .as[(Long, Double, Long, Boolean)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)),
+      "integer-ized gradient sums make training partition-independent")
   }
 }
