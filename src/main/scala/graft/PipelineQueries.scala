@@ -1151,6 +1151,34 @@ object PipelineQueries {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       round(max(med), 4) AS median, round(median(ad), 4) AS mad
         |FROM d GROUP BY 1""".stripMargin)),
+    // Derandomized A-Res weighted sampling: md5-uniform draws,
+    // ln(u)/w priorities integer-ized at 1e-6, top-100 by priority.
+    Q("curation_weighted_sample",
+      (s, d) => Curation.weightedSample(docs(s, d), "doc_id", "n_chars",
+        n = 100),
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+        |  ((('0x' || substr(md5('ws:' || coalesce(doc_id::VARCHAR,
+        |        'null')), 1, 6))::BIGINT % 4096) + 1)::DOUBLE / 4096 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |  CAST(round(ln(u) / n_chars * 1000000.0::DOUBLE) AS BIGINT)
+        |    AS priority_micro
+        |FROM h
+        |ORDER BY priority_micro DESC, doc_id ASC LIMIT 100""".stripMargin)),
+    // Per-source nucleus (top-p) selection by score mass: keep best
+    // docs until ≥50% of each source's char mass is covered.
+    Q("curation_top_p",
+      (s, d) => Curation.topPByGroup(docs(s, d), "source", "doc_id",
+        "n_chars", p = 0.5),
+      Some("""WITH c AS (SELECT source, doc_id, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, CAST(cum AS BIGINT) AS cum_score
+        |FROM c
+        |WHERE (cum - n_chars)::DOUBLE < 0.5::DOUBLE * tot""".stripMargin)),
     // Logistic linear probe on embeddings: train on even vec_ids
     // (positive = label < 5), score the held-out half. Iterative →
     // rows-only; convergence/determinism spec-carried (the synthetic

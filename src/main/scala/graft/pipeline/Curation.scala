@@ -288,6 +288,53 @@ object Curation {
             tokenBudget / col("n_tokens")), 6).as("rate"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res),
+    * derandomized: each row's "uniform" draw is md5-derived
+    * (`u = (bucket+1)/4096`, the same reproducible convention as
+    * [[hashBucket]]), its priority is `ln(u)/w` (monotone-equivalent to
+    * the classic `u^(1/w)`; higher weight → priority nearer zero →
+    * likelier kept), and the sample is the top-`n` priorities.
+    * Integer-ized at 1e-6 with an id tie-break, so the selected set is
+    * bit-reproducible across engines, runs, and cluster sizes — a
+    * quality-weighted corpus sample you can re-derive during an audit.
+    * One narrow projection + a distributed TakeOrdered: no shuffle of
+    * the corpus, no RNG state. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: String = "ws"): DataFrame = {
+    val key = concat_ws(":", lit(seed),
+      coalesce(col(idCol).cast("string"), lit("null")))
+    df.where(col(weightCol) > 0)
+      .withColumn("_u", (hashBucket(key) + 1).cast("double") / 4096)
+      .withColumn("priority_micro",
+        round(log(col("_u")) / col(weightCol) * lit(1e6)).cast("long"))
+      .orderBy(col("priority_micro").desc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col(weightCol), col("priority_micro"))
+  }
+
+  /** Per-group TOP-P (nucleus) selection: within each group keep the
+    * best rows — ordered by `scoreCol` desc — until they cover fraction
+    * `p` of the group's total score mass (the row that crosses the
+    * boundary is kept, so coverage is ≥ p). The "keep only the best
+    * half of every source, by mass not by count" curation rule. Exact
+    * integer arithmetic throughout (running sums of the raw score
+    * column); deterministic (score desc, id asc) order. One shuffle on
+    * the group key; the running sum is a windowed cumsum within each
+    * group, never global. */
+  def topPByGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, p: Double): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    df.withColumn("_cum", sum(col(scoreCol)).over(w))
+      .withColumn("_tot", sum(col(scoreCol)).over(tot))
+      .where((col("_cum") - col(scoreCol)).cast("double") <
+        lit(p) * col("_tot"))
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        col("_cum").as("cum_score"))
+  }
+
   /** Exact top-k tokens with a deterministic tie-break (count desc, token
     * asc) — the honest version of heavy hitters when the vocabulary fits
     * a shuffle (it does: token vocabulary is data-independent-ish and

@@ -280,6 +280,39 @@ class CurationSpec extends SparkSpec {
     assert(!run1.sameElements(run3), "different seed → different permutation")
   }
 
+  test("weightedSample: higher weight wins at equal draw; reproducible") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i % 10) + 1L)).toDF("id", "w")
+    val s1 = Curation.weightedSample(df, "id", "w", n = 50)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val s2 = Curation.weightedSample(df.repartition(9), "id", "w", n = 50)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.sameElements(s2), "sample independent of partitioning")
+    assert(s1.length == 50)
+    // weight-10 rows should be overrepresented vs weight-1 rows
+    val w10 = s1.count(_._2 == 10L)
+    val w1 = s1.count(_._2 == 1L)
+    assert(w10 > w1, s"A-Res bias toward heavy rows: w10=$w10 w1=$w1")
+    // zero/negative weights never sampled
+    val withZero = (1L to 10L).map(i => (i, 0L)).toDF("id", "w")
+    assert(Curation.weightedSample(withZero, "id", "w", 5).count() == 0)
+  }
+
+  test("topPByGroup: boundary row kept, coverage >= p, order exact") {
+    import spark.implicits._
+    // group g: scores 50, 30, 20 (total 100); p=0.5 → keep 50 and 30
+    // (50 alone: cum-score 0 < 50 ✓; 30: cum-30=50 >= 50? NO → kept
+    // iff cum - score < p*tot: 80-30=50 < 50 false → only 50 kept...
+    val df = Seq(("g", 1L, 50L), ("g", 2L, 30L), ("g", 3L, 20L))
+      .toDF("src", "id", "score")
+    val got = Curation.topPByGroup(df, "src", "id", "score", 0.5)
+      .as[(String, Long, Long, Long)].collect().map(_._2).toSet
+    assert(got == Set(1L), "50 covers exactly p of the mass; 30 excluded")
+    val got2 = Curation.topPByGroup(df, "src", "id", "score", 0.51)
+      .as[(String, Long, Long, Long)].collect().map(_._2).toSet
+    assert(got2 == Set(1L, 2L), "boundary-crossing row is kept")
+  }
+
   test("temperatureMixRates: sqrt tempering upweights small sources") {
     import spark.implicits._
     // s1: 100 tokens, s2: 400 tokens → w ∝ 10, 20 → q = 1/3, 2/3.
