@@ -1151,6 +1151,71 @@ object PipelineQueries {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       round(max(med), 4) AS median, round(median(ad), 4) AS mad
         |FROM d GROUP BY 1""".stripMargin)),
+    // Second end-to-end composition, entirely from this round's
+    // operators: substring-dedup REWRITE → min-length gate →
+    // temperature-tempered per-source rates (computed ON the cleaned
+    // corpus, collected driver-side like the mixture solver) →
+    // reproducible stratified sample. One oracle validates the
+    // composition, not just the parts.
+    Q("pipeline_curation_e2e_v2",
+      (s, d) => {
+        val dd = docs(s, d)
+        val clean = Dedup.removeDuplicateSpans(dd, "text", "doc_id",
+          spanN = 10, minOccurrences = 2)
+        val kept = clean
+          .join(dd.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+          .where(col("n_kept") >= 20)
+          .select(col("doc_id"), col("source"), col("clean_text"),
+            col("n_kept"))
+        val rates = Curation.temperatureMixRates(kept, "source",
+            "clean_text", tokenBudget = 20000L)
+          .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+        Curation.stratifiedSample(kept, "source", "doc_id", rates)
+          .select(col("doc_id"), col("source"),
+            col("n_kept").cast("long").as("n_kept"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws FROM documents),
+        |sp AS (SELECT doc_id,
+        |       unnest([{'start': i,
+        |                'h': md5(array_to_string(ws[i+1:i+10], ' '))}
+        |               for i in generate_series(0, len(ws) - 10)],
+        |              recursive := true)
+        |       FROM w),
+        |f AS (SELECT h, count(*) AS occ FROM sp GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, start + dlt AS pos
+        |        FROM sp JOIN f USING (h), generate_series(0, 9) g(dlt)
+        |        WHERE occ >= 2),
+        |tok AS (SELECT doc_id,
+        |        unnest([{'pos': i - 1, 'w': ws[i]}
+        |                for i in generate_series(1, len(ws))],
+        |               recursive := true)
+        |        FROM w),
+        |kt AS (SELECT t.doc_id, t.pos FROM tok t
+        |       LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |       WHERE c.pos IS NULL),
+        |nk AS (SELECT w.doc_id, coalesce(k.n_kept, 0) AS n_kept
+        |       FROM w LEFT JOIN (SELECT doc_id, count(*) AS n_kept
+        |                         FROM kt GROUP BY 1) k USING (doc_id)),
+        |kept AS (SELECT d.doc_id, d.source, nk.n_kept
+        |         FROM documents d JOIN nk USING (doc_id)
+        |         WHERE nk.n_kept >= 20),
+        |agg AS (SELECT source, CAST(sum(n_kept) AS BIGINT) AS n_tokens
+        |        FROM kept GROUP BY 1),
+        |wm AS (SELECT source, n_tokens,
+        |       CAST(round(sqrt(n_tokens) * 1000000.0::DOUBLE) AS BIGINT)
+        |         AS w_micro FROM agg),
+        |tt AS (SELECT sum(w_micro) AS w_total FROM wm),
+        |rates AS (SELECT source,
+        |          round(least(1.0::DOUBLE,
+        |            w_micro::DOUBLE / w_total * 20000 / n_tokens), 6)
+        |            AS rate FROM wm, tt)
+        |SELECT k.doc_id, k.source, CAST(k.n_kept AS BIGINT) AS n_kept
+        |FROM kept k JOIN rates r USING (source)
+        |WHERE (('0x' || substr(md5(k.doc_id::VARCHAR), 1, 6))::BIGINT
+        |       % 4096) < CAST(floor(r.rate * 4096) AS BIGINT)""".stripMargin)),
     // Derandomized A-Res weighted sampling: md5-uniform draws,
     // ln(u)/w priorities integer-ized at 1e-6, top-100 by priority.
     Q("curation_weighted_sample",
