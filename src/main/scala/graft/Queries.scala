@@ -1079,6 +1079,60 @@ object Queries {
         |                                   ORDER BY seq DESC) AS rn FROM c)
         |SELECT user_id, seq, event_type, value FROM r
         |WHERE rn = 1 AND message != 'DELETE'""".stripMargin)),
+    // Snapshot reconciliation: the mirror at a WAL prefix (seq < 5000)
+    // vs the full mirror, every key classified INSERT/UPDATE/DELETE.
+    Q("s1_mirror_diff",
+      (s, d) => {
+        import graft.cdc.{Mirror, Wal2Json}
+        val e = ev(s, d)
+        val m = pmod(col("event_id"), lit(3))
+        val cols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
+          col("user_id"), col("event_type"), col("value"))
+        val oldCols = format_string(
+          """[{"name":"user_id","type":"int8","typeoid":20,"value":%s}]""",
+          col("user_id"))
+        val ts = """2024-01-01 00:00:00+00"""
+        val json = when(m === 0, format_string(
+            s"""{"action":"I","schema":"public","table":"events","timestamp":"$ts","columns":%s}""",
+            cols))
+          .when(m === 1, format_string(
+            s"""{"action":"U","schema":"public","table":"events","timestamp":"$ts","columns":%s,"identity":%s}""",
+            cols, oldCols))
+          .otherwise(format_string(
+            s"""{"action":"D","schema":"public","table":"events","timestamp":"$ts","identity":%s}""",
+            oldCols))
+        val decoded = Wal2Json.decodeChanges(
+          e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
+          .toDF()
+        val oldM = Mirror.fromWal(decoded.where(col("seq") < 5000), "user_id")
+        val newM = Mirror.fromWal(decoded, "user_id")
+        Mirror.snapshotDiff(oldM, newM, "user_id")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("old_seq"), col("new_seq"), col("change"))
+      },
+      Some("""WITH c AS (SELECT event_id AS seq, user_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+        |       ELSE 'DELETE' END AS message FROM events),
+        |o AS (SELECT user_id, seq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM c WHERE seq < 5000)
+        |  WHERE rn = 1 AND message != 'DELETE'),
+        |n AS (SELECT user_id, seq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY seq DESC) AS rn FROM c)
+        |  WHERE rn = 1 AND message != 'DELETE')
+        |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        |       o.seq AS old_seq, n.seq AS new_seq,
+        |       CASE WHEN o.user_id IS NULL THEN 'INSERT'
+        |            WHEN n.user_id IS NULL THEN 'DELETE'
+        |            WHEN o.seq != n.seq THEN 'UPDATE' END AS change
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        |WHERE CASE WHEN o.user_id IS NULL THEN 'INSERT'
+        |           WHEN n.user_id IS NULL THEN 'DELETE'
+        |           WHEN o.seq != n.seq THEN 'UPDATE' END IS NOT NULL"""
+        .stripMargin)),
     // SCD2 history from the same change stream: each INSERT/UPDATE is a
     // version valid until the key's next change; DELETE closes without
     // opening; the open version is is_current

@@ -48,6 +48,30 @@ object Mirror {
         col("record"), col("commit_timestamp"))
   }
 
+  /** Diff two mirror materializations (e.g. yesterday's snapshot vs
+    * today's): classify every key as INSERT (new only), DELETE (old
+    * only), or UPDATE (present in both at a different change seq) —
+    * the audit/reconciliation query a CDC consumer runs to validate
+    * its downstream copy, and the minimal "what changed since" feed
+    * when the WAL between two points is gone. UNCHANGED keys drop.
+    * One full-outer join co-partitioned on the pk — both sides shuffle
+    * once, output is |changed keys|. */
+  def snapshotDiff(oldMirror: DataFrame, newMirror: DataFrame,
+      pkCol: String, orderCol: String = "seq"): DataFrame = {
+    val o = oldMirror.select(col(pkCol).as("pk"),
+      col(orderCol).as("old_seq"))
+    val n = newMirror.select(col(pkCol).as("pk"),
+      col(orderCol).as("new_seq"))
+    o.join(n, Seq("pk"), "full_outer")
+      .withColumn("change",
+        when(col("old_seq").isNull, "INSERT")
+          .when(col("new_seq").isNull, "DELETE")
+          .when(col("old_seq") =!= col("new_seq"), "UPDATE"))
+      .where(col("change").isNotNull)
+      .select(col("pk").as(pkCol), col("old_seq"), col("new_seq"),
+        col("change"))
+  }
+
   /** STREAMING twin of [[fromWal]]: maintain the mirror incrementally
     * across micro-batches with keyed state — each batch emits only the
     * keys it touched, as `(pk, op UPSERT|DELETE, seq, record,

@@ -134,6 +134,23 @@ class MirrorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotDiff classifies INSERT/UPDATE/DELETE; unchanged drop") {
+    val changes = Seq(
+      ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),   // unchanged later
+      ch(2, "INSERT", Map("id" -> "2", "v" -> "x")),   // updated at 6
+      ch(3, "INSERT", Map("id" -> "3", "v" -> "y")),   // deleted at 7
+      ch(6, "UPDATE", Map("id" -> "2", "v" -> "x2")),
+      ch(7, "DELETE", null, Map("id" -> "3")),
+      ch(8, "INSERT", Map("id" -> "4", "v" -> "new"))  // inserted after cut
+    ).toDF()
+    val oldM = Mirror.fromWal(changes.where($"seq" < 5), "id")
+    val newM = Mirror.fromWal(changes, "id")
+    val got = Mirror.snapshotDiff(oldM, newM, "id")
+      .select("id", "change").as[(String, String)].collect().toMap
+    assert(got == Map("2" -> "UPDATE", "3" -> "DELETE", "4" -> "INSERT"),
+      "key 1 is unchanged and absent from the diff")
+  }
+
   test("wal2json stream → streaming mirror, end to end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def row(seq: Long, action: String, id: String, v: String): (Long, String) = {
