@@ -1260,6 +1260,61 @@ object PipelineQueries {
           "embedding", "vec_id", positive = col("label") < 5, dim = 64)
       },
       None),
+    // Trailing-window rate anomaly: per (user, day) event count vs the
+    // mean of the user's previous ≤7 OBSERVED days; spike = n > 2×mean.
+    // Exact integer counts; the one rational mean is computed from
+    // identical exact inputs in both engines.
+    Q("a_rate_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = ChangeFeed.table(s, d, "events")
+        val daily = ev.groupBy(col("user_id"),
+            to_date(col("ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("trail_sum", sum(col("n")).over(w))
+          .withColumn("trail_days", count(col("n")).over(w))
+          .where(col("trail_days") > 0)
+          .select(col("user_id"), col("day"), col("n"),
+            round(col("trail_sum").cast("double") / col("trail_days"), 6)
+              .as("trail_mean"),
+            (col("n").cast("double") >
+              lit(2.0) * (col("trail_sum").cast("double") /
+                col("trail_days"))).as("spike"))
+      },
+      Some("""WITH daily AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, n,
+        |      sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ts,
+        |      count(n) OVER (PARTITION BY user_id ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS td
+        |      FROM daily)
+        |SELECT user_id, day, CAST(n AS BIGINT) AS n,
+        |       round(ts::DOUBLE / td, 6) AS trail_mean,
+        |       n::DOUBLE > 2.0::DOUBLE * (ts::DOUBLE / td) AS spike
+        |FROM t WHERE td > 0""".stripMargin)),
+    // Semi-structured rollup: JSON props parsed per row, aggregated by
+    // the extracted key bucket — get_json_object ↔ json_extract.
+    Q("a_props_rollup",
+      (s, d) => ChangeFeed.table(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")),
+      Some("""SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |    AS k_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
     // CUBE rollup: every (lang, source) subtotal combination in one
     // pass — Spark's native cube ↔ DuckDB GROUP BY CUBE, with the
     // standard GROUPING bitmask disambiguating subtotal NULLs.
