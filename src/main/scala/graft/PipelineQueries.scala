@@ -1375,7 +1375,109 @@ object PipelineQueries {
         |        6) AS r
         |FROM a""".stripMargin)))
 
+  private val auditQueries: Seq[Q] = Seq(
+    // Data-contract audit: 5 rules over events in ONE scan (one
+    // conditional sum per rule inside a single aggregate), unpivoted to
+    // a report row per rule. NULL predicate results count as violations.
+    Q("a_expectations",
+      (s, d) => graft.pipeline.Profile.expectations(
+        ChangeFeed.table(s, d, "events"),
+        Seq(
+          graft.pipeline.Profile.Expectation("value", "not_null",
+            col("value").isNotNull),
+          graft.pipeline.Profile.Expectation("value", "non_negative",
+            col("value") >= 0.0),
+          graft.pipeline.Profile.Expectation("value", "below_400",
+            col("value") < 400.0),
+          graft.pipeline.Profile.Expectation("event_type", "snake_case",
+            col("event_type").rlike("^[a-z_]+$")),
+          graft.pipeline.Profile.Expectation("props", "has_json_k",
+            get_json_object(col("props"), "$.k").isNotNull))),
+      Some("""WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN NOT coalesce(value IS NOT NULL, false)
+        |      THEN 1 ELSE 0 END) AS v0,
+        |  sum(CASE WHEN NOT coalesce(value >= 0.0::DOUBLE, false)
+        |      THEN 1 ELSE 0 END) AS v1,
+        |  sum(CASE WHEN NOT coalesce(value < 400.0::DOUBLE, false)
+        |      THEN 1 ELSE 0 END) AS v2,
+        |  sum(CASE WHEN NOT coalesce(regexp_matches(event_type,
+        |      '^[a-z_]+$'), false) THEN 1 ELSE 0 END) AS v3,
+        |  sum(CASE WHEN NOT coalesce(json_extract_string(props, '$.k')
+        |      IS NOT NULL, false) THEN 1 ELSE 0 END) AS v4
+        |  FROM events)
+        |SELECT column_name, rule, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(v AS BIGINT) AS n_violations,
+        |       round(v::DOUBLE / n, 6) AS violation_rate
+        |FROM (SELECT 'value' AS column_name, 'not_null' AS rule, n,
+        |             v0 AS v FROM a
+        |      UNION ALL SELECT 'value', 'non_negative', n, v1 FROM a
+        |      UNION ALL SELECT 'value', 'below_400', n, v2 FROM a
+        |      UNION ALL SELECT 'event_type', 'snake_case', n, v3 FROM a
+        |      UNION ALL SELECT 'props', 'has_json_k', n, v4 FROM a)"""
+        .stripMargin)),
+    // PSI distribution drift per event_type: baseline = even event_ids,
+    // current = odd; floor(value) div 50 bins; add-one smoothing over
+    // the observed-bin union; each (p−q)·ln(p/q) term integer-ized at
+    // 1e-6 right after the single ln, totals are exact BIGINT sums.
+    Q("a_drift_psi",
+      (s, d) => graft.pipeline.Profile.psiDrift(
+        ChangeFeed.table(s, d, "events")
+          .withColumn("v", floor(col("value")).cast("long")),
+        "event_type", "v",
+        baselinePred = pmod(col("event_id"), lit(2)) === 0,
+        binWidth = 50L),
+      Some("""WITH b AS (SELECT event_type,
+        |  CAST(floor(value) AS BIGINT) // 50 AS bin,
+        |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isb
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bin, sum(isb) AS nb,
+        |      sum(1 - isb) AS nc FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, nb, nc,
+        |      sum(nb) OVER (PARTITION BY event_type) AS tb,
+        |      sum(nc) OVER (PARTITION BY event_type) AS tc,
+        |      count(*) OVER (PARTITION BY event_type) AS k
+        |      FROM c),
+        |m AS (SELECT event_type, nb, nc,
+        |      (nb::DOUBLE + 1.0::DOUBLE) / (tb + k)::DOUBLE AS p,
+        |      (nc::DOUBLE + 1.0::DOUBLE) / (tc + k)::DOUBLE AS q
+        |      FROM t)
+        |SELECT event_type, CAST(sum(nb) AS BIGINT) AS n_base,
+        |       CAST(sum(nc) AS BIGINT) AS n_current,
+        |       CAST(sum(CAST(round((p - q) * ln(p / q) * 1000000.0::DOUBLE)
+        |         AS BIGINT)) AS BIGINT) AS psi_micros,
+        |       CAST(sum(CAST(round((p - q) * ln(p / q) * 1000000.0::DOUBLE)
+        |         AS BIGINT)) AS BIGINT) > 200000 AS drifted
+        |FROM m GROUP BY 1""".stripMargin)),
+    // Trailing EWMA with α = 1/2 (depth 8): every weight is a power of
+    // two, so each product is IEEE-exact and the fixed left-assoc sum is
+    // bit-identical cross-engine. Deliberately NOT rounded: 2-decimal
+    // inputs × binary weights land exactly on .5e-6 decimal boundaries,
+    // where the engines' round() implementations disagree (measured);
+    // the raw doubles themselves are identical.
+    Q("a_ewma",
+      (s, d) => graft.rates.Rates.ewmaTrailing(
+          ChangeFeed.table(s, d, "events"),
+          "user_id", "ts", "event_id", "value", depth = 8)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ewma")),
+      Some("""SELECT user_id, event_id, value,
+        |  coalesce(value, 0.0::DOUBLE) * 0.5::DOUBLE
+        |    + coalesce(lag(value, 1) OVER w, 0.0::DOUBLE) * 0.25::DOUBLE
+        |    + coalesce(lag(value, 2) OVER w, 0.0::DOUBLE) * 0.125::DOUBLE
+        |    + coalesce(lag(value, 3) OVER w, 0.0::DOUBLE) * 0.0625::DOUBLE
+        |    + coalesce(lag(value, 4) OVER w, 0.0::DOUBLE)
+        |      * 0.03125::DOUBLE
+        |    + coalesce(lag(value, 5) OVER w, 0.0::DOUBLE)
+        |      * 0.015625::DOUBLE
+        |    + coalesce(lag(value, 6) OVER w, 0.0::DOUBLE)
+        |      * 0.0078125::DOUBLE
+        |    + coalesce(lag(value, 7) OVER w, 0.0::DOUBLE)
+        |      * 0.00390625::DOUBLE AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin)))
+
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++
-      curationQueries ++ e2eQueries ++ retrievalQueries
+      curationQueries ++ e2eQueries ++ retrievalQueries ++ auditQueries
 }

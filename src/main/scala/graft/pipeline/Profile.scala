@@ -117,4 +117,72 @@ object Profile {
           sqrt(nd * d("sxx") - d("sx") * d("sx")) /
           sqrt(nd * d("syy") - d("sy") * d("sy")), 6).as("r"))
   }
+
+  /** One data-contract rule: `pass` is a Column evaluating to true when a
+    * row SATISFIES the expectation (NULL counts as a violation). */
+  final case class Expectation(column: String, rule: String, pass: org.apache.spark.sql.Column)
+
+  /** Data-contract audit ("expectations"): one report row per rule with
+    * exact violation counts and a 1e-6-rounded violation rate.
+    *
+    * All rules are evaluated in a SINGLE full scan — one conditional sum
+    * per rule inside one partial-then-final aggregate — so auditing 50
+    * contracts over 100 TB costs the same scan as auditing one. The
+    * per-rule rows are then unpivoted from the single aggregate row
+    * (stack), which is constant-sized work. */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.pass.isNull || !r.pass, 1L).otherwise(0L)).as(s"_v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
+      one.select(lit(r.column).as("column_name"), lit(r.rule).as("rule"),
+        col("_n").as("n_rows"), col(s"_v$i").as("n_violations"))
+    }.reduce(_ unionByName _)
+    stacked.withColumn("violation_rate",
+      round(col("n_violations").cast("double") / col("n_rows"), 6))
+  }
+
+  /** Population-stability-index drift between a baseline slice and the
+    * rest, per stratum: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with add-one
+    * smoothed proportions p_i = (b_i+1)/(B+K) over the K observed bins.
+    *
+    * Determinism: bin counts are exact integers from ONE conditional-sum
+    * pass (no separate scans for baseline/current); each PSI term is
+    * integer-ized at 1e-6 immediately after the single `ln` call and the
+    * per-stratum total is an exact BIGINT sum — order-free and
+    * engine-identical. Bins are exact integral-div buckets of the value.
+    *
+    * Scale: one scan + one (stratum, bin) aggregate + one bin-count
+    * window per stratum; state is bins × strata, data-size-independent. */
+  def psiDrift(df: DataFrame, stratumCol: String, valueCol: String,
+      baselinePred: org.apache.spark.sql.Column, binWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.where(col(valueCol).isNotNull)
+      .select(col(stratumCol),
+        expr(s"cast($valueCol AS bigint) div ${binWidth}L").as("_bin"),
+        when(baselinePred, 1L).otherwise(0L).as("_isb"))
+    val counts = binned.groupBy(col(stratumCol), col("_bin"))
+      .agg(sum(col("_isb")).as("b"),
+        sum(lit(1L) - col("_isb")).as("c"))
+    val w = Window.partitionBy(stratumCol)
+    val tot = counts
+      .withColumn("tb", sum(col("b")).over(w))
+      .withColumn("tc", sum(col("c")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+    val p = (col("b").cast("double") + lit(1.0)) /
+      (col("tb") + col("k")).cast("double")
+    val q = (col("c").cast("double") + lit(1.0)) /
+      (col("tc") + col("k")).cast("double")
+    tot
+      .withColumn("_p", p).withColumn("_q", q)
+      .withColumn("_term",
+        round((col("_p") - col("_q")) * log(col("_p") / col("_q")) * lit(1e6))
+          .cast("long"))
+      .groupBy(col(stratumCol))
+      .agg(sum(col("b")).as("n_base"), sum(col("c")).as("n_current"),
+        sum(col("_term")).as("psi_micros"))
+      .withColumn("drifted", col("psi_micros") > lit(200000L))
+  }
 }

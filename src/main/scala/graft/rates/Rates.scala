@@ -115,6 +115,29 @@ object Rates {
       stages.indices.map(i => coalesce(col(s"_s$i"), lit(0))).reduce(_ + _)
         .cast("long").as("reached"))
   }
+
+  /** Truncated EWMA smoothing per key: α = 1/2 over the trailing `depth`
+    * observations, s_t = Σ_{j=0..depth-1} x_{t−j} · (1/2)^{j+1} (missing
+    * lags contribute 0, so early rows are a warm-up ramp).
+    *
+    * α = 1/2 is chosen deliberately: every weight is a power of two, so
+    * each product x·2^{−j} is EXACT in IEEE double and the fixed
+    * left-associated addition chain is bit-identical on any engine — the
+    * one smoothing shape that needs no rounding tolerance at all. One
+    * window over one key-shuffle; `depth` lags are evaluated inside a
+    * single WindowExec, not `depth` passes. */
+  def ewmaTrailing(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, depth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 48)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val x = col(valueCol).cast("double")
+    val terms = (0 until depth).map { j =>
+      coalesce(lag(x, j).over(w), lit(0.0)) * lit(math.pow(0.5, j + 1))
+    }
+    events.select(col(keyCol), col(tsCol), col(tieCol),
+      x.as(valueCol), terms.reduceLeft(_ + _).as("ewma"))
+  }
 }
 
 /** Driver-side per-tenant RateCounter for the CDC poll loop — the

@@ -47,4 +47,56 @@ class ProfileSpec extends SparkSpec {
     assert(got("anti") == ((3L, -1.0)))
     assert(got("half") == ((3L, 0.5)), "NULL x row drops from n and sums")
   }
+
+  test("expectations: one scan, NULL predicate counts as violation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(5.0), "ok"), (Some(-1.0), "ok"), (None, "Bad"),
+      (Some(2.0), "ok")).toDF("v", "s")
+    val got = Profile.expectations(df, Seq(
+        Profile.Expectation("v", "not_null", col("v").isNotNull),
+        Profile.Expectation("v", "non_negative", col("v") >= 0.0),
+        Profile.Expectation("s", "lowercase", col("s").rlike("^[a-z]+$"))))
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("v", "not_null")) == ((4L, 1L, 0.25)))
+    // -1 violates; the NULL row's predicate is NULL → violation too
+    assert(got(("v", "non_negative")) == ((4L, 2L, 0.5)))
+    assert(got(("s", "lowercase")) == ((4L, 1L, 0.25)))
+  }
+
+  test("psiDrift: identical distributions → psi 0; disjoint → drifted") {
+    import org.apache.spark.sql.functions._
+    // same: baseline and current identical per bin → every term ln(1)=0
+    val same = (1 to 50).flatMap(i =>
+      Seq(("k", i.toLong % 5 * 10, true), ("k", i.toLong % 5 * 10, false)))
+      .toDF("g", "v", "isb")
+    val gotSame = Profile.psiDrift(same, "g", "v", col("isb"), 10L)
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(gotSame == (("k", 50L, 50L, 0L, false)))
+    // disjoint bins: baseline all in bin 0, current all in bin 9
+    val far = ((1 to 40).map(_ => ("k", 1L, true)) ++
+      (1 to 40).map(_ => ("k", 99L, false))).toDF("g", "v", "isb")
+    val gotFar = Profile.psiDrift(far, "g", "v", col("isb"), 10L)
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    // p=(41/42, 1/42) vs q=(1/42, 41/42): psi = 2·(40/42)·ln(41) ≈ 7.07
+    assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
+  }
+
+  test("psiDrift: smoothing handles bins absent on one side") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("k", 5L, true), ("k", 5L, false), ("k", 25L, false))
+      .toDF("g", "v", "isb")
+    // bins {0, 2}; add-one: p = (2/3, 1/3), q = (2/4, 2/4) — the bin-2
+    // baseline count is zero yet no division by zero, finite psi
+    val got = Profile.psiDrift(df, "g", "v", col("isb"), 10L)
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(got._2 == 1L && got._3 == 2L && !got._5)
+    val expected = Seq((2.0 / 3, 2.0 / 4), (1.0 / 3, 2.0 / 4)).map {
+      case (p, q) =>
+        BigDecimal.valueOf((p - q) * math.log(p / q) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    assert(got._4 == expected, s"got ${got._4}, want $expected")
+  }
 }

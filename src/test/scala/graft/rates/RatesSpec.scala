@@ -93,4 +93,20 @@ class RatesSpec extends SparkSpec {
     assert(got("x") == (("x", 3L, 1L, 2L, "1", "2")))
     assert(got("y") == (("y", 3L, 0L, 2L, "a", "b")))
   }
+
+  test("ewmaTrailing: exact binary-fraction weights, per-key warm-up") {
+    val ev = Seq(
+      ("u", t("2024-01-01 00:00:01"), 1L, 8.0),
+      ("u", t("2024-01-01 00:00:02"), 2L, 4.0),
+      ("u", t("2024-01-01 00:00:03"), 3L, 2.0),
+      ("w", t("2024-01-01 00:00:01"), 4L, 16.0)
+    ).toDF("k", "ts", "id", "v")
+    val got = Rates.ewmaTrailing(ev, "k", "ts", "id", "v", depth = 8)
+      .select("k", "id", "ewma").as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("u", 1L)) == 4.0, "first row: x/2, missing lags are 0")
+    assert(got(("u", 2L)) == 4.0 * 0.5 + 8.0 * 0.25)
+    assert(got(("u", 3L)) == 2.0 * 0.5 + 4.0 * 0.25 + 8.0 * 0.125)
+    assert(got(("w", 4L)) == 8.0, "other key unaffected by u's history")
+  }
 }
