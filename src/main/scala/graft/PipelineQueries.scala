@@ -1475,6 +1475,79 @@ object PipelineQueries {
         |      * 0.00390625::DOUBLE AS ewma
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin)),
+    // PageRank centrality over the Hamming kNN graph of a 1-in-10
+    // embedding sample — representative-document selection. 5 fixed
+    // iterations, ALL rank arithmetic in exact integer micros (floor
+    // division), so ranks are bit-identical on any engine/partitioning;
+    // the oracle unrolls the iterations as chained CTEs.
+    Q("sim_pagerank",
+      (s, d) => {
+        val sample = emb(s, d).where(pmod(col("vec_id"), lit(10)) === 0)
+        val edges = Similarity.hammingTopK(sample, sample,
+          "embedding", "vec_id", k = 5)
+        graft.pipeline.Graph.pageRank(edges, "query_id", "neighbor_id",
+          iters = 5)
+      },
+      Some("""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |sig AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i)
+        |                      ELSE 0 END
+        |                 for i in generate_series(0, 31)]) AS BIGINT)
+        |    AS w0,
+        |  CAST(list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i)
+        |                      ELSE 0 END
+        |                 for i in generate_series(0, 31)]) AS BIGINT)
+        |    AS w1
+        |  FROM e0),
+        |sc AS (SELECT q.vec_id AS src, c.vec_id AS dst,
+        |       bit_count(xor(c.w0, q.w0)) +
+        |       bit_count(xor(c.w1, q.w1)) AS h
+        |       FROM sig q JOIN sig c ON q.vec_id != c.vec_id),
+        |e AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY h ASC, dst ASC) AS rk FROM sc) WHERE rk <= 5),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r0 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c1.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r1 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c2.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c2 USING (id)),
+        |c3 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r2 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c3.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c3 USING (id)),
+        |c4 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r3 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r4 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c4.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c4 USING (id)),
+        |c5 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r4 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r5 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c5.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c5 USING (id))
+        |SELECT id, CAST(r AS BIGINT) AS rank_micros FROM r5"""
         .stripMargin)))
 
   val all: Seq[Q] =
