@@ -1548,7 +1548,63 @@ object PipelineQueries {
         |       (SELECT 150000 // nn.n FROM nn) + coalesce(c5.s, 0) AS r
         |       FROM nodes n LEFT JOIN c5 USING (id))
         |SELECT id, CAST(r AS BIGINT) AS rank_micros FROM r5"""
-        .stripMargin)))
+        .stripMargin)),
+    // nDCG@10 of the BM25 ranking against deterministic graded labels
+    // (rel = doc_id mod 4): retrieval evaluation as a first-class op.
+    // Each (2^rel−1)/log2(i+1) term integer-izes at 1e-6 right after
+    // the one log2; DCG/IDCG are exact BIGINT sums.
+    Q("text_ndcg",
+      (s, d) => {
+        val dd = docs(s, d)
+        val ranked = Retrieval.bm25TopK(dd, "text", "doc_id",
+            Seq("spark", "window", "merge"), k = 10)
+          .withColumn("rel", pmod(col("doc_id"), lit(4)))
+        Retrieval.ndcgAtK(ranked, "rank", "rel",
+          dd.select(col("doc_id"),
+            pmod(col("doc_id"), lit(4)).as("rel")), "doc_id", k = 10)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              w -> len(w) > 0) AS ws FROM documents),
+        |dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |       sum(dl)::DOUBLE / count(*) AS avgdl FROM dd),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+        |qtf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |        WHERE w IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df_t FROM qtf
+        |          GROUP BY 1),
+        |sc AS (SELECT doc_id, w,
+        |       CAST(round((n_docs - df_t + 0.5::DOUBLE) /
+        |           (df_t + 0.5::DOUBLE) *
+        |           (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |           (tf + 1.2::DOUBLE *
+        |             (1.0::DOUBLE - 0.75::DOUBLE +
+        |              0.75::DOUBLE * dl / avgdl)) *
+        |           1000000.0::DOUBLE) AS BIGINT) AS micro
+        |       FROM qtf JOIN dfreq USING (w), st),
+        |agg AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY 1),
+        |bm AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC,
+        |    doc_id ASC) AS rank FROM agg) WHERE rank <= 10),
+        |dcg AS (SELECT CAST(sum(CAST(round(
+        |    ((1::BIGINT << CAST(doc_id % 4 AS INT)) - 1)::DOUBLE
+        |    / (ln(rank::DOUBLE + 1.0::DOUBLE) / ln(2.0::DOUBLE))
+        |    * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS dcg_micros
+        |  FROM bm),
+        |ir AS (SELECT doc_id % 4 AS rel FROM documents
+        |       ORDER BY rel DESC, doc_id ASC LIMIT 10),
+        |ir2 AS (SELECT rel, row_number() OVER (ORDER BY rel DESC)
+        |          AS rank FROM ir),
+        |idcg AS (SELECT CAST(sum(CAST(round(
+        |    ((1::BIGINT << CAST(rel AS INT)) - 1)::DOUBLE
+        |    / (ln(rank::DOUBLE + 1.0::DOUBLE) / ln(2.0::DOUBLE))
+        |    * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS idcg_micros
+        |  FROM ir2)
+        |SELECT CAST(10 AS BIGINT) AS k, dcg_micros, idcg_micros,
+        |       round(dcg_micros::DOUBLE / idcg_micros::DOUBLE, 6) AS ndcg
+        |FROM dcg, idcg""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

@@ -69,4 +69,37 @@ object Retrieval {
       .select(col("id").as(idCol), col("n_terms"), col("score_micro"),
         col("rank"))
   }
+
+  /** nDCG@k — ranking-quality evaluation of a retrieval result against
+    * graded relevance labels. `ranked` carries `(rankCol, relCol)` for
+    * the retrieved list; `corpusRel` carries `(corpusIdCol, relCol)`
+    * for EVERY candidate (the ideal ranking draws from the whole
+    * corpus, not just what was retrieved).
+    *
+    * DCG term at position i: (2^rel − 1) / log2(i + 1). Each term is
+    * integer-ized at 1e-6 immediately after the one log2 call (the only
+    * transcendental), so DCG and IDCG are exact BIGINT sums and
+    * nDCG = dcg/idcg is one rational division of exact integers.
+    *
+    * Scale: DCG aggregates k rows; the ideal list is a distributed
+    * TakeOrdered top-k over corpus relevance (never a global sort).
+    * Emits one row: `(k, dcg_micros, idcg_micros, ndcg)`. */
+  def ndcgAtK(ranked: DataFrame, rankCol: String, relCol: String,
+      corpusRel: DataFrame, corpusIdCol: String, k: Int): DataFrame = {
+    def termMicros(rankC: String, relC: String) = expr(
+      s"""cast(round(cast(shiftleft(1L, cast($relC AS int)) - 1L AS double)
+         |  / (ln(cast($rankC AS double) + 1.0D) / ln(2.0D))
+         |  * 1000000.0D) AS long)""".stripMargin)
+    val dcg = ranked.where(col(rankCol) <= k)
+      .agg(sum(termMicros(rankCol, relCol)).as("dcg_micros"))
+    val ideal = corpusRel
+      .orderBy(col(relCol).desc, col(corpusIdCol).asc).limit(k)
+      .withColumn("_rank", row_number().over(
+        Window.orderBy(col(relCol).desc, col(corpusIdCol).asc)))
+    val idcg = ideal.agg(sum(termMicros("_rank", relCol)).as("idcg_micros"))
+    dcg.crossJoin(idcg).select(lit(k.toLong).as("k"),
+      col("dcg_micros"), col("idcg_micros"),
+      round(col("dcg_micros").cast("double") /
+        col("idcg_micros").cast("double"), 6).as("ndcg"))
+  }
 }

@@ -83,4 +83,35 @@ class RetrievalSpec extends SparkSpec {
       assert(got == want, s"differential mismatch at seed=$seed")
     }
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG; ideal draws from the corpus") {
+    def micros(gain: Long, pos: Int): Long =
+      BigDecimal.valueOf(
+        gain.toDouble / (math.log(pos + 1.0) / math.log(2.0)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // retrieved: positions 1..3 with rels (3, 0, 1)
+    val ranked = Seq((10L, 1, 3), (20L, 2, 0), (30L, 3, 1))
+      .toDF("id", "rank", "rel")
+    // corpus holds a better list than retrieved: rels (3, 3, 1, 0)
+    val corpus = Seq((10L, 3), (11L, 3), (30L, 1), (20L, 0))
+      .toDF("doc_id", "rel")
+    val got = Retrieval.ndcgAtK(ranked, "rank", "rel", corpus, "doc_id",
+        k = 3).as[(Long, Long, Long, Double)].collect().head
+    val dcg = micros(7, 1) + micros(0, 2) + micros(1, 3)
+    val idcg = micros(7, 1) + micros(7, 2) + micros(1, 3)
+    assert(got._1 == 3L && got._2 == dcg && got._3 == idcg)
+    val ndcg = BigDecimal.valueOf(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._4 == ndcg)
+    assert(got._4 < 1.0, "retrieved list is worse than the corpus ideal")
+  }
+
+  test("ndcgAtK: perfect retrieval scores exactly 1.0") {
+    val corpus = Seq((1L, 2), (2L, 1), (3L, 0)).toDF("doc_id", "rel")
+    val ranked = Seq((1L, 1, 2), (2L, 2, 1), (3L, 3, 0))
+      .toDF("id", "rank", "rel")
+    val got = Retrieval.ndcgAtK(ranked, "rank", "rel", corpus, "doc_id",
+        k = 3).as[(Long, Long, Long, Double)].collect().head
+    assert(got._2 == got._3 && got._4 == 1.0)
+  }
 }
