@@ -1604,7 +1604,46 @@ object PipelineQueries {
         |  FROM ir2)
         |SELECT CAST(10 AS BIGINT) AS k, dcg_micros, idcg_micros,
         |       round(dcg_micros::DOUBLE / idcg_micros::DOUBLE, 6) AS ndcg
-        |FROM dcg, idcg""".stripMargin)))
+        |FROM dcg, idcg""".stripMargin)),
+    // Curriculum schedule: exact global rank by token-count difficulty
+    // (two-phase, never a one-partition window) cut into 10 rank-equal
+    // bands; the explicit ((rank−1)·n) div N band rule is engine-
+    // portable (ntile's remainder policy is not mirrored here).
+    Q("curation_curriculum",
+      (s, d) => Curation.curriculumBins(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("difficulty")),
+        "difficulty", "doc_id", nBins = 10),
+      Some("""WITH s AS (SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS score
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM s),
+        |r AS (SELECT doc_id, score,
+        |      row_number() OVER (ORDER BY score, doc_id) AS rn FROM s)
+        |SELECT ((rn - 1) * 10) // (SELECT n FROM nn) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(score) AS BIGINT) AS min_score,
+        |       CAST(max(score) AS BIGINT) AS max_score,
+        |       CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM r GROUP BY 1""".stripMargin)),
+    // Deterministic round-robin source interleave: per-source md5-rank,
+    // then the global position visits rank 1 of each source, rank 2, …
+    // Spark computes pos CLOSED-FORM from the |sources|-row count table
+    // (no global window); the oracle states the same order as one
+    // row_number over (src_rank, source).
+    Q("curation_interleave",
+      (s, d) => Curation.interleaveSources(docs(s, d), "source",
+        "doc_id", seed = "s7"),
+      Some("""WITH h AS (SELECT doc_id, source,
+        |  md5('s7:' || coalesce(doc_id::VARCHAR, 'null')) AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |      CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY k, doc_id) AS BIGINT) AS src_rank FROM h)
+        |SELECT doc_id, source, src_rank,
+        |       CAST(row_number() OVER (ORDER BY src_rank, source)
+        |         AS BIGINT) AS pos
+        |FROM r""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

@@ -411,4 +411,77 @@ object Curation {
         Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol))))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Curriculum binning: rank every row by a difficulty score (ties on
+    * id) and cut the exact global rank order into `nBins` rank-equal
+    * bands — `bin = ((rank−1)·nBins) div N`. Returns per-bin stats
+    * `(bin, n_rows, min_score, max_score, sum_score)` — the schedule a
+    * curriculum loader trains through easy→hard.
+    *
+    * Scale: the exact global rank is TWO-PHASE, never a one-partition
+    * window — a range repartition on (score, id), per-partition local
+    * row_numbers, then partition offsets from a partition-count-sized
+    * collect. The rank formula (not ntile) is used so the band rule is
+    * explicit and engine-portable. */
+  def curriculumBins(df: DataFrame, scoreCol: String, idCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df
+      .select(col(idCol), col(scoreCol).cast("long").as("_score"))
+      .repartitionByRange(col("_score"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // persisted: consumed twice (offset counts + ranked agg); cache
+    // ownership is the session loop's (clearCache after the query)
+    parts.persist()
+    val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val n = counts.map(_._2).sum.max(1L)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, off).otherwise(acc)
+    }
+    val localW = Window.partitionBy(col("_pid"))
+      .orderBy(col("_score"), col(idCol))
+    val out = parts
+      .withColumn("_rank", offCol + row_number().over(localW))
+      .withColumn("bin", expr(s"((_rank - 1L) * ${nBins}L) div ${n}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("_score")).as("min_score"),
+        max(col("_score")).as("max_score"),
+        sum(col("_score")).as("sum_score"))
+    out
+  }
+
+  /** Deterministic round-robin interleaving of sources into one global
+    * training order: each source's rows get a reproducible per-source
+    * rank (md5 permutation, as [[deterministicShuffle]]), and the
+    * global position visits rank 1 of every source (source-ordered),
+    * then rank 2, … — sources that run out simply drop from later
+    * rounds. Emits `(idCol, source, src_rank, pos)`.
+    *
+    * Scale: the per-source rank is a source-partitioned window; the
+    * global position is CLOSED-FORM from the source-size table —
+    * pos = Σ_{s'} min(rank−1, n_{s'}) + |{s' < s : n_{s'} ≥ rank}| + 1
+    * — evaluated by a broadcast join against the |sources|-row count
+    * table and a re-aggregate, so no global window anywhere. */
+  def interleaveSources(df: DataFrame, sourceCol: String, idCol: String,
+      seed: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed),
+      coalesce(col(idCol).cast("string"), lit("null"))))
+    val ranked = df.withColumn("_k", key)
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("_k"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col(sourceCol).as("source"), col("src_rank"))
+    val counts = ranked.groupBy(col("source").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(counts))
+      .groupBy(col(idCol), col("source"), col("src_rank"))
+      .agg((sum(least(col("src_rank") - 1L, col("_n"))) +
+        sum(when(col("_n") >= col("src_rank") &&
+          col("_s") < col("source"), 1L).otherwise(0L)) + 1L).as("pos"))
+  }
 }

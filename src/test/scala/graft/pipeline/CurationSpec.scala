@@ -329,4 +329,50 @@ class CurationSpec extends SparkSpec {
     // SAME rate (300/500); sqrt tempering doubles s1's share density
     assert(got("s1")._2 > got("s2")._2)
   }
+
+  test("curriculumBins: explicit band rule, partition-invariant") {
+    import spark.implicits._
+    // 12 rows, scores 1..12, 10 bins: rank r → ((r−1)·10) div 12 puts
+    // TWO rows in bins 0 and 5, one everywhere else
+    val df = (1L to 12L).map(i => (i, i)).toDF("id", "s")
+    val got = Curation.curriculumBins(df, "s", "id", nBins = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((2L, 1L, 2L, 3L)))
+    assert(got(5L) == ((2L, 7L, 8L, 15L)))
+    assert(got(9L) == ((1L, 12L, 12L, 12L)))
+    assert(got.values.map(_._1).sum == 12L)
+    val re = Curation.curriculumBins(df.repartition(7), "s", "id", 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(re == got, "two-phase rank must not depend on input layout")
+  }
+
+  test("interleaveSources: closed-form pos equals the window order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (1L to 37L).map(i => (i, s"src${i % 5}")).toDF("id", "source")
+    val got = Curation.interleaveSources(df, "source", "id", "t1")
+    // differential: the closed-form position must equal a plain global
+    // row_number over (src_rank, source)
+    val want = got.withColumn("want_pos", row_number().over(
+      Window.orderBy(col("src_rank"), col("source"))).cast("long"))
+    assert(want.where(col("pos") =!= col("want_pos")).count() == 0)
+    // positions are a dense permutation of 1..n
+    val ps = got.select("pos").as[Long].collect().sorted
+    assert(ps.toSeq == (1L to 37L).toSeq)
+  }
+
+  test("interleaveSources: exhausted sources drop from later rounds") {
+    import spark.implicits._
+    // a has 3 rows, b has 1: order must be a1 b1 a2 a3 (b absent
+    // after round 1), whatever the md5 permutation picked per source
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "source")
+    val got = Curation.interleaveSources(df, "source", "id", "t2")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4)
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq(("a", 1L), ("b", 1L), ("a", 2L), ("a", 3L)))
+  }
 }
