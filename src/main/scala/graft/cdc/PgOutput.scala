@@ -143,6 +143,15 @@ object PgOutput {
     buf(1 + 4 + 1 + 4 * relIds.size).put('T'.toByte).putInt(relIds.size)
       .put(options.toByte).tap(b => relIds.foreach(b.putInt)).array()
 
+  /** Logical decoding message (`pg_logical_emit_message`): Byte1('M'),
+    * Int8 flags (1 = transactional), Int64 lsn, cstring prefix, Int32
+    * length, content bytes. */
+  def encodeLogicalMessage(transactional: Boolean, lsn: Long,
+      prefix: String, content: Array[Byte]): Array[Byte] =
+    Array('M'.toByte, (if (transactional) 1 else 0).toByte) ++
+      buf(8).putLong(lsn).array() ++ cstr(prefix) ++
+      buf(4).putInt(content.length).array() ++ content
+
   // Protocol v2 streamed in-progress transactions (logical_streaming of
   // large transactions): Stream Start/Stop bracket a chunk; every data
   // message inside a chunk carries the transaction xid right after its
@@ -454,7 +463,7 @@ object PgOutput {
       // inside a streamed chunk every data message carries its xid
       // between tag and payload — consume it so the payload parses
       val chunkXid =
-        if (streamXid >= 0 && "RYIUDT".contains(tag)) r.i32().toLong
+        if (streamXid >= 0 && "RYIUDTM".contains(tag)) r.i32().toLong
         else -1L
       val out: Seq[WalChange] = tag match {
         case 'S' =>
@@ -502,6 +511,18 @@ object PgOutput {
           r.i32()
           Seq(WalChange(seq, txLsn, txXid, "TYPE", r.cstring(), r.cstring(), txTs,
             null, null, Nil))
+        case 'M' =>
+          // logical decoding message (pg_logical_emit_message): content
+          // surfaces in `record` so downstream filters/sinks see it as
+          // a typed row, not an opaque skip
+          val transactional = r.i8() == 1
+          val lsn = r.i64()
+          val prefix = r.cstring()
+          val content = r.take(r.i32())
+          Seq(WalChange(seq, lsn, txXid, "MESSAGE", null, null, txTs,
+            Map("prefix" -> prefix,
+              "content" -> new String(content, UTF_8),
+              "transactional" -> transactional.toString), null, Nil))
         case 'I' =>
           val relId = r.i32()
           rel(relId) match {

@@ -176,4 +176,35 @@ class PgOutputSpec extends SparkSpec {
     val live = out.find(_.message == "INSERT").get
     assert(live.record("name") == "alive" && live.change_table == "events")
   }
+
+  test("logical decoding message ('M') decodes prefix + content + lsn") {
+    val out = decodeIterator(seqd(
+      encodeBegin(7L, 1700000000000000L, 11),
+      encodeLogicalMessage(transactional = true, lsn = 55L,
+        prefix = "wal_event", content = "hello ✓".getBytes("UTF-8")),
+      encodeCommit(7L, 8L, 1700000000000000L))).toSeq
+    assert(out.map(_.message) == Seq("BEGIN", "MESSAGE", "COMMIT"))
+    val m = out(1)
+    assert(m.lsn == 55L, "a message carries its OWN lsn field")
+    assert(m.record == Map("prefix" -> "wal_event",
+      "content" -> "hello ✓", "transactional" -> "true"))
+    assert(m.xid == 11, "transactional message belongs to the open txn")
+  }
+
+  test("'M' inside a streamed chunk buffers and applies at commit") {
+    val out = decodeIterator(seqd(
+      encodeStreamStart(77),
+      streamed(77, encodeRelation(relEvents)),
+      streamed(77, encodeLogicalMessage(transactional = true, lsn = 60L,
+        prefix = "audit", content = "x".getBytes("UTF-8"))),
+      streamed(77, encodeInsert(42, Seq(TText("1"), TText("a")))),
+      encodeStreamStop(),
+      encodeStreamCommit(77, 20L, 21L, 1700009999000000L))).toSeq
+    assert(out.map(_.message) ==
+      Seq("RELATION", "MESSAGE", "INSERT", "COMMIT"))
+    val m = out(1)
+    assert(m.xid == 77 && m.record("prefix") == "audit")
+    assert(m.lsn == 20L,
+      "buffered chunk messages re-stamp with the stream-commit lsn")
+  }
 }
