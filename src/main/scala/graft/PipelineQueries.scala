@@ -1643,7 +1643,111 @@ object PipelineQueries {
         |SELECT doc_id, source, src_rank,
         |       CAST(row_number() OVER (ORDER BY src_rank, source)
         |         AS BIGINT) AS pos
-        |FROM r""".stripMargin)))
+        |FROM r""".stripMargin)),
+    // Per-doc unigram entropy (template/boilerplate detector): each
+    // p·ln(p) term integer-ized at 1e-6 after the one ln; the doc total
+    // is an exact BIGINT sum negated at the end in BOTH engines.
+    Q("text_entropy",
+      (s, d) => TextAnalysis.tokenEntropy(docs(s, d), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, w, c,
+        |      sum(c) OVER (PARTITION BY doc_id) AS n FROM c),
+        |m AS (SELECT doc_id, n, c::DOUBLE / n::DOUBLE AS p FROM n)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(-sum(CAST(round(p * ln(p) * 1000000.0::DOUBLE)
+        |         AS BIGINT)) AS BIGINT) AS entropy_micros
+        |FROM m GROUP BY 1""".stripMargin)),
+    // Reciprocal-rank fusion of two BM25 rankings (different query
+    // intents) — the train-free lexical+dense combiner. Each 1/(60+r)
+    // contribution integer-izes at 1e-6; totals are exact BIGINT sums;
+    // the fused rank ties on doc_id.
+    Q("text_rrf",
+      (s, d) => {
+        val dd = docs(s, d)
+        Retrieval.rrfFusion(Seq(
+            Retrieval.bm25TopK(dd, "text", "doc_id",
+              Seq("spark", "window", "merge"), k = 20),
+            Retrieval.bm25TopK(dd, "text", "doc_id",
+              Seq("data", "stream"), k = 20)),
+          "doc_id", "rank", k = 15)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              w -> len(w) > 0) AS ws FROM documents),
+        |dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |       sum(dl)::DOUBLE / count(*) AS avgdl FROM dd),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+        |qtf1 AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |        WHERE w IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3),
+        |dfreq1 AS (SELECT w, count(DISTINCT doc_id) AS df_t FROM qtf1
+        |          GROUP BY 1),
+        |sc1 AS (SELECT doc_id,
+        |       CAST(round((n_docs - df_t + 0.5::DOUBLE) /
+        |           (df_t + 0.5::DOUBLE) *
+        |           (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |           (tf + 1.2::DOUBLE *
+        |             (1.0::DOUBLE - 0.75::DOUBLE +
+        |              0.75::DOUBLE * dl / avgdl)) *
+        |           1000000.0::DOUBLE) AS BIGINT) AS micro
+        |       FROM qtf1 JOIN dfreq1 USING (w), st),
+        |agg1 AS (SELECT doc_id, sum(micro) AS score FROM sc1 GROUP BY 1),
+        |bm1 AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+        |    doc_id ASC) AS rank FROM agg1) WHERE rank <= 20),
+        |qtf2 AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+        |        WHERE w IN ('data', 'stream') GROUP BY 1, 2, 3),
+        |dfreq2 AS (SELECT w, count(DISTINCT doc_id) AS df_t FROM qtf2
+        |          GROUP BY 1),
+        |sc2 AS (SELECT doc_id,
+        |       CAST(round((n_docs - df_t + 0.5::DOUBLE) /
+        |           (df_t + 0.5::DOUBLE) *
+        |           (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |           (tf + 1.2::DOUBLE *
+        |             (1.0::DOUBLE - 0.75::DOUBLE +
+        |              0.75::DOUBLE * dl / avgdl)) *
+        |           1000000.0::DOUBLE) AS BIGINT) AS micro
+        |       FROM qtf2 JOIN dfreq2 USING (w), st),
+        |agg2 AS (SELECT doc_id, sum(micro) AS score FROM sc2 GROUP BY 1),
+        |bm2 AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+        |    doc_id ASC) AS rank FROM agg2) WHERE rank <= 20),
+        |u AS (SELECT doc_id, CAST(round(1000000.0::DOUBLE /
+        |        (60.0::DOUBLE + rank::DOUBLE)) AS BIGINT) AS m FROM bm1
+        |      UNION ALL
+        |      SELECT doc_id, CAST(round(1000000.0::DOUBLE /
+        |        (60.0::DOUBLE + rank::DOUBLE)) AS BIGINT) AS m FROM bm2),
+        |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |      CAST(sum(m) AS BIGINT) AS rrf_micros FROM u GROUP BY 1)
+        |SELECT doc_id, n_lists, rrf_micros, rank FROM (
+        |  SELECT doc_id, n_lists, rrf_micros,
+        |         row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC)
+        |           AS rank FROM f) WHERE rank <= 15""".stripMargin)),
+    // Pairwise source vocabulary Jaccard — corpus-mixing diagnostic.
+    // Exact integer set sizes + inclusion–exclusion; the shuffle unit
+    // is the distinct (source, token) set, never the corpus.
+    Q("text_source_overlap",
+      (s, d) => TextAnalysis.sourceVocabOverlap(docs(s, d), "source",
+        "text"),
+      Some("""WITH v AS (SELECT DISTINCT source AS s,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         x -> len(x) > 0)) AS w FROM documents),
+        |sz AS (SELECT s, count(*) AS n FROM v GROUP BY 1),
+        |p AS (SELECT a.s AS source_a, b.s AS source_b,
+        |      count(*) AS n_common
+        |      FROM v a JOIN v b ON a.w = b.w AND a.s < b.s GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |       CAST(sa.n AS BIGINT) AS v_a, CAST(sb.n AS BIGINT) AS v_b,
+        |       CAST(n_common AS BIGINT) AS n_common,
+        |       round(n_common::DOUBLE /
+        |         (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+        |FROM p JOIN sz sa ON p.source_a = sa.s
+        |       JOIN sz sb ON p.source_b = sb.s""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

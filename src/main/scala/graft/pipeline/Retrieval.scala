@@ -102,4 +102,32 @@ object Retrieval {
       round(col("dcg_micros").cast("double") /
         col("idcg_micros").cast("double"), 6).as("ndcg"))
   }
+
+  /** Reciprocal-rank fusion of several rankings of the same id space:
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)) — the standard
+    * train-free way to combine lexical and dense retrieval lists.
+    *
+    * Each list contribution integer-izes at 1e-6 (one exact integer
+    * division rendered in double, identical everywhere), totals are
+    * exact BIGINT sums, and the fused ranking breaks ties on id — so
+    * the fusion is bit-reproducible. Scale: a unionByName of the
+    * (already tiny) per-list top-k tables, one id groupBy, distributed
+    * TakeOrdered for the final k. Emits
+    * `(idCol, n_lists, rrf_micros, rank)`. */
+  def rrfFusion(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty)
+    val contrib = rankings.map(r =>
+      r.select(col(idCol).as("id"),
+        round(lit(1e6) / (lit(rrfK.toDouble) + col(rankCol).cast("double")))
+          .cast("long").as("_m")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("_m")).as("rrf_micros"))
+    fused.orderBy(col("rrf_micros").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micros").desc, col("id").asc)))
+      .select(col("id").as(idCol), col("n_lists"), col("rrf_micros"),
+        col("rank"))
+  }
 }

@@ -270,4 +270,66 @@ object TextAnalysis {
           (d18(col("c1")) * d18(col("c2"))).cast("double"), 6)
           .as("pmi_ratio"))
   }
+
+  /** Per-document unigram entropy H = −Σ_w p_w·ln(p_w) — the diversity
+    * signal that separates natural prose from boilerplate/repetition
+    * (low-entropy docs are template-like even when long).
+    *
+    * Determinism: each p·ln(p) term integer-izes at 1e-6 right after
+    * the single ln, so the per-doc total is an exact BIGINT sum negated
+    * at the end — identical on any engine and summation order.
+    * Docs with zero (length>0) tokens have no terms and drop out.
+    *
+    * Scale: explode → (doc, token) partial-agg groupBy, one doc-keyed
+    * window for totals, one final doc groupBy — shuffles carry counts,
+    * never text. Emits (idCol, n_tokens, n_types, entropy_micros). */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(filter(words(col(textCol)), w => length(w) > 0)).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(Window.partitionBy(col(idCol)))
+    toks.withColumn("_n", n)
+      .withColumn("_p", col("c").cast("double") / col("_n").cast("double"))
+      .withColumn("_t",
+        round(col("_p") * log(col("_p")) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("_n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        (-sum(col("_t"))).as("entropy_micros"))
+  }
+
+  /** Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    * diagnostic (near-identical vocabularies ⇒ redundant sources;
+    * disjoint ⇒ a domain gap). Exact integers end to end: distinct
+    * (source, token) sets, token-keyed intersection counts, and
+    * |A∪B| by inclusion–exclusion; the only division is the final
+    * rational Jaccard.
+    *
+    * Scale: the shuffle unit is the DISTINCT (source, token) pair set —
+    * vocabulary-sized, not corpus-sized; the token self-join fans out
+    * at most |sources| per token. Emits one row per unordered source
+    * pair `(source_a < source_b)`. */
+  def sourceVocabOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val vocab = df.select(col(sourceCol).as("s"),
+        explode(filter(words(col(textCol)), w => length(w) > 0)).as("w"))
+      .distinct()
+    val sizes = vocab.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val pairs = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.w") === col("b.w") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("source_a"), col("b.s").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("s").as("source_a"),
+        col("n").as("v_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("s").as("source_b"),
+        col("n").as("v_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("v_a") + col("v_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -106,6 +106,18 @@ class RetrievalSpec extends SparkSpec {
     assert(got._4 < 1.0, "retrieved list is worse than the corpus ideal")
   }
 
+  test("rrfFusion: hand-computed micros, doc in both lists wins") {
+    // 1e6/61 → 16393, 1e6/62 → 16129 (HALF_UP)
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFusion(Seq(a, b), "doc_id", "rank", k = 3)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(got.toSeq == Seq(
+      (2L, 2L, 16393L + 16129L, 1),
+      (1L, 1L, 16393L, 2),
+      (3L, 1L, 16129L, 3)))
+  }
+
   test("ndcgAtK: perfect retrieval scores exactly 1.0") {
     val corpus = Seq((1L, 2), (2L, 1), (3L, 0)).toDF("doc_id", "rel")
     val ranked = Seq((1L, 1, 2), (2L, 2, 1), (3L, 3, 0))

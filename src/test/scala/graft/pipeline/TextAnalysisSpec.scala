@@ -162,4 +162,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("york", "new")) == ((2L, 2.333333)))
     assert(!got.contains(("the", "city")), "count-1 pairs gated out")
   }
+
+  test("tokenEntropy: uniform > skewed > single-token; exact micros") {
+    import spark.implicits._
+    def micros(ps: Seq[Double]): Long =
+      -ps.map(p => BigDecimal.valueOf(p * math.log(p) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+    val df = Seq(
+      (1L, "a b c d"),          // uniform: 4 × p=1/4
+      (2L, "a a a b"),          // skewed: 3/4, 1/4
+      (3L, "a a a a"),          // degenerate: entropy 0
+      (4L, "   ")               // whitespace only: no tokens, drops out
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 4L, micros(Seq.fill(4)(0.25)))))
+    assert(got(2L) == ((4L, 2L, micros(Seq(0.75, 0.25)))))
+    assert(got(3L) == ((4L, 1L, 0L)))
+    assert(!got.contains(4L))
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
+  }
+
+  test("sourceVocabOverlap: exact Jaccard by inclusion-exclusion") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a b c"), ("s1", "c d"),      // V(s1) = {a,b,c,d}
+      ("s2", "c d e"),                     // V(s2) = {c,d,e}
+      ("s3", "x y")                        // V(s3) = {x,y} (disjoint)
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceVocabOverlap(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // s1 ∩ s2 = {c,d} → 2 / (4+3−2) = 0.4
+    assert(got(("s1", "s2")) == ((4L, 3L, 2L, 0.4)))
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")),
+      "disjoint pairs produce no row (no zero-intersection padding)")
+    assert(!got.contains(("s2", "s1")), "pairs are ordered source_a < source_b")
+  }
 }
