@@ -19,7 +19,10 @@ object Explain {
         "j_asof_enrich", "j_range_windows", "dedup_incremental",
         "dedup_semantic", "curation_take_n", "text_oov_rate",
         "text_bm25", "text_collocations", "text_nb_classifier",
-        "dedup_spans", "sim_knn_graph", "curation_shuffle", "a_corr")
+        "dedup_spans", "sim_knn_graph", "curation_shuffle", "a_corr",
+        "a_expectations", "a_drift_psi", "a_ewma", "sim_pagerank",
+        "text_ndcg", "text_rrf", "text_entropy", "text_source_overlap",
+        "curation_curriculum", "curation_interleave")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
