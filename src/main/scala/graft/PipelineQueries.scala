@@ -1747,7 +1747,52 @@ object PipelineQueries {
         |       round(n_common::DOUBLE /
         |         (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
         |FROM p JOIN sz sa ON p.source_a = sa.s
-        |       JOIN sz sb ON p.source_b = sb.s""".stripMargin)))
+        |       JOIN sz sb ON p.source_b = sb.s""".stripMargin)),
+    // Third e2e composition, over THIS round's operators: exact dedup →
+    // entropy + length gate → deterministic round-robin interleave of
+    // the survivors into one training order. One oracle validates the
+    // composed lazy plan end to end (thresholds are exact-integer
+    // comparisons — no float margins anywhere in the chain).
+    Q("pipeline_curation_e2e_v3",
+      (s, d) => {
+        val dd = docs(s, d)
+        val surv = dd.join(
+          Dedup.exactSurvivors(dd, "text", "doc_id").select("doc_id"),
+          "doc_id")
+        val keep = TextAnalysis.tokenEntropy(surv, "text", "doc_id")
+          .where(col("entropy_micros") >= 3000000L &&
+            col("n_tokens") >= 10L)
+          .select("doc_id")
+        Curation.interleaveSources(surv.join(keep, "doc_id"), "source",
+          "doc_id", seed = "v3")
+      },
+      Some("""WITH dg AS (SELECT doc_id, source, text FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM dg GROUP BY md5(text)),
+        |surv AS (SELECT d.doc_id, d.source, d.text
+        |         FROM dg d JOIN keep USING (doc_id)),
+        |w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ws FROM surv),
+        |t AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, w, c,
+        |      sum(c) OVER (PARTITION BY doc_id) AS n FROM c),
+        |m AS (SELECT doc_id, n, c::DOUBLE / n::DOUBLE AS p FROM n),
+        |e AS (SELECT doc_id, max(n) AS n_tokens,
+        |      -sum(CAST(round(p * ln(p) * 1000000.0::DOUBLE) AS BIGINT))
+        |        AS entropy_micros
+        |      FROM m GROUP BY 1),
+        |g AS (SELECT s.doc_id, s.source FROM surv s JOIN e USING (doc_id)
+        |      WHERE e.entropy_micros >= 3000000 AND e.n_tokens >= 10),
+        |h AS (SELECT doc_id, source,
+        |      md5('v3:' || coalesce(doc_id::VARCHAR, 'null')) AS k FROM g),
+        |r AS (SELECT doc_id, source,
+        |      CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY k, doc_id) AS BIGINT) AS src_rank FROM h)
+        |SELECT doc_id, source, src_rank,
+        |       CAST(row_number() OVER (ORDER BY src_rank, source)
+        |         AS BIGINT) AS pos
+        |FROM r""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

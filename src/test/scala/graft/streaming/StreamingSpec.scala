@@ -132,6 +132,37 @@ class StreamingSpec extends SparkSpec {
         "first 'alpha' survives; the within-batch (3) and cross-batch (4) dups drop")
     } finally q.stop()
   }
+
+  test("late data beyond the watermark is dropped AND accounted") {
+    val input = MemoryStream[Tick](spark)
+    val agg = input.toDF().withWatermark("ts", "10 seconds")
+      .groupBy(col("k"), window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("window.start").cast("long").as("w"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Tick("a", t("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // watermark is now 00:09:50; this event is 9+ minutes older and
+      // its window [00:00, 00:01) is already closed
+      input.addData(Tick("a", t("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      // advance far enough to close + emit the 00:10 window
+      input.addData(Tick("a", t("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .map(p => Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsDroppedByWatermark).sum).sum
+      assert(dropped == 1L,
+        "the driver can ACCOUNT for shed late rows, not just lose them")
+      val got = spark.table("late_out").as[(String, Long, Long)]
+        .collect().map { case (k, w, n) => (k, w) -> n }.toMap
+      val base = t("2024-01-01 00:10:00").getTime / 1000
+      assert(got((("a", base))) == 1L,
+        "the closed 00:10 window emits WITHOUT the late row")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
