@@ -1792,7 +1792,44 @@ object PipelineQueries {
         |SELECT doc_id, source, src_rank,
         |       CAST(row_number() OVER (ORDER BY src_rank, source)
         |         AS BIGINT) AS pos
-        |FROM r""".stripMargin)))
+        |FROM r""".stripMargin)),
+    // Join-key skew diagnostic: the measurement that decides whether a
+    // key needs salting before the shuffle falls over. Exact counts;
+    // share and max/mean skew factor are final rationals at 1e-6.
+    Q("a_skew_keys",
+      (s, d) => graft.pipeline.Profile.keySkew(
+        ChangeFeed.table(s, d, "events"), "user_id", topK = 10),
+      Some("""WITH c AS (SELECT user_id AS key, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |      CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |      max(cnt) AS max_cnt FROM c),
+        |top AS (SELECT key, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+        |        FROM c)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt, rank, n_keys, n_rows,
+        |       round(cnt::DOUBLE / n_rows::DOUBLE, 6) AS share,
+        |       round(max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE,
+        |         6) AS skew_factor
+        |FROM top, t WHERE rank <= 10""".stripMargin)),
+    // First-order Markov transitions between event types per user, in
+    // (ts, event_id) order; row-normalized probability from exact
+    // counts.
+    Q("a_transitions",
+      (s, d) => graft.rates.Rates.transitionMatrix(
+        ChangeFeed.table(s, d, "events"), "user_id", "ts", "event_id",
+        "event_type"),
+      Some("""WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+        |       round(cnt::DOUBLE /
+        |         (sum(cnt) OVER (PARTITION BY from_type))::DOUBLE, 6)
+        |         AS p
+        |FROM c""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

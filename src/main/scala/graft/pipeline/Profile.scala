@@ -151,6 +151,35 @@ object Profile {
           .as("violation_rate"))
   }
 
+  /** Join/aggregation-key skew diagnostic: the top-k heaviest keys with
+    * their share of all rows, plus the skew factor max/mean (how many ×
+    * the heaviest key exceeds a uniform spread). This is the
+    * measurement that decides whether a join needs salting
+    * ([[graft.plans.Distribution.saltedJoin]]) BEFORE it falls over at
+    * 100 TB — skew is a property you measure, not guess.
+    *
+    * Exact counts; the only divisions are final rationals of exact
+    * integers (share, skew), rounded at 1e-6. One partial-agg groupBy
+    * on the key, a 3-number global aggregate, distributed TakeOrdered
+    * top-k. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("rank"), col("n_keys"),
+        col("n_rows"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"),
+        round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew_factor"))
+  }
+
   /** Population-stability-index drift between a baseline slice and the
     * rest, per stratum: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with add-one
     * smoothed proportions p_i = (b_i+1)/(B+K) over the K observed bins.

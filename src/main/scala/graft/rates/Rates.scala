@@ -116,6 +116,30 @@ object Rates {
         .cast("long").as("reached"))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count (from → to) adjacencies in (ts, tie) order and the row-
+    * normalized transition probability. The behavioral fingerprint
+    * behind next-event prediction and anomalous-flow detection.
+    *
+    * One key-shuffle for the lead window, one (from, to) partial-agg
+    * groupBy, one |event types|-sized window for row totals; the
+    * probability is a single rational division of exact counts. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totW = Window.partitionBy(col("from_type"))
+    pairs.withColumn("row_total", sum(col("cnt")).over(totW))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("row_total").cast("double"),
+          6).as("p"))
+  }
+
   /** Truncated EWMA smoothing per key: α = 1/2 over the trailing `depth`
     * observations, s_t = Σ_{j=0..depth-1} x_{t−j} · (1/2)^{j+1} (missing
     * lags contribute 0, so early rows are a warm-up ramp).

@@ -83,6 +83,18 @@ class ProfileSpec extends SparkSpec {
     assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
   }
 
+  test("keySkew: heavy key surfaces with share and max/mean factor") {
+    // key a: 6 rows, b: 2, c: 2, d: 2 → N=12, 4 keys, mean 3,
+    // skew = 6/3 = 2.0; shares 0.5 / 0.166667
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).toDF("k")
+    val got = Profile.keySkew(df, "k", topK = 2)
+      .select("key", "cnt", "rank", "share", "skew_factor")
+      .as[(String, Long, Int, Double, Double)].collect().sortBy(_._3)
+    assert(got.toSeq == Seq(("a", 6L, 1, 0.5, 2.0),
+      ("b", 2L, 2, 0.166667, 2.0)), s"got ${got.toSeq}")
+  }
+
   test("psiDrift: smoothing handles bins absent on one side") {
     import org.apache.spark.sql.functions._
     val df = Seq(("k", 5L, true), ("k", 5L, false), ("k", 25L, false))

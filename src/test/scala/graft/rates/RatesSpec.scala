@@ -94,6 +94,26 @@ class RatesSpec extends SparkSpec {
     assert(got("y") == (("y", 3L, 0L, 2L, "a", "b")))
   }
 
+  test("transitionMatrix: adjacency counts per key, row-normalized") {
+    val ev = Seq(
+      // user u: A → B → A → B   (A→B ×2, B→A ×1)
+      ("u", t("2024-01-01 00:00:01"), 1L, "A"),
+      ("u", t("2024-01-01 00:00:02"), 2L, "B"),
+      ("u", t("2024-01-01 00:00:03"), 3L, "A"),
+      ("u", t("2024-01-01 00:00:04"), 4L, "B"),
+      // user v: A → C — no cross-user adjacency with u's trailing B
+      ("v", t("2024-01-01 00:00:05"), 5L, "A"),
+      ("v", t("2024-01-01 00:00:06"), 6L, "C")
+    ).toDF("k", "ts", "id", "et")
+    val got = Rates.transitionMatrix(ev, "k", "ts", "id", "et")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("A", "B")) == ((2L, 0.666667)))
+    assert(got(("A", "C")) == ((1L, 0.333333)))
+    assert(got(("B", "A")) == ((1L, 1.0)))
+    assert(got.size == 3, "no B→A carryover across users")
+  }
+
   test("ewmaTrailing: exact binary-fraction weights, per-key warm-up") {
     val ev = Seq(
       ("u", t("2024-01-01 00:00:01"), 1L, 8.0),
