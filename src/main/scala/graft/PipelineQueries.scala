@@ -1829,7 +1829,34 @@ object PipelineQueries {
         |       round(cnt::DOUBLE /
         |         (sum(cnt) OVER (PARTITION BY from_type))::DOUBLE, 6)
         |         AS p
-        |FROM c""".stripMargin)))
+        |FROM c""".stripMargin)),
+    // Cluster separation: pairwise squared distance between per-label
+    // embedding centroids from exact integer sums — the (sa·nb − sb·na)²
+    // /(na·nb)² identity keeps everything decimal/HUGEINT until ONE
+    // final division, so the doubles are bit-identical (no rounding
+    // tolerance, like a_ewma). dist2 is in 1e-6² units.
+    Q("sim_centroid_sep",
+      (s, d) => Similarity.labelCentroidDistances(emb(s, d), "embedding",
+        "label"),
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT label,
+        |      unnest([{d: i, q: CAST(round(v[i] * 1000000.0::DOUBLE)
+        |                AS BIGINT)}
+        |              for i in generate_series(1, 64)],
+        |             recursive := true)
+        |      FROM e),
+        |s AS (SELECT label, d, sum(q) AS sq FROM q GROUP BY 1, 2),
+        |c AS (SELECT label, count(*) AS n FROM e GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |       sum((a.sq::HUGEINT * cb.n - b.sq::HUGEINT * ca.n) *
+        |           (a.sq::HUGEINT * cb.n - b.sq::HUGEINT * ca.n))::DOUBLE
+        |         / ((ca.n * cb.n) * (ca.n * cb.n))::DOUBLE AS dist2
+        |FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
+        |JOIN c ca ON ca.label = a.label
+        |JOIN c cb ON cb.label = b.label
+        |GROUP BY a.label, b.label, ca.n, cb.n""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

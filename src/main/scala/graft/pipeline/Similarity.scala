@@ -413,4 +413,44 @@ object Similarity {
       .where(col("neg_rank") <= k)
       .select(col("src_id"), col("dst_id"), col("neg_rank"))
   }
+
+  /** Pairwise squared distance between per-label embedding centroids —
+    * cluster-separation / embedding-drift measurement between groups
+    * (labels, sources, snapshots).
+    *
+    * Exactness: elements quantize at 1e-6, per-(label, dim) sums are
+    * exact integers, and ||m_a − m_b||² is assembled from the identity
+    * (s_a·n_b − s_b·n_a)² / (n_a·n_b)² — exact decimal(38)/HUGEINT
+    * integer arithmetic with ONE exact-int-to-double cast and ONE
+    * division at the end, so the doubles are bit-identical on any
+    * engine with NO rounding tolerance (dist2 is in 1e-6² units).
+    *
+    * Scale: shuffles carry (label, dim) sums — labels × dim rows, not
+    * vectors; the label-pair join is over that tiny sum table. */
+  def labelCentroidDistances(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val q = df.select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .select(col("lbl"), col("d"),
+        round(col("x") * lit(1e6)).cast("long").as("q"))
+    val sums = q.groupBy(col("lbl"), col("d")).agg(sum(col("q")).as("sq"))
+    val cnts = df.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("n"))
+    def side(s: String) = sums.join(cnts, "lbl")
+      .select(col("lbl").as(s"l$s"), col("d").as(s"d$s"),
+        col("sq").as(s"s$s"), col("n").as(s"n$s"))
+    def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+    val diff = d18(col("sa")) * d18(col("nb")) -
+      d18(col("sb")) * d18(col("na"))
+    side("a").join(side("b"),
+        col("da") === col("db") && col("la") < col("lb"))
+      .withColumn("_t", diff * diff)
+      .groupBy(col("la").as("label_a"), col("lb").as("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("_t")).as("_num"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("_num").cast("double") /
+          ((col("n_a") * col("n_b")) * (col("n_a") * col("n_b")))
+            .cast("double")).as("dist2"))
+  }
 }

@@ -182,4 +182,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(grid == plain, "partial top-k merge reproduces the full kernel")
   }
+
+  test("labelCentroidDistances: exact micros² distance, ordered pairs") {
+    // A: (1,0),(0,1) → centroid (0.5,0.5); B: (1,1) → centroid (1,1)
+    // ‖mA−mB‖² = 0.5 → 5e11 in 1e-6² units, EXACTLY
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(0.0f, 1.0f)),
+      (1, Seq(1.0f, 1.0f))).toDF("label", "embedding")
+    val got = Similarity.labelCentroidDistances(df, "embedding", "label")
+      .as[(Int, Int, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0, 1, 2L, 1L, 5e11)),
+      s"got ${got.toSeq}")
+  }
+
+  test("labelCentroidDistances: identical distributions → distance 0") {
+    val df = Seq(
+      (0, Seq(0.25f, -0.5f)), (1, Seq(0.25f, -0.5f)),
+      (2, Seq(0.75f, 0.1f))).toDF("label", "embedding")
+    val got = Similarity.labelCentroidDistances(df, "embedding", "label")
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got((0, 1)) == 0.0)
+    assert(got((0, 2)) > 0.0 && got((0, 2)) == got((1, 2)))
+  }
 }
