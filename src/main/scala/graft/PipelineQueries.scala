@@ -1856,7 +1856,36 @@ object PipelineQueries {
         |FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
         |JOIN c ca ON ca.label = a.label
         |JOIN c cb ON cb.label = b.label
-        |GROUP BY a.label, b.label, ca.n, cb.n""".stripMargin)))
+        |GROUP BY a.label, b.label, ca.n, cb.n""".stripMargin)),
+    // Ordered journey path per user (first 20 steps, '>'-joined) — the
+    // flow-mining shape; the rank filter bounds the per-key collect
+    // BEFORE the list aggregate.
+    Q("a_user_journey",
+      (s, d) => graft.rates.Rates.journeyPaths(
+        ChangeFeed.table(s, d, "events"), "user_id", "ts", "event_id",
+        "event_type", maxSteps = 20),
+      Some("""WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |       CAST(count(*) AS BIGINT) AS n_steps
+        |FROM r WHERE rn <= 20 GROUP BY 1""".stripMargin)),
+    // Rolling 7-day distinct actives per day: distinct (user, day) →
+    // constant-fan day-range join → per-day exact distinct count.
+    Q("a_rolling_actives",
+      (s, d) => graft.rates.Rates.rollingActives(
+        ChangeFeed.table(s, d, "events"), "user_id", "ts",
+        windowDays = 7),
+      Some("""WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |           FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM a)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM days JOIN a ON date_diff('day', a.d, days.day)
+        |  BETWEEN 0 AND 6
+        |GROUP BY 1""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

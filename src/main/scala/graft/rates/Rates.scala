@@ -140,6 +140,48 @@ object Rates {
           6).as("p"))
   }
 
+  /** Per-key ordered journey path: the first `maxSteps` event types in
+    * (ts, tie) order joined into one `a>b>c` string — the session-path
+    * shape behind flow visualization and path mining. One key-shuffle;
+    * the collect is bounded at `maxSteps` per key by a rank filter
+    * BEFORE the list aggregate, so no unbounded per-key row. */
+  def journeyPaths(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, maxSteps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val full = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxSteps)
+      .withColumn("_path",
+        concat_ws(">", collect_list(col(typeCol)).over(full)))
+      .withColumn("_n", count(lit(1)).over(full))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col("_path").as("path"),
+        col("_n").as("n_steps"))
+  }
+
+  /** Rolling distinct actives: for every observed day, the number of
+    * DISTINCT keys active in the trailing `windowDays` days. Count
+    * distinct cannot slide along a window frame, so the standard exact
+    * shape is: distinct (key, day) → day-range self-join (fan-out =
+    * windowDays, a constant) → per-day distinct count. Shuffle volume
+    * is |distinct (key, day)| × windowDays — active-users-sized, not
+    * events-sized. */
+  def rollingActives(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    val activity = events
+      .select(to_date(col(tsCol)).as("_d"), col(keyCol).as("_k"))
+      .distinct()
+    val days = activity.select(col("_d").as("day")).distinct()
+    days.join(activity,
+        datediff(col("day"), col("_d")).between(0, windowDays - 1))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_k")).as("n_active"))
+      .withColumn("day", col("day").cast("string"))
+  }
+
   /** Truncated EWMA smoothing per key: α = 1/2 over the trailing `depth`
     * observations, s_t = Σ_{j=0..depth-1} x_{t−j} · (1/2)^{j+1} (missing
     * lags contribute 0, so early rows are a warm-up ramp).

@@ -94,6 +94,33 @@ class RatesSpec extends SparkSpec {
     assert(got("y") == (("y", 3L, 0L, 2L, "a", "b")))
   }
 
+  test("journeyPaths: ordered path, maxSteps truncation per key") {
+    val ev = Seq(
+      ("u", t("2024-01-01 00:00:01"), 1L, "A"),
+      ("u", t("2024-01-01 00:00:02"), 2L, "B"),
+      ("u", t("2024-01-01 00:00:03"), 3L, "C"),
+      ("v", t("2024-01-01 00:00:09"), 4L, "X")
+    ).toDF("k", "ts", "id", "et")
+    val got = Rates.journeyPaths(ev, "k", "ts", "id", "et", maxSteps = 2)
+      .as[(String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u") == (("u", "A>B", 2L)), "truncated at maxSteps, in order")
+    assert(got("v") == (("v", "X", 1L)))
+  }
+
+  test("rollingActives: trailing window counts distinct keys") {
+    val ev = Seq(
+      ("a", t("2024-01-01 10:00:00")), ("b", t("2024-01-01 11:00:00")),
+      ("a", t("2024-01-02 10:00:00")),
+      ("c", t("2024-01-09 10:00:00"))
+    ).toDF("k", "ts")
+    val got = Rates.rollingActives(ev, "k", "ts", windowDays = 7)
+      .as[(String, Long)].collect().toMap
+    assert(got("2024-01-01") == 2L)
+    assert(got("2024-01-02") == 2L, "a counts once, b still in window")
+    assert(got("2024-01-09") == 1L,
+      "jan 1-2 activity aged out of the 7-day window")
+  }
+
   test("transitionMatrix: adjacency counts per key, row-normalized") {
     val ev = Seq(
       // user u: A → B → A → B   (A→B ×2, B→A ×1)
