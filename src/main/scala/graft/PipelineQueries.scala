@@ -1885,7 +1885,51 @@ object PipelineQueries {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
         |FROM days JOIN a ON date_diff('day', a.d, days.day)
         |  BETWEEN 0 AND 6
-        |GROUP BY 1""".stripMargin)))
+        |GROUP BY 1""".stripMargin)),
+    // Row-level robust outliers: |x − med| > 3·MAD per event_type with
+    // RANK-BASED lower medians (actual data elements, no interpolation
+    // arithmetic) — every comparison operand is exact, so the boundary
+    // decision needs no epsilon on either engine.
+    Q("a_outliers_mad",
+      (s, d) => graft.pipeline.Profile.outliersMad(
+        ChangeFeed.table(s, d, "events"), "event_type", "value",
+        "event_id", k = 3),
+      Some("""WITH v AS (SELECT event_id, event_type, value::DOUBLE AS x
+        |           FROM events WHERE value IS NOT NULL),
+        |r1 AS (SELECT event_type, x,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY x)
+        |         AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM v),
+        |med AS (SELECT event_type, x AS med FROM r1
+        |        WHERE rn = (n + 1) // 2),
+        |wm AS (SELECT v.event_id, v.event_type, v.x, med.med,
+        |       abs(v.x - med.med) AS ad
+        |       FROM v JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, ad,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY ad)
+        |         AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM wm),
+        |mad AS (SELECT event_type, ad AS mad FROM r2
+        |        WHERE rn = (n + 1) // 2)
+        |SELECT wm.event_id, wm.event_type, wm.x AS value, wm.med,
+        |       mad.mad
+        |FROM wm JOIN mad USING (event_type)
+        |WHERE wm.ad > 3.0::DOUBLE * mad.mad""".stripMargin)),
+    // Debounce: drop events within 5 s of the previous same-(user,
+    // type) event (previous EVENT, not previous kept — documented lag
+    // semantics); output is the kept set.
+    Q("a_debounce",
+      (s, d) => graft.rates.Rates.debounce(
+          ChangeFeed.table(s, d, "events"), Seq("user_id", "event_type"),
+          "ts", "event_id", minGapSec = 5L)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      Some("""WITH l AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |    AS gap_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM l
+        |WHERE gap_us IS NULL OR gap_us > 5000000""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

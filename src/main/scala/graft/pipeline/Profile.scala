@@ -118,6 +118,41 @@ object Profile {
           sqrt(nd * d("syy") - d("sy") * d("sy")), 6).as("r"))
   }
 
+  /** Row-level robust outlier flags: |x − median| > k·MAD per stratum,
+    * emitting the flagged rows. Unlike [[robustStats]] (which reports
+    * interpolated medians rounded against cross-engine ulps), the
+    * median here is the RANK-BASED lower median — an actual element of
+    * the data, no interpolation arithmetic — so med, MAD, and every
+    * comparison operand are exact values and the boundary decision is
+    * engine-independent without any epsilon.
+    *
+    * Scale: two ranked passes (median, then MAD over |x−med|), each one
+    * window over the stratum key; the per-stratum med/MAD tables
+    * broadcast. */
+  def outliersMad(df: DataFrame, stratumCol: String, valueCol: String,
+      idCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(stratumCol).orderBy(col(c))
+      val cw = Window.partitionBy(stratumCol)
+      in.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(cw))
+        .where(col("_rn") === expr("(_n + 1L) div 2L"))
+        .select(col(stratumCol), col(c).as(out))
+    }
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(stratumCol),
+        col(valueCol).cast("double").as("_x"))
+    val med = lowerMedian(vals, "_x", "med")
+    val withMed = vals.join(broadcast(med), stratumCol)
+      .withColumn("_ad", abs(col("_x") - col("med")))
+    val mad = lowerMedian(withMed, "_ad", "mad")
+    withMed.join(broadcast(mad), stratumCol)
+      .where(col("_ad") > lit(k.toDouble) * col("mad"))
+      .select(col(idCol), col(stratumCol), col("_x").as("value"),
+        col("med"), col("mad"))
+  }
+
   /** One data-contract rule: `pass` is a Column evaluating to true when a
     * row SATISFIES the expectation (NULL counts as a violation). */
   final case class Expectation(column: String, rule: String, pass: org.apache.spark.sql.Column)

@@ -140,6 +140,28 @@ object Rates {
           6).as("p"))
   }
 
+  /** Debounce: drop an event arriving within `minGapSec` of the
+    * PREVIOUS event with the same key — the duplicate-click /
+    * double-fire suppressor. Note the semantics deliberately compare
+    * against the previous EVENT, not the previous KEPT event: the
+    * kept-anchor variant is a sequential per-key scan (each decision
+    * depends on the last decision) that no windowed/relational form
+    * expresses — this lag form is the standard streaming-safe
+    * approximation and differs only when ≥3 events land inside one
+    * gap. One key-shuffle, one lag window, a narrow filter. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, minGapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    events
+      .withColumn("_keep", prev.isNull ||
+        unix_micros(col(tsCol)) - unix_micros(prev) >
+          lit(minGapSec * 1000000L))
+      .where(col("_keep")).drop("_keep")
+  }
+
   /** Per-key ordered journey path: the first `maxSteps` event types in
     * (ts, tie) order joined into one `a>b>c` string — the session-path
     * shape behind flow visualization and path mining. One key-shuffle;

@@ -83,6 +83,18 @@ class ProfileSpec extends SparkSpec {
     assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
   }
 
+  test("outliersMad: rank-based median/MAD, only flagged rows emit") {
+    // values 1..9 + 100: lower median (rank 5 of 10) = 5;
+    // |x−5| sorted = 0,1,1,2,2,3,3,4,4,95 → MAD (rank 5) = 2;
+    // threshold 3·2 = 6 flags only the 100
+    val df = ((1 to 9).map(i => (i.toLong, "k", Some(i.toDouble))) :+
+      ((100L, "k", Some(100.0))) :+ ((101L, "k", Option.empty[Double])))
+      .toDF("id", "g", "v")
+    val got = Profile.outliersMad(df, "g", "v", "id", k = 3)
+      .as[(Long, String, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq((100L, "k", 100.0, 5.0, 2.0)), s"${got.toSeq}")
+  }
+
   test("keySkew: heavy key surfaces with share and max/mean factor") {
     // key a: 6 rows, b: 2, c: 2, d: 2 → N=12, 4 keys, mean 3,
     // skew = 6/3 = 2.0; shares 0.5 / 0.166667

@@ -94,6 +94,22 @@ class RatesSpec extends SparkSpec {
     assert(got("y") == (("y", 3L, 0L, 2L, "a", "b")))
   }
 
+  test("debounce: drops within-gap repeats per key, keeps the first") {
+    val ev = Seq(
+      ("u", "click", t("2024-01-01 00:00:00"), 1L),
+      ("u", "click", t("2024-01-01 00:00:03"), 2L), // 3s after 1 → drop
+      ("u", "click", t("2024-01-01 00:00:07"), 3L), // 4s after 2 → drop
+      ("u", "click", t("2024-01-01 00:00:20"), 4L), // clear gap → keep
+      ("u", "view", t("2024-01-01 00:00:01"), 5L),  // other type → keep
+      ("v", "click", t("2024-01-01 00:00:02"), 6L)  // other key → keep
+    ).toDF("k", "et", "ts", "id")
+    val got = Rates.debounce(ev, Seq("k", "et"), "ts", "id", 5L)
+      .select("id").as[Long].collect().toSet
+    // id 3 drops against the previous EVENT (2), not the previous kept
+    // (1) — the documented lag semantics
+    assert(got == Set(1L, 4L, 5L, 6L))
+  }
+
   test("journeyPaths: ordered path, maxSteps truncation per key") {
     val ev = Seq(
       ("u", t("2024-01-01 00:00:01"), 1L, "A"),
