@@ -903,6 +903,43 @@ object Queries {
         |  CASE WHEN t_us - asof_ts_us <= 7200000000 THEN asof_ts_us END
         |    AS asof_ts_us
         |FROM j""".stripMargin)),
+    // Forward as-of: the NEXT error after each click (outcome
+    // labeling), within 2 h. Same union+window shape as the backward
+    // join, frame flipped; oracle is DuckDB's forward ASOF (l.ts <=
+    // r.ts picks the earliest qualifying right row).
+    Q("j_asof_next",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("ts"))
+        val errors = e.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("err_id"), col("value").as("err_value"))
+        graft.operators.TemporalJoin.asOfForward(
+            clicks, errors, Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            payload = Seq("err_id", "err_value"),
+            toleranceUs = Some(7200000000L))
+          .select("click_id", "user_id", "t_us",
+            "err_id", "err_value", "asof_ts_us")
+      },
+      Some("""WITH j AS (
+        |  SELECT c.click_id, c.user_id, c.t_us,
+        |         e.err_id, e.err_value, e.asof_ts_us
+        |  FROM (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_us, ts
+        |        FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN
+        |       (SELECT user_id, ts, event_id AS err_id, value AS err_value,
+        |               epoch_us(ts) AS asof_ts_us
+        |        FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts)
+        |SELECT click_id, user_id, t_us,
+        |  CASE WHEN asof_ts_us - t_us <= 7200000000 THEN err_id END AS err_id,
+        |  CASE WHEN asof_ts_us - t_us <= 7200000000 THEN err_value END
+        |    AS err_value,
+        |  CASE WHEN asof_ts_us - t_us <= 7200000000 THEN asof_ts_us END
+        |    AS asof_ts_us
+        |FROM j""".stripMargin)),
     // Interval/range join via bin banding (equi-join on (key, bin) +
     // exact range post-filter — never a nested-loop): clicks landing
     // inside any [error, error+10min) window of the same user. The

@@ -83,6 +83,51 @@ object TemporalJoin {
       payload.map(p => col(s"_m.$p")) :+ col("_m.asof_ts_us"): _*)
   }
 
+  /** Forward as-of join — the "what happened NEXT" enrichment: for each
+    * left row, the EARLIEST right row with `right.ts >= left.ts` on the
+    * same keys (outcome labeling, next-error attribution, reaction
+    * joins). Mirror image of [[asOfBackward]]: same tag + union + ONE
+    * keyed window shape (zero row multiplication, no join operator),
+    * with the frame flipped to [current, unbounded following] and a
+    * `first(ignoreNulls)` gather; at equal timestamps the right row is
+    * eligible (>=), so rights sort after lefts within a tick. Ties on
+    * the same right (key, ts) dedup to the MIN payload struct (the
+    * deterministic mirror of backward's latest-wins MAX).
+    *
+    * @param toleranceUs optional max lookahead: matches later than
+    *   `left.ts + toleranceUs` are nulled out (row stays, left-outer
+    *   style). */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val keyCols = keys.map(col)
+    val rStruct = struct(
+      unix_micros(col(rightTs)).as("asof_ts_us") +: payload.map(col): _*)
+    val rDedup = right
+      .groupBy(keyCols :+ unix_micros(col(rightTs)).as("_t"): _*)
+      .agg(min(rStruct).as("_r"))
+    val lStruct = struct(left.columns.map(col): _*)
+    val lTagged = left.select(
+      keyCols ++ Seq(unix_micros(col(leftTs)).as("_t"), lit(0).as("_side"),
+        lit(null).cast(rDedup.schema("_r").dataType).as("_r"),
+        lStruct.as("_l")): _*)
+    val rTagged = rDedup.select(
+      keyCols ++ Seq(col("_t"), lit(1).as("_side"), col("_r"),
+        lit(null).cast(lTagged.schema("_l").dataType).as("_l")): _*)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("_m", first(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0)
+    val gated = toleranceUs match {
+      case Some(tol) => matched.withColumn("_m",
+        when(col("_m.asof_ts_us") - col("_t") <= tol, col("_m")))
+      case None => matched
+    }
+    gated.select(col("_l.*") +:
+      payload.map(p => col(s"_m.$p")) :+ col("_m.asof_ts_us"): _*)
+  }
+
   /** Interval (range) join: `points ⨝ intervals` on `keys` with
     * `start <= t < end` (half-open, the usual window convention), via
     * bin banding: each interval is replicated to every `binUs`-wide

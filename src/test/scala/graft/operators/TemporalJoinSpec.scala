@@ -97,6 +97,36 @@ class TemporalJoinSpec extends SparkSpec {
 
   // ---------------------------------------------------- plan assertions
 
+  test("asOfForward: earliest later match; ties match; no-later is NULL") {
+    val got = TemporalJoin.asOfForward(leftDf, rightDf, Seq("k"),
+        "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Some(200L), // 10:05 is the earliest ≥ 10:00
+      2L -> Some(200L), // equal timestamp matches
+      3L -> Some(100L), // 09:30 is the earliest ≥ 09:00
+      4L -> None))      // b has nothing at/after 10:00
+  }
+
+  test("asOfForward: tolerance nulls far-future matches, row stays") {
+    val got = TemporalJoin.asOfForward(leftDf, rightDf, Seq("k"),
+        "t", "rt", Seq("v"), toleranceUs = Some(600L * 1000000L))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(200L), "5 min ahead within 10 min tolerance")
+    assert(got(3L).isEmpty, "30 min ahead nulled, row kept")
+    assert(got.size == 4)
+  }
+
+  test("asOfForward: duplicate right (key, ts) dedups to MIN payload") {
+    val right = Seq(
+      ("a", ts("2024-01-01 10:30:00"), 9L),
+      ("a", ts("2024-01-01 10:30:00"), 2L)).toDF("k", "rt", "v")
+    val got = TemporalJoin.asOfForward(leftDf, right, Seq("k"),
+        "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(2L), "min struct wins at the same tick")
+  }
+
   test("plans: asOf is window-over-union, range join is equi — never a loop join") {
     val asOf = TemporalJoin.asOfBackward(leftDf, rightDf, Seq("k"),
       "t", "rt", Seq("v"))
@@ -104,6 +134,10 @@ class TemporalJoinSpec extends SparkSpec {
     assert(!asOfPlan.contains("Join"),
       s"as-of must compile to union+window, not any join:\n$asOfPlan")
     assert(asOfPlan.contains("Window"), asOfPlan)
+    val fwdPlan = TemporalJoin.asOfForward(leftDf, rightDf, Seq("k"),
+      "t", "rt", Seq("v")).queryExecution.executedPlan.toString
+    assert(!fwdPlan.contains("Join") && fwdPlan.contains("Window"),
+      s"forward as-of shares the union+window shape:\n$fwdPlan")
     val rj = TemporalJoin.rangeJoinBinned(pointsDf, intervalsDf, Seq("k"),
       "t", "s", "e", binUs = 60L * 1000000L)
     val rjPlan = rj.queryExecution.executedPlan.toString
