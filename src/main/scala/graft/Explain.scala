@@ -22,7 +22,10 @@ object Explain {
         "dedup_spans", "sim_knn_graph", "curation_shuffle", "a_corr",
         "a_expectations", "a_drift_psi", "a_ewma", "sim_pagerank",
         "text_ndcg", "text_rrf", "text_entropy", "text_source_overlap",
-        "curation_curriculum", "curation_interleave")
+        "curation_curriculum", "curation_interleave", "a_skew_keys",
+        "a_transitions", "sim_centroid_sep", "a_user_journey",
+        "a_rolling_actives", "a_outliers_mad", "a_debounce",
+        "j_asof_next", "pipeline_curation_e2e_v3")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1929,7 +1929,64 @@ object PipelineQueries {
         |    AS gap_us
         |  FROM events)
         |SELECT event_id, user_id, event_type FROM l
-        |WHERE gap_us IS NULL OR gap_us > 5000000""".stripMargin)))
+        |WHERE gap_us IS NULL OR gap_us > 5000000""".stripMargin)),
+    // Week-over-week growth per event type: weekly exact counts, lag
+    // window, one rational growth ratio at 1e-6. Weeks are epoch-day
+    // div 7 buckets (exact integral division, no calendar ambiguity).
+    Q("a_wow_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val weekly = ChangeFeed.table(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+              .as("week"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("week")
+        weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+          .where(col("prev_n").isNotNull)
+          .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+            round(col("n").cast("double") / col("prev_n").cast("double"),
+              6).as("growth"))
+      },
+      Some("""WITH wk AS (SELECT event_type,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |    AS week,
+        |  count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n,
+        |      lag(n, 1) OVER (PARTITION BY event_type ORDER BY week)
+        |        AS prev_n
+        |      FROM wk)
+        |SELECT event_type, week, CAST(n AS BIGINT) AS n,
+        |       CAST(prev_n AS BIGINT) AS prev_n,
+        |       round(n::DOUBLE / prev_n::DOUBLE, 6) AS growth
+        |FROM l WHERE prev_n IS NOT NULL""".stripMargin)),
+    // Percent-rank normalization of value within event_type: the
+    // quantile-normalized feature column; (rank−1)/(n−1) is one
+    // rational of exact integers (rank ties broken by event_id so the
+    // permutation is total on both engines).
+    Q("a_percent_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        val cw = Window.partitionBy("event_type")
+        ChangeFeed.table(s, d, "events")
+          .where(col("value").isNotNull)
+          .withColumn("_rn", row_number().over(w).cast("long"))
+          .withColumn("_n", count(lit(1)).over(cw))
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("_rn") - 1L).cast("double") /
+              (col("_n") - 1L).cast("double"), 6).as("pr"))
+      },
+      Some("""WITH r AS (SELECT event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, event_type, value,
+        |       round((rn - 1)::DOUBLE / (n - 1)::DOUBLE, 6) AS pr
+        |FROM r""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++
