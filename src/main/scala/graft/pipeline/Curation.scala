@@ -412,6 +412,25 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Materialize a training-ready shard layout: every row joined to its
+    * [[deterministicShuffle]] (shard, pos) and written as
+    * `outDir/shard=K/` parquet with rows sorted by `pos` inside each
+    * shard — the byte-stable export a dataloader consumes, identical
+    * across re-runs and cluster sizes.
+    *
+    * Scale: one id-keyed join to the (id, shard, pos) table, one
+    * repartition on shard (each shard written by one task, so file
+    * count and row order are layout-independent), sortWithinPartitions
+    * for the in-file order. */
+  def writeShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int, outDir: String): Unit = {
+    val sharded = df.join(
+      deterministicShuffle(df, idCol, seed, nShards), idCol)
+    sharded.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
+
   /** Curriculum binning: rank every row by a difficulty score (ties on
     * id) and cut the exact global rank order into `nBins` rank-equal
     * bands — `bin = ((rank−1)·nBins) div N`. Returns per-bin stats

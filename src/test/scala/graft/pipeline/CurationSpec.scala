@@ -330,6 +330,28 @@ class CurationSpec extends SparkSpec {
     assert(got("s1")._2 > got("s2")._2)
   }
 
+  test("writeShards: shard dirs, in-shard order, re-run identical") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val d1 = java.nio.file.Files.createTempDirectory("sh1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("sh2").toString
+    Curation.writeShards(df, "id", "s9", nShards = 4, d1)
+    Curation.writeShards(df.repartition(7), "id", "s9", nShards = 4, d2)
+    val r1 = spark.read.parquet(d1).select("shard", "pos", "id", "text")
+      .as[(Int, Int, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val r2 = spark.read.parquet(d2).select("shard", "pos", "id", "text")
+      .as[(Int, Int, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(r1.toSeq == r2.toSeq,
+      "layout must not depend on the input partitioning")
+    assert(r1.map(_._3).toSet == (1L to 40L).toSet, "no row lost or duped")
+    assert(r1.map(_._1).distinct.sorted.toSeq.nonEmpty &&
+      r1.map(_._1).forall(s => s >= 0 && s < 4))
+    // every shard's positions are dense 1..n_shard
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("curriculumBins: explicit band rule, partition-invariant") {
     import spark.implicits._
     // 12 rows, scores 1..12, 10 bins: rank r → ((r−1)·10) div 12 puts
