@@ -47,6 +47,31 @@ class TemporalJoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfForward ≡ brute force over random collisions (5 seeds)") {
+    for (seed <- 21L to 25L) {
+      val left = genRows(seed, 80, 4, 50)
+      val right = genRows(seed + 100, 60, 4, 50)
+        .map { case (id, k, t) => (id + 1000, k, t) }
+      val got = TemporalJoin.asOfForward(
+          left.toDF("id", "k", "t"), right.toDF("rid", "k", "rt"),
+          Seq("k"), "t", "rt", Seq("rid"))
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      // per left row: right rows on the key with rt >= t; min rt, then
+      // (mirroring the operator's MIN-payload-struct dedup) min rid
+      val byKey = right.groupBy(_._2)
+      val want = left.map { case (id, k, t) =>
+        val cands = byKey.getOrElse(k, Seq.empty)
+          .filter(!_._3.before(t))
+        id -> (if (cands.isEmpty) None
+               else {
+                 val best = cands.map(_._3.getTime).min
+                 Some(cands.filter(_._3.getTime == best).map(_._1).min)
+               })
+      }.toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("rangeJoinBinned ≡ brute force over random intervals (5 seeds)") {
     for (seed <- 11L to 15L) {
       val rnd = new scala.util.Random(seed)
