@@ -1986,7 +1986,48 @@ object PipelineQueries {
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_id, event_type, value,
         |       round((rn - 1)::DOUBLE / (n - 1)::DOUBLE, 6) AS pr
-        |FROM r""".stripMargin)))
+        |FROM r""".stripMargin)),
+    // Pearson χ² independence of (lang, source): exact observed
+    // counts, each (O−E)²/E term integer-ized at 1e-6, exact BIGINT
+    // total. Marginals from windows over the cells table, never a
+    // second scan.
+    Q("a_chisq",
+      (s, d) => graft.pipeline.Profile.chiSquare(docs(s, d), "lang",
+        "source"),
+      Some("""WITH c0 AS (SELECT lang AS a, source AS b, count(*) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT g.a, g.b, coalesce(c0.o, 0) AS o
+        |      FROM (SELECT a, b FROM (SELECT DISTINCT lang AS a
+        |              FROM documents),
+        |            (SELECT DISTINCT source AS b FROM documents)) g
+        |      LEFT JOIN c0 USING (a, b)),
+        |m AS (SELECT a, b, o,
+        |      sum(o) OVER (PARTITION BY a) AS rt,
+        |      sum(o) OVER (PARTITION BY b) AS ct,
+        |      sum(o) OVER () AS n FROM c),
+        |t AS (SELECT a, b, CAST(round(
+        |      (o - (rt * ct)::DOUBLE / n::DOUBLE) *
+        |      (o - (rt * ct)::DOUBLE / n::DOUBLE) /
+        |      ((rt * ct)::DOUBLE / n::DOUBLE) * 1000000.0::DOUBLE)
+        |        AS BIGINT) AS t FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+        |         AS BIGINT) AS dof,
+        |       CAST(sum(t) AS BIGINT) AS chisq_micros
+        |FROM t""".stripMargin)),
+    // Stable three-way split by md5 hash range: a doc's split is a
+    // pure function of (seed, id), immune to corpus growth.
+    Q("curation_split3",
+      (s, d) => Curation.threeWaySplit(docs(s, d), "doc_id", "sp",
+        trainPct = 80, valPct = 10),
+      Some("""SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |      ('0x' || substr(md5('sp:' ||
+        |        coalesce(doc_id::VARCHAR, 'null')), 1, 6))::BIGINT % 100
+        |        AS b
+        |      FROM documents)""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

@@ -412,6 +412,23 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Three-way train/val/test assignment by md5 hash range — the
+    * stable split every run must agree on: a document's split never
+    * changes when the corpus grows (pure function of id + seed), which
+    * is what keeps eval sets eval sets across snapshots. Pure narrow
+    * projection, zero shuffles. */
+  def threeWaySplit(df: DataFrame, idCol: String, seed: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100)
+    val key = md5(concat_ws(":", lit(seed),
+      coalesce(col(idCol).cast("string"), lit("null"))))
+    val bucket = conv(substring(key, 1, 6), 16, 10).cast("long") % 100
+    df.select(col(idCol), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Materialize a training-ready shard layout: every row joined to its
     * [[deterministicShuffle]] (shard, pos) and written as
     * `outDir/shard=K/` parquet with rows sorted by `pos` inside each

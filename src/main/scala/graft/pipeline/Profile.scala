@@ -118,6 +118,42 @@ object Profile {
           sqrt(nd * d("syy") - d("sy") * d("sy")), 6).as("r"))
   }
 
+  /** Pearson χ² independence statistic for two categorical columns —
+    * "is language independent of source?" is the first question about
+    * a stratified corpus. Observed counts are exact; each cell's
+    * (O−E)²/E term (E = row·col/N, a rational of exact products)
+    * integer-izes at 1e-6 so the total is an exact BIGINT sum. Emits
+    * one row: (n_cells, dof, chisq_micros).
+    *
+    * Scale: one (a, b) partial-agg groupBy; marginals come from two
+    * windows over the cells table (cells-sized, tiny), never a second
+    * scan. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    // the statistic sums over ALL R×C cells — absent combinations are
+    // O=0 cells contributing E each, so rebuild the full grid from the
+    // observed category values (R×C rows, tiny) before the windows
+    val cells = df.select(col(aCol).as("_a")).distinct()
+      .crossJoin(df.select(col(bCol).as("_b")).distinct())
+      .join(counts, Seq("_a", "_b"), "left")
+      .withColumn("o", coalesce(col("_o"), lit(0L)))
+    val withMarg = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy("_a")))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy("_b")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    withMarg
+      .withColumn("_e", e)
+      .withColumn("_t", round((col("o") - col("_e")) * (col("o") - col("_e"))
+        / col("_e") * lit(1e6)).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("_a")) - 1) * (countDistinct(col("_b")) - 1))
+          .as("dof"),
+        sum(col("_t")).as("chisq_micros"))
+  }
+
   /** Row-level robust outlier flags: |x − median| > k·MAD per stratum,
     * emitting the flagged rows. Unlike [[robustStats]] (which reports
     * interpolated medians rounded against cross-engine ulps), the

@@ -330,6 +330,23 @@ class CurationSpec extends SparkSpec {
     assert(got("s1")._2 > got("s2")._2)
   }
 
+  test("threeWaySplit: bucket boundaries, growth-stable assignment") {
+    import spark.implicits._
+    val small = (1L to 200L).map(i => Tuple1(i)).toDF("id")
+    val s1 = Curation.threeWaySplit(small, "id", "t", 80, 10)
+      .as[(Long, Long, String)].collect()
+    s1.foreach { case (_, b, sp) =>
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp == want, s"bucket $b → $sp")
+    }
+    assert(s1.map(_._3).toSet == Set("train", "val", "test"))
+    // growing the corpus must not move any existing assignment
+    val grown = (1L to 400L).map(i => Tuple1(i)).toDF("id")
+    val s2 = Curation.threeWaySplit(grown, "id", "t", 80, 10)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    s1.foreach { case (id, _, sp) => assert(s2(id) == sp) }
+  }
+
   test("writeShards: shard dirs, in-shard order, re-run identical") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, s"doc$i")).toDF("id", "text")

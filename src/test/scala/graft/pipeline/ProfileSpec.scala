@@ -83,6 +83,27 @@ class ProfileSpec extends SparkSpec {
     assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
   }
 
+  test("chiSquare: perfectly independent table scores exactly 0") {
+    // counts proportional across rows → O == E for every cell
+    val df = (Seq.fill(4)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq.fill(8)(("de", "s1")) ++ Seq.fill(4)(("de", "s2")))
+      .toDF("a", "b")
+    val got = Profile.chiSquare(df, "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((4L, 1L, 0L)), s"got $got")
+  }
+
+  test("chiSquare: hand-computed 2×2 dependence includes zero cells") {
+    // O = [[10, 0], [0, 10]]: E = 5 in every cell (including the two
+    // UNOBSERVED ones, rebuilt by the grid cross join) → χ² =
+    // 4 · (10−5)²/5 = 20 → 20_000_000 micros; dof = (2−1)(2−1)
+    val df = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val got = Profile.chiSquare(df, "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((4L, 1L, 20000000L)), s"got $got")
+  }
+
   test("outliersMad: rank-based median/MAD, only flagged rows emit") {
     // values 1..9 + 100: lower median (rank 5 of 10) = 5;
     // |x−5| sorted = 0,1,1,2,2,3,3,4,4,95 → MAD (rank 5) = 2;
