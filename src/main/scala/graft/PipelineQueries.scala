@@ -2027,7 +2027,45 @@ object PipelineQueries {
         |      ('0x' || substr(md5('sp:' ||
         |        coalesce(doc_id::VARCHAR, 'null')), 1, 6))::BIGINT % 100
         |        AS b
-        |      FROM documents)""".stripMargin)))
+        |      FROM documents)""".stripMargin)),
+    // RAKE keyphrases: maximal non-stopword runs (gaps-and-islands
+    // grouping), word score = degree/freq integer-ized at 1e-6, phrase
+    // score = exact BIGINT sum, top-10 distinct phrases.
+    Q("text_keyphrases",
+      (s, d) => TextAnalysis.rakeKeyphrases(docs(s, d), "text",
+        "doc_id", lang = "en", k = 10),
+      Some(s"""WITH ws AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |              x -> len(x) > 0) AS ws FROM documents),
+        |toks AS (SELECT doc_id,
+        |  unnest([{idx: i, w: ws[i]}
+        |          for i in generate_series(1, len(ws))],
+        |         recursive := true)
+        |  FROM ws),
+        |g AS (SELECT doc_id, idx, w,
+        |      idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+        |        AS grp
+        |      FROM toks WHERE w NOT IN ($enSw)),
+        |ph AS (SELECT doc_id, grp, count(*) AS len,
+        |       string_agg(w, ' ' ORDER BY idx) AS phrase
+        |       FROM g GROUP BY 1, 2),
+        |freq AS (SELECT w, count(*) AS f FROM g GROUP BY 1),
+        |deg AS (SELECT g.w, sum(ph.len) AS d
+        |        FROM g JOIN ph USING (doc_id, grp) GROUP BY 1),
+        |sc AS (SELECT w, CAST(round(d::DOUBLE / f::DOUBLE *
+        |         1000000.0::DOUBLE) AS BIGINT) AS s
+        |       FROM deg JOIN freq USING (w)),
+        |psc AS (SELECT g.doc_id, g.grp, ph.phrase, ph.len,
+        |        CAST(sum(sc.s) AS BIGINT) AS score
+        |        FROM g JOIN ph USING (doc_id, grp) JOIN sc USING (w)
+        |        GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT phrase, CAST(max(len) AS BIGINT) AS n_words,
+        |        CAST(count(*) AS BIGINT) AS n_occurrences,
+        |        max(score) AS score_micros FROM psc GROUP BY 1)
+        |SELECT phrase, n_words, n_occurrences, score_micros, rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
+        |        phrase ASC) AS rank FROM agg)
+        |WHERE rank <= 10""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

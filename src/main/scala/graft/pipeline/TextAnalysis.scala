@@ -299,6 +299,59 @@ object TextAnalysis {
         (-sum(col("_t"))).as("entropy_micros"))
   }
 
+  /** RAKE keyphrase extraction over the corpus: candidate phrases are
+    * maximal runs of non-stopwords, word score = degree/freq (degree =
+    * Σ phrase lengths over the word's phrase occurrences, co-occurrence
+    * including self), phrase score = Σ word scores — the classic
+    * unsupervised keyword miner (Rose et al.), here as pure relational
+    * ops so it's engine-portable.
+    *
+    * The consecutive-run grouping is the gaps-and-islands trick:
+    * `grp = idx − row_number()` over non-stopword tokens — adjacent
+    * survivors share a group, no sequential scan. Word scores
+    * integer-ize at 1e-6 after the one division, so phrase totals are
+    * exact BIGINT sums and the top-k is deterministic (ties on the
+    * phrase text). Emits the top `k` DISTINCT phrases:
+    * `(phrase, n_words, n_occurrences, score_micros, rank)`.
+    *
+    * Scale: shuffles carry (doc, idx, word) tokens and phrase-id
+    * aggregates; freq/degree tables are vocabulary-sized and the final
+    * top-k is a distributed TakeOrdered. */
+  def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
+      lang: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = stopwords(lang)
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(filter(words(lower(col(textCol))),
+          w => length(w) > 0)).as(Seq("idx", "w")))
+    val ns = toks.where(!col("w").isin(sw: _*))
+      .withColumn("grp", col("idx") - row_number().over(
+        Window.partitionBy("id").orderBy("idx")))
+    val ph = ns.groupBy(col("id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("w")))),
+          x => x.getField("w"))).as("phrase"))
+    val freq = ns.groupBy("w").agg(count(lit(1)).as("f"))
+    val deg = ns.join(ph, Seq("id", "grp"))
+      .groupBy("w").agg(sum(col("len")).as("d"))
+    val sc = deg.join(freq, "w")
+      .select(col("w"),
+        round(col("d").cast("double") / col("f").cast("double") *
+          lit(1e6)).cast("long").as("s"))
+    val pScore = ns.join(ph, Seq("id", "grp"))
+      .join(broadcast(sc), "w")
+      .groupBy(col("id"), col("grp"), col("phrase"), col("len"))
+      .agg(sum(col("s")).as("score"))
+    val agg = pScore.groupBy(col("phrase"))
+      .agg(max(col("len")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score")).as("score_micros"))
+    agg.orderBy(col("score_micros").desc, col("phrase").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micros").desc, col("phrase").asc)))
+  }
+
   /** Pairwise vocabulary Jaccard between sources — the corpus-mixing
     * diagnostic (near-identical vocabularies ⇒ redundant sources;
     * disjoint ⇒ a domain gap). Exact integers end to end: distinct

@@ -184,6 +184,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("rakeKeyphrases: stopword-split runs, degree/freq, tie on text") {
+    import spark.implicits._
+    // phrases: "deep learning" ×2 (docs 1, 2), "deep nets" ×1
+    // freq: deep 3, learning 2, nets 1; degree: deep 6, learning 4,
+    // nets 2 → every word scores 2.0 → both phrases score 4_000_000
+    val df = Seq(
+      (1L, "deep learning of deep nets"),
+      (2L, "Deep Learning")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(df, "text", "doc_id", "en", 10)
+      .as[(String, Long, Long, Long, Int)].collect().sortBy(_._5)
+    assert(got.toSeq == Seq(
+      ("deep learning", 2L, 2L, 4000000L, 1),
+      ("deep nets", 2L, 1L, 4000000L, 2)), s"got ${got.toSeq}")
+  }
+
   test("sourceVocabOverlap: exact Jaccard by inclusion-exclusion") {
     import spark.implicits._
     val df = Seq(
