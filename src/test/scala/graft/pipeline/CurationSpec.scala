@@ -330,6 +330,27 @@ class CurationSpec extends SparkSpec {
     assert(got("s1")._2 > got("s2")._2)
   }
 
+  test("curriculumBins ≡ brute-force rank binning (3 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // heavy ties: scores from a tiny domain force id tie-breaks
+      val rows = (1L to 97L).map(i => (i, rnd.nextInt(6).toLong))
+      val got = Curation.curriculumBins(rows.toDF("id", "s"), "s", "id",
+          nBins = 7)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val n = rows.length
+      val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((_, s), i) => (i.toLong * 7 / n, s) }
+        .groupBy(_._1).map { case (bin, xs) =>
+          bin -> ((xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max,
+            xs.map(_._2).sum))
+        }
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("threeWaySplit: bucket boundaries, growth-stable assignment") {
     import spark.implicits._
     val small = (1L to 200L).map(i => Tuple1(i)).toDF("id")
