@@ -140,6 +140,48 @@ object Rates {
           6).as("p"))
   }
 
+  /** Streaming twin of [[transitionMatrix]]: per micro-batch, emit the
+    * (from → to) adjacency increments observed on the live stream —
+    * keyed state holds only each key's LAST (ts, tie, type) cursor
+    * (constant per key, never history), so cross-batch adjacencies are
+    * counted exactly once. Downstream sums the increments (or feeds a
+    * counter store). Within a batch events sort by (ts, tie); state is
+    * the standard at-least-once-safe shape: replaying a batch re-emits
+    * the same increments, dedup by sink key if exactly-once matters.
+    *
+    * Ordering caveat (documented, same as every keyed-state op here):
+    * events must arrive key-ordered across batches (per-key FIFO
+    * source partitioning) — a cross-batch out-of-order event would
+    * chain onto the newer cursor. */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TransitionEvent])(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[TransitionInc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[TransitionCursor, TransitionInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[TransitionEvent],
+         state: GroupState[TransitionCursor]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.tie))
+          val out = Seq.newBuilder[TransitionInc]
+          var prev = state.getOption.map(_.eventType)
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransitionInc(key, p, e.eventType))
+            prev = Some(e.eventType)
+          }
+          sorted.lastOption.foreach(e =>
+            state.update(TransitionCursor(e.eventType)))
+          out.result().iterator
+      }
+  }
+
+  final case class TransitionEvent(key: String, ts: java.sql.Timestamp,
+      tie: Long, eventType: String)
+  final case class TransitionCursor(eventType: String)
+  final case class TransitionInc(key: String, from_type: String,
+      to_type: String)
+
   /** Debounce: drop an event arriving within `minGapSec` of the
     * PREVIOUS event with the same key — the duplicate-click /
     * double-fire suppressor. Note the semantics deliberately compare

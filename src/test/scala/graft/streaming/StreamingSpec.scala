@@ -133,6 +133,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionStream: cross-batch adjacency via last-event cursor") {
+    import graft.rates.Rates
+    import graft.rates.Rates.TransitionEvent
+    implicit val s = spark
+    val input = MemoryStream[TransitionEvent](spark)
+    val q = Rates.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TransitionEvent("u", t("2024-01-01 00:00:01"), 1L, "A"),
+        TransitionEvent("u", t("2024-01-01 00:00:02"), 2L, "B"),
+        TransitionEvent("v", t("2024-01-01 00:00:03"), 3L, "X"))
+      q.processAllAvailable()
+      // the batch-2 first event must chain onto u's batch-1 cursor (B)
+      input.addData(
+        TransitionEvent("u", t("2024-01-01 00:00:09"), 4L, "C"),
+        TransitionEvent("v", t("2024-01-01 00:00:10"), 5L, "X"))
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .as[(String, String, String)].collect().toSeq.sorted
+      assert(got == Seq(("u", "A", "B"), ("u", "B", "C"),
+        ("v", "X", "X")).sorted,
+        s"got $got — exactly one increment per adjacency, none lost")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped AND accounted") {
     val input = MemoryStream[Tick](spark)
     val agg = input.toDF().withWatermark("ts", "10 seconds")
