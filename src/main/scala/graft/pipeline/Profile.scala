@@ -47,6 +47,25 @@ object Profile {
         element_at(typedLit(ps), col("_i").cast("int") + 1).as("p"),
         round(col("_q"), 4).as("q"))
 
+  /** The TB-scale swap for [[quantiles]]: bounded-memory sketch
+    * (`percentile_approx`, Greenwald–Khanna style) with the same output
+    * shape. `accuracy` trades memory for rank error ≤ n/accuracy —
+    * at accuracy 10⁴ a percentile lands within 0.01·n ranks of exact,
+    * independent of stratum size. Engine-specific, so it carries NO
+    * DuckDB oracle — its contract is spec-asserted against [[quantiles]]
+    * (rank-error bound on skewed data). Use THIS per call site when a
+    * stratum stops fitting a reducer; the exact form stays the
+    * cross-engine reference. */
+  def quantilesApprox(df: DataFrame, stratumCol: String, valueCol: String,
+      ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(percentile_approx(col(valueCol), typedLit(ps), lit(accuracy))
+        .as("_qs"))
+      .select(col(stratumCol), posexplode(col("_qs")).as(Seq("_i", "_q")))
+      .select(col(stratumCol),
+        element_at(typedLit(ps), col("_i").cast("int") + 1).as("p"),
+        col("_q").cast("double").as("q"))
+
   /** Exact fixed-width histogram per stratum:
     * `(stratumCol, bucket_lo, n)` with `bucket_lo = binWidth ⌊v/binWidth⌋`
     * (integral `div`, so the bucketing is exact at any magnitude —

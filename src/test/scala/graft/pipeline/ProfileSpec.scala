@@ -83,6 +83,33 @@ class ProfileSpec extends SparkSpec {
     assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
   }
 
+  test("quantilesApprox: rank error within the sketch bound on skew") {
+    import org.apache.spark.sql.functions._
+    // heavily skewed: 9000 small values + a 1000-long heavy tail
+    val vals = (1 to 9000).map(_.toLong % 100) ++
+      (1 to 1000).map(i => 10000L + i)
+    val df = vals.map(("k", _)).toDF("g", "v")
+    val sorted = vals.sorted
+    val got = Profile.quantilesApprox(df, "g", "v", Seq(0.5, 0.9, 0.99),
+        accuracy = 1000)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // contract: the returned value's RANK is within n/accuracy = 10
+    // ranks of the requested percentile's rank
+    for ((p, q) <- got) {
+      val lo = sorted(((p * sorted.length).toInt - 15).max(0))
+      val hi = sorted(((p * sorted.length).toInt + 15).min(sorted.length - 1))
+      assert(q >= lo && q <= hi, s"p=$p q=$q outside [$lo,$hi]")
+    }
+    // exact distinct vs sketch distinct: approx_count_distinct error
+    // is bounded ~2.3% at default rsd=0.05's tighter setting
+    val exact = df.agg(countDistinct(col("v"))).as[Long].head()
+    val approx = df.agg(approx_count_distinct(col("v"), 0.02))
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("chiSquare: perfectly independent table scores exactly 0") {
     // counts proportional across rows → O == E for every cell
     val df = (Seq.fill(4)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
