@@ -2065,7 +2065,70 @@ object PipelineQueries {
         |SELECT phrase, n_words, n_occurrences, score_micros, rank
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
-        |WHERE rank <= 10""".stripMargin)))
+        |WHERE rank <= 10""".stripMargin)),
+    // TextRank keywords: integer-exact PageRank over the symmetrized
+    // adjacent-word graph (pairs with count ≥ 5) — the Mihalcea-Tarau
+    // composition of the bigram machinery with Graph.pageRank; the
+    // oracle unrolls the same 5 iterations as sim_pagerank.
+    Q("text_textrank",
+      (s, d) => TextAnalysis.textRank(docs(s, d), "text",
+        minPairCount = 5L, k = 20),
+      Some("""WITH d AS (SELECT
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              w -> len(w) > 0) AS ws FROM documents),
+        |bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+        |                      for i in generate_series(1, len(ws) - 1)],
+        |                     recursive := true)
+        |       FROM d WHERE len(ws) >= 2),
+        |p AS (SELECT w1, w2 FROM bg GROUP BY 1, 2
+        |      HAVING count(*) >= 5),
+        |pf AS (SELECT w1, w2 FROM p WHERE w1 != w2),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |      SELECT w1 AS src, w2 AS dst FROM pf
+        |      UNION ALL SELECT w2, w1 FROM pf)),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r0 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c1.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r1 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c2.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c2 USING (id)),
+        |c3 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r2 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c3.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c3 USING (id)),
+        |c4 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r3 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r4 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c4.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c4 USING (id)),
+        |c5 AS (SELECT e.dst AS id,
+        |       sum((850000 * r.r) // (1000000 * d.outdeg)) AS s
+        |       FROM e JOIN r4 r ON e.src = r.id
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r5 AS (SELECT n.id,
+        |       (SELECT 150000 // nn.n FROM nn) + coalesce(c5.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c5 USING (id))
+        |SELECT id AS word, CAST(r AS BIGINT) AS rank_micros, pos
+        |FROM (SELECT id, r, row_number() OVER (ORDER BY r DESC, id ASC)
+        |        AS pos FROM r5)
+        |WHERE pos <= 20""".stripMargin)))
 
   val all: Seq[Q] =
     dedupQueries ++ annQueries ++ textQueries ++ multimodalQueries ++

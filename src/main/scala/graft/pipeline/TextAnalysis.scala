@@ -299,6 +299,41 @@ object TextAnalysis {
         (-sum(col("_t"))).as("entropy_micros"))
   }
 
+  /** TextRank keyword extraction: PageRank centrality over the word
+    * co-occurrence graph (adjacent-word edges with count ≥
+    * `minPairCount`, symmetrized, self-loops dropped) — the Mihalcea &
+    * Tarau composition, built here from the bigram machinery +
+    * [[Graph.pageRank]]'s exact integer iteration, so the whole
+    * ranking is bit-reproducible. Emits the top `k` words:
+    * `(word, rank_micros, pos)`.
+    *
+    * Scale: the graph is vocabulary-sized (count-gated pairs), so the
+    * iteration joins tiny tables regardless of corpus size; the corpus
+    * pass is the one bigram count. */
+  def textRank(df: DataFrame, textCol: String, minPairCount: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+        filter(words(col(textCol)), w => length(w) > 0).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bigrams = base
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minPairCount && col("w1") =!= col("w2"))
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    Graph.pageRank(edges, "src", "dst", iters = 5)
+      .orderBy(col("rank_micros").desc, col("id").asc).limit(k)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rank_micros").desc, col("id").asc)))
+      .select(col("id").as("word"), col("rank_micros"), col("pos"))
+  }
+
   /** RAKE keyphrase extraction over the corpus: candidate phrases are
     * maximal runs of non-stopwords, word score = degree/freq (degree =
     * Σ phrase lengths over the word's phrase occurrences, co-occurrence

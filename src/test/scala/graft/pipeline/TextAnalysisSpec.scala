@@ -184,6 +184,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("textRank: hub word of a star co-occurrence graph ranks first") {
+    import spark.implicits._
+    // "hub x hub y hub z" ×5: hub co-occurs with everything, the
+    // leaves only with hub → hub must out-rank every leaf
+    val df = (1 to 5).map(i => (i.toLong, "hub x hub y hub z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(df, "text", minPairCount = 5L, k = 2)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(got.head._1 == "hub" && got.head._3 == 1, s"got ${got.toSeq}")
+    assert(got.length == 2, "k truncates")
+    assert(got(1)._2 < got.head._2, "leaves carry strictly less rank")
+  }
+
   test("rakeKeyphrases: stopword-split runs, degree/freq, tie on text") {
     import spark.implicits._
     // phrases: "deep learning" ×2 (docs 1, 2), "deep nets" ×1
