@@ -25,7 +25,9 @@ object Explain {
         "curation_curriculum", "curation_interleave", "a_skew_keys",
         "a_transitions", "sim_centroid_sep", "a_user_journey",
         "a_rolling_actives", "a_outliers_mad", "a_debounce",
-        "j_asof_next", "pipeline_curation_e2e_v3")
+        "j_asof_next", "pipeline_curation_e2e_v3", "a_wow_growth",
+        "a_percent_rank", "a_chisq", "curation_split3",
+        "text_keyphrases", "text_textrank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
