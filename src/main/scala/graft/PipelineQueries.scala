@@ -2066,6 +2066,24 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
+    // Per-source duplication report: the dedup-tuning diagnostic a
+    // curation run reads before choosing thresholds — exact digest
+    // distinct counts, dup_rate as one rational at 1e-6.
+    Q("curation_dup_by_source",
+      (s, d) => docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .withColumn("n_dups", col("n_docs") - col("n_unique"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double"), 6)),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+        |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE /
+        |    count(*)::DOUBLE, 6) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin)),
     // TextRank keywords: integer-exact PageRank over the symmetrized
     // adjacent-word graph (pairs with count ≥ 5) — the Mihalcea-Tarau
     // composition of the bigram machinery with Graph.pageRank; the
