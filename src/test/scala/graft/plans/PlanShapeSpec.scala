@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.pipeline.{Curation, Profile, Retrieval, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Machine-checked scale claims for this round's operators: the shapes
+  * the scaladocs promise (distributed top-k, two-phase ranks, no
+  * global windows) asserted against the executed plans, so a refactor
+  * that silently degrades one to a single-partition sort fails CI. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("keySkew top-k is a distributed TakeOrdered, not a global sort") {
+    val df = (1L to 500L).map(i => Tuple1(i % 17)).toDF("k")
+    val p = plan(Profile.keySkew(df, "k", topK = 5))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rrfFusion final k is a distributed TakeOrdered") {
+    val a = (1L to 50L).map(i => (i, i.toInt)).toDF("id", "rank")
+    val p = plan(Retrieval.rrfFusion(Seq(a, a), "id", "rank", k = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("curriculumBins rank windows are _pid-partitioned (two-phase)") {
+    val df = (1L to 100L).map(i => (i, i % 9)).toDF("id", "s")
+    val p = plan(Curation.curriculumBins(df, "s", "id", nBins = 4))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s => assert(s.contains("_pid"),
+      s"window must partition by _pid, got: $s"))
+  }
+
+  test("interleaveSources has no unpartitioned window") {
+    val df = (1L to 60L).map(i => (i, s"s${i % 4}")).toDF("id", "source")
+    val p = plan(Curation.interleaveSources(df, "source", "id", "t"))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    specs.foreach(s => assert(s.contains("source"),
+      s"only the per-source rank window may exist, got: $s"))
+  }
+
+  test("tokenEntropy window is doc-partitioned") {
+    val df = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val p = plan(TextAnalysis.tokenEntropy(df, "text", "doc_id"))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s => assert(s.contains("doc_id"), s))
+  }
+}
