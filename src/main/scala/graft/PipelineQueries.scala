@@ -2066,6 +2066,24 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
+    // Gini concentration of events across users — the imbalance number
+    // a sharding/mixing decision reads; exact counts and rank-weighted
+    // sums, mirrored associativity on the two final divisions.
+    Q("a_gini",
+      (s, d) => graft.pipeline.Profile.giniConcentration(
+        ChangeFeed.table(s, d, "events"), "user_id"),
+      Some("""WITH c AS (SELECT user_id AS k, count(*) AS c FROM events
+        |           GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
+        |      FROM c),
+        |a AS (SELECT count(*) AS n_keys, sum(c) AS n_rows,
+        |      sum(i * c) AS s FROM r)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       round((2.0::DOUBLE * s::DOUBLE) /
+        |           (n_keys * n_rows)::DOUBLE -
+        |           (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini
+        |FROM a""".stripMargin)),
     // Per-source duplication report: the dedup-tuning diagnostic a
     // curation run reads before choosing thresholds — exact digest
     // distinct counts, dup_rate as one rational at 1e-6.

@@ -137,6 +137,34 @@ object Profile {
           sqrt(nd * d("syy") - d("sy") * d("sy")), 6).as("r"))
   }
 
+  /** Gini coefficient of a count distribution — "how concentrated is
+    * activity/data across keys" (0 = perfectly even, →1 = one key owns
+    * everything): the imbalance number a mixing/sharding decision
+    * reads. Formula over counts sorted ascending with rank i:
+    * G = (2·Σ i·cᵢ) / (n·Σcᵢ) − (n+1)/n.
+    *
+    * Exactness: counts and the rank-weighted sum are exact integers
+    * (ranks from a total (count, key) order), the two divisions happen
+    * on exact-int inputs and subtract once — mirrored associativity,
+    * identical doubles, rounded at 1e-6. Scale: the ranked set is
+    * KEY-cardinality (not row-cardinality); the one window runs over
+    * |keys| rows. */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c").asc, col("_k").asc))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        sum(col("i") * col("c")).as("_s"))
+      .select(col("n_keys"), col("n_rows"),
+        round((lit(2.0) * col("_s").cast("double")) /
+          (col("n_keys") * col("n_rows")).cast("double") -
+          (col("n_keys") + 1L).cast("double") /
+            col("n_keys").cast("double"), 6).as("gini"))
+  }
+
   /** Pearson χ² independence statistic for two categorical columns —
     * "is language independent of source?" is the first question about
     * a stratified corpus. Observed counts are exact; each cell's

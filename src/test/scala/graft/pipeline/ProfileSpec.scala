@@ -83,6 +83,21 @@ class ProfileSpec extends SparkSpec {
     assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
   }
 
+  test("giniConcentration: even → 0, fully concentrated → (n−1)/n") {
+    val even = (1L to 40L).map(i => Tuple1(i % 4)).toDF("k")
+    val g0 = Profile.giniConcentration(even, "k")
+      .as[(Long, Long, Double)].collect().head
+    assert(g0 == ((4L, 40L, 0.0)), s"got $g0")
+    // one key owns everything except 3 singletons: G near (n−1)/n·…
+    // hand-computed: counts sorted [1,1,1,37], ranks 1..4 →
+    // S = 1+2+3+4·37 = 154; G = 2·154/(4·40) − 5/4 = 1.925 − 1.25
+    val skew = (Seq.fill(37)(0L) ++ Seq(1L, 2L, 3L)).map(Tuple1(_))
+      .toDF("k")
+    val g1 = Profile.giniConcentration(skew, "k")
+      .as[(Long, Long, Double)].collect().head
+    assert(g1 == ((4L, 40L, 0.675)), s"got $g1")
+  }
+
   test("quantilesApprox: rank error within the sketch bound on skew") {
     import org.apache.spark.sql.functions._
     // heavily skewed: 9000 small values + a 1000-long heavy tail
