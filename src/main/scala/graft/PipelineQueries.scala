@@ -2066,6 +2066,31 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
+    // Zipf slope of the top-100 token frequencies (corpus-health
+    // number; natural text ≈ −1): ln values integer-ized at 1e-6, OLS
+    // moments as exact HUGEINT/decimal sums, one mirrored slope
+    // expression.
+    Q("text_zipf",
+      (s, d) => TextAnalysis.zipfSlope(docs(s, d), "text", topK = 100),
+      Some("""WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC)
+        |        AS r FROM f
+        |      ORDER BY c DESC, w ASC LIMIT 100),
+        |q AS (SELECT CAST(round(ln(r::DOUBLE) * 1000000.0::DOUBLE)
+        |        AS BIGINT) AS x,
+        |      CAST(round(ln(c::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
+        |        AS y FROM r),
+        |m AS (SELECT count(*) AS n, sum(x::HUGEINT) AS sx,
+        |      sum(y::HUGEINT) AS sy, sum(x::HUGEINT * y) AS sxy,
+        |      sum(x::HUGEINT * x) AS sxx FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |         (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |         AS slope
+        |FROM m""".stripMargin)),
     // Gini concentration of events across users — the imbalance number
     // a sharding/mixing decision reads; exact counts and rank-weighted
     // sums, mirrored associativity on the two final divisions.

@@ -299,6 +299,40 @@ object TextAnalysis {
         (-sum(col("_t"))).as("entropy_micros"))
   }
 
+  /** Zipf slope of the corpus: OLS fit of ln(freq) against ln(rank)
+    * over the top `topK` tokens — natural corpora sit near −1; a flat
+    * slope flags templated/synthetic text, a steep one a degenerate
+    * vocabulary. The corpus-health number next to entropy and TTR.
+    *
+    * Determinism: ln(rank) and ln(freq) integer-ize at 1e-6 per row
+    * (the convention for the two ln calls), the OLS moments are exact
+    * decimal sums of those integers (the [[Profile.correlation]]
+    * pattern), and the slope is one mirrored-associativity double
+    * expression. The ranked set is vocabulary-sized; top-k is a
+    * distributed TakeOrdered. Emits (n_ranks, slope). */
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(
+        explode(filter(words(col(textCol)), w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = freq.orderBy(col("c").desc, col("w").asc).limit(topK)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
+    def q(c: org.apache.spark.sql.Column) =
+      round(log(c) * lit(1e6)).cast("decimal(18,0)")
+    val m = ranked
+      .select(q(col("r").cast("double")).as("x"),
+        q(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n").as("n_ranks"),
+      round((nd * d("sxy") - d("sx") * d("sy")) /
+        (nd * d("sxx") - d("sx") * d("sx")), 6).as("slope"))
+  }
+
   /** TextRank keyword extraction: PageRank centrality over the word
     * co-occurrence graph (adjacent-word edges with count ≥
     * `minPairCount`, symmetrized, self-loops dropped) — the Mihalcea &

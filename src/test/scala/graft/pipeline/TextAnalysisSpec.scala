@@ -184,6 +184,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("zipfSlope: exact ideal-Zipf corpus fits slope −1") {
+    import spark.implicits._
+    // freqs 12, 6, 4, 3 at ranks 1..4 = 12/r exactly → slope −1.
+    // Build the corpus literally: 12 a's, 6 b's, 4 c's, 3 d's.
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val got = TextAnalysis.zipfSlope(Seq(Tuple1(text)).toDF("text"),
+        "text", topK = 4)
+      .as[(Long, Double)].collect().head
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 + 1.0) < 1e-4,
+      s"ideal 12/r corpus must fit ≈ −1, got ${got._2}")
+  }
+
   test("textRank: hub word of a star co-occurrence graph ranks first") {
     import spark.implicits._
     // "hub x hub y hub z" ×5: hub co-occurs with everything, the
