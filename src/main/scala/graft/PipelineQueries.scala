@@ -2066,6 +2066,26 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
+    // Hour-of-day seasonality per event type: exact counts + share of
+    // the type's daily cycle; the load-shaping profile a poller's
+    // capacity planning reads.
+    Q("a_hourly_profile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        ChangeFeed.table(s, d, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share", round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("event_type"))
+              .cast("double"), 6))
+      },
+      Some("""WITH h AS (SELECT event_type, hour(ts) AS hour,
+        |  count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(hour AS INT) AS hour,
+        |       CAST(n AS BIGINT) AS n,
+        |       round(n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))
+        |         ::DOUBLE, 6) AS share
+        |FROM h""".stripMargin)),
     // Zipf slope of the top-100 token frequencies (corpus-health
     // number; natural text ≈ −1): ln values integer-ized at 1e-6, OLS
     // moments as exact HUGEINT/decimal sums, one mirrored slope
