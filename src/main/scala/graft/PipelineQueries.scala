@@ -2066,6 +2066,33 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
+    // Packing-efficiency report composing packTokenBudget: per pack,
+    // exact doc/token counts and fill rate vs budget — the number that
+    // says whether the chosen budget wastes sequence space (ordered
+    // chunking may overflow by at most one doc, so fill can exceed 1).
+    Q("curation_pack_efficiency",
+      (s, d) => Curation.packTokenBudget(
+          docs(s, d).select("doc_id", "lang", "text"),
+          stratumCol = "lang", orderCol = "doc_id",
+          tokensCol = TextAnalysis.tokenCount(col("text")),
+          budget = 2000L, nShards = 4)
+        .groupBy(col("pack_key"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("fill",
+          round(col("tokens").cast("double") / lit(2000.0), 6)),
+      Some("""WITH t AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT n_tokens, concat_ws('#', lang, shard,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER
+        |      (PARTITION BY lang, shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2000.0) AS BIGINT)) AS pack_key
+        |  FROM t)
+        |SELECT pack_key, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       round(sum(n_tokens)::DOUBLE / 2000.0::DOUBLE, 6) AS fill
+        |FROM p GROUP BY 1""".stripMargin)),
     // Hour-of-day seasonality per event type: exact counts + share of
     // the type's daily cycle; the load-shaping profile a poller's
     // capacity planning reads.

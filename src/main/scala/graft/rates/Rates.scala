@@ -182,6 +182,40 @@ object Rates {
   final case class TransitionInc(key: String, from_type: String,
       to_type: String)
 
+  /** Streaming debounce with the TRUE kept-anchor semantics: an event
+    * is dropped when it lands within `minGapSec` of the last KEPT
+    * event — the sequential per-key decision the relational
+    * [[debounce]] deliberately approximates (its lag form compares
+    * against the previous event). Keyed state is ONE long per key (the
+    * last kept timestamp), events sort (ts, tie) within a batch, and
+    * the anchor carries across micro-batches. */
+  def debounceStream(events: org.apache.spark.sql.Dataset[DebounceEvent],
+      minGapSec: Long)(implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[DebounceEvent] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = minGapSec * 1000000L
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DebounceEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: String, evs: Iterator[DebounceEvent], state: GroupState[Long]) =>
+          val out = Seq.newBuilder[DebounceEvent]
+          var anchor = state.getOption
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.tie)).foreach { e =>
+            val tUs = e.ts.getTime * 1000L
+            if (anchor.forall(a => tUs - a > gapUs)) {
+              out += e
+              anchor = Some(tUs)
+            }
+          }
+          anchor.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  final case class DebounceEvent(key: String, ts: java.sql.Timestamp,
+      tie: Long)
+
   /** Debounce: drop an event arriving within `minGapSec` of the
     * PREVIOUS event with the same key — the duplicate-click /
     * double-fire suppressor. Note the semantics deliberately compare

@@ -133,6 +133,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounceStream: kept-anchor semantics, anchor crosses batches") {
+    import graft.rates.Rates
+    import graft.rates.Rates.DebounceEvent
+    implicit val s = spark
+    val input = MemoryStream[DebounceEvent](spark)
+    val q = Rates.debounceStream(input.toDS(), minGapSec = 5L)
+      .writeStream.format("memory").queryName("deb_out")
+      .outputMode("append").start()
+    try {
+      // chain of 3-4 s gaps: the BATCH lag form would keep the third
+      // event (4 s after the second); the kept-anchor form drops it
+      // because the anchor is still the FIRST event
+      input.addData(
+        DebounceEvent("u", t("2024-01-01 00:00:00"), 1L),
+        DebounceEvent("u", t("2024-01-01 00:00:03"), 2L),
+        DebounceEvent("u", t("2024-01-01 00:00:04"), 3L))
+      q.processAllAvailable()
+      // 00:00:08 is 8 s after the kept anchor (00:00:00) → kept, and
+      // the anchor update carries into the next batch
+      input.addData(DebounceEvent("u", t("2024-01-01 00:00:08"), 4L))
+      q.processAllAvailable()
+      input.addData(DebounceEvent("u", t("2024-01-01 00:00:11"), 5L))
+      q.processAllAvailable()
+      val got = spark.table("deb_out").select("tie").as[Long]
+        .collect().toSet
+      assert(got == Set(1L, 4L),
+        s"got $got — 2,3 inside the first anchor's gap; 5 inside 4's")
+    } finally q.stop()
+  }
+
   test("transitionStream: cross-batch adjacency via last-event cursor") {
     import graft.rates.Rates
     import graft.rates.Rates.TransitionEvent
