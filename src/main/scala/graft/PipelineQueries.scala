@@ -2066,6 +2066,22 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micros DESC,
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
+    // Exact dedup over the OPAQUE BINARY media column — the dedup
+    // family extended to multimodal: digest the bytes (md5 over binary,
+    // no text assumptions), first media_id per digest survives, per
+    // media_type duplicate accounting. Bytes never shuffle — only
+    // digests do.
+    Q("mm_dedup_media",
+      (s, d) => Multimodal.mediaFromDocuments(docs(s, d))
+        .groupBy(md5(col("bytes")).as("digest"), col("media_type"))
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).as("n_copies"),
+          sum(length(col("bytes"))).as("total_bytes")),
+      Some("""SELECT md5(text) AS digest,
+        |  (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+        |  min(doc_id) AS media_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1, 2""".stripMargin)),
     // Packing-efficiency report composing packTokenBudget: per pack,
     // exact doc/token counts and fill rate vs budget — the number that
     // says whether the chosen budget wastes sequence space (ordered
