@@ -36,6 +36,10 @@ object Graph {
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct().persist()
     val n = nodes.count()
+    // empty graph (e.g. textRank where no bigram reaches minPairCount):
+    // an empty (id, rank_micros) frame, not a divide-by-zero
+    if (n == 0L)
+      return nodes.select(col("id"), lit(0L).as("rank_micros"))
     val base = (1000000L - dampMicros) / n
     val deg = edges.groupBy(col(srcCol).as("_s"))
       .agg(count(lit(1)).as("outdeg"))

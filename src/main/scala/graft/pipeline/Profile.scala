@@ -80,17 +80,6 @@ object Profile {
           .as("bucket_lo"))
       .agg(count(lit(1)).as("n"))
 
-  /** Exact-sum Pearson correlation per stratum over values quantized at
-    * 1e-6 — profiling "are these two measures related" without the
-    * nondeterminism of floating-point aggregation: a plain `corr()` sums
-    * doubles in partition order, so two runs of the SAME engine can
-    * disagree in the last ulps. Here each value becomes an integer
-    * (`round(v·1e6)` as DECIMAL), the five moment sums are EXACT decimal
-    * arithmetic (order-independent), and the closed-form r is computed
-    * once from those sums in double — identical on any engine, any
-    * partitioning, any cluster size. One partial-aggregated groupBy.
-    * Decimal(18) inputs bound the product sums at decimal(38): exact to
-    * ~1e37, far past any real corpus. */
   /** Robust per-stratum location/scale: exact median and MAD (median
     * absolute deviation) — the outlier-resistant stats a pipeline uses
     * to winsorize or flag anomalous feature values (mean/stddev move
@@ -117,6 +106,17 @@ object Profile {
         round(percentile(col("_ad"), lit(0.5)), 4).as("mad"))
   }
 
+  /** Exact-sum Pearson correlation per stratum over values quantized at
+    * 1e-6 — profiling "are these two measures related" without the
+    * nondeterminism of floating-point aggregation: a plain `corr()` sums
+    * doubles in partition order, so two runs of the SAME engine can
+    * disagree in the last ulps. Here each value becomes an integer
+    * (`round(v·1e6)` as DECIMAL), the five moment sums are EXACT decimal
+    * arithmetic (order-independent), and the closed-form r is computed
+    * once from those sums in double — identical on any engine, any
+    * partitioning, any cluster size. One partial-aggregated groupBy.
+    * Decimal(18) inputs bound the product sums at decimal(38): exact to
+    * ~1e37, far past any real corpus. */
   def correlation(df: DataFrame, stratumCol: String, xCol: String,
       yCol: String): DataFrame = {
     def q(c: String) = round(col(c) * lit(1e6)).cast("decimal(18,0)")
@@ -306,16 +306,22 @@ object Profile {
     * pass (no separate scans for baseline/current); each PSI term is
     * integer-ized at 1e-6 immediately after the single `ln` call and the
     * per-stratum total is an exact BIGINT sum — order-free and
-    * engine-identical. Bins are exact integral-div buckets of the value.
+    * engine-identical. Bins are exact FLOOR-division buckets of the value
+    * (Spark's `div` truncates toward zero, DuckDB's `//` floors — they
+    * disagree on negatives, so the bin is `div` corrected by the sign of
+    * the remainder: -7 with width 5 lands in bin -2 on both engines).
     *
     * Scale: one scan + one (stratum, bin) aggregate + one bin-count
     * window per stratum; state is bins × strata, data-size-independent. */
   def psiDrift(df: DataFrame, stratumCol: String, valueCol: String,
       baselinePred: org.apache.spark.sql.Column, binWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val v = s"cast($valueCol AS bigint)"
     val binned = df.where(col(valueCol).isNotNull)
       .select(col(stratumCol),
-        expr(s"cast($valueCol AS bigint) div ${binWidth}L").as("_bin"),
+        expr(s"$v div ${binWidth}L - (CASE WHEN $v % ${binWidth}L < 0 " +
+          "THEN 1 ELSE 0 END)").as("_bin"),
         when(baselinePred, 1L).otherwise(0L).as("_isb"))
     val counts = binned.groupBy(col(stratumCol), col("_bin"))
       .agg(sum(col("_isb")).as("b"),

@@ -345,14 +345,19 @@ object Similarity {
     * 2002, with the identity basis). Two 32-bit words rather than one
     * 64-bit word so every value stays below 2^32: both engines build
     * the signature with exact integer arithmetic — no sign-bit or
-    * overflow edge anywhere. Pure narrow projection. */
+    * overflow edge anywhere. Pure narrow projection. Vectors shorter
+    * than 64 components are zero-padded (missing component ⇒ bit 0):
+    * the pad keeps `element_at` in bounds under ANSI mode instead of
+    * throwing INVALID_ARRAY_INDEX. */
   def binarySignature(df: DataFrame, vecCol: String, idCol: String)
       : DataFrame = {
     def word(off: Int): Column =
       (0 until 32).map(i =>
         when(element_at(col("_v"), off + i + 1) > 0, lit(1L << i))
           .otherwise(0L)).reduce(_ + _)
-    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    df.select(col(idCol),
+        concat(col(vecCol).cast("array<double>"),
+          array_repeat(lit(0.0), 64)).as("_v"))
       .select(col(idCol), word(0).as("w0"), word(32).as("w1"))
   }
 

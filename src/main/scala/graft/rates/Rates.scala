@@ -163,7 +163,7 @@ object Rates {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (key: String, evs: Iterator[TransitionEvent],
          state: GroupState[TransitionCursor]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.tie))
+          val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.tie))
           val out = Seq.newBuilder[TransitionInc]
           var prev = state.getOption.map(_.eventType)
           sorted.foreach { e =>
@@ -182,13 +182,21 @@ object Rates {
   final case class TransitionInc(key: String, from_type: String,
       to_type: String)
 
+  /** Full-microsecond timestamp, matching the batch twins' `unix_micros`:
+    * `getTime` is millisecond-integral, the sub-millisecond residue rides
+    * in `getNanos` (which carries the FULL fractional second — the
+    * `% 1000000` keeps only the sub-ms part `getTime` hasn't counted). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
   /** Streaming debounce with the TRUE kept-anchor semantics: an event
     * is dropped when it lands within `minGapSec` of the last KEPT
     * event — the sequential per-key decision the relational
     * [[debounce]] deliberately approximates (its lag form compares
     * against the previous event). Keyed state is ONE long per key (the
-    * last kept timestamp), events sort (ts, tie) within a batch, and
-    * the anchor carries across micro-batches. */
+    * last kept timestamp), events sort (microsecond ts, tie) within a
+    * batch — same `unix_micros` precision as the batch twin — and the
+    * anchor carries across micro-batches. */
   def debounceStream(events: org.apache.spark.sql.Dataset[DebounceEvent],
       minGapSec: Long)(implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[DebounceEvent] = {
@@ -201,8 +209,8 @@ object Rates {
         (_: String, evs: Iterator[DebounceEvent], state: GroupState[Long]) =>
           val out = Seq.newBuilder[DebounceEvent]
           var anchor = state.getOption
-          evs.toSeq.sortBy(e => (e.ts.getTime, e.tie)).foreach { e =>
-            val tUs = e.ts.getTime * 1000L
+          evs.toSeq.sortBy(e => (tsMicros(e.ts), e.tie)).foreach { e =>
+            val tUs = tsMicros(e.ts)
             if (anchor.forall(a => tUs - a > gapUs)) {
               out += e
               anchor = Some(tUs)

@@ -5,6 +5,13 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pageRank: empty edge list → empty frame, no division by zero") {
+    val edges = Seq.empty[(String, String)].toDF("s", "t")
+    val got = Graph.pageRank(edges, "s", "t", iters = 3)
+    assert(got.columns.toSeq == Seq("id", "rank_micros"))
+    assert(got.count() == 0L)
+  }
+
   test("pageRank: uniform cycle is a fixed point of the integer update") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "t")
     val got = Graph.pageRank(edges, "s", "t", iters = 5)

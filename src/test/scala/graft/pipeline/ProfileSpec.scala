@@ -83,6 +83,24 @@ class ProfileSpec extends SparkSpec {
     assert(gotFar._4 > 200000L && gotFar._5, s"expected drift: $gotFar")
   }
 
+  test("psiDrift: negative values bin by floor division (DuckDB `//`)") {
+    import org.apache.spark.sql.functions._
+    // trunc-div would fold -3 into bin 0 with the +2s (psi 0); floor-div
+    // puts baseline in bin -1, current in bin 0 → disjoint → drifted
+    val df = ((1 to 40).map(_ => ("k", -3L, true)) ++
+      (1 to 40).map(_ => ("k", 2L, false))).toDF("g", "v", "isb")
+    val got = Profile.psiDrift(df, "g", "v", col("isb"), 5L)
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(got._4 > 200000L && got._5,
+      s"negative baseline must floor into its own bin: $got")
+    // identical ± distributions still cancel exactly
+    val same = Seq(("k", -7L, true), ("k", -7L, false),
+      ("k", 3L, true), ("k", 3L, false)).toDF("g", "v", "isb")
+    val psi0 = Profile.psiDrift(same, "g", "v", col("isb"), 5L)
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(psi0._4 == 0L && !psi0._5, s"got $psi0")
+  }
+
   test("giniConcentration: even → 0, fully concentrated → (n−1)/n") {
     val even = (1L to 40L).map(i => Tuple1(i % 4)).toDF("k")
     val g0 = Profile.giniConcentration(even, "k")

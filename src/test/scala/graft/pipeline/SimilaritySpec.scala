@@ -168,6 +168,16 @@ class SimilaritySpec extends SparkSpec {
       "distance ties break on neighbor id; both words counted")
   }
 
+  test("binarySignature: vectors shorter than 64 dims zero-pad (ANSI-safe)") {
+    import spark.implicits._
+    // 3 components: bits 0 and 2 positive → w0 = 1 + 4; the missing 61
+    // components must read as 0 bits, not INVALID_ARRAY_INDEX
+    val df = Seq((7L, Seq(1.0f, -1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.binarySignature(df, "embedding", "vec_id")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((7L, 5L, 0L)), s"got $got")
+  }
+
   test("knnGraphIvf: block-grid guard is row-identical to one-task path") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

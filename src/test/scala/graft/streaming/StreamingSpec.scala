@@ -163,6 +163,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounceStream: sub-millisecond precision matches unix_micros") {
+    import graft.rates.Rates
+    import graft.rates.Rates.DebounceEvent
+    implicit val s = spark
+    // anchor at 1.000000 s; second event at 2.000900 s — 1000900 µs
+    // later, i.e. strictly beyond a 1 s gap ONLY at microsecond
+    // precision (at ms precision the diff is exactly 1000000 → dropped)
+    val t0 = new java.sql.Timestamp(1000L)
+    val t1 = new java.sql.Timestamp(2000L)
+    t1.setNanos(900000) // +900 µs
+    val input = MemoryStream[DebounceEvent](spark)
+    val q = Rates.debounceStream(input.toDS(), minGapSec = 1L)
+      .writeStream.format("memory").queryName("deb_us_out")
+      .outputMode("append").start()
+    try {
+      input.addData(DebounceEvent("u", t0, 1L), DebounceEvent("u", t1, 2L))
+      q.processAllAvailable()
+      val got = spark.table("deb_us_out").select("tie").as[Long]
+        .collect().toSet
+      assert(got == Set(1L, 2L),
+        s"got $got — the 900 µs residue must count toward the gap")
+    } finally q.stop()
+  }
+
   test("transitionStream: cross-batch adjacency via last-event cursor") {
     import graft.rates.Rates
     import graft.rates.Rates.TransitionEvent
