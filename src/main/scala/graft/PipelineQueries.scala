@@ -543,24 +543,51 @@ object PipelineQueries {
         |GROUP BY doc_id""".stripMargin))
   )
 
+  /** Shared oracle CTE: the closed-form payload contract of
+    * [[Multimodal.mediaFromDocuments]] — per doc, every shape parameter the
+    * REAL codec round-trip must reproduce (the Spark side genuinely encodes
+    * BMP/WAV/GFV1 containers and decodes them back with ImageIO/AudioSystem;
+    * the oracle recomputes the decoded values analytically from the seed). */
+  private val mediaCte =
+    """WITH m AS (SELECT doc_id AS media_id, doc_id % 192 AS seed
+      |           FROM documents),
+      |t AS (SELECT media_id, seed,
+      |  CASE seed % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  16 + seed % 32 AS iw, 16 + (seed // 2) % 32 AS ih,
+      |  800 + (seed % 100) * 8 AS frames,
+      |  2 + seed % 4 AS nf,
+      |  16 + seed % 16 AS fw, 16 + (seed // 2) % 16 AS fh
+      |  FROM m)""".stripMargin
+
   private val multimodalQueries: Seq[Q] = Seq(
+    // Real-codec round trip: Spark synthesizes genuine BMP/WAV/GFV1 bytes,
+    // decodes them back with the JDK codecs, and the oracle checks every
+    // decoded dimension/duration/byte-count against the closed forms.
     Q("mm_media_features",
       (s, d) => {
         import s.implicits._
         val media = Multimodal.mediaFromDocuments(docs(s, d))
           .as[Multimodal.MediaRecord]
         Multimodal.extractFeatures(media)(s).toDF()
+          .select("media_id", "media_type", "n_bytes", "width", "height",
+            "duration_ms")
       },
-      Some("""WITH m AS (SELECT doc_id AS media_id,
-        |  (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
-        |  octet_length(encode(text)) AS n, md5(text) AS digest
-        |  FROM documents)
-        |SELECT media_id, media_type, n AS n_bytes,
-        |  CASE WHEN media_type = 'audio' THEN 0 ELSE 16 + n % 1024 END AS width,
-        |  CASE WHEN media_type = 'audio' THEN 0 ELSE 16 + (n // 2) % 1024 END AS height,
-        |  CASE WHEN media_type = 'image' THEN 0 ELSE n * 10 END AS duration_ms,
-        |  digest
-        |FROM m""".stripMargin)),
+      Some(s"""$mediaCte
+        |SELECT media_id, media_type,
+        |  CASE media_type
+        |    WHEN 'image' THEN 54 + ih * ((3*iw + 3) // 4 * 4)
+        |    WHEN 'audio' THEN 44 + 2 * frames
+        |    ELSE 12 + nf * (4 + 54 + fh * ((3*fw + 3) // 4 * 4))
+        |  END AS n_bytes,
+        |  CASE media_type WHEN 'image' THEN iw WHEN 'video' THEN fw
+        |       ELSE 0 END AS width,
+        |  CASE media_type WHEN 'image' THEN ih WHEN 'video' THEN fh
+        |       ELSE 0 END AS height,
+        |  CASE media_type WHEN 'image' THEN 0
+        |       WHEN 'audio' THEN 100 + seed % 100
+        |       ELSE nf * 40 END AS duration_ms
+        |FROM t""".stripMargin)),
     Q("mm_frame_sample",
       (s, d) => {
         import s.implicits._
@@ -570,15 +597,42 @@ object PipelineQueries {
           .select(col("media_id"), col("frame_idx"),
             length(col("frame_bytes")).as("n_frame_bytes"))
       },
-      Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT media_id, n,
-        |      unnest(generate_series(0, (n + 255) // 256 - 1)) AS frame_idx
-        |      FROM m)
+      Some(s"""$mediaCte,
+        |f AS (SELECT media_id, fw, fh,
+        |      unnest(generate_series(0, nf - 1)) AS frame_idx
+        |      FROM t WHERE media_type = 'video')
         |SELECT media_id, frame_idx,
-        |       CASE WHEN (frame_idx+1)*256 <= n THEN 256
-        |            ELSE n - frame_idx*256 END AS n_frame_bytes
-        |FROM f WHERE frame_idx % 2 = 0""".stripMargin))
+        |       54 + fh * ((3*fw + 3) // 4 * 4) AS n_frame_bytes
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin)),
+    // Image resize through the real codec: oversized images decode, scale
+    // to the clamped box, re-encode; everything else passes byte-identical.
+    Q("mm_resize",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(docs(s, d))
+          .as[Multimodal.MediaRecord]
+        val resized = Multimodal.resize(media, maxW = 32, maxH = 24)(s)
+        Multimodal.extractFeatures(resized)(s).toDF()
+          .select("media_id", "media_type", "n_bytes", "width", "height")
+      },
+      Some(s"""$mediaCte,
+        |r AS (SELECT media_id, media_type, frames, nf, fw, fh,
+        |  CASE WHEN iw <= 32 AND ih <= 24 THEN iw
+        |       ELSE least(iw, 32) END AS iw2,
+        |  CASE WHEN iw <= 32 AND ih <= 24 THEN ih
+        |       ELSE least(ih, 24) END AS ih2
+        |  FROM t)
+        |SELECT media_id, media_type,
+        |  CASE media_type
+        |    WHEN 'image' THEN 54 + ih2 * ((3*iw2 + 3) // 4 * 4)
+        |    WHEN 'audio' THEN 44 + 2 * frames
+        |    ELSE 12 + nf * (4 + 54 + fh * ((3*fw + 3) // 4 * 4))
+        |  END AS n_bytes,
+        |  CASE media_type WHEN 'image' THEN iw2 WHEN 'video' THEN fw
+        |       ELSE 0 END AS width,
+        |  CASE media_type WHEN 'image' THEN ih2 WHEN 'video' THEN fh
+        |       ELSE 0 END AS height
+        |FROM r""".stripMargin))
   )
 
   /** Curation operators (stratified sample / token packing / benchmark
@@ -2067,21 +2121,32 @@ object PipelineQueries {
         |        phrase ASC) AS rank FROM agg)
         |WHERE rank <= 10""".stripMargin)),
     // Exact dedup over the OPAQUE BINARY media column — the dedup
-    // family extended to multimodal: digest the bytes (md5 over binary,
-    // no text assumptions), first media_id per digest survives, per
-    // media_type duplicate accounting. Bytes never shuffle — only
-    // digests do.
+    // family extended to multimodal: digest the real codec bytes (md5
+    // over binary, no content assumptions), first media_id per digest
+    // survives, per media_type duplicate accounting. Bytes never
+    // shuffle — only digests do. The oracle groups by the generation
+    // seed instead of the (SQL-unreproducible) md5 — seed ↔ payload is
+    // bijective (MultimodalSpec proves seed-sharing ids byte-identical),
+    // so the groups coincide; total_bytes = n_copies × the closed-form
+    // payload size.
     Q("mm_dedup_media",
       (s, d) => Multimodal.mediaFromDocuments(docs(s, d))
-        .groupBy(md5(col("bytes")).as("digest"), col("media_type"))
+        .groupBy(md5(col("bytes")).as("_digest"), col("media_type"))
         .agg(min(col("media_id")).as("media_id"),
           count(lit(1)).as("n_copies"),
-          sum(length(col("bytes"))).as("total_bytes")),
-      Some("""SELECT md5(text) AS digest,
-        |  (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
-        |  min(doc_id) AS media_id, CAST(count(*) AS BIGINT) AS n_copies,
-        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1, 2""".stripMargin)),
+          sum(length(col("bytes"))).as("total_bytes"))
+        .drop("_digest"),
+      Some(s"""$mediaCte,
+        |sz AS (SELECT media_id, seed, media_type,
+        |  CASE media_type
+        |    WHEN 'image' THEN 54 + ih * ((3*iw + 3) // 4 * 4)
+        |    WHEN 'audio' THEN 44 + 2 * frames
+        |    ELSE 12 + nf * (4 + 54 + fh * ((3*fw + 3) // 4 * 4))
+        |  END AS n_bytes FROM t)
+        |SELECT media_type, min(media_id) AS media_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM sz GROUP BY seed, media_type""".stripMargin)),
     // Packing-efficiency report composing packTokenBudget: per pack,
     // exact doc/token counts and fill rate vs budget — the number that
     // says whether the chosen budget wastes sequence space (ordered

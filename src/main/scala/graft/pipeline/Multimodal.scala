@@ -4,20 +4,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus decode / feature-extract / resize /
-  * frame-sample operators.
+  * with typed metadata, plus REAL decode / feature-extract / resize /
+  * frame-sample operators built on the JDK's own codecs — `javax.imageio`
+  * (BMP, 24-bit uncompressed) for images and video frames,
+  * `javax.sound.sampled` (WAVE, PCM16 mono) for audio, and a tiny
+  * length-prefixed frame container for video. No external dependency; the
+  * bytes on the wire are genuine BMP/WAV files any other tool can open.
   *
-  * The decode step itself is STUBBED (this container ships no image/audio
-  * codecs): [[MediaDecoder.Stub]] produces deterministic fake features from
-  * the bytes. Everything Spark-side is real and tested — the binary schema,
-  * the partition-iterator batch shape (decoder initialized once per
-  * partition, amortized over its rows, exactly how a JNI/codec handle would
-  * be), and the feature schema. Swapping in a real codec changes only the
-  * `MediaDecoder` implementation.
+  * Test substrate: [[mediaFromDocuments]] SYNTHESIZES payloads
+  * deterministically from `doc_id % 192` — every dimension, frame count and
+  * duration is an arithmetic function of the id, so a SQL oracle can verify
+  * the real decode round-trip analytically (encode in Spark, decode with the
+  * JDK codec, compare against the closed-form size/shape formulas).
+  * Distinct seeds embed the seed in the pixel/sample content, so seed ↔
+  * payload is bijective: exact-dedup semantics stay testable (ids sharing a
+  * seed are byte-identical duplicates).
   *
   * Scale: decode is a narrow mapPartitions — no shuffle; bytes never leave
-  * their partition. Feature extraction should run *after* any dedup (cheap
-  * filter first) and project away the bytes as early as possible.
+  * their partition; codec state is initialized once per partition. Feature
+  * extraction should run *after* any dedup (cheap filter first) and project
+  * away the bytes as early as possible.
   */
 object Multimodal {
 
@@ -28,8 +34,8 @@ object Multimodal {
       bytes: Array[Byte],
       source: String)
 
-  /** Extracted features (schema is the contract; values come from the
-    * decoder implementation). */
+  /** Extracted features — every numeric field is read back out of the
+    * payload by a real decoder, never echoed from metadata. */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
@@ -39,7 +45,20 @@ object Multimodal {
       duration_ms: Long,
       digest: String)
 
-  /** One sampled frame of a video payload. */
+  /** Fallible decode: `ok=false` rows carry the failure in `error` with
+    * zeroed features (digest is still computed — it only needs bytes). */
+  final case class MediaDecodeResult(
+      media_id: Long,
+      media_type: String,
+      ok: Boolean,
+      error: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      digest: String)
+
+  /** One sampled frame of a video payload: a standalone BMP image. */
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Decoder boundary: one instance per partition (models an expensive
@@ -49,66 +68,292 @@ object Multimodal {
   }
 
   object MediaDecoder {
-    /** Deterministic stand-in for the real codec: features derived from the
-      * byte payload only, so tests and oracles reproduce them. */
-    object Stub extends MediaDecoder {
-      def decode(r: MediaRecord): MediaFeatures = {
-        val n = r.bytes.length
-        MediaFeatures(
-          media_id = r.media_id,
-          media_type = r.media_type,
-          n_bytes = n,
-          width = if (r.media_type == "audio") 0 else 16 + n % 1024,
-          height = if (r.media_type == "audio") 0 else 16 + (n / 2) % 1024,
-          duration_ms = if (r.media_type == "image") 0L else n.toLong * 10L,
-          digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(r.bytes).map("%02x".format(_)).mkString)
-      }
+    /** The JDK codec: ImageIO for images and video frames, the sampled
+      * audio stack for WAV. Throws `IllegalArgumentException` naming the
+      * media_id on undecodable bytes — use [[extractFeaturesSafe]] for a
+      * non-throwing error channel. */
+    object Jdk extends MediaDecoder {
+      def decode(r: MediaRecord): MediaFeatures =
+        try {
+          val (w, h, d) = r.media_type match {
+            case "image" =>
+              val (iw, ih) = MediaCodec.decodeImage(r.bytes)
+              (iw, ih, 0L)
+            case "audio" =>
+              (0, 0, MediaCodec.decodeAudioDurationMs(r.bytes))
+            case "video" =>
+              val v = MediaCodec.decodeVideoHeader(r.bytes)
+              (v.width, v.height, v.frameCount.toLong * v.intervalMs)
+            case other =>
+              throw new IllegalArgumentException(s"unknown media_type $other")
+          }
+          MediaFeatures(r.media_id, r.media_type, r.bytes.length, w, h, d,
+            MediaCodec.md5Hex(r.bytes))
+        } catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.startsWith("media_id") => throw e
+          case e: Exception => throw new IllegalArgumentException(
+            s"media_id ${r.media_id} (${r.media_type}): undecodable payload" +
+              s" — ${e.getClass.getSimpleName}: ${e.getMessage}", e)
+        }
     }
   }
 
-  /** Synthesize a media table from the documents table (test substrate:
-    * text bytes as payload, type derived from the id). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      col("source"))
+  /** Synthesize a REAL media table from the documents table: every payload
+    * is a decodable BMP / WAV / frame-container whose shape parameters
+    * derive from `seed = doc_id mod 192` (192 = lcm(3, 64): ids sharing a
+    * seed share a media_type AND a byte-identical payload — the duplicate
+    * structure exact dedup tests ride on).
+    *
+    * Closed-form contract (what a SQL oracle can recompute per id):
+    *  - type:  seed%3 → 0 image, 1 audio, 2 video
+    *  - image: w = 16+seed%32, h = 16+(seed/2)%32, bytes = 54+h·⌈3w/4⌉·4
+    *  - audio: frames = 800+(seed%100)·8 @8 kHz → ms = 100+seed%100,
+    *           bytes = 44+2·frames
+    *  - video: n = 2+seed%4 frames @40 ms, fw = 16+seed%16,
+    *           fh = 16+(seed/2)%16, bytes = 12+n·(4+bmp(fw,fh))
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          val seed = (((id % 192) + 192) % 192).toInt
+          seed % 3 match {
+            case 0 =>
+              val w = 16 + seed % 32
+              val h = 16 + (seed / 2) % 32
+              MediaRecord(id, "image", MediaCodec.encodeBmp(w, h, seed), source)
+            case 1 =>
+              val frames = 800 + (seed % 100) * 8
+              MediaRecord(id, "audio", MediaCodec.encodeWav(frames, seed), source)
+            case _ =>
+              val n = 2 + seed % 4
+              val fw = 16 + seed % 16
+              val fh = 16 + (seed / 2) % 16
+              MediaRecord(id, "video",
+                MediaCodec.encodeVideo(n, 40, fw, fh, seed), source)
+          }
+        }
+      }
+      .toDF()
+  }
 
-  /** Batch feature extraction: decoder constructed once per partition,
-    * applied across the partition's rows (the Scala analog of a
-    * batch-shaped decode UDF). */
+  /** Batch feature extraction through a real decoder: decoder constructed
+    * once per partition, applied across the partition's rows. Throws on
+    * undecodable bytes — the strict path for pipelines that treat corrupt
+    * media upstream; see [[extractFeaturesSafe]] for the tolerant one. */
   def extractFeatures(media: Dataset[MediaRecord],
-      decoder: MediaDecoder = MediaDecoder.Stub)(
+      decoder: MediaDecoder = MediaDecoder.Jdk)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      val d = decoder // per-partition init point for real codecs
+      val d = decoder // per-partition init point for codec handles
       it.map(d.decode)
     }
   }
 
-  /** Deterministic frame sampling for video payloads: every `everyN`-th
-    * 256-byte slice becomes a "frame" (plumbing-real, decode-stubbed). */
+  /** Tolerant feature extraction: corrupt payloads become `ok=false` rows
+    * carrying the decode error instead of failing the job — at corpus scale
+    * some fraction of scraped media is always undecodable, and one bad blob
+    * must not kill a 100 TB pass. Same narrow, partition-local shape. */
+  def extractFeaturesSafe(media: Dataset[MediaRecord],
+      decoder: MediaDecoder = MediaDecoder.Jdk)(
+      implicit spark: SparkSession): Dataset[MediaDecodeResult] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val d = decoder
+      it.map { r =>
+        try {
+          val f = d.decode(r)
+          MediaDecodeResult(f.media_id, f.media_type, ok = true, error = "",
+            f.n_bytes, f.width, f.height, f.duration_ms, f.digest)
+        } catch {
+          case e: Exception =>
+            MediaDecodeResult(r.media_id, r.media_type, ok = false,
+              error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
+              r.bytes.length, 0, 0, 0L, MediaCodec.md5Hex(r.bytes))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: parse the container, keep every
+    * `everyN`-th frame. Each emitted frame is a standalone, decodable BMP —
+    * the input to a downstream embed/caption stage. Narrow flatMap. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int)(
       implicit spark: SparkSession): Dataset[Frame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     import spark.implicits._
     media.filter(_.media_type == "video").flatMap { r =>
-      val frames = r.bytes.grouped(256).toSeq
-      frames.zipWithIndex.collect {
+      MediaCodec.videoFrames(r.bytes).zipWithIndex.collect {
         case (bs, i) if i % everyN == 0 => Frame(r.media_id, i, bs)
       }
     }
   }
 
-  /** "Resize": truncate payloads to `maxBytes` (a stand-in with the real
-    * operator's cost shape — narrow, bytes-local). */
-  def resize(media: Dataset[MediaRecord], maxBytes: Int)(
+  /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
+    * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and
+    * re-encoded as BMP; conforming images and non-image rows pass through
+    * byte-identical. Narrow map; bytes stay in their partition. */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
+    require(maxW >= 1 && maxH >= 1, s"bad box ${maxW}x$maxH")
     import spark.implicits._
-    media.map(r => if (r.bytes.length <= maxBytes) r
-      else r.copy(bytes = r.bytes.take(maxBytes)))
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.media_type != "image") r
+        else {
+          val (w, h) = MediaCodec.decodeImage(r.bytes)
+          if (w <= maxW && h <= maxH) r
+          else r.copy(bytes =
+            MediaCodec.resizeBmp(r.bytes, math.min(w, maxW), math.min(h, maxH)))
+        }
+      }
+    }
+  }
+}
+
+/** The JDK-backed codec behind [[Multimodal]]: encode/decode helpers that
+  * produce genuine BMP / WAV / frame-container bytes with size formulas a
+  * SQL oracle can recompute (24-bit uncompressed BMP = 54 + h·⌈3w/4⌉·4;
+  * PCM16-mono WAV = 44 + 2·frames; container = 12 + Σ(4 + frame)).
+  *
+  * Deterministic by construction: pixel and sample content is an integer
+  * function of (seed, position), the writers emit fixed headers, and the
+  * probe round-trips (verified in MultimodalSpec against the formulas). */
+object MediaCodec {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  private val Magic: Array[Byte] = "GFV1".getBytes("US-ASCII")
+  private val SampleRate = 8000
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** 24-bit BMP size: 54-byte header + rows padded to 4-byte multiples. */
+  def bmpSize(w: Int, h: Int): Int = 54 + h * ((3 * w + 3) / 4 * 4)
+
+  /** WAVE PCM16 mono size: 44-byte header + 2 bytes per frame. */
+  def wavSize(frames: Int): Int = 44 + 2 * frames
+
+  /** Encode a deterministic w×h 24-bit BMP (content keyed by `seed` so
+    * distinct seeds give distinct bytes). */
+  def encodeBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (seed * 31 + x * 7 + y * 13) % 251
+        val g = (seed * 17 + x * 11 + y * 3) % 251
+        val b = (seed * 7 + x * 5 + y * 19) % 251
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(bmpSize(w, h))
+    ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported image to (width, height). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException("not a decodable image")
+    (img.getWidth, img.getHeight)
+  }
+
+  /** Decode + scale + re-encode an image as `w`×`h` BMP. */
+  def resizeBmp(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null)
+      throw new IllegalArgumentException("not a decodable image")
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+    val bos = new ByteArrayOutputStream(bmpSize(w, h))
+    ImageIO.write(dst, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Encode `frames` PCM16 samples at 8 kHz mono as a WAV file (content
+    * keyed by `seed`). `frames` divisible by 8 ⇒ integral milliseconds. */
+  def encodeWav(frames: Int, seed: Int): Array[Byte] = {
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (((seed + 1) * 131 + i * 17) % 65521 - 32760).toShort
+      data(2 * i) = (s & 0xff).toByte // little-endian PCM
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, frames)
+    val bos = new ByteArrayOutputStream(wavSize(frames))
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload to its exact duration in ms (frames·1000/rate). */
+  def decodeAudioDurationMs(bytes: Array[Byte]): Long = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try ais.getFrameLength * 1000L / ais.getFormat.getSampleRate.toLong
+    finally ais.close()
+  }
+
+  /** Video container header as decoded from the payload. `width`/`height`
+    * come from REALLY decoding the first frame, not from the header. */
+  final case class VideoMeta(frameCount: Int, intervalMs: Int,
+      width: Int, height: Int)
+
+  /** Encode `frameCount` deterministic BMP frames into the GFV1 container:
+    * magic ++ int32 frameCount ++ int32 intervalMs ++
+    * frameCount × (int32 length ++ BMP bytes), all big-endian. */
+  def encodeVideo(frameCount: Int, intervalMs: Int, w: Int, h: Int,
+      seed: Int): Array[Byte] = {
+    val frames = (0 until frameCount).map(i => encodeBmp(w, h, seed + 997 * i))
+    val size = 12 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.put(Magic).putInt(frameCount).putInt(intervalMs)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  private def checkMagic(bytes: Array[Byte]): java.nio.ByteBuffer = {
+    if (bytes.length < 12 || bytes(0) != Magic(0) || bytes(1) != Magic(1) ||
+        bytes(2) != Magic(2) || bytes(3) != Magic(3))
+      throw new IllegalArgumentException("not a GFV1 video container")
+    java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
+  }
+
+  /** Parse the container and decode frame 0 for dimensions. */
+  def decodeVideoHeader(bytes: Array[Byte]): VideoMeta = {
+    val bb = checkMagic(bytes)
+    val n = bb.getInt(); val interval = bb.getInt()
+    if (n < 1) throw new IllegalArgumentException(s"empty video (n=$n)")
+    val len0 = bb.getInt()
+    val f0 = new Array[Byte](len0); bb.get(f0)
+    val (w, h) = decodeImage(f0)
+    VideoMeta(n, interval, w, h)
+  }
+
+  /** All frames of a container, in order, as standalone BMP byte arrays. */
+  def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = checkMagic(bytes)
+    val n = bb.getInt(); bb.getInt() // intervalMs unused here
+    (0 until n).map { _ =>
+      val len = bb.getInt()
+      val f = new Array[Byte](len); bb.get(f)
+      f
+    }
   }
 }

@@ -6,36 +6,92 @@ import graft.pipeline.Multimodal._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  lazy val media = Seq(
-    MediaRecord(0L, "image", Array.fill[Byte](600)(1), "s"),
-    MediaRecord(1L, "audio", Array.fill[Byte](100)(2), "s"),
-    MediaRecord(2L, "video", Array.fill[Byte](1000)(3), "s")
-  ).toDS()
+  // docs rows covering each media type and a duplicate-seed pair
+  // (7 and 199 share seed 7; types: 6→image, 7→audio, 14→video)
+  lazy val docs = Seq(6L, 7L, 14L, 199L, 200L)
+    .map(id => (id, s"src$id")).toDF("doc_id", "source")
+  lazy val media = mediaFromDocuments(docs).as[MediaRecord]
 
-  test("stub decode is deterministic and type-aware") {
+  test("synthesized payloads decode to the closed-form contract") {
     implicit val s = spark
     val f = extractFeatures(media).collect().map(x => x.media_id -> x).toMap
-    assert(f(0L).width == 16 + 600 % 1024 && f(0L).duration_ms == 0L)
-    assert(f(1L).width == 0 && f(1L).duration_ms == 1000L)
-    assert(f(2L).duration_ms == 10000L)
-    assert(f(0L).digest.length == 32)
-    // decode twice → identical
-    val f2 = extractFeatures(media).collect().map(x => x.media_id -> x).toMap
-    assert(f(2L) == f2(2L))
+    // seed 6 image: w=16+6%32=22, h=16+3%32=19, bytes=54+19*((66+3)/4*4)
+    assert(f(6L).media_type == "image")
+    assert((f(6L).width, f(6L).height) == ((22, 19)))
+    assert(f(6L).n_bytes == MediaCodec.bmpSize(22, 19) && f(6L).duration_ms == 0L)
+    // seed 7 audio: frames=800+7*8=856 @8kHz → 107 ms, 44+2*856 bytes
+    assert(f(7L).media_type == "audio")
+    assert(f(7L).duration_ms == 107L && f(7L).n_bytes == MediaCodec.wavSize(856))
+    assert((f(7L).width, f(7L).height) == ((0, 0)))
+    // seed 14 video: n=2+14%4=4 frames @40ms → 160 ms; fw=16+14%16=30, fh=16+7%16=23
+    assert(f(14L).media_type == "video")
+    assert((f(14L).width, f(14L).height, f(14L).duration_ms) == ((30, 23, 160L)))
+    assert(f(14L).n_bytes == 12 + 4 * (4 + MediaCodec.bmpSize(30, 23)))
+    // the features really came from decoding: digest is the payload md5
+    assert(f(6L).digest.length == 32)
   }
 
-  test("frame sampling takes every Nth 256-byte slice of videos only") {
+  test("seed-sharing ids are byte-identical duplicates; others differ") {
+    val byId = media.collect().map(r => r.media_id -> r.bytes).toMap
+    assert(java.util.Arrays.equals(byId(7L), byId(199L)),
+      "doc 7 and 199 share seed 7 → exact duplicates")
+    assert(!java.util.Arrays.equals(byId(7L), byId(200L)))
+  }
+
+  test("wav and bmp bytes are real files the JDK decodes independently") {
+    val byId = media.collect().map(r => r.media_id -> r).toMap
+    val (w, h) = MediaCodec.decodeImage(byId(6L).bytes)
+    assert((w, h) == ((22, 19)))
+    assert(MediaCodec.decodeAudioDurationMs(byId(7L).bytes) == 107L)
+    val meta = MediaCodec.decodeVideoHeader(byId(14L).bytes)
+    assert(meta == MediaCodec.VideoMeta(4, 40, 30, 23))
+  }
+
+  test("sampleFrames: every Nth container frame, each a decodable BMP") {
     implicit val s = spark
     val frames = sampleFrames(media, 2).collect()
-    assert(frames.forall(_.media_id == 2L))
-    // 1000 bytes → 4 slices (256,256,256,232) → idx 0,2 sampled
-    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
-    assert(frames.find(_.frame_idx == 2).get.frame_bytes.length == 256)
+    // two videos: 14 (seed 14: 4 frames, 30x23) and 200 (seed 8: 2 frames, 24x20)
+    assert(frames.map(_.media_id).toSet == Set(14L, 200L), "videos only")
+    val f14 = frames.filter(_.media_id == 14L).sortBy(_.frame_idx)
+    assert(f14.map(_.frame_idx).toSeq == Seq(0, 2))
+    f14.foreach { fr =>
+      assert(MediaCodec.decodeImage(fr.frame_bytes) == ((30, 23)))
+      assert(fr.frame_bytes.length == MediaCodec.bmpSize(30, 23))
+    }
+    val f200 = frames.filter(_.media_id == 200L)
+    assert(f200.map(_.frame_idx).toSeq == Seq(0))
+    assert(MediaCodec.decodeImage(f200.head.frame_bytes) == ((24, 20)))
+    // frames differ (content is keyed by frame index)
+    assert(!java.util.Arrays.equals(f14(0).frame_bytes, f14(1).frame_bytes))
   }
 
-  test("resize truncates oversized payloads only") {
+  test("resize clamps oversized images, passes the rest byte-identical") {
     implicit val s = spark
-    val r = resize(media, 512).collect().map(x => x.media_id -> x.bytes.length).toMap
-    assert(r(0L) == 512 && r(1L) == 100 && r(2L) == 512)
+    val before = media.collect().map(r => r.media_id -> r.bytes).toMap
+    val after = resize(media, maxW = 20, maxH = 64).collect()
+      .map(r => r.media_id -> r.bytes).toMap
+    // image 6 is 22x19 → clamped to 20x19 and still a real BMP
+    assert(MediaCodec.decodeImage(after(6L)) == ((20, 19)))
+    assert(after(6L).length == MediaCodec.bmpSize(20, 19))
+    // audio/video untouched
+    assert(java.util.Arrays.equals(after(7L), before(7L)))
+    assert(java.util.Arrays.equals(after(14L), before(14L)))
+  }
+
+  test("corrupt payloads: strict path names the id, safe path flags the row") {
+    implicit val s = spark
+    val bad = Seq(
+      MediaRecord(1L, "image", Array[Byte](1, 2, 3), "s"),
+      MediaRecord(2L, "audio", "nope".getBytes, "s"),
+      MediaRecord(3L, "video", "GFV0junk1234".getBytes, "s"),
+      MediaRecord(4L, "image", MediaCodec.encodeBmp(8, 8, 1), "s")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      extractFeatures(bad).collect()
+    }
+    assert(ex.getCause.getMessage.contains("media_id"))
+    val safe = extractFeaturesSafe(bad).collect().map(r => r.media_id -> r).toMap
+    assert(!safe(1L).ok && safe(1L).error.nonEmpty)
+    assert(!safe(2L).ok && !safe(3L).ok)
+    assert(safe(4L).ok && safe(4L).width == 8 && safe(4L).error.isEmpty)
   }
 }
