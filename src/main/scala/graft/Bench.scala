@@ -29,7 +29,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming SLO: commit→broadcast latency at the reference's implied
+    // design point (1,000 changes/s, 100 ms poll) — the one number the
+    // batch queries above can't measure
+    val stream = try {
+      val r = graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
+        seconds = 8, triggerMs = 100L, warmupSec = 3)
+      s""","stream":{"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
+        s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
+        s""""p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +
+        s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +
+        s""""overall_p95_ms":${r.overall.p95},""" +
+        s""""batch_duration_p95_ms":${r.batchDurationP95Ms}}"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$stream}""")
     spark.stop()
   }
 }

@@ -1,0 +1,79 @@
+package graft.cdc
+
+import graft.model.Subscription
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Adaptive poll cadence (O9) — the reference poller's backpressure-aware
+  * scheduling re-expressed as a driver-side poll loop
+  * (/root/reference/lib/extensions/postgres_cdc_rls/replication_poller.ex:174-192):
+  *
+  *  - rows were processed           → poll again IMMEDIATELY (drain a
+  *    backlog at full speed; the slot may hold more),
+  *  - rows were seen but none kept  → `interval + jitter(50..100)` ms (the
+  *    tenant is being shed — spacing plus jitter stops synchronized
+  *    re-polls from stampeding a recovering database),
+  *  - fully idle                    → `interval × idleMultiplier` (@5 in
+  *    the reference) — an idle tenant costs 1/5th the poll queries.
+  *
+  * Spark's `Trigger.ProcessingTime` is deliberately fixed-rate, so the
+  * cadence lives where the reference keeps it: in the polling process
+  * itself. [[CdcStream.startAdaptivePoll]] runs this loop on a daemon
+  * thread, each iteration pulling one batch from the caller's source
+  * function and pushing it through [[CdcStream.processBatch]] — identical
+  * operator pipeline, adaptive schedule. At 1000 tenants the loops are
+  * 1000 cheap driver threads sleeping most of the time (the reference runs
+  * one Erlang process per tenant for the same reason); the heavy lifting
+  * stays on the executors inside processBatch.
+  */
+final class PollPacer(
+    val baseIntervalMs: Long,
+    val idleMultiplier: Int = 5,
+    jitterSeed: Long = 0L) extends Serializable {
+  require(baseIntervalMs > 0 && idleMultiplier >= 1)
+  private val rnd = new java.util.Random(jitterSeed)
+
+  /** Jitter in [50, 100] ms, like the reference's `Enum.random(50..100)`
+    * — deterministic per seed so tests can pin the sequence. */
+  private[cdc] def jitter(): Long = 50L + rnd.nextInt(51).toLong
+
+  /** Delay before the NEXT poll given this poll's outcome.
+    * @param processed   rows that made it through the gate (kept)
+    * @param slotChanges rows the poll saw in the slot (kept + shed) */
+  def nextDelayMs(processed: Long, slotChanges: Long): Long =
+    if (processed > 0L) 0L
+    else if (slotChanges > 0L) baseIntervalMs + jitter()
+    else baseIntervalMs * idleMultiplier
+}
+
+/** Handle for a running adaptive poll loop. */
+final class PollHandle private[cdc] (thread: Thread, flag: AtomicBoolean) {
+  def stop(): Unit = { flag.set(false); thread.interrupt(); thread.join(5000L) }
+  def isRunning: Boolean = thread.isAlive
+}
+
+object AdaptivePoll {
+
+  /** Run `maxPolls` iterations of poll → process → pace. Broken out of the
+    * thread wrapper so specs can drive it synchronously with a recording
+    * `sleeper`. Returns the per-iteration delays that were applied. */
+  private[cdc] def loop(
+      pollFn: () => DataFrame,
+      processFn: DataFrame => (Long, Long),
+      pacer: PollPacer,
+      sleeper: Long => Unit,
+      keepGoing: () => Boolean,
+      maxPolls: Long): Seq[Long] = {
+    val delays = Seq.newBuilder[Long]
+    var n = 0L
+    while (keepGoing() && n < maxPolls) {
+      val (processed, slotChanges) = processFn(pollFn())
+      val d = pacer.nextDelayMs(processed, slotChanges)
+      delays += d
+      n += 1
+      if (d > 0L && keepGoing() && n < maxPolls) sleeper(d)
+    }
+    delays.result()
+  }
+}

@@ -41,10 +41,14 @@ object CdcStream {
 
   /** Per-batch statistics surfaced to the caller (the analog of the
     * reference's poll telemetry). `shedTenants` maps each rate-limited
-    * tenant to the number of rows dropped for it. */
+    * tenant to the number of rows dropped for it; `durationMs` is the
+    * gate→deliver wall time of the batch — the analog of the reference's
+    * `replication_poller_query_duration` histogram
+    * (/root/reference/OBSERVABILITY_METRICS.md:115). */
   final case class BatchStats(
       batchId: Long, nChanges: Long, nDeliveries: Long, shed: Boolean,
-      shedTenants: Map[String, Long] = Map.empty)
+      shedTenants: Map[String, Long] = Map.empty,
+      durationMs: Long = -1L)
 
   /** One delivery: a subscriber id and the pre-encoded frame it receives. */
   final case class Delivery(subscriptionId: String, frame: String)
@@ -92,6 +96,8 @@ object CdcStream {
     *                       batch is one tenant gated by `defaultTenantLimit`.
     * @param tenantLimits   per-tenant events/batch overrides.
     * @param defaultTenantLimit cap for tenants not in `tenantLimits`.
+    * @param deliverTo      override delivery sink (latency probes, external
+    *                       fan-outs); `bus` still records batch telemetry.
     */
   def processBatch(
       batch: DataFrame,
@@ -105,9 +111,11 @@ object CdcStream {
       tenantLimits: Map[String, Long] = Map.empty,
       defaultTenantLimit: Long = Long.MaxValue,
       rates: Option[graft.rates.TenantRateCounters] = None,
-      nowMs: Long = -1L): Unit = {
+      nowMs: Long = -1L,
+      deliverTo: Option[DeliverySink] = None): Unit = {
     val spark = batch.sparkSession
     val now = if (nowMs >= 0) nowMs else System.currentTimeMillis()
+    val tBatch0 = System.nanoTime()
     val cached = batch.persist()
     try {
       // per-tenant row counts: one small aggregate (map-side combined; the
@@ -173,14 +181,15 @@ object CdcStream {
       // executor-side fan-out: the driver never sees a frame; the delivery
       // count rides back on an accumulator from the same pass
       val acc = spark.sparkContext.longAccumulator(s"graft.deliveries.$batchId")
-      val sink: DeliverySink = bus
+      val sink: DeliverySink = deliverTo.getOrElse(bus)
       deliveries.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var n = 0L
         it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
         acc.add(n)
       }
       bus.record(BatchStats(batchId, nChanges, acc.value,
-        shed = shedTenants.nonEmpty, shedTenants = shedTenants))
+        shed = shedTenants.nonEmpty, shedTenants = shedTenants,
+        durationMs = (System.nanoTime() - tBatch0) / 1000000L))
     } finally cached.unpersist()
   }
 
@@ -397,6 +406,47 @@ object CdcStream {
       .start()
   }
 
+  /** The CDC pipeline under ADAPTIVE poll cadence (O9): a daemon-thread
+    * poll loop — immediate re-poll while draining, jittered interval while
+    * shedding, ×[[PollPacer.idleMultiplier]] while idle — with each polled
+    * batch pushed through the same [[processBatch]] operator pipeline as
+    * the fixed-trigger [[start]] path. `pollFn` returns the next chunk of
+    * changes (empty frame ⇒ idle); see [[AdaptivePoll]] for the cadence
+    * contract and the reference mapping. */
+  def startAdaptivePoll(
+      pollFn: () => DataFrame,
+      subs: Seq[Subscription],
+      dataSchema: StructType,
+      table: String,
+      pk: Seq[String],
+      bus: MemoryBus,
+      pacer: PollPacer,
+      tenantCol: Option[String] = None,
+      tenantLimits: Map[String, Long] = Map.empty,
+      defaultTenantLimit: Long = Long.MaxValue,
+      rates: Option[graft.rates.TenantRateCounters] = None,
+      deliverTo: Option[DeliverySink] = None,
+      maxPolls: Long = Long.MaxValue): PollHandle = {
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
+    val processFn: DataFrame => (Long, Long) = { batch =>
+      processBatch(batch, subs, dataSchema, table, pk, bus,
+        batchId.getAndIncrement(), tenantCol, tenantLimits,
+        defaultTenantLimit, rates, deliverTo = deliverTo)
+      // the stats this thread just recorded: kept = total − shed
+      val s = bus.batches.last
+      (s.nChanges - s.shedTenants.values.sum, s.nChanges)
+    }
+    val t = new Thread(() => {
+      try AdaptivePoll.loop(pollFn, processFn, pacer,
+        ms => Thread.sleep(ms), () => flag.get(), maxPolls)
+      catch { case _: InterruptedException => () }
+    }, s"graft-adaptive-poll-$table")
+    t.setDaemon(true)
+    t.start()
+    new PollHandle(t, flag)
+  }
+
   /** Attach the CDC pipeline to a streaming change DataFrame. */
   def start(
       changes: DataFrame,
@@ -409,13 +459,15 @@ object CdcStream {
       triggerMs: Long = 100L,
       tenantCol: Option[String] = None,
       tenantLimits: Map[String, Long] = Map.empty,
-      rates: Option[graft.rates.TenantRateCounters] = None): StreamingQuery =
+      rates: Option[graft.rates.TenantRateCounters] = None,
+      deliverTo: Option[DeliverySink] = None): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, subs, dataSchema, table, pk, bus, batchId,
-          tenantCol, tenantLimits, maxEventsPerBatch, rates)
+          tenantCol, tenantLimits, maxEventsPerBatch, rates,
+          deliverTo = deliverTo)
       }
       .start()
 }

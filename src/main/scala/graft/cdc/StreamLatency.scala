@@ -1,0 +1,134 @@
+package graft.cdc
+
+import graft.model.Subscription
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import scala.jdk.CollectionConverters._
+
+/** Commit→broadcast latency measurement for the streaming CDC pipeline —
+  * the reference's headline SLO
+  * (`realtime_tenants_broadcast_from_database_latency_committed_at`,
+  * /root/reference/OBSERVABILITY_METRICS.md:117) at its implied design
+  * point of ~1,000 changes/s/tenant (100 changes per 100 ms poll,
+  * BASELINE.md).
+  *
+  * Method: a feeder thread stamps each change with its enqueue wall-clock
+  * ("commit") in the `commit_timestamp` field; the delivery sink records
+  * `now − commit` at `offer` time ON THE PARTITION that produced the frame
+  * — so the number covers trigger wait + gate + match + shape + encode +
+  * fan-out, exactly the reference's committed_at→broadcast span. Latencies
+  * land in a JVM-static recorder (executor-local; on a real cluster this
+  * is a per-executor histogram merged by the metrics pipeline — only the
+  * aggregation transport differs, not the measured span).
+  *
+  * Warmup handling: the first seconds of a fresh session pay
+  * codegen/planning once; steady-state percentiles are computed over
+  * deliveries whose commit falls after `warmupSec` so the number reflects
+  * the pipeline, not JIT warmup. Both windows are reported.
+  */
+object StreamLatency {
+
+  /** The change shape fed to the pipeline; `commit_timestamp` carries
+    * epoch-millis as a string (spliced verbatim into the frame). */
+  final case class Change(id: Long, change_type: String, value: Double,
+      commit_timestamp: String)
+
+  /** (commitMs, latencyMs) samples for one run, in a static registry so
+    * executor-side `offer` calls and the driver share them in local mode. */
+  private val samples =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[(Long, Long)]]()
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def queue(id: String): ConcurrentLinkedQueue[(Long, Long)] =
+    samples.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[(Long, Long)]())
+
+  /** Sink that clocks each frame as it leaves its partition. */
+  final class TimingSink(runId: String) extends CdcStream.DeliverySink {
+    def offer(d: CdcStream.Delivery): Unit = {
+      val commit = parseCommitMs(d.frame)
+      if (commit > 0L)
+        StreamLatency.queue(runId)
+          .add((commit, System.currentTimeMillis() - commit))
+    }
+  }
+
+  /** Extract the epoch-millis commit stamp from the encoded frame without
+    * a JSON parse (the hot path must not cost more than the pipeline). */
+  private[cdc] def parseCommitMs(frame: String): Long = {
+    val key = "\"commit_timestamp\":\""
+    val i = frame.indexOf(key)
+    if (i < 0) return -1L
+    var j = i + key.length
+    var v = 0L
+    var any = false
+    while (j < frame.length && frame.charAt(j) >= '0' && frame.charAt(j) <= '9') {
+      v = v * 10L + (frame.charAt(j) - '0'); j += 1; any = true
+    }
+    if (any && j < frame.length && frame.charAt(j) == '"') v else -1L
+  }
+
+  final case class Percentiles(n: Long, p50: Long, p95: Long, p99: Long,
+      max: Long)
+
+  final case class Report(
+      ratePerSec: Int, seconds: Int, triggerMs: Long,
+      nSent: Long, nDelivered: Long,
+      overall: Percentiles, steady: Percentiles,
+      batchDurationP95Ms: Long)
+
+  private def percentiles(xs: Array[Long]): Percentiles = {
+    if (xs.isEmpty) return Percentiles(0L, -1L, -1L, -1L, -1L)
+    val s = xs.sorted
+    def p(q: Double): Long = s(math.min(s.length - 1,
+      math.ceil(q * s.length).toInt - 1).max(0))
+    Percentiles(s.length.toLong, p(0.50), p(0.95), p(0.99), s.last)
+  }
+
+  /** Run the pipeline at `ratePerSec` for `seconds`, one match-all
+    * subscriber (deliveries = changes), and report commit→frame latency. */
+  def run(spark: SparkSession, ratePerSec: Int = 1000, seconds: Int = 8,
+      triggerMs: Long = 100L, warmupSec: Int = 3): Report = {
+    require(ratePerSec >= 20 && seconds >= 1 && warmupSec < seconds)
+    import spark.implicits._
+    val runId = "lat-" + ids.incrementAndGet()
+    val input = MemoryStream[Change](spark)
+    val subs = Seq(Subscription("bench", "public", "t", Nil))
+    val dataSchema = Seq.empty[Change].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val bus = CdcStream.MemoryBus()
+    val sink = new TimingSink(runId)
+    val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
+      pk = Seq("id"), bus = bus, triggerMs = triggerMs,
+      deliverTo = Some(sink))
+    var nSent = 0L
+    val t0Ms = System.currentTimeMillis()
+    try {
+      // feed in 50 ms steps pinned to the wall clock so the offered rate
+      // stays `ratePerSec` even when addData itself stalls briefly
+      val stepMs = 50
+      val perStep = ratePerSec * stepMs / 1000
+      val steps = seconds * 1000 / stepMs
+      val t0 = System.nanoTime()
+      var step = 0
+      while (step < steps) {
+        val now = System.currentTimeMillis().toString
+        input.addData((0 until perStep).map(k =>
+          Change(nSent + k, "INSERT", 1.0, now)))
+        nSent += perStep
+        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
+        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
+        step += 1
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = queue(runId).asScala.toArray
+    samples.remove(runId)
+    val steadyFloor = t0Ms + warmupSec * 1000L
+    val batchP95 = percentiles(
+      bus.batches.filter(_.nChanges > 0).map(_.durationMs).toArray).p95
+    Report(ratePerSec, seconds, triggerMs, nSent, all.length.toLong,
+      overall = percentiles(all.map(_._2)),
+      steady = percentiles(all.collect { case (c, l) if c >= steadyFloor => l }),
+      batchDurationP95Ms = batchP95)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.model.Subscription
+
+/** Adaptive poll cadence (O9): the reference's three-arm schedule —
+  * drain-at-full-speed, jittered shed spacing, ×5 idle backoff —
+  * reproduced deterministically (seeded jitter, recording sleeper). */
+class AdaptivePollSpec extends SparkSpec {
+  import spark.implicits._
+  import CdcStreamSpec.Change
+
+  test("PollPacer: three arms — drain 0, shed interval+jitter, idle ×5") {
+    val p = new PollPacer(baseIntervalMs = 100L, idleMultiplier = 5)
+    assert(p.nextDelayMs(processed = 7, slotChanges = 7) == 0L,
+      "processed rows → immediate re-poll")
+    val shedDelay = p.nextDelayMs(processed = 0, slotChanges = 7)
+    assert(shedDelay >= 150L && shedDelay <= 200L,
+      s"shed → interval + jitter(50..100), got $shedDelay")
+    assert(p.nextDelayMs(processed = 0, slotChanges = 0) == 500L,
+      "idle → interval × idleMultiplier")
+  }
+
+  test("PollPacer: jitter is bounded and deterministic per seed") {
+    val a = new PollPacer(100L, jitterSeed = 42L)
+    val b = new PollPacer(100L, jitterSeed = 42L)
+    val sa = (1 to 50).map(_ => a.jitter())
+    val sb = (1 to 50).map(_ => b.jitter())
+    assert(sa == sb, "same seed → same sequence")
+    assert(sa.forall(j => j >= 50L && j <= 100L), s"out of [50,100]: $sa")
+    assert(sa.distinct.size > 1, "jitter actually varies")
+  }
+
+  test("loop: busy polls re-poll immediately, then back off once idle") {
+    // scripted source: 2 busy polls, 1 shed-everything, then idle
+    val script = Iterator(
+      (5L, 5L), (3L, 3L), (0L, 4L), (0L, 0L), (0L, 0L))
+    val slept = Seq.newBuilder[Long]
+    val delays = AdaptivePoll.loop(
+      pollFn = () => null,
+      processFn = _ => script.next(),
+      pacer = new PollPacer(100L, jitterSeed = 1L),
+      sleeper = slept += _,
+      keepGoing = () => true,
+      maxPolls = 5L)
+    assert(delays.take(2) == Seq(0L, 0L), "drain arm never sleeps")
+    assert(delays(2) >= 150L && delays(2) <= 200L, "shed arm")
+    assert(delays.drop(3) == Seq(500L, 500L), "idle arm")
+    // the final delay is computed but not slept (loop is done)
+    assert(slept.result() == delays.slice(2, 4))
+  }
+
+  test("startAdaptivePoll: real pipeline — busy drains, idle backs off") {
+    val subs = Seq(Subscription("s", "public", "t", Nil))
+    val dataSchema = Seq.empty[Change].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val bus = CdcStream.MemoryBus()
+    // first two polls return rows, the rest are empty
+    val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pollFn = () => {
+      val k = polls.getAndIncrement()
+      if (k < 2) Seq(Change(k.toInt, "INSERT", 60.0, s"2024-01-01T00:00:0$k.000Z")).toDF()
+      else Seq.empty[Change].toDF()
+    }
+    val h = CdcStream.startAdaptivePoll(pollFn, subs, dataSchema, "t",
+      pk = Seq("id"), bus = bus, pacer = new PollPacer(50L), maxPolls = 3L)
+    try {
+      // 3 polls: 2 busy (immediate), 1 idle → loop finishes fast
+      val deadline = System.currentTimeMillis() + 30000L
+      while (h.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(!h.isRunning, "loop should complete maxPolls and exit")
+      assert(bus.deliveries.size == 2, s"both busy polls delivered")
+      assert(bus.batches.count(_.nChanges > 0) == 2)
+      assert(bus.batches.size == 3)
+    } finally h.stop()
+  }
+}
