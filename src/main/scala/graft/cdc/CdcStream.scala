@@ -207,6 +207,7 @@ object CdcStream {
       registry: scala.collection.mutable.Map[Int, PgOutput.RelationMeta],
       batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    val tBatch0 = System.nanoTime()
     // two passes over the micro-batch (Relation harvest + decode)
     val cached = batch.persist()
     try {
@@ -256,7 +257,8 @@ object CdcStream {
     val pkByTable = registry.values
       .map(m => (m.namespace, m.name) ->
         m.columns.filter(_.isKey).map(_.name)).toMap
-    matchShapeDeliver(decoded, schemas, pkByTable, subs, bus, batchId)
+    matchShapeDeliver(decoded, schemas, pkByTable, subs, bus, batchId,
+      nChanges = cached.count(), batchStartNs = tBatch0)
     } finally cached.unpersist()
   }
 
@@ -271,7 +273,9 @@ object CdcStream {
       pkByTable: Map[(String, String), Seq[String]],
       subs: Seq[Subscription],
       bus: MemoryBus,
-      batchId: Long): Unit = {
+      batchId: Long,
+      nChanges: Long = -1L,
+      batchStartNs: Long = -1L): Unit = {
     val spark = decoded.sparkSession
     val matched = graft.walrus.MultiTableMatch
       .matchSubscriptions(decoded, schemas, subs)
@@ -302,7 +306,10 @@ object CdcStream {
       it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
       acc.add(n)
     }
-    bus.record(BatchStats(batchId, -1L, acc.value, shed = false))
+    bus.record(BatchStats(batchId, nChanges, acc.value, shed = false,
+      durationMs =
+        if (batchStartNs < 0L) -1L
+        else (System.nanoTime() - batchStartNs) / 1000000L))
   }
 
   /** One micro-batch of the wal2json pipeline. wal2json v2 rows are
@@ -321,6 +328,7 @@ object CdcStream {
       registry: scala.collection.mutable.Map[(String, String),
         (StructType, Seq[String])],
       batchId: Long = 0L): Unit = {
+    val tBatch0 = System.nanoTime()
     val cached = batch.persist()
     try {
       val raw = Wal2Json.decodeRaw(cached, jsonCol)
@@ -357,7 +365,7 @@ object CdcStream {
       matchShapeDeliver(decoded,
         registry.map { case (k, v) => k -> v._1 }.toMap,
         registry.map { case (k, v) => k -> v._2 }.toMap,
-        subs, bus, batchId)
+        subs, bus, batchId, nChanges = cached.count(), batchStartNs = tBatch0)
     } finally cached.unpersist()
   }
 
@@ -442,6 +450,40 @@ object CdcStream {
         ms => Thread.sleep(ms), () => flag.get(), maxPolls)
       catch { case _: InterruptedException => () }
     }, s"graft-adaptive-poll-$table")
+    t.setDaemon(true)
+    t.start()
+    new PollHandle(t, flag)
+  }
+
+  /** Adaptive cadence on the wal2json path — the faithful pairing: the
+    * reference's poller IS a wal2json poll loop. Each iteration decodes
+    * one slot chunk through [[processWal2JsonBatch]] (registry persists
+    * across polls); the wal paths have no shedding gate, so every polled
+    * message counts as processed — busy chunks re-poll immediately, empty
+    * ones back off ×[[PollPacer.idleMultiplier]]. */
+  def startAdaptivePollWal2Json(
+      pollFn: () => DataFrame,
+      jsonCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      pacer: PollPacer,
+      maxPolls: Long = Long.MaxValue): PollHandle = {
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
+    val registry = scala.collection.mutable
+      .Map[(String, String), (StructType, Seq[String])]()
+    val processFn: DataFrame => (Long, Long) = { batch =>
+      processWal2JsonBatch(batch, jsonCol, orderCol, subs, bus, registry,
+        batchId.getAndIncrement())
+      val n = bus.batches.last.nChanges
+      (n, n)
+    }
+    val t = new Thread(() => {
+      try AdaptivePoll.loop(pollFn, processFn, pacer,
+        ms => Thread.sleep(ms), () => flag.get(), maxPolls)
+      catch { case _: InterruptedException => () }
+    }, "graft-adaptive-poll-wal2json")
     t.setDaemon(true)
     t.start()
     new PollHandle(t, flag)

@@ -50,6 +50,37 @@ class AdaptivePollSpec extends SparkSpec {
     assert(slept.result() == delays.slice(2, 4))
   }
 
+  test("startAdaptivePollWal2Json: polls decode through the registry; " +
+      "busy chunks drain, empty ones back off") {
+    val walSubs = Seq(Subscription("sAll", "public", "orders", Nil))
+    def ins(seq: Long, id: Int, amount: Double): (Long, String) = (seq,
+      s"""{"action":"I","schema":"public","table":"orders",
+         |"timestamp":"2024-01-01 00:00:0$seq+00",
+         |"columns":[{"name":"id","type":"bigint","typeoid":20,"value":$id},
+         | {"name":"amount","type":"double precision","typeoid":701,"value":$amount}],
+         |"pk":[{"name":"id","type":"bigint"}]}""".stripMargin.replace("\n", ""))
+    val bus = CdcStream.MemoryBus()
+    val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pollFn = () => (polls.getAndIncrement() match {
+      case 0L => Seq(ins(0L, 1, 250.0), ins(1L, 2, 50.0))
+      case 1L => Seq(ins(2L, 3, 75.0))
+      case _  => Seq.empty[(Long, String)]
+    }).toDF("seq", "w2j")
+    val h = CdcStream.startAdaptivePollWal2Json(pollFn, "w2j", "seq",
+      walSubs, bus, new PollPacer(50L), maxPolls = 3L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (h.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(!h.isRunning, "loop should complete maxPolls and exit")
+      assert(bus.deliveries.size == 3, s"3 inserts delivered to sAll")
+      // wal telemetry is now real: nChanges counts polled messages and
+      // the batch duration is measured
+      assert(bus.batches.map(_.nChanges).sorted == Seq(0L, 1L, 2L))
+      assert(bus.batches.forall(_.durationMs >= 0L))
+    } finally h.stop()
+  }
+
   test("startAdaptivePoll: real pipeline — busy drains, idle backs off") {
     val subs = Seq(Subscription("s", "public", "t", Nil))
     val dataSchema = Seq.empty[Change].toDS().toDF()

@@ -78,6 +78,32 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(after(14L), before(14L)))
   }
 
+  test("decode is format-agnostic: PNG and JPEG payloads work unchanged") {
+    implicit val s = spark
+    // the synthesis side standardizes on BMP for its closed-form sizes,
+    // but the DECODE side is plain ImageIO — scraped corpora arrive as
+    // PNG/JPEG and must flow through the same operator
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val mixed = Seq(
+      MediaRecord(1L, "image", enc("png", 33, 21), "s"),
+      MediaRecord(2L, "image", enc("jpg", 48, 12), "s")).toDS()
+    val f = extractFeatures(mixed).collect().map(x => x.media_id -> x).toMap
+    assert((f(1L).width, f(1L).height) == ((33, 21)))
+    assert((f(2L).width, f(2L).height) == ((48, 12)))
+    // and resize re-encodes them as BMP at the clamped box
+    val r = resize(mixed, maxW = 16, maxH = 16)(s).collect()
+      .map(x => x.media_id -> x.bytes).toMap
+    assert(MediaCodec.decodeImage(r(1L)) == ((16, 16)))
+    assert(r(1L).length == MediaCodec.bmpSize(16, 16))
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     val bad = Seq(
