@@ -41,7 +41,13 @@ object Bench {
         s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +
         s""""overall_p95_ms":${r.overall.p95},""" +
         s""""batch_duration_p95_ms":${r.batchDurationP95Ms}}"""
-    } catch { case _: Throwable => "" }
+    } catch {
+      // NonFatal only: an OOM/linkage error must crash loudly, and a
+      // failed measurement must not masquerade as "not requested"
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] stream SLO measurement failed: $e")
+        ""
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$stream}""")
     spark.stop()
   }

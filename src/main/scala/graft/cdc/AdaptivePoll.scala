@@ -47,13 +47,42 @@ final class PollPacer(
     else baseIntervalMs * idleMultiplier
 }
 
-/** Handle for a running adaptive poll loop. */
+/** Handle for a running adaptive poll loop. A loop that died on an
+  * exception is distinguishable from one that completed: `failure`
+  * carries the cause (polling has STOPPED either way — the caller
+  * decides whether to restart, exactly like the reference's supervisor). */
 final class PollHandle private[cdc] (thread: Thread, flag: AtomicBoolean) {
+  @volatile private[cdc] var failed: Option[Throwable] = None
   def stop(): Unit = { flag.set(false); thread.interrupt(); thread.join(5000L) }
   def isRunning: Boolean = thread.isAlive
+  def failure: Option[Throwable] = failed
 }
 
 object AdaptivePoll {
+
+  /** Spawn the loop on a daemon thread; poll/process failures land in
+    * `PollHandle.failure` instead of vanishing with the thread. */
+  private[cdc] def spawn(
+      name: String,
+      pollFn: () => org.apache.spark.sql.DataFrame,
+      processFn: org.apache.spark.sql.DataFrame => (Long, Long),
+      pacer: PollPacer,
+      flag: AtomicBoolean,
+      maxPolls: Long): PollHandle = {
+    @volatile var handle: PollHandle = null
+    val t = new Thread(() => {
+      try AdaptivePoll.loop(pollFn, processFn, pacer,
+        ms => Thread.sleep(ms), () => flag.get(), maxPolls)
+      catch {
+        case _: InterruptedException => () // stop() requested
+        case scala.util.control.NonFatal(e) => handle.failed = Some(e)
+      }
+    }, name)
+    t.setDaemon(true)
+    handle = new PollHandle(t, flag)
+    t.start()
+    handle
+  }
 
   /** Run `maxPolls` iterations of poll → process → pace. Broken out of the
     * thread wrapper so specs can drive it synchronously with a recording

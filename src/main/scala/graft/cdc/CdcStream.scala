@@ -112,7 +112,7 @@ object CdcStream {
       defaultTenantLimit: Long = Long.MaxValue,
       rates: Option[graft.rates.TenantRateCounters] = None,
       nowMs: Long = -1L,
-      deliverTo: Option[DeliverySink] = None): Unit = {
+      deliverTo: Option[DeliverySink] = None): BatchStats = {
     val spark = batch.sparkSession
     val now = if (nowMs >= 0) nowMs else System.currentTimeMillis()
     val tBatch0 = System.nanoTime()
@@ -187,9 +187,11 @@ object CdcStream {
         it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
         acc.add(n)
       }
-      bus.record(BatchStats(batchId, nChanges, acc.value,
+      val stats = BatchStats(batchId, nChanges, acc.value,
         shed = shedTenants.nonEmpty, shedTenants = shedTenants,
-        durationMs = (System.nanoTime() - tBatch0) / 1000000L))
+        durationMs = (System.nanoTime() - tBatch0) / 1000000L)
+      bus.record(stats)
+      stats
     } finally cached.unpersist()
   }
 
@@ -205,7 +207,7 @@ object CdcStream {
       subs: Seq[Subscription],
       bus: MemoryBus,
       registry: scala.collection.mutable.Map[Int, PgOutput.RelationMeta],
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L): BatchStats = {
     val spark = batch.sparkSession
     val tBatch0 = System.nanoTime()
     // two passes over the micro-batch (Relation harvest + decode)
@@ -275,7 +277,7 @@ object CdcStream {
       bus: MemoryBus,
       batchId: Long,
       nChanges: Long = -1L,
-      batchStartNs: Long = -1L): Unit = {
+      batchStartNs: Long = -1L): BatchStats = {
     val spark = decoded.sparkSession
     val matched = graft.walrus.MultiTableMatch
       .matchSubscriptions(decoded, schemas, subs)
@@ -306,10 +308,12 @@ object CdcStream {
       it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
       acc.add(n)
     }
-    bus.record(BatchStats(batchId, nChanges, acc.value, shed = false,
+    val stats = BatchStats(batchId, nChanges, acc.value, shed = false,
       durationMs =
         if (batchStartNs < 0L) -1L
-        else (System.nanoTime() - batchStartNs) / 1000000L))
+        else (System.nanoTime() - batchStartNs) / 1000000L)
+    bus.record(stats)
+    stats
   }
 
   /** One micro-batch of the wal2json pipeline. wal2json v2 rows are
@@ -327,7 +331,7 @@ object CdcStream {
       bus: MemoryBus,
       registry: scala.collection.mutable.Map[(String, String),
         (StructType, Seq[String])],
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L): BatchStats = {
     val tBatch0 = System.nanoTime()
     val cached = batch.persist()
     try {
@@ -387,6 +391,7 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processWal2JsonBatch(batch, jsonCol, orderCol, subs, bus, registry,
           batchId)
+        ()
       }
       .start()
   }
@@ -410,6 +415,7 @@ object CdcStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processWalBatch(batch, bytesCol, orderCol, subs, bus, registry, batchId)
+        ()
       }
       .start()
   }
@@ -438,29 +444,24 @@ object CdcStream {
     val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
     val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
     val processFn: DataFrame => (Long, Long) = { batch =>
-      processBatch(batch, subs, dataSchema, table, pk, bus,
+      // stats come straight back from the call — never re-read from the
+      // bus (O(n) queue copy per poll, and wrong under a shared bus)
+      val s = processBatch(batch, subs, dataSchema, table, pk, bus,
         batchId.getAndIncrement(), tenantCol, tenantLimits,
         defaultTenantLimit, rates, deliverTo = deliverTo)
-      // the stats this thread just recorded: kept = total − shed
-      val s = bus.batches.last
       (s.nChanges - s.shedTenants.values.sum, s.nChanges)
     }
-    val t = new Thread(() => {
-      try AdaptivePoll.loop(pollFn, processFn, pacer,
-        ms => Thread.sleep(ms), () => flag.get(), maxPolls)
-      catch { case _: InterruptedException => () }
-    }, s"graft-adaptive-poll-$table")
-    t.setDaemon(true)
-    t.start()
-    new PollHandle(t, flag)
+    AdaptivePoll.spawn(s"graft-adaptive-poll-$table", pollFn, processFn,
+      pacer, flag, maxPolls)
   }
 
   /** Adaptive cadence on the wal2json path — the faithful pairing: the
     * reference's poller IS a wal2json poll loop. Each iteration decodes
     * one slot chunk through [[processWal2JsonBatch]] (registry persists
-    * across polls); the wal paths have no shedding gate, so every polled
-    * message counts as processed — busy chunks re-poll immediately, empty
-    * ones back off ×[[PollPacer.idleMultiplier]]. */
+    * across polls); chunks that produced deliveries re-poll immediately,
+    * chunks with slot records but no interested subscriber space out on
+    * the jittered arm, and empty polls back off
+    * ×[[PollPacer.idleMultiplier]]. */
   def startAdaptivePollWal2Json(
       pollFn: () => DataFrame,
       jsonCol: String,
@@ -474,19 +475,16 @@ object CdcStream {
     val registry = scala.collection.mutable
       .Map[(String, String), (StructType, Seq[String])]()
     val processFn: DataFrame => (Long, Long) = { batch =>
-      processWal2JsonBatch(batch, jsonCol, orderCol, subs, bus, registry,
-        batchId.getAndIncrement())
-      val n = bus.batches.last.nChanges
-      (n, n)
+      val s = processWal2JsonBatch(batch, jsonCol, orderCol, subs, bus,
+        registry, batchId.getAndIncrement())
+      // processed := frames delivered (slot rows with no interested
+      // subscriber take the jittered arm — no one is waiting, no rush);
+      // slotChanges := raw slot messages, like the reference's
+      // slot_changes_count (begin/commit/relation records included)
+      (s.nDeliveries, s.nChanges)
     }
-    val t = new Thread(() => {
-      try AdaptivePoll.loop(pollFn, processFn, pacer,
-        ms => Thread.sleep(ms), () => flag.get(), maxPolls)
-      catch { case _: InterruptedException => () }
-    }, "graft-adaptive-poll-wal2json")
-    t.setDaemon(true)
-    t.start()
-    new PollHandle(t, flag)
+    AdaptivePoll.spawn("graft-adaptive-poll-wal2json", pollFn, processFn,
+      pacer, flag, maxPolls)
   }
 
   /** Attach the CDC pipeline to a streaming change DataFrame. */
@@ -510,6 +508,7 @@ object CdcStream {
         processBatch(batch, subs, dataSchema, table, pk, bus, batchId,
           tenantCol, tenantLimits, maxEventsPerBatch, rates,
           deliverTo = deliverTo)
+        ()
       }
       .start()
 }

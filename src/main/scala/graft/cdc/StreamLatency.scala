@@ -88,7 +88,9 @@ object StreamLatency {
     * subscriber (deliveries = changes), and report commit→frame latency. */
   def run(spark: SparkSession, ratePerSec: Int = 1000, seconds: Int = 8,
       triggerMs: Long = 100L, warmupSec: Int = 3): Report = {
-    require(ratePerSec >= 20 && seconds >= 1 && warmupSec < seconds)
+    require(ratePerSec >= 20 && ratePerSec % 20 == 0,
+      s"ratePerSec must be a positive multiple of 20 (50 ms feed steps), got $ratePerSec")
+    require(seconds >= 1 && warmupSec < seconds)
     import spark.implicits._
     val runId = "lat-" + ids.incrementAndGet()
     val input = MemoryStream[Change](spark)
@@ -103,6 +105,7 @@ object StreamLatency {
     var nSent = 0L
     val t0Ms = System.currentTimeMillis()
     try {
+      try {
       // feed in 50 ms steps pinned to the wall clock so the offered rate
       // stays `ratePerSec` even when addData itself stalls briefly
       val stepMs = 50
@@ -120,9 +123,8 @@ object StreamLatency {
         step += 1
       }
       q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
     val all = queue(runId).asScala.toArray
-    samples.remove(runId)
     val steadyFloor = t0Ms + warmupSec * 1000L
     val batchP95 = percentiles(
       bus.batches.filter(_.nChanges > 0).map(_.durationMs).toArray).p95
@@ -130,5 +132,6 @@ object StreamLatency {
       overall = percentiles(all.map(_._2)),
       steady = percentiles(all.collect { case (c, l) if c >= steadyFloor => l }),
       batchDurationP95Ms = batchP95)
+    } finally samples.remove(runId) // failed runs must not leak the queue
   }
 }

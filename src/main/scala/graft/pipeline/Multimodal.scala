@@ -90,8 +90,6 @@ object Multimodal {
           MediaFeatures(r.media_id, r.media_type, r.bytes.length, w, h, d,
             MediaCodec.md5Hex(r.bytes))
         } catch {
-          case e: IllegalArgumentException if e.getMessage != null &&
-              e.getMessage.startsWith("media_id") => throw e
           case e: Exception => throw new IllegalArgumentException(
             s"media_id ${r.media_id} (${r.media_type}): undecodable payload" +
               s" — ${e.getClass.getSimpleName}: ${e.getMessage}", e)
@@ -335,25 +333,41 @@ object MediaCodec {
     java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
   }
 
+  /** Bounds-checked frame read: a corrupt length field must surface as a
+    * catchable IllegalArgumentException, NOT a multi-GB allocation — an
+    * OutOfMemoryError would blow straight through the safe decode path's
+    * error channel and kill the pass one bad blob is not allowed to kill. */
+  private def readFrame(bb: java.nio.ByteBuffer): Array[Byte] = {
+    if (bb.remaining() < 4)
+      throw new IllegalArgumentException("truncated container: no frame length")
+    val len = bb.getInt()
+    if (len < 0 || len > bb.remaining())
+      throw new IllegalArgumentException(
+        s"corrupt frame length $len (remaining ${bb.remaining()})")
+    val f = new Array[Byte](len); bb.get(f)
+    f
+  }
+
+  private def readCount(bb: java.nio.ByteBuffer, totalLen: Int): (Int, Int) = {
+    val n = bb.getInt(); val interval = bb.getInt()
+    // each frame needs at least its 4 length bytes
+    if (n < 1 || n > (totalLen - 12) / 4)
+      throw new IllegalArgumentException(s"corrupt frame count $n")
+    (n, interval)
+  }
+
   /** Parse the container and decode frame 0 for dimensions. */
   def decodeVideoHeader(bytes: Array[Byte]): VideoMeta = {
     val bb = checkMagic(bytes)
-    val n = bb.getInt(); val interval = bb.getInt()
-    if (n < 1) throw new IllegalArgumentException(s"empty video (n=$n)")
-    val len0 = bb.getInt()
-    val f0 = new Array[Byte](len0); bb.get(f0)
-    val (w, h) = decodeImage(f0)
+    val (n, interval) = readCount(bb, bytes.length)
+    val (w, h) = decodeImage(readFrame(bb))
     VideoMeta(n, interval, w, h)
   }
 
   /** All frames of a container, in order, as standalone BMP byte arrays. */
   def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val bb = checkMagic(bytes)
-    val n = bb.getInt(); bb.getInt() // intervalMs unused here
-    (0 until n).map { _ =>
-      val len = bb.getInt()
-      val f = new Array[Byte](len); bb.get(f)
-      f
-    }
+    val (n, _) = readCount(bb, bytes.length)
+    (0 until n).map(_ => readFrame(bb))
   }
 }

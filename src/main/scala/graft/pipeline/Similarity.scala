@@ -355,9 +355,12 @@ object Similarity {
       (0 until 32).map(i =>
         when(element_at(col("_v"), off + i + 1) > 0, lit(1L << i))
           .otherwise(0L)).reduce(_ + _)
+    val v = col(vecCol).cast("array<double>")
     df.select(col(idCol),
-        concat(col(vecCol).cast("array<double>"),
-          array_repeat(lit(0.0), 64)).as("_v"))
+        // pad ONLY short vectors: the standard 64-dim case stays a plain
+        // column reference with no per-row array allocation
+        when(size(v) < 64, concat(v, array_repeat(lit(0.0), 64)))
+          .otherwise(v).as("_v"))
       .select(col(idCol), word(0).as("w0"), word(32).as("w1"))
   }
 

@@ -50,6 +50,24 @@ class AdaptivePollSpec extends SparkSpec {
     assert(slept.result() == delays.slice(2, 4))
   }
 
+  test("a crashed poll loop reports its failure instead of dying silently") {
+    val subs = Seq(Subscription("s", "public", "t", Nil))
+    val dataSchema = Seq.empty[Change].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val bus = CdcStream.MemoryBus()
+    val boom = () => throw new RuntimeException("db outage")
+    val h = CdcStream.startAdaptivePoll(boom, subs, dataSchema, "t",
+      pk = Seq("id"), bus = bus, pacer = new PollPacer(50L), maxPolls = 10L)
+    try {
+      val deadline = System.currentTimeMillis() + 10000L
+      while (h.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(20L)
+      assert(!h.isRunning)
+      assert(h.failure.exists(_.getMessage == "db outage"),
+        s"failure must carry the cause, got ${h.failure}")
+    } finally h.stop()
+  }
+
   test("startAdaptivePollWal2Json: polls decode through the registry; " +
       "busy chunks drain, empty ones back off") {
     val walSubs = Seq(Subscription("sAll", "public", "orders", Nil))

@@ -16,6 +16,13 @@ class StreamLatencySpec extends SparkSpec {
       """{"commit_timestamp":"2024-01-01T00:00:00Z"}""") == -1L)
   }
 
+  test("run: rates that would silently truncate the 50 ms feed step are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      StreamLatency.run(spark, ratePerSec = 30, seconds = 1, warmupSec = 0)
+    }
+    assert(e.getMessage.contains("multiple of 20"))
+  }
+
   test("run: every sent change is measured once; percentiles are ordered") {
     val r = StreamLatency.run(spark, ratePerSec = 200, seconds = 2,
       triggerMs = 25L, warmupSec = 1)

@@ -106,11 +106,18 @@ class MultimodalSpec extends SparkSpec {
 
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
+    // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
+    // must surface as a catchable decode error, never a 2 GB allocation
+    // (an OutOfMemoryError would blow through the safe path entirely)
+    val poisoned = java.nio.ByteBuffer.allocate(16)
+      .put("GFV1".getBytes("US-ASCII")).putInt(1).putInt(40)
+      .putInt(Int.MaxValue).array()
     val bad = Seq(
       MediaRecord(1L, "image", Array[Byte](1, 2, 3), "s"),
       MediaRecord(2L, "audio", "nope".getBytes, "s"),
       MediaRecord(3L, "video", "GFV0junk1234".getBytes, "s"),
-      MediaRecord(4L, "image", MediaCodec.encodeBmp(8, 8, 1), "s")).toDS()
+      MediaRecord(4L, "image", MediaCodec.encodeBmp(8, 8, 1), "s"),
+      MediaRecord(5L, "video", poisoned, "s")).toDS()
     val ex = intercept[org.apache.spark.SparkException] {
       extractFeatures(bad).collect()
     }
@@ -119,5 +126,6 @@ class MultimodalSpec extends SparkSpec {
     assert(!safe(1L).ok && safe(1L).error.nonEmpty)
     assert(!safe(2L).ok && !safe(3L).ok)
     assert(safe(4L).ok && safe(4L).width == 8 && safe(4L).error.isEmpty)
+    assert(!safe(5L).ok && safe(5L).error.contains("corrupt frame length"))
   }
 }
