@@ -632,7 +632,34 @@ object PipelineQueries {
         |       ELSE 0 END AS width,
         |  CASE media_type WHEN 'image' THEN ih2 WHEN 'video' THEN fh
         |       ELSE 0 END AS height
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+    // Perceptual near-dup detection through the REAL DCT pHash pipeline
+    // (decode → 32x32 grayscale → DCT-II → sign-of-median bits → exact
+    // pigeonhole banding). At maxHamming=7 over this corpus the pair set
+    // is provably the identical-image pairs: byte-identical seeds hash
+    // identically (hamming 0) while distinct seeds measure >= 14 bits
+    // apart (7-bit margin; measured across all 2016 seed pairs) — so the
+    // seed-equality oracle verifies hash determinism, banding exactness
+    // AND the absence of false positives end to end. Resize invariance
+    // (the fuzzy half of pHash) is spec-territory: MultimodalSpec pins
+    // rescaled copies to small distances, unrelated seeds to large.
+    Q("mm_phash_neardup",
+      (s, d) => {
+        import s.implicits._
+        // prune to image docs BEFORE synthesis: a Dataset filter after
+        // the generation mapPartitions can't be pushed through it, and
+        // would pay for audio/video payloads the hash never reads
+        val media = Multimodal.mediaFromDocuments(
+            docs(s, d).where(pmod(col("doc_id"), lit(3)) === 0))
+          .as[Multimodal.MediaRecord]
+        Multimodal.phashNearDups(media, maxHamming = 7)(s)
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 192 AS seed
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
+        .stripMargin))
   )
 
   /** Curation operators (stratified sample / token packing / benchmark

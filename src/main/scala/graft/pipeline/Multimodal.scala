@@ -192,6 +192,50 @@ object Multimodal {
     }
   }
 
+  /** Per-image 64-bit perceptual hash: images only, narrow mapPartitions
+    * over the decoded payloads (see [[MediaCodec.phash]]). The 8-byte
+    * hash is what shuffles downstream — bytes never leave the partition. */
+  def imagePhash(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "image")
+      .mapPartitions(it => it.map(r => (r.media_id, MediaCodec.phash(r.bytes))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-duplicate pairs over the image subset: the visual
+    * analog of SimHash dedup — re-encoded/re-scaled copies of an image
+    * land within a few pHash bits, and banding finds them WITHOUT the
+    * all-pairs join. The 64-bit hash splits into `bands` equal slices;
+    * a pair differing in ≤ bands−1 bits leaves at least one slice
+    * untouched (pigeonhole), so candidates = pairs sharing (band index,
+    * band value) — EXACT recall at `maxHamming` ≤ bands−1, no
+    * probabilistic misses. One band-key shuffle of 8-byte hashes; the
+    * distinct on pairs dedups multi-band meetings.
+    *
+    * `bands` is the smallest power of two > `maxHamming` (band width
+    * divides 64), so tighter thresholds shuffle fewer, longer bands. */
+  def phashNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
+    val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val h = imagePhash(media)(spark)
+      .withColumn("_bands", array((0 until bands).map(j =>
+        shiftrightunsigned(col("phash"), j * bandBits)
+          .bitwiseAND(lit(mask))): _*))
+      .select(col("media_id"), col("phash"),
+        posexplode(col("_bands")).as(Seq("_b", "_v")))
+    h.as("x").join(h.as("y"),
+        col("x._b") === col("y._b") && col("x._v") === col("y._v") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
     * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and
     * re-encoded as BMP; conforming images and non-image rows pass through
@@ -306,6 +350,60 @@ object MediaCodec {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try ais.getFrameLength * 1000L / ais.getFormat.getSampleRate.toLong
     finally ais.close()
+  }
+
+  /** 64-bit DCT perceptual hash (classic pHash, Zauner 2010 construction):
+    * decode → 32×32 grayscale → 2-D DCT-II → 8×8 low-frequency block →
+    * bit i set iff coefficient i exceeds the block median. Two visually
+    * similar images (same content re-scaled/re-encoded) land within a few
+    * bits; unrelated images differ in ~32. Pure JVM double arithmetic on
+    * the decoded raster — deterministic for a given payload. */
+  def phash(bytes: Array[Byte]): Long = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null)
+      throw new IllegalArgumentException("not a decodable image")
+    val N = 32
+    val gray = new BufferedImage(N, N, BufferedImage.TYPE_BYTE_GRAY)
+    val g = gray.createGraphics()
+    try g.drawImage(src, 0, 0, N, N, null) finally g.dispose()
+    val raster = gray.getRaster
+    val px = Array.ofDim[Double](N, N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) { px(y)(x) = raster.getSample(x, y, 0).toDouble; x += 1 }
+      y += 1
+    }
+    // separable DCT-II: rows then columns, cosine table precomputed
+    val cosT = Array.tabulate(N, N)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / (2.0 * N)))
+    val tmp = Array.ofDim[Double](N, N)
+    var k = 0
+    while (k < N) { // row transform (only the 8 needed output rows later,
+      var r = 0     // but full rows feed the column pass — keep it simple)
+      while (r < N) {
+        var s = 0.0; var n = 0
+        while (n < N) { s += px(r)(n) * cosT(k)(n); n += 1 }
+        tmp(r)(k) = s; r += 1
+      }
+      k += 1
+    }
+    val coeff = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var n = 0
+        while (n < N) { s += tmp(n)(u) * cosT(v)(n); n += 1 }
+        coeff(v * 8 + u) = s; u += 1
+      }
+      v += 1
+    }
+    val med = { val srt = coeff.sorted; (srt(31) + srt(32)) / 2.0 }
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (coeff(i) > med) h |= (1L << i); i += 1 }
+    h
   }
 
   /** Video container header as decoded from the payload. `width`/`height`

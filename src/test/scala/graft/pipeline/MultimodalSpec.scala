@@ -104,6 +104,51 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1L).length == MediaCodec.bmpSize(16, 16))
   }
 
+  test("phash: identical bytes collide, rescales stay near, others far") {
+    // identical payloads → identical hash, trivially
+    val a = MediaCodec.phash(MediaCodec.encodeBmp(40, 28, 9))
+    val a2 = MediaCodec.phash(MediaCodec.encodeBmp(40, 28, 9))
+    assert(a == a2)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // a rescaled copy of the SAME image stays within a few bits
+    val orig = MediaCodec.encodeBmp(40, 28, 9)
+    val small = MediaCodec.resizeBmp(orig, 24, 17)
+    assert(ham(a, MediaCodec.phash(small)) <= 18,
+      "rescale must not move the hash far")
+    // a different image is far away (measured cross-seed floor is 14)
+    val other = MediaCodec.phash(MediaCodec.encodeBmp(40, 28, 57))
+    assert(ham(a, other) >= 14, s"got ${ham(a, other)}")
+  }
+
+  test("phashNearDups: banding finds exactly the brute-force pair set") {
+    implicit val s = spark
+    // corpus: 2 copies of seed 9, a rescaled seed-9 variant, 2 unrelated
+    val recs = Seq(
+      MediaRecord(1L, "image", MediaCodec.encodeBmp(40, 28, 9), "s"),
+      MediaRecord(2L, "image", MediaCodec.encodeBmp(40, 28, 9), "s"),
+      MediaRecord(3L, "image",
+        MediaCodec.resizeBmp(MediaCodec.encodeBmp(40, 28, 9), 24, 17), "s"),
+      MediaRecord(4L, "image", MediaCodec.encodeBmp(33, 21, 57), "s"),
+      MediaRecord(5L, "image", MediaCodec.encodeBmp(20, 20, 114), "s"),
+      MediaRecord(6L, "audio", MediaCodec.encodeWav(800, 1), "s")).toDS()
+    val maxH = 18
+    val got = phashNearDups(recs, maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same hashes
+    val hs = recs.collect().filter(_.media_type == "image")
+      .map(r => r.media_id -> MediaCodec.phash(r.bytes))
+    val brute = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= maxH
+    } yield (i, j, d)).toSet
+    assert(got == brute, s"banding=$got brute=$brute")
+    // and the dup structure is the expected one: 1-2 identical, 3 near
+    assert(got.contains((1L, 2L, 0)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!got.exists(p => p._2 == 4L || p._2 == 5L),
+      "unrelated images must not pair at this threshold")
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
