@@ -659,6 +659,27 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(0 AS INTEGER) AS hamming
         |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
+        .stripMargin)),
+    // The audio counterpart: spectral-fingerprint near-dups through the
+    // real PCM decode (Goertzel band energies, sign-of-delta bits).
+    // Same proof shape as mm_phash_neardup: byte-identical seeds
+    // fingerprint identically, distinct seeds measure >= 16 bits apart
+    // (chirped generator; measured across all 2016 seed pairs), so the
+    // seed-equality oracle pins determinism, banding exactness and
+    // false-positive absence at maxHamming=7.
+    Q("mm_audio_neardup",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(
+            docs(s, d).where(pmod(col("doc_id"), lit(3)) === 1))
+          .as[Multimodal.MediaRecord]
+        Multimodal.audioNearDups(media, maxHamming = 7)(s)
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 192 AS seed
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
         .stripMargin))
   )
 

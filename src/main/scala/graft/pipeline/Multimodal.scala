@@ -203,38 +203,63 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
-  /** Perceptual near-duplicate pairs over the image subset: the visual
-    * analog of SimHash dedup — re-encoded/re-scaled copies of an image
-    * land within a few pHash bits, and banding finds them WITHOUT the
-    * all-pairs join. The 64-bit hash splits into `bands` equal slices;
-    * a pair differing in ≤ bands−1 bits leaves at least one slice
-    * untouched (pigeonhole), so candidates = pairs sharing (band index,
-    * band value) — EXACT recall at `maxHamming` ≤ bands−1, no
-    * probabilistic misses. One band-key shuffle of 8-byte hashes; the
-    * distinct on pairs dedups multi-band meetings.
-    *
+  /** Per-audio 64-bit spectral fingerprint: audio only, narrow
+    * mapPartitions over the decoded PCM (see
+    * [[MediaCodec.audioFingerprint]]). */
+  def audioFingerprints(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio")
+      .mapPartitions(it =>
+        it.map(r => (r.media_id, MediaCodec.audioFingerprint(r.bytes))))
+      .toDF("media_id", "fp")
+  }
+
+  /** Exact-recall Hamming near-dup pairs over a (id, 64-bit hash) frame:
+    * the hash splits into `bands` equal slices; a pair differing in
+    * ≤ bands−1 bits leaves at least one slice untouched (pigeonhole), so
+    * candidates = pairs sharing (band index, band value) — EXACT recall
+    * at `maxHamming` ≤ bands−1, no probabilistic misses. One band-key
+    * shuffle of 8-byte hashes; the distinct dedups multi-band meetings.
     * `bands` is the smallest power of two > `maxHamming` (band width
     * divides 64), so tighter thresholds shuffle fewer, longer bands. */
-  def phashNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
-      implicit spark: SparkSession): DataFrame = {
+  private def hammingNearDups(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    val h = imagePhash(media)(spark)
+    val h = hashes
       .withColumn("_bands", array((0 until bands).map(j =>
-        shiftrightunsigned(col("phash"), j * bandBits)
+        shiftrightunsigned(col(hashCol), j * bandBits)
           .bitwiseAND(lit(mask))): _*))
-      .select(col("media_id"), col("phash"),
+      .select(col("media_id"), col(hashCol),
         posexplode(col("_bands")).as(Seq("_b", "_v")))
     h.as("x").join(h.as("y"),
         col("x._b") === col("y._b") && col("x._v") === col("y._v") &&
         col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
+          .as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Perceptual near-duplicate pairs over the image subset: the visual
+    * analog of SimHash dedup — re-encoded/re-scaled copies of an image
+    * land within a few pHash bits, found WITHOUT the all-pairs join
+    * (see [[hammingNearDups]] for the exact-recall banding). */
+  def phashNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    hammingNearDups(imagePhash(media)(spark), "phash", maxHamming)
+
+  /** Spectral near-duplicate pairs over the audio subset: re-encoded or
+    * volume-rescaled copies of a recording share the fingerprint
+    * (uniform gain is EXACTLY invariant), unrelated recordings differ in
+    * ~half the bits. Same exact-recall banding as the image path. */
+  def audioNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    hammingNearDups(audioFingerprints(media)(spark), "fp", maxHamming)
 
   /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
     * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and
@@ -328,12 +353,24 @@ object MediaCodec {
   }
 
   /** Encode `frames` PCM16 samples at 8 kHz mono as a WAV file (content
-    * keyed by `seed`). `frames` divisible by 8 ⇒ integral milliseconds. */
+    * keyed by `seed`). `frames` divisible by 8 ⇒ integral milliseconds.
+    *
+    * The waveform is a square-wave CHIRP: the half-period starts at a
+    * seed-keyed base and sweeps over a seed-keyed range every 200
+    * samples. Distinct seeds get distinct (base, sweep) pairs — distinct
+    * trajectories of frequency content over time — which is what a
+    * spectral fingerprint keys on: a phase-only difference (the naive
+    * `a + i·k mod m` ramp) is invisible to band energies, and a
+    * STATIONARY tone zeroes every time-delta bit. Integer arithmetic
+    * only, so payload bytes are platform-exact. */
   def encodeWav(frames: Int, seed: Int): Array[Byte] = {
+    val base = 3 + seed % 29 // half-period 3..31 → 129..1333 Hz
+    val sweep = 1 + (seed / 29) % 7
     val data = new Array[Byte](frames * 2)
     var i = 0
     while (i < frames) {
-      val s = (((seed + 1) * 131 + i * 17) % 65521 - 32760).toShort
+      val half = base + (i / 200) % (sweep + 1)
+      val s: Short = if ((i / half) % 2 == 0) 12000 else -12000
       data(2 * i) = (s & 0xff).toByte // little-endian PCM
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -350,6 +387,74 @@ object MediaCodec {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try ais.getFrameLength * 1000L / ais.getFormat.getSampleRate.toLong
     finally ais.close()
+  }
+
+  /** Decode a PCM16-mono WAV payload to raw samples. */
+  def decodePcm16(bytes: Array[Byte]): Array[Double] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1)
+        throw new IllegalArgumentException(
+          s"expected PCM16 mono, got ${f.getSampleSizeInBits}-bit " +
+            s"${f.getChannels}-channel")
+      val raw = ais.readAllBytes()
+      val out = new Array[Double](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toDouble
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** 64-bit spectral audio fingerprint (the Haitsma–Kalker 2002
+    * sign-of-band-energy-differences construction, folded to one word):
+    * decode → 17 time slices → per-slice Goertzel energy in 5 frequency
+    * bands (250..1250 Hz at 8 kHz) → bit(t,b) = sign of the band-delta's
+    * time-delta, 16×4 = 64 bits. Uniform volume scaling multiplies every
+    * energy by the same factor, so the sign pattern — and the hash — is
+    * EXACTLY invariant; unrelated signals differ in ~half the bits. */
+  def audioFingerprint(bytes: Array[Byte]): Long = {
+    val s = decodePcm16(bytes)
+    if (s.length < 34)
+      throw new IllegalArgumentException(s"too short for fingerprint: ${s.length}")
+    val T = 17; val B = 5
+    val slice = s.length / T
+    val e = Array.ofDim[Double](T, B)
+    var t = 0
+    while (t < T) {
+      var b = 0
+      while (b < B) {
+        // Goertzel at normalized frequency (b+1)/32 cycles per sample
+        val w = 2.0 * math.Pi * (b + 1) / 32.0
+        val coef = 2.0 * math.cos(w)
+        var s1 = 0.0; var s2 = 0.0
+        var i = t * slice
+        val end = i + slice
+        while (i < end) {
+          val s0 = s(i) + coef * s1 - s2
+          s2 = s1; s1 = s0; i += 1
+        }
+        e(t)(b) = s1 * s1 + s2 * s2 - coef * s1 * s2
+        b += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    var bit = 0
+    t = 1
+    while (t < T) {
+      var b = 0
+      while (b < B - 1) {
+        val d = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+        if (d > 0) h |= (1L << bit)
+        bit += 1; b += 1
+      }
+      t += 1
+    }
+    h
   }
 
   /** 64-bit DCT perceptual hash (classic pHash, Zauner 2010 construction):

@@ -149,6 +149,47 @@ class MultimodalSpec extends SparkSpec {
       "unrelated images must not pair at this threshold")
   }
 
+  test("audioFingerprint: gain-invariant, seed-separated, banding exact") {
+    implicit val s = spark
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val orig = MediaCodec.encodeWav(856, 7)
+    // uniform volume scaling multiplies every band energy by the same
+    // factor → the sign pattern is EXACTLY invariant, not just close
+    val half = {
+      val smp = MediaCodec.decodePcm16(orig)
+      val data = new Array[Byte](smp.length * 2)
+      for (i <- smp.indices) {
+        val v = (smp(i) / 2).toInt.toShort
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, smp.length),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val f0 = MediaCodec.audioFingerprint(orig)
+    assert(ham(f0, MediaCodec.audioFingerprint(half)) == 0,
+      "uniform gain must not move a single bit")
+    // a different chirp is far away (measured cross-seed floor is 16)
+    val f1 = MediaCodec.audioFingerprint(MediaCodec.encodeWav(856, 10))
+    assert(ham(f0, f1) >= 16, s"got ${ham(f0, f1)}")
+    // banding == brute force over a mixed corpus incl. the gain variant
+    val recs = Seq(
+      MediaRecord(1L, "audio", orig, "s"),
+      MediaRecord(2L, "audio", orig, "s"),
+      MediaRecord(3L, "audio", half, "s"),
+      MediaRecord(4L, "audio", MediaCodec.encodeWav(856, 10), "s"),
+      MediaRecord(5L, "image", MediaCodec.encodeBmp(8, 8, 1), "s")).toDS()
+    val got = audioNearDups(recs, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      s"identical + gain-scaled pair up; the other chirp stays out: $got")
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
