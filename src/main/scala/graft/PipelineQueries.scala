@@ -681,6 +681,32 @@ object PipelineQueries {
         |       CAST(0 AS INTEGER) AS hamming
         |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
         .stripMargin)),
+    // The end-to-end media dedup: synthesize -> decode -> perceptual
+    // hash per modality -> exact-recall banding -> union of pair lists
+    // -> label-propagation clustering -> survivors. Clusters never span
+    // modalities (pairs are type-local), so the oracle's per-seed groups
+    // are exactly the expected components. Media is persisted once and
+    // reused by all three hash paths + the vertex list (cache ownership:
+    // the session loop's clearCache, like dedup_clusters).
+    Q("mm_media_clusters",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(docs(s, d))
+          .as[Multimodal.MediaRecord].persist()
+        val pairs = Multimodal.phashNearDups(media, maxHamming = 7)(s)
+          .unionByName(Multimodal.audioNearDups(media, maxHamming = 7)(s))
+          .unionByName(Multimodal.videoNearDups(media, maxHamming = 7)(s))
+          .select("id_a", "id_b")
+        Dedup.nearDupClusters(
+          media.toDF().select(col("media_id")), "media_id", pairs)
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 192 AS seed FROM documents),
+        |g AS (SELECT seed, min(doc_id) AS cid, count(*) AS n
+        |      FROM m GROUP BY seed)
+        |SELECT m.doc_id AS media_id, g.cid AS cluster_id,
+        |       CAST(g.n AS BIGINT) AS n_cluster,
+        |       m.doc_id = g.cid AS is_survivor
+        |FROM m JOIN g USING (seed)""".stripMargin)),
     // Video near-dups complete the perceptual triad: per-frame DCT
     // pHashes folded by XOR-of-rotations (order-sensitive), frame-count
     // equality as a hard banding key. Same proof shape: identical seeds
