@@ -206,9 +206,21 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.filter(_.media_type == "image")
-      .mapPartitions(it => it.map(r => (r.media_id, MediaCodec.phash(r.bytes))))
+      .mapPartitions(it => it.map(r =>
+        (r.media_id, attributed(r)(MediaCodec.phash(r.bytes)))))
       .toDF("media_id", "phash")
   }
+
+  /** Re-raise a decode failure with the owning row named — the same
+    * attribution contract as [[MediaDecoder.Jdk]]. Hash operators are
+    * strict by design: run [[extractFeaturesSafe]] FIRST on scraped
+    * corpora and feed only `ok` rows to the near-dup passes. */
+  private def attributed[A](r: MediaRecord)(body: => A): A =
+    try body catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"media_id ${r.media_id} (${r.media_type}): undecodable payload" +
+          s" — ${e.getClass.getSimpleName}: ${e.getMessage}", e)
+    }
 
   /** Per-audio 64-bit spectral fingerprint: audio only, narrow
     * mapPartitions over the decoded PCM (see
@@ -217,8 +229,8 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.filter(_.media_type == "audio")
-      .mapPartitions(it =>
-        it.map(r => (r.media_id, MediaCodec.audioFingerprint(r.bytes))))
+      .mapPartitions(it => it.map(r =>
+        (r.media_id, attributed(r)(MediaCodec.audioFingerprint(r.bytes)))))
       .toDF("media_id", "fp")
   }
 
@@ -276,7 +288,7 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.media_type == "video")
       .mapPartitions(it => it.map { r =>
-        val (n, h) = MediaCodec.videoSignature(r.bytes)
+        val (n, h) = attributed(r)(MediaCodec.videoSignature(r.bytes))
         (r.media_id, n, h)
       })
       .toDF("media_id", "n_frames", "vsig")
@@ -396,7 +408,7 @@ object MediaCodec {
     * STATIONARY tone zeroes every time-delta bit. Integer arithmetic
     * only, so payload bytes are platform-exact. */
   def encodeWav(frames: Int, seed: Int): Array[Byte] = {
-    val base = 3 + seed % 29 // half-period 3..31 → 129..1333 Hz
+    val base = 3 + seed % 29 // swept half-period 3..38 → ~105..1333 Hz
     val sweep = 1 + (seed / 29) % 7
     val data = new Array[Byte](frames * 2)
     var i = 0
@@ -489,6 +501,12 @@ object MediaCodec {
     h
   }
 
+  // DCT basis for [[phash]], hoisted: 1024 cos() calls amortize across
+  // every image and video frame instead of re-running per invocation
+  private val phashCosTable: Array[Array[Double]] =
+    Array.tabulate(32, 32)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / 64.0))
+
   /** 64-bit DCT perceptual hash (classic pHash, Zauner 2010 construction):
     * decode → 32×32 grayscale → 2-D DCT-II → 8×8 low-frequency block →
     * bit i set iff coefficient i exceeds the block median. Two visually
@@ -511,13 +529,14 @@ object MediaCodec {
       while (x < N) { px(y)(x) = raster.getSample(x, y, 0).toDouble; x += 1 }
       y += 1
     }
-    // separable DCT-II: rows then columns, cosine table precomputed
-    val cosT = Array.tabulate(N, N)((k, n) =>
-      math.cos((2 * n + 1) * k * math.Pi / (2.0 * N)))
-    val tmp = Array.ofDim[Double](N, N)
+    // separable DCT-II: rows then columns. The column pass reads only
+    // the 8 low-frequency row outputs, so the row transform stops at 8 —
+    // 3/4 of the row multiply-adds would be dead work.
+    val cosT = phashCosTable
+    val tmp = Array.ofDim[Double](N, 8)
     var k = 0
-    while (k < N) { // row transform (only the 8 needed output rows later,
-      var r = 0     // but full rows feed the column pass — keep it simple)
+    while (k < 8) {
+      var r = 0
       while (r < N) {
         var s = 0.0; var n = 0
         while (n < N) { s += px(r)(n) * cosT(k)(n); n += 1 }

@@ -244,5 +244,10 @@ class MultimodalSpec extends SparkSpec {
     assert(!safe(2L).ok && !safe(3L).ok)
     assert(safe(4L).ok && safe(4L).width == 8 && safe(4L).error.isEmpty)
     assert(!safe(5L).ok && safe(5L).error.contains("corrupt frame length"))
+    // the hash extractors carry the same attribution contract
+    val hex = intercept[org.apache.spark.SparkException] {
+      imagePhash(bad.filter(_.media_id == 1L)).collect()
+    }
+    assert(hex.getCause.getMessage.contains("media_id 1"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
-import graft.pipeline.{Curation, Profile, Retrieval, TextAnalysis}
+import graft.pipeline.{Curation, MediaCodec, Multimodal, Profile, Retrieval, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Machine-checked scale claims for this round's operators: the shapes
@@ -52,5 +52,23 @@ class PlanShapeSpec extends SparkSpec {
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.nonEmpty, p)
     specs.foreach(s => assert(s.contains("doc_id"), s))
+  }
+
+  test("perceptual near-dup banding is a hash join, never a nested loop") {
+    import graft.pipeline.Multimodal.MediaRecord
+    implicit val sp = spark
+    val media = Seq(
+      MediaRecord(1L, "image", MediaCodec.encodeBmp(16, 16, 1), "s"),
+      MediaRecord(2L, "audio", MediaCodec.encodeWav(800, 1), "s"),
+      MediaRecord(3L, "video", MediaCodec.encodeVideo(2, 40, 16, 16, 2), "s"))
+      .toDS()
+    for (df <- Seq(Multimodal.phashNearDups(media, 7),
+        Multimodal.audioNearDups(media, 7),
+        Multimodal.videoNearDups(media, 7))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"banding must stay an equi-join:\n$p")
+    }
   }
 }
