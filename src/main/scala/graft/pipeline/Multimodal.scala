@@ -248,12 +248,17 @@ object Multimodal {
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    // persist: the self-join reads both sides from this frame, and
+    // upstream is the DECODE+hash pipeline — without the cache every
+    // banding call would decode the corpus twice (simhashNearDups
+    // precedent; cache ownership: the session loop's clearCache)
     val h = hashes
       .withColumn("_bands", array((0 until bands).map(j =>
         shiftrightunsigned(col(hashCol), j * bandBits)
           .bitwiseAND(lit(mask))): _*))
       .select((Seq(col("media_id"), col(hashCol)) ++ extraKeys.map(col) :+
         posexplode(col("_bands")).as(Seq("_b", "_v"))): _*)
+      .persist()
     val joinCond = (Seq("_b", "_v") ++ extraKeys)
       .map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.media_id") < col("y.media_id")
