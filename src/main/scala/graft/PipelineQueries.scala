@@ -707,6 +707,54 @@ object PipelineQueries {
         |       CAST(g.n AS BIGINT) AS n_cluster,
         |       m.doc_id = g.cid AS is_survivor
         |FROM m JOIN g USING (seed)""".stripMargin)),
+    // Pixel-exact codec round trip: Spark DECODES every raster byte and
+    // sums the channels; the oracle recomputes the sums straight from
+    // the generation formulas. 24-bit BMP is lossless, so a single
+    // flipped pixel anywhere in encode->decode fails the hash match —
+    // the deepest verification the codec path has.
+    Q("mm_image_stats",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(
+            docs(s, d).where(pmod(col("doc_id"), lit(3)) === 0))
+          .as[Multimodal.MediaRecord]
+        Multimodal.imageStats(media)(s)
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, doc_id % 192 AS seed
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT media_id, seed, 16 + seed % 32 AS w,
+        |      16 + (seed // 2) % 32 AS h FROM m),
+        |px AS (SELECT media_id, seed, w, h,
+        |       unnest(generate_series(0, w*h - 1)) AS i FROM d)
+        |SELECT media_id, CAST(w*h AS BIGINT) AS n_px,
+        |  CAST(sum((seed*31 + (i % w)*7 + (i // w)*13) % 251) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(sum((seed*17 + (i % w)*11 + (i // w)*3) % 251) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum((seed*7 + (i % w)*5 + (i // w)*19) % 251) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY media_id, w, h""".stripMargin)),
+    // The audio twin: every decoded PCM sample summed exactly; the
+    // oracle replays the chirp's sign pattern in SQL.
+    Q("mm_pcm_stats",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(
+            docs(s, d).where(pmod(col("doc_id"), lit(3)) === 1))
+          .as[Multimodal.MediaRecord]
+        Multimodal.pcmStats(media)(s)
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, doc_id % 192 AS seed
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |d AS (SELECT media_id, 800 + (seed % 100) * 8 AS frames,
+        |      3 + seed % 29 AS base, 1 + (seed // 29) % 7 AS sweep FROM m),
+        |sm AS (SELECT media_id, frames, base, sweep,
+        |       unnest(generate_series(0, frames - 1)) AS i FROM d)
+        |SELECT media_id, CAST(frames AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN (i // (base + (i // 200) % (sweep + 1))) % 2 = 0
+        |           THEN 12000 ELSE -12000 END) AS BIGINT) AS sum_amp,
+        |  CAST(frames * 12000 AS BIGINT) AS sum_abs
+        |FROM sm GROUP BY media_id, frames""".stripMargin)),
     // Video near-dups complete the perceptual triad: per-frame DCT
     // pHashes folded by XOR-of-rotations (order-sensitive), frame-count
     // equality as a hard banding key. Same proof shape: identical seeds

@@ -310,6 +310,60 @@ object Multimodal {
     hammingNearDups(videoSignatures(media)(spark), "vsig", maxHamming,
       extraKeys = Seq("n_frames"))
 
+  /** Per-image channel statistics from the DECODED raster: exact integer
+    * sums of the R/G/B bytes (24-bit BMP is lossless, so every pixel
+    * byte round-trips) — the per-channel brightness profile a curation
+    * pass filters on, and the deepest codec check available: an oracle
+    * that recomputes the sums from the generation formulas verifies
+    * EVERY pixel through encode→decode, not just the dimensions. */
+  def imageStats(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "image")
+      .mapPartitions(it => it.map { r =>
+        attributed(r) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.bytes))
+          if (img == null)
+            throw new IllegalArgumentException("not a decodable image")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (r.media_id, img.getWidth.toLong * img.getHeight, sr, sg, sb)
+        }
+      })
+      .toDF("media_id", "n_px", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Per-audio sample statistics from the DECODED PCM: exact integer
+    * count/sum/abs-sum — the clipping/DC-offset profile, and the audio
+    * twin of [[imageStats]]'s every-byte round-trip check. */
+  def pcmStats(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio")
+      .mapPartitions(it => it.map { r =>
+        attributed(r) {
+          val s = MediaCodec.decodePcm16(r.bytes)
+          var sum = 0L; var sabs = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong; sum += v; sabs += math.abs(v); i += 1
+          }
+          (r.media_id, s.length.toLong, sum, sabs)
+        }
+      })
+      .toDF("media_id", "n_samples", "sum_amp", "sum_abs")
+  }
+
   /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
     * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and
     * re-encoded as BMP; conforming images and non-image rows pass through

@@ -221,6 +221,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0)), s"got $got")
   }
 
+  test("imageStats/pcmStats: decoded sums equal the generation formulas") {
+    implicit val s = spark
+    // seed 6 image, 22x19: recompute the channel sums from the formula
+    val istats = imageStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val (w, h, seed) = (22, 19, 6)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (seed * 31 + x * 7 + y * 13) % 251
+      sg += (seed * 17 + x * 11 + y * 3) % 251
+      sb += (seed * 7 + x * 5 + y * 19) % 251
+    }
+    assert(istats(6L) == ((w.toLong * h, sr, sg, sb)),
+      s"every pixel byte must round-trip: ${istats(6L)} vs ($sr,$sg,$sb)")
+    // audio seed 7: square chirp → |sample| is always 12000
+    val astats = pcmStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(astats(7L) == ((856L, 856L * 12000L)))
+    assert(astats(199L) == astats(7L), "seed duplicates share stats")
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
