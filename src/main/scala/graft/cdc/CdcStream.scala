@@ -487,6 +487,34 @@ object CdcStream {
       pacer, flag, maxPolls)
   }
 
+  /** Adaptive cadence on the binary pgoutput path — same loop as
+    * [[startAdaptivePollWal2Json]], different source decode: each chunk
+    * runs through [[processWalBatch]] with the relation registry
+    * persisting across polls. Same pacing mapping: delivered frames
+    * drain hot, slot records without an interested subscriber (or
+    * Relation-only chunks) space out jittered, empty polls back off. */
+  def startAdaptivePollWal(
+      pollFn: () => DataFrame,
+      bytesCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      pacer: PollPacer,
+      maxPolls: Long = Long.MaxValue,
+      initialRegistry: Map[Int, PgOutput.RelationMeta] = Map.empty): PollHandle = {
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
+    val registry =
+      scala.collection.mutable.Map[Int, PgOutput.RelationMeta]() ++ initialRegistry
+    val processFn: DataFrame => (Long, Long) = { batch =>
+      val s = processWalBatch(batch, bytesCol, orderCol, subs, bus, registry,
+        batchId.getAndIncrement())
+      (s.nDeliveries, s.nChanges)
+    }
+    AdaptivePoll.spawn("graft-adaptive-poll-pgoutput", pollFn, processFn,
+      pacer, flag, maxPolls)
+  }
+
   /** Attach the CDC pipeline to a streaming change DataFrame. */
   def start(
       changes: DataFrame,

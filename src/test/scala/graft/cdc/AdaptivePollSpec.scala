@@ -99,6 +99,38 @@ class AdaptivePollSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("startAdaptivePollWal: binary pgoutput polls keep the registry " +
+      "across iterations") {
+    import PgOutput.{RelColumn, RelationMeta, TText}
+    val rel = RelationMeta(7, "public", "orders", "d", Seq(
+      RelColumn("id", "int8", isKey = true),
+      RelColumn("amount", "float8", isKey = false)))
+    val walSubs = Seq(Subscription("sAll", "public", "orders", Nil))
+    val bus = CdcStream.MemoryBus()
+    val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+    // poll 1 carries the Relation message; poll 2 decodes WITHOUT one —
+    // only possible if the registry survived the poll boundary
+    val pollFn = () => (polls.getAndIncrement() match {
+      case 0L => Seq(
+        (0L, PgOutput.encodeRelation(rel)),
+        (1L, PgOutput.encodeInsert(7, Seq(TText("1"), TText("250.0")))))
+      case 1L => Seq(
+        (2L, PgOutput.encodeInsert(7, Seq(TText("2"), TText("50.0")))))
+      case _ => Seq.empty[(Long, Array[Byte])]
+    }).toDF("seq", "msg")
+    val h = CdcStream.startAdaptivePollWal(pollFn, "msg", "seq", walSubs,
+      bus, new PollPacer(50L), maxPolls = 3L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (h.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(!h.isRunning && h.failure.isEmpty, s"failure=${h.failure}")
+      assert(bus.deliveries.size == 2,
+        s"poll-2 insert must decode via the carried registry")
+      assert(bus.deliveries.exists(_.frame.contains("\"id\":\"2\"")))
+    } finally h.stop()
+  }
+
   test("startAdaptivePoll: real pipeline — busy drains, idle backs off") {
     val subs = Seq(Subscription("s", "public", "t", Nil))
     val dataSchema = Seq.empty[Change].toDS().toDF()
