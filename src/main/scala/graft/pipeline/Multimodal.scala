@@ -322,22 +322,19 @@ object Multimodal {
     media.filter(_.media_type == "image")
       .mapPartitions(it => it.map { r =>
         attributed(r) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.bytes))
-          if (img == null)
-            throw new IllegalArgumentException("not a decodable image")
+          val img = MediaCodec.readImage(r.bytes)
+          // bulk conversion: one getRGB(0,0,w,h,..) call instead of a
+          // per-pixel ColorModel round trip
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            i += 1
           }
-          (r.media_id, img.getWidth.toLong * img.getHeight, sr, sg, sb)
+          (r.media_id, w.toLong * h, sr, sg, sb)
         }
       })
       .toDF("media_id", "n_px", "sum_r", "sum_g", "sum_b")
@@ -436,17 +433,13 @@ object MediaCodec {
 
   /** Decode any ImageIO-supported image to (width, height). */
   def decodeImage(bytes: Array[Byte]): (Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null)
-      throw new IllegalArgumentException("not a decodable image")
+    val img = readImage(bytes)
     (img.getWidth, img.getHeight)
   }
 
   /** Decode + scale + re-encode an image as `w`×`h` BMP. */
   def resizeBmp(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (src == null)
-      throw new IllegalArgumentException("not a decodable image")
+    val src = readImage(bytes)
     val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
     val g = dst.createGraphics()
     try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
@@ -560,11 +553,24 @@ object MediaCodec {
     h
   }
 
-  // DCT basis for [[phash]], hoisted: 1024 cos() calls amortize across
+  /** Decode any ImageIO-supported image, with the module's uniform
+    * failure contract (null result → IllegalArgumentException). Every
+    * image-decoding site routes through here so decode hardening lands
+    * once. */
+  def readImage(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException("not a decodable image")
+    img
+  }
+
+  /** pHash raster size; the DCT basis below derives from it. */
+  private val PhashN = 32
+  // DCT basis for [[phash]], hoisted: N*N cos() calls amortize across
   // every image and video frame instead of re-running per invocation
   private val phashCosTable: Array[Array[Double]] =
-    Array.tabulate(32, 32)((k, n) =>
-      math.cos((2 * n + 1) * k * math.Pi / 64.0))
+    Array.tabulate(PhashN, PhashN)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / (2.0 * PhashN)))
 
   /** 64-bit DCT perceptual hash (classic pHash, Zauner 2010 construction):
     * decode → 32×32 grayscale → 2-D DCT-II → 8×8 low-frequency block →
@@ -573,10 +579,8 @@ object MediaCodec {
     * bits; unrelated images differ in ~32. Pure JVM double arithmetic on
     * the decoded raster — deterministic for a given payload. */
   def phash(bytes: Array[Byte]): Long = {
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (src == null)
-      throw new IllegalArgumentException("not a decodable image")
-    val N = 32
+    val src = readImage(bytes)
+    val N = PhashN
     val gray = new BufferedImage(N, N, BufferedImage.TYPE_BYTE_GRAY)
     val g = gray.createGraphics()
     try g.drawImage(src, 0, 0, N, N, null) finally g.dispose()
