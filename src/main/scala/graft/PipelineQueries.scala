@@ -755,6 +755,25 @@ object PipelineQueries {
         |           THEN 12000 ELSE -12000 END) AS BIGINT) AS sum_amp,
         |  CAST(frames * 12000 AS BIGINT) AS sum_abs
         |FROM sm GROUP BY media_id, frames""".stripMargin)),
+    // Frame-level video copy detection at maxHamming=0 (clean copies:
+    // frames match iff their 64-bit pHashes are identical). Same-seed
+    // videos share every frame byte-identically, so the pair count is
+    // the closed-form frame count; the measured cross-video frame floor
+    // is 4 bits, so zero cross-seed frame pairs collide at threshold 0.
+    Q("mm_frame_match",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(
+            docs(s, d).where(pmod(col("doc_id"), lit(3)) === 2))
+          .as[Multimodal.MediaRecord]
+        Multimodal.frameMatches(media, maxHamming = 0)(s)
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 192 AS seed
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(2 + a.seed % 4 AS BIGINT) AS n_matched_frames
+        |FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id"""
+        .stripMargin)),
     // Video near-dups complete the perceptual triad: per-frame DCT
     // pHashes folded by XOR-of-rotations (order-sensitive), frame-count
     // equality as a hard banding key. Same proof shape: identical seeds

@@ -361,6 +361,55 @@ object Multimodal {
       .toDF("media_id", "n_samples", "sum_amp", "sum_abs")
   }
 
+  /** Per-frame perceptual hashes of every video: the substrate for
+    * frame-level copy detection. Narrow flatMap; only (id, idx, hash)
+    * rows leave the partition. */
+  def videoFramePhashes(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.media_type == "video")
+      .flatMap(r => attributed(r) {
+        MediaCodec.videoFrames(r.bytes).zipWithIndex.map {
+          case (f, k) => (r.media_id, k, MediaCodec.phash(f))
+        }
+      })
+      .toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Frame-level video copy detection (sub-clip matching): for each
+    * video pair, the number of cross-video frame pairs whose perceptual
+    * hashes sit within `maxHamming` — finds videos sharing material even
+    * when lengths differ or shared frames sit at different offsets
+    * (unlike [[videoNearDups]], which matches whole videos). Same
+    * exact-recall pigeonhole banding, applied at frame granularity; the
+    * distinct() collapses multi-band meetings of one frame pair before
+    * counting. At `maxHamming = 0` this is clean-copy detection: frames
+    * match iff their 64-bit pHashes are identical. */
+  def frameMatches(media: Dataset[MediaRecord], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
+    val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val h = videoFramePhashes(media)(spark)
+      .withColumn("_bands", array((0 until bands).map(j =>
+        shiftrightunsigned(col("fhash"), j * bandBits)
+          .bitwiseAND(lit(mask))): _*))
+      .select(col("media_id"), col("frame_idx"), col("fhash"),
+        posexplode(col("_bands")).as(Seq("_b", "_v")))
+      .persist()
+    h.as("x").join(h.as("y"),
+        col("x._b") === col("y._b") && col("x._v") === col("y._v") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.frame_idx").as("fa"), col("y.frame_idx").as("fb"),
+        bit_count(col("x.fhash").bitwiseXOR(col("y.fhash"))).as("_d"))
+      .where(col("_d") <= maxHamming)
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched_frames"))
+  }
+
   /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
     * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and
     * re-encoded as BMP; conforming images and non-image rows pass through

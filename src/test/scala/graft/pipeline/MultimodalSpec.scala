@@ -243,6 +243,30 @@ class MultimodalSpec extends SparkSpec {
     assert(astats(199L) == astats(7L), "seed duplicates share stats")
   }
 
+  test("frameMatches: sub-clip detection counts shared frames per pair") {
+    implicit val s = spark
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val size = 12 + frames.map(4 + _.length).sum
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.put("GFV1".getBytes("US-ASCII")).putInt(frames.length).putInt(40)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+    def fr(contentSeed: Int) = MediaCodec.encodeBmp(24, 20, contentSeed)
+    val (a, b, c, d, e) = (fr(10), fr(20), fr(30), fr(40), fr(50))
+    val recs = Seq(
+      // X = [a,b,c]; Y = [b,c,d] at DIFFERENT offsets; Z = [e] unrelated
+      MediaRecord(1L, "video", container(Seq(a, b, c)), "s"),
+      MediaRecord(2L, "video", container(Seq(b, c, d)), "s"),
+      MediaRecord(3L, "video", container(Seq(e)), "s"),
+      MediaRecord(4L, "audio", MediaCodec.encodeWav(800, 1), "s")).toDS()
+    val got = frameMatches(recs, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // X and Y share frames b and c despite different positions/lengths —
+    // the case whole-video signatures cannot see
+    assert(got == Map((1L, 2L) -> 2L), s"got $got")
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
