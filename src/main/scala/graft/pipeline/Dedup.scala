@@ -586,6 +586,11 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — cluster_ids are incomplete " +
           "for clusters with diameter > maxIters; raise maxIters")
+    // the symmetrized edge cache served only the propagation rounds; the
+    // converged labels are materialized, so release it here rather than
+    // deferring to the session loop (recompute after eviction still
+    // works — the lazy edge plan is intact, just uncached)
+    sym.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 

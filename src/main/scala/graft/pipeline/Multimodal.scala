@@ -234,57 +234,140 @@ object Multimodal {
       .toDF("media_id", "fp")
   }
 
-  /** Exact-recall Hamming near-dup pairs over a (id, 64-bit hash) frame:
-    * the hash splits into `bands` equal slices; a pair differing in
+  /** Exact-recall Hamming banding core, shared by [[phashNearDups]] /
+    * [[audioNearDups]] / [[videoNearDups]] (pair identity = one id) and
+    * [[frameMatches]] (pair identity = (video id, frame idx)): the 64-bit
+    * hash splits into `bands` equal slices; a pair differing in
     * ≤ bands−1 bits leaves at least one slice untouched (pigeonhole), so
-    * candidates = pairs sharing (band index, band value) — EXACT recall
-    * at `maxHamming` ≤ bands−1, no probabilistic misses. One band-key
-    * shuffle of 8-byte hashes; the distinct dedups multi-band meetings.
-    * `bands` is the smallest power of two > `maxHamming` (band width
-    * divides 64), so tighter thresholds shuffle fewer, longer bands. */
-  private def hammingNearDups(hashes: DataFrame, hashCol: String,
-      maxHamming: Int, extraKeys: Seq[String] = Nil): DataFrame = {
+    * candidates = pairs sharing (band index, band value[, extraKeys]) —
+    * EXACT recall at `maxHamming` ≤ bands−1, no probabilistic misses.
+    * One band-key shuffle of 8-byte hashes; the distinct dedups
+    * multi-band meetings. `bands` is the smallest power of two >
+    * `maxHamming` (band width divides 64), so tighter thresholds shuffle
+    * fewer, longer bands.
+    *
+    * Hot-bucket guard (`maxBucket > 0`): at maxHamming=7 the bucket key
+    * space is only bands × 2^bandBits = 2,048 buckets, so a large corpus
+    * puts millions of rows in one (band, value) bucket and the plain
+    * self-join makes ONE task emit m² candidates — the skew degeneration
+    * the text SimHash path already engineered away. With a cap, each
+    * oversized bucket sub-splits into ⌈m/maxBucket⌉ groups and every
+    * upper-triangle group cell becomes its own join key (the same exact
+    * block-grid as [[Dedup.simhashNearDups]]); per-task candidate output
+    * is bounded by maxBucket² and the pair set is IDENTICAL to the
+    * uncapped join (MultimodalSpec asserts identity on a skewed corpus).
+    * Bucket sizes join back on the bucket key, never broadcast — at
+    * bands=1 (maxHamming=0) the value space is the full 64-bit hash, so
+    * the size frame is data-sized, unlike simhash's ≤2^prefixBits.
+    *
+    * Eager contract: the returned PAIR frame is persisted and counted
+    * here so the banded-hash frame (corpus-hash-sized, fed by the whole
+    * DECODE pipeline) can be unpersisted before returning — a library
+    * caller accumulates at most pair-list-sized caches, and owns the
+    * single returned handle (unpersist it after consumption; the session
+    * loop's clearCache also drops it). Emits `a_<c>`/`b_<c>` per pair
+    * column (ordered a < b on the first) plus `hamming`. */
+  private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, pairCols: Seq[String], extraKeys: Seq[String],
+      maxBucket: Int,
+      shape: DataFrame => DataFrame = identity): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    // persist: the self-join reads both sides from this frame, and
-    // upstream is the DECODE+hash pipeline — without the cache every
-    // banding call would decode the corpus twice (simhashNearDups
-    // precedent; cache ownership: the session loop's clearCache)
+    val ord = pairCols.head
+    val keep = (pairCols ++ extraKeys :+ hashCol).map(col)
+    // persist: the self-join reads both sides of this frame, and upstream
+    // is the DECODE+hash pipeline — without the cache every banding call
+    // would decode the corpus twice (simhashNearDups precedent)
     val h = hashes
       .withColumn("_bands", array((0 until bands).map(j =>
         shiftrightunsigned(col(hashCol), j * bandBits)
           .bitwiseAND(lit(mask))): _*))
-      .select((Seq(col("media_id"), col(hashCol)) ++ extraKeys.map(col) :+
-        posexplode(col("_bands")).as(Seq("_b", "_v"))): _*)
+      .select(keep :+ posexplode(col("_bands")).as(Seq("_b", "_v")): _*)
       .persist()
-    val joinCond = (Seq("_b", "_v") ++ extraKeys)
-      .map(k => col(s"x.$k") === col(s"y.$k"))
-      .reduce(_ && _) && col("x.media_id") < col("y.media_id")
-    h.as("x").join(h.as("y"), joinCond)
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
-          .as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val bucketKeys = Seq("_b", "_v") ++ extraKeys
+    val hamming =
+      bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
+        .as("hamming")
+    val cand =
+      if (maxBucket <= 0) {
+        val joinCond = bucketKeys.map(k => col(s"x.$k") === col(s"y.$k"))
+          .reduce(_ && _) && col(s"x.$ord") < col(s"y.$ord")
+        h.as("x").join(h.as("y"), joinCond)
+          .select(pairCols.map(c => col(s"x.$c").as(s"a_$c")) ++
+            pairCols.map(c => col(s"y.$c").as(s"b_$c")) :+ hamming: _*)
+      } else {
+        // sizes are a same-keyed aggregate joined back on the bucket key
+        val sizes = h.groupBy(bucketKeys.map(col): _*)
+          .agg(count(lit(1)).as("_m"))
+          .select(bucketKeys.map(col) :+
+            ceil(col("_m") / maxBucket).cast("int").as("_nsub"): _*)
+        // type-agnostic sub-group hash over the full pair identity (a
+        // frame-level row is (video, frame), not just the video id)
+        val sub = h.join(sizes, bucketKeys)
+          .withColumn("_g",
+            pmod(xxhash64(pairCols.map(col): _*), col("_nsub")).cast("int"))
+        // row with sub-group g is the LEFT member of cells (g, j), j ≥ g,
+        // and the RIGHT member of cells (i, g), i ≤ g — each unordered
+        // pair meets in exactly one cell per shared bucket; the diagonal
+        // holds both orientations, dropped to one by the ord filter
+        val gridCols = (bucketKeys ++ pairCols ++ Seq(hashCol)).distinct.map(col)
+        val xrep = sub.select(gridCols ++ Seq(col("_g").as("_ci"),
+          explode(sequence(col("_g"), col("_nsub") - 1)).as("_cj")): _*)
+        val yrep = sub.select(gridCols ++ Seq(
+          explode(sequence(lit(0), col("_g"))).as("_ci"),
+          col("_g").as("_cj")): _*)
+        // off-diagonal cells fix orientation by sub-group, not by ord, so
+        // pairs arrive in either order — normalize with a per-column swap
+        // keyed on the ordering column (all pair columns swap together)
+        val fwd = col(s"x.$ord") < col(s"y.$ord")
+        val joinCond = (bucketKeys ++ Seq("_ci", "_cj"))
+          .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          (col("x._ci") < col("x._cj") || col(s"x.$ord") < col(s"y.$ord")) &&
+          col(s"x.$ord") =!= col(s"y.$ord")
+        xrep.as("x").join(yrep.as("y"), joinCond)
+          .select(pairCols.map(c =>
+            when(fwd, col(s"x.$c")).otherwise(col(s"y.$c")).as(s"a_$c")) ++
+            pairCols.map(c =>
+              when(fwd, col(s"y.$c")).otherwise(col(s"x.$c")).as(s"b_$c")) :+
+            hamming: _*)
+      }
+    val out =
+      shape(cand.where(col("hamming") <= maxHamming).distinct()).persist()
+    try { out.count(); out } finally h.unpersist()
   }
+
+  /** [[bandedHammingPairs]] specialized to one-id pair identity, emitting
+    * the (id_a, id_b, hamming) near-dup shape. */
+  private def hammingNearDups(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, extraKeys: Seq[String] = Nil,
+      maxBucket: Int = 0): DataFrame =
+    bandedHammingPairs(hashes, hashCol, maxHamming,
+      pairCols = Seq("media_id"), extraKeys = extraKeys,
+      maxBucket = maxBucket,
+      shape = _.select(col("a_media_id").as("id_a"),
+        col("b_media_id").as("id_b"), col("hamming")))
 
   /** Perceptual near-duplicate pairs over the image subset: the visual
     * analog of SimHash dedup — re-encoded/re-scaled copies of an image
     * land within a few pHash bits, found WITHOUT the all-pairs join
     * (see [[hammingNearDups]] for the exact-recall banding). */
-  def phashNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+  def phashNearDups(media: Dataset[MediaRecord], maxHamming: Int,
+      maxBucket: Int = 0)(
       implicit spark: SparkSession): DataFrame =
-    hammingNearDups(imagePhash(media)(spark), "phash", maxHamming)
+    hammingNearDups(imagePhash(media)(spark), "phash", maxHamming,
+      maxBucket = maxBucket)
 
   /** Spectral near-duplicate pairs over the audio subset: re-encoded or
     * volume-rescaled copies of a recording share the fingerprint
     * (uniform gain is EXACTLY invariant), unrelated recordings differ in
     * ~half the bits. Same exact-recall banding as the image path. */
-  def audioNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+  def audioNearDups(media: Dataset[MediaRecord], maxHamming: Int,
+      maxBucket: Int = 0)(
       implicit spark: SparkSession): DataFrame =
-    hammingNearDups(audioFingerprints(media)(spark), "fp", maxHamming)
+    hammingNearDups(audioFingerprints(media)(spark), "fp", maxHamming,
+      maxBucket = maxBucket)
 
   /** Per-video folded signature: videos only, narrow mapPartitions (see
     * [[MediaCodec.videoSignature]]). */
@@ -305,10 +388,11 @@ object Multimodal {
     * every frame is a visual near-dup of its counterpart stay close
     * (XOR linearity bounds the folded distance by the summed per-frame
     * drift), unrelated videos land ~32 bits apart. */
-  def videoNearDups(media: Dataset[MediaRecord], maxHamming: Int)(
+  def videoNearDups(media: Dataset[MediaRecord], maxHamming: Int,
+      maxBucket: Int = 0)(
       implicit spark: SparkSession): DataFrame =
     hammingNearDups(videoSignatures(media)(spark), "vsig", maxHamming,
-      extraKeys = Seq("n_frames"))
+      extraKeys = Seq("n_frames"), maxBucket = maxBucket)
 
   /** Per-image channel statistics from the DECODED raster: exact integer
     * sums of the R/G/B bytes (24-bit BMP is lossless, so every pixel
@@ -385,30 +469,15 @@ object Multimodal {
     * distinct() collapses multi-band meetings of one frame pair before
     * counting. At `maxHamming = 0` this is clean-copy detection: frames
     * match iff their 64-bit pHashes are identical. */
-  def frameMatches(media: Dataset[MediaRecord], maxHamming: Int)(
-      implicit spark: SparkSession): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
-    val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
-    val bandBits = 64 / bands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    val h = videoFramePhashes(media)(spark)
-      .withColumn("_bands", array((0 until bands).map(j =>
-        shiftrightunsigned(col("fhash"), j * bandBits)
-          .bitwiseAND(lit(mask))): _*))
-      .select(col("media_id"), col("frame_idx"), col("fhash"),
-        posexplode(col("_bands")).as(Seq("_b", "_v")))
-      .persist()
-    h.as("x").join(h.as("y"),
-        col("x._b") === col("y._b") && col("x._v") === col("y._v") &&
-        col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        col("x.frame_idx").as("fa"), col("y.frame_idx").as("fb"),
-        bit_count(col("x.fhash").bitwiseXOR(col("y.fhash"))).as("_d"))
-      .where(col("_d") <= maxHamming)
-      .distinct()
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_matched_frames"))
-  }
+  def frameMatches(media: Dataset[MediaRecord], maxHamming: Int,
+      maxBucket: Int = 0)(
+      implicit spark: SparkSession): DataFrame =
+    bandedHammingPairs(videoFramePhashes(media)(spark), "fhash", maxHamming,
+      pairCols = Seq("media_id", "frame_idx"), extraKeys = Nil,
+      maxBucket = maxBucket,
+      shape = _.groupBy(col("a_media_id").as("id_a"),
+          col("b_media_id").as("id_b"))
+        .agg(count(lit(1)).as("n_matched_frames")))
 
   /** Image resize: images exceeding `maxW`×`maxH` are decoded, scaled to
     * the clamped box (min(w,maxW), min(h,maxH)) with Graphics2D, and

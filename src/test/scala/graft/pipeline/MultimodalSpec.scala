@@ -267,6 +267,81 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 2L), s"got $got")
   }
 
+  test("hot-bucket cap: capped pair set identical to uncapped on skew") {
+    implicit val s = spark
+    // skewed corpus: 12 byte-identical copies of one image put 12 rows in
+    // ONE (band, value) bucket per band — the shape that degenerates the
+    // plain self-join at corpus scale; plus a 3-copy group and a single
+    val recs = ((1L to 12L).map(i =>
+        MediaRecord(i, "image", MediaCodec.encodeBmp(40, 28, 9), "s")) ++
+      (13L to 15L).map(i =>
+        MediaRecord(i, "image", MediaCodec.encodeBmp(33, 21, 57), "s")) :+
+      MediaRecord(16L, "image", MediaCodec.encodeBmp(20, 20, 114), "s")).toDS()
+    def pairs(mb: Int) = phashNearDups(recs, maxHamming = 7, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uncapped = pairs(0)
+    assert(uncapped.size == 12 * 11 / 2 + 3,
+      s"both dup groups fully paired: ${uncapped.size}")
+    // sub-split caps far below the hot-bucket size, incl. the degenerate
+    // one-row-per-sub-group cap — pair set must be EXACTLY the plain join
+    for (mb <- Seq(1, 2, 5)) assert(pairs(mb) == uncapped, s"maxBucket=$mb")
+    // video path: extraKeys (n_frames) ride through the capped grid too
+    val vids = ((1L to 9L).map(i =>
+        MediaRecord(i, "video", MediaCodec.encodeVideo(4, 40, 24, 20, 8), "s")) :+
+      MediaRecord(10L, "video", MediaCodec.encodeVideo(3, 40, 24, 20, 8), "s")).toDS()
+    val vUncapped = videoNearDups(vids, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(vUncapped.size == 9 * 8 / 2)
+    assert(videoNearDups(vids, 7, maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == vUncapped)
+  }
+
+  test("hot-bucket cap: frameMatches identical at bands=1 (full-hash key)") {
+    implicit val s = spark
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val size = 12 + frames.map(4 + _.length).sum
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.put("GFV1".getBytes("US-ASCII")).putInt(frames.length).putInt(40)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+    def fr(contentSeed: Int) = MediaCodec.encodeBmp(24, 20, contentSeed)
+    val (a, b, c, d) = (fr(10), fr(20), fr(30), fr(40))
+    // frame `a` appears in 6 videos → a 6-row hot bucket keyed by the FULL
+    // 64-bit hash (maxHamming=0 ⇒ bands=1 — the data-sized key space the
+    // size frame must never broadcast)
+    val recs = (Seq(
+      MediaRecord(1L, "video", container(Seq(a, b, c)), "s"),
+      MediaRecord(2L, "video", container(Seq(b, c, d)), "s"),
+      MediaRecord(3L, "video", container(Seq(a, a, d)), "s")) ++
+      (4L to 6L).map(i => MediaRecord(i, "video", container(Seq(a)), "s"))).toDS()
+    def matches(mb: Int) = frameMatches(recs, maxHamming = 0, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uncapped = matches(0)
+    // spot-check the double-frame case: video 3 holds `a` TWICE → two
+    // frame pairs against each single-`a` video
+    assert(uncapped((3L, 4L)) == 2L && uncapped((1L, 2L)) == 2L)
+    for (mb <- Seq(1, 2)) assert(matches(mb) == uncapped, s"maxBucket=$mb")
+  }
+
+  test("banding ops own exactly one cache handle — the returned frame") {
+    implicit val s = spark
+    spark.catalog.clearCache()
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    assert(nCached == 0)
+    // eager contract: the heavy banded-hash frame is released inside the
+    // operator; the only surviving cache is the pair frame the caller
+    // holds — unpersisting it leaves the session clean
+    val out = phashNearDups(media, maxHamming = 7)
+    assert(nCached == 1, "exactly the returned pair frame")
+    out.unpersist()
+    assert(nCached == 0, "no net persisted RDDs after release")
+    val fm = frameMatches(media, maxHamming = 0, maxBucket = 2)
+    assert(nCached == 1)
+    fm.unpersist()
+    assert(nCached == 0)
+  }
+
   test("corrupt payloads: strict path names the id, safe path flags the row") {
     implicit val s = spark
     // id 5: VALID magic but a poisoned frame-length field (0x7FFFFFFF) —
