@@ -17,30 +17,63 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("events", "documents", "embeddings", "lineitem")
       .foreach(t => graft.cdc.ChangeFeed.table(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop query-persisted intermediates so caches never accumulate
       // across the suite (cleanup charged to the query that cached)
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // pass 1: one-shot numbers (what every prior round reported — first
+    // execution of each plan in this session, JIT/codegen state included)
+    val oneshot = sorted.map { case (name, fn) => name -> time(fn) }
+    // pass 2: one warm re-run of everything; pass 3: a second warm run
+    // for queries still at >= 1 s (where one-shot noise has repeatedly
+    // produced multi-second false regressions). warm_min is the per-query
+    // minimum over the warm runs — the adjudication number: a one-shot
+    // outlier with a warm_min in its usual band is JIT/GC noise, a
+    // warm_min that moved is a real regression.
+    val warm1 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
+    val oneshotMap = oneshot.toMap
+    val warm2 = sorted
+      .filter { case (name, _) => math.min(oneshotMap(name), warm1(name)) >= 1.0 }
+      .map { case (name, fn) => name -> time(fn) }.toMap
+    val warmMin = sorted.map { case (name, _) =>
+      name -> math.min(warm1(name), warm2.getOrElse(name, Double.MaxValue))
+    }
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (oneshot.nonEmpty) oneshot.map(_._2).sum else 0.0
     // streaming SLO: commit→broadcast latency at the reference's implied
     // design point (1,000 changes/s, 100 ms poll) — the one number the
-    // batch queries above can't measure
+    // batch queries above can't measure — plus a rate sweep upward to
+    // find the knee (max sustained rate and how the first failure fails)
     val stream = try {
       val r = graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
         seconds = 8, triggerMs = 100L, warmupSec = 3)
+      val baseOk = r.nDelivered == r.nSent && r.steady.p99 <= 1000L
+      val kn = graft.cdc.StreamLatency.knee(spark,
+        rates = Seq(2000, 5000, 10000), seconds = 6, triggerMs = 100L,
+        warmupSec = 2, p99SloMs = 1000L)
+      val maxSustained =
+        math.max(if (baseOk) r.ratePerSec else 0, kn.maxSustainedRate)
+      val sweep = kn.points.map(p =>
+        s"""{"rate_per_sec":${p.ratePerSec},"n_sent":${p.nSent},""" +
+          s""""n_delivered":${p.nDelivered},"p50_ms":${p.steady.p50},""" +
+          s""""p95_ms":${p.steady.p95},"p99_ms":${p.steady.p99},""" +
+          s""""sustained":${p.sustained}}""").mkString("[", ",", "]")
       s""","stream":{"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
         s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
         s""""p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +
         s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +
         s""""overall_p95_ms":${r.overall.p95},""" +
-        s""""batch_duration_p95_ms":${r.batchDurationP95Ms}}"""
+        s""""batch_duration_p95_ms":${r.batchDurationP95Ms},""" +
+        s""""sweep":$sweep,"max_sustained_rate":$maxSustained,""" +
+        s""""failure_mode":"${kn.failureMode}"}"""
     } catch {
       // NonFatal only: an OOM/linkage error must crash loudly, and a
       // failed measurement must not masquerade as "not requested"
@@ -48,7 +81,7 @@ object Bench {
         System.err.println(s"[bench] stream SLO measurement failed: $e")
         ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$stream}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(oneshot)},"warm_min":${jmap(warmMin)},"sf":"$sfDir"$stream}""")
     spark.stop()
   }
 }

@@ -75,7 +75,12 @@ object AdaptivePoll {
         ms => Thread.sleep(ms), () => flag.get(), maxPolls)
       catch {
         case _: InterruptedException => () // stop() requested
-        case scala.util.control.NonFatal(e) => handle.failed = Some(e)
+        // a stop() interrupt can land mid-Spark-action inside processFn
+        // and surface as a wrapped SparkException — a requested shutdown
+        // must not be reported as a crash, so only record failures while
+        // the loop was still supposed to run (flag up)
+        case scala.util.control.NonFatal(e) =>
+          if (flag.get()) handle.failed = Some(e)
       }
     }, name)
     t.setDaemon(true)

@@ -91,6 +91,14 @@ object StreamLatency {
     require(ratePerSec >= 20 && ratePerSec % 20 == 0,
       s"ratePerSec must be a positive multiple of 20 (50 ms feed steps), got $ratePerSec")
     require(seconds >= 1 && warmupSec < seconds)
+    // the sample registry is JVM-static: on a real cluster executor-side
+    // offer() calls would land in executor JVMs and this driver-side read
+    // would silently report empty percentiles — fail loudly instead (a
+    // cluster deployment aggregates per-executor histograms through a
+    // metrics pipeline, not this harness)
+    require(spark.sparkContext.isLocal,
+      "StreamLatency.run measures via a JVM-static registry and only " +
+        "works on local[*] masters")
     import spark.implicits._
     val runId = "lat-" + ids.incrementAndGet()
     val input = MemoryStream[Change](spark)
@@ -133,5 +141,47 @@ object StreamLatency {
       steady = percentiles(all.collect { case (c, l) if c >= steadyFloor => l }),
       batchDurationP95Ms = batchP95)
     } finally samples.remove(runId) // failed runs must not leak the queue
+  }
+
+  /** One sweep point of [[knee]]: the rate, its steady percentiles, the
+    * sent/delivered counts, and whether the point counts as SUSTAINED
+    * (nothing dropped AND steady p99 within `p99SloMs`). */
+  final case class SweepPoint(ratePerSec: Int, nSent: Long, nDelivered: Long,
+      steady: Percentiles, sustained: Boolean, failureMode: String)
+
+  final case class KneeReport(points: Seq[SweepPoint],
+      maxSustainedRate: Int, failureMode: String)
+
+  /** Find the streaming knee: run the fixed design-point harness at
+    * increasing rates until a point fails its SLO, and report the highest
+    * sustained rate plus HOW the first failing point failed. Failure
+    * modes, in check order:
+    *  - `drops`   — deliveries < sent: the pipeline lost frames (the bus
+    *    itself never drops, so this is feeder/engine backlog that didn't
+    *    drain before the query stopped);
+    *  - `p99_degraded` — everything arrived but steady-state p99 blew the
+    *    `p99SloMs` budget: micro-batches are queueing faster than they
+    *    execute, the classic knee signature.
+    * The sweep stops at the first failure (higher rates only degrade
+    * further — measuring them adds wall-clock, not information). */
+  def knee(spark: SparkSession, rates: Seq[Int],
+      seconds: Int = 6, triggerMs: Long = 100L, warmupSec: Int = 2,
+      p99SloMs: Long = 1000L): KneeReport = {
+    val points = Seq.newBuilder[SweepPoint]
+    var failure = "none"
+    var maxSustained = 0
+    var stop = false
+    for (r <- rates if !stop) {
+      val rep = run(spark, r, seconds, triggerMs, warmupSec)
+      val mode =
+        if (rep.nDelivered < rep.nSent) "drops"
+        else if (rep.steady.p99 > p99SloMs) "p99_degraded"
+        else "none"
+      val ok = mode == "none"
+      points += SweepPoint(r, rep.nSent, rep.nDelivered, rep.steady, ok, mode)
+      if (ok) maxSustained = r
+      else { failure = mode; stop = true }
+    }
+    KneeReport(points.result(), maxSustained, failure)
   }
 }
