@@ -184,4 +184,52 @@ class PgOutputBinaryTypesSpec extends AnyFunSuite {
   test("unknown binary type falls back to visibly-opaque hex, not garbage") {
     assert(decodeBinaryValue("point", Array(1.toByte, 2.toByte)) == "\\x0102")
   }
+
+  test("oid catalog: complete reference map, bijective, round-trips") {
+    // the full built-in basic-type catalog (oid_database.ex:36-170):
+    // every entry the reference names, same `_`-prefix array convention
+    assert(TypeOids.size == 137)
+    // one spot-check per region of the oid space
+    assert(TypeOids("int2vector") == 22 && TypeOids("oidvector") == 30)
+    assert(TypeOids("xml") == 142 && TypeOids("point") == 600)
+    assert(TypeOids("cidr") == 650 && TypeOids("macaddr8") == 774)
+    assert(TypeOids("money") == 790 && TypeOids("inet") == 869)
+    assert(TypeOids("_polygon") == 1027 && TypeOids("aclitem") == 1033)
+    assert(TypeOids("bit") == 1560 && TypeOids("varbit") == 1562)
+    assert(TypeOids("refcursor") == 1790 && TypeOids("regclass") == 2205)
+    assert(TypeOids("pg_lsn") == 3220 && TypeOids("tsvector") == 3614)
+    assert(TypeOids("_int8range") == 3927 && TypeOids("regrole") == 4096)
+    // bijective: no two names share an oid (the reverse lookup the
+    // Relation decode path uses is well-defined)
+    assert(TypeOids.values.toSet.size == TypeOids.size)
+    // a Relation message carrying the NEW catalog regions round-trips
+    // through encode→parse with the symbolic names intact
+    val rel = RelationMeta(11, "public", "wide", "d", Seq(
+      RelColumn("a", "inet", isKey = false),
+      RelColumn("b", "tsvector", isKey = false),
+      RelColumn("c", "_int4range", isKey = false),
+      RelColumn("d", "money", isKey = false),
+      RelColumn("e", "pg_lsn", isKey = true)))
+    val parsed = parseRelation(encodeRelation(rel)).get
+    assert(parsed.columns.map(_.typeName) ==
+      Seq("inet", "tsvector", "_int4range", "money", "pg_lsn"))
+    assert(parsed.columns.last.isKey)
+    // and a genuinely unknown oid stays an explicit in-band marker
+    // (extension types have no stable oid — the reference falls through
+    // to the numeric id; `oid$N` is the same information, greppable)
+    val unknown = RelationMeta(12, "public", "ext", "d",
+      Seq(RelColumn("g", "oid54321", isKey = false)))
+    // encodeRelation maps unknown names to text's oid (25) — build the
+    // raw bytes by hand so the wire really carries 54321
+    val raw = {
+      val head = Array('R'.toByte) ++ i32(12) ++
+        "public".getBytes("UTF-8") ++ Array(0.toByte) ++
+        "ext".getBytes("UTF-8") ++ Array(0.toByte) ++
+        Array('d'.toByte) ++ i16(1)
+      head ++ Array(0.toByte) ++ "g".getBytes("UTF-8") ++ Array(0.toByte) ++
+        i32(54321) ++ i32(-1)
+    }
+    assert(parseRelation(raw).get.columns.map(_.typeName) ==
+      unknown.columns.map(_.typeName))
+  }
 }
