@@ -304,6 +304,21 @@ object PipelineQueries {
             dim = 64, trainIters = 2, trainSampleFraction = 0.25)
           .select("query_id", "neighbor_id")
       },
+      None),
+    // The IVF speed/quality tradeoff as a first-class report: recall@k
+    // of ivfTopK vs brute force over a (k, nProbe) grid — the number an
+    // index deployment watches when tuning probe count. Rows-only by
+    // design (the grid loops ivfTopK, whose k-means-adjacent assignment
+    // has no reasonable DuckDB re-expression at this shape); exactness
+    // properties (probe=all ⇒ recall 1, monotone in probe) are
+    // spec-asserted in SimilaritySpec.
+    Q("sim_ann_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.recallReport(e.where(col("vec_id") < 10), e,
+          "embedding", "vec_id", ks = Seq(5, 10), probes = Seq(1, 2, 4),
+          nCentroids = 8, dim = 64)
+      },
       None)
   )
 

@@ -173,6 +173,58 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
+  /** Recall@k of [[ivfTopK]] against [[bruteForceTopK]] over a
+    * (k, nProbe) grid — the speed/quality tradeoff report an IVF
+    * deployment tracks per index build (probe more buckets → scan more →
+    * recover more of the true neighbors). One brute-force pass at
+    * max(ks) is computed once and re-ranked per k; each probe level is
+    * one IVF pass at max(ks). Recall is measured against the brute-force
+    * set actually available (so a corpus smaller than k doesn't deflate
+    * the number). Output: one row per (k, n_probe) with the mean recall
+    * across queries — a |ks|·|probes|-row report, nothing data-sized. */
+  def recallReport(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, ks: Seq[Int], probes: Seq[Int],
+      nCentroids: Int, dim: Int = 0): DataFrame = {
+    require(ks.nonEmpty && probes.nonEmpty)
+    val kMax = ks.max
+    def ranked(df: DataFrame): DataFrame =
+      df.withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+    // top-k lists are |Q|·kMax rows — tiny; persist so every grid cell
+    // reads them instead of re-scanning the corpus
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val brute =
+      ranked(bruteForceTopK(queries, corpus, vecCol, idCol, kMax, dim))
+        .select("query_id", "neighbor_id", "rank").persist()
+    val cells =
+      try {
+        probes.flatMap { p =>
+          val ivf = ranked(ivfTopK(queries, corpus, vecCol, idCol, kMax,
+              nCentroids, p, dim))
+            .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"),
+              col("rank")).persist()
+          try {
+            ks.map { k =>
+              // each cell is ONE scalar — the per-cell action reads the two
+              // persisted top-k lists, never the corpus
+              val r = brute.where(col("rank") <= k)
+                .join(ivf.where(col("rank") <= k)
+                    .select("query_id", "neighbor_id", "hit"),
+                  Seq("query_id", "neighbor_id"), "left")
+                .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+                  .as("recall"))
+                .collect()(0).getDouble(0)
+              (k, p, math.rint(r * 1e6) / 1e6)
+            }
+          } finally ivf.unpersist()
+        }
+      } finally brute.unpersist()
+    // the report is |ks|·|probes| rows by construction — a literal frame,
+    // no lingering caches
+    cells.toDF("k", "n_probe", "recall")
+  }
+
   /** Int8 scalar quantization per vector (the 4×-8× storage reduction
     * step before writing an embedding corpus): symmetric scale =
     * max|v|/127, q_i = round(v_i / scale). Pure narrow projection; each

@@ -92,6 +92,32 @@ class SimilaritySpec extends SparkSpec {
     assert(trained > 0.9) // trained buckets align with the true clusters
   }
 
+  test("recallReport: probe=all is exact, recall monotone in probe") {
+    val pts = (0 until 30).map { i =>
+      val base = i % 3 match {
+        case 0 => (1.0f, 0.02f * (i / 3))
+        case 1 => (0.02f * (i / 3), 1.0f)
+        case _ => (-1.0f, -0.02f * (i / 3))
+      }
+      (i.toLong, Array(base._1, base._2))
+    }.toDF("vec_id", "embedding")
+    val q = pts.where(col("vec_id") < 6)
+    val rep = Similarity.recallReport(q, pts, "embedding", "vec_id",
+        ks = Seq(3, 5), probes = Seq(1, 2, 3), nCentroids = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rep.size == 6, "one row per (k, nProbe) grid cell")
+    // probing every centroid IS brute force — recall exactly 1
+    assert(rep((3, 3)) == 1.0 && rep((5, 3)) == 1.0)
+    // more probes never lose neighbors already found
+    for (k <- Seq(3, 5)) {
+      assert(rep((k, 1)) <= rep((k, 2)) && rep((k, 2)) <= rep((k, 3)))
+    }
+    assert(rep.values.forall(r => r >= 0.0 && r <= 1.0))
+    // the report leaves no caches behind (its intermediates are released
+    // inside; the result is a literal frame)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("int8 quantization: scale from max component, bounded error, zero-safe") {
     val df = Seq(
       (0L, Array(1.0f, -0.25f, 0.0f)),
