@@ -515,7 +515,19 @@ object CdcStream {
       pacer, flag, maxPolls)
   }
 
-  /** Attach the CDC pipeline to a streaming change DataFrame. */
+  /** Attach the CDC pipeline to a streaming change DataFrame.
+    *
+    * Delivery semantics by checkpoint mode (the reference's slot
+    * re-delivers until the consumer advances the LSN,
+    * replication_poller.ex:149-232 — same contract):
+    *  - no `checkpointLocation`: at-most-once across restarts (a fresh
+    *    query starts from the source's latest offset);
+    *  - with `checkpointLocation` and a REPLAYABLE source (files, Kafka):
+    *    at-least-once — a batch whose epoch didn't commit is re-processed
+    *    after restart, so its frames can reach the sink twice. Dedup on
+    *    (subscription_id, change identity) — or the mirror's applied-seq
+    *    guard ([[Mirror.streamUpserts]]) — upgrades the effect to
+    *    exactly-once (CdcRecoverySpec drives kill → replay → dedup). */
   def start(
       changes: DataFrame,
       subs: Seq[Subscription],
@@ -528,8 +540,9 @@ object CdcStream {
       tenantCol: Option[String] = None,
       tenantLimits: Map[String, Long] = Map.empty,
       rates: Option[graft.rates.TenantRateCounters] = None,
-      deliverTo: Option[DeliverySink] = None): StreamingQuery =
-    changes.writeStream
+      deliverTo: Option[DeliverySink] = None,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -538,5 +551,7 @@ object CdcStream {
           deliverTo = deliverTo)
         ()
       }
-      .start()
+    checkpointLocation.foreach(loc => w.option("checkpointLocation", loc))
+    w.start()
+  }
 }
