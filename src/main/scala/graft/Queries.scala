@@ -814,7 +814,85 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY topic, key
         |                                   ORDER BY ts DESC, meta DESC) rn FROM pe)
         |SELECT topic, count(*) AS n_present FROM r
-        |WHERE rn = 1 AND action = 'track' GROUP BY 1""".stripMargin))
+        |WHERE rn = 1 AND action = 'track' GROUP BY 1""".stripMargin)),
+    // Cross-tracker ORSWOT merge: the event log splits into two replicas
+    // (even/odd event_id); each tracker holds its own live state plus a
+    // STALE sync snapshot of its peer (events up to max(event_id)/2), so
+    // the merge exercises every CRDT arm — shared dots, fresh adds the
+    // peer never observed (add wins), and entries the peer observed then
+    // removed (remove wins, no resurrection). The oracle replays the dot
+    // and version-vector arithmetic in SQL.
+    Q("a4_presence_orswot",
+      (s, d) => {
+        val pe = ev(s, d).select(
+          col("event_type").as("topic"),
+          col("user_id").as("key"),
+          when(col("value") < 5, "untrack").otherwise("track").as("action"),
+          coalesce(col("props"), lit("")).as("meta"),
+          col("event_id").as("seq"))
+        // one scalar (the sync point) — dimension-sized driver value
+        val cut = pe.agg(max("seq")).head().getLong(0) / 2
+        val evA = pe.where(pmod(col("seq"), lit(2)) === 0)
+        val evB = pe.where(pmod(col("seq"), lit(2)) === 1)
+        val trackerA = Presence.mergeTrackers(
+          Presence.trackerFromEvents(evA, "rA"),
+          Presence.trackerFromEvents(evB.where(col("seq") <= cut), "rB"))
+        val trackerB = Presence.mergeTrackers(
+          Presence.trackerFromEvents(evB, "rB"),
+          Presence.trackerFromEvents(evA.where(col("seq") <= cut), "rA"))
+        Presence.mergeTrackers(trackerA, trackerB).entries
+      },
+      Some("""WITH pe AS (
+        |  SELECT event_type AS topic, user_id AS key,
+        |         CASE WHEN value < 5 THEN 'untrack' ELSE 'track' END AS action,
+        |         coalesce(props, '') AS meta, event_id AS seq,
+        |         event_id % 2 AS side
+        |  FROM events),
+        |cut AS (SELECT max(seq) // 2 AS c FROM pe),
+        |sA AS (SELECT topic, key, meta, 'rA' AS replica, seq AS clock FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY topic, key
+        |                                 ORDER BY seq DESC) rn
+        |    FROM pe WHERE side = 0) WHERE rn = 1 AND action = 'track'),
+        |sB AS (SELECT topic, key, meta, 'rB' AS replica, seq AS clock FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY topic, key
+        |                                 ORDER BY seq DESC) rn
+        |    FROM pe WHERE side = 1) WHERE rn = 1 AND action = 'track'),
+        |nA AS (SELECT topic, key, meta, 'rA' AS replica, seq AS clock FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY topic, key
+        |                                 ORDER BY seq DESC) rn
+        |    FROM pe WHERE side = 0 AND seq <= (SELECT c FROM cut))
+        |  WHERE rn = 1 AND action = 'track'),
+        |nB AS (SELECT topic, key, meta, 'rB' AS replica, seq AS clock FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY topic, key
+        |                                 ORDER BY seq DESC) rn
+        |    FROM pe WHERE side = 1 AND seq <= (SELECT c FROM cut))
+        |  WHERE rn = 1 AND action = 'track'),
+        |ea AS (SELECT * FROM sA UNION ALL SELECT * FROM nB),
+        |eb AS (SELECT * FROM sB UNION ALL SELECT * FROM nA),
+        |vA AS (SELECT 'rA' AS replica, max(seq) AS clock FROM pe WHERE side = 0
+        |       UNION ALL
+        |       SELECT 'rB', max(seq) FROM pe
+        |       WHERE side = 1 AND seq <= (SELECT c FROM cut)),
+        |vB AS (SELECT 'rB' AS replica, max(seq) AS clock FROM pe WHERE side = 1
+        |       UNION ALL
+        |       SELECT 'rA', max(seq) FROM pe
+        |       WHERE side = 0 AND seq <= (SELECT c FROM cut))
+        |SELECT ea.topic, ea.key, ea.meta, ea.replica, ea.clock
+        |FROM ea JOIN eb USING (topic, key, replica, clock)
+        |UNION ALL
+        |SELECT ea.topic, ea.key, ea.meta, ea.replica, ea.clock
+        |FROM ea LEFT JOIN vB ON ea.replica = vB.replica
+        |WHERE NOT EXISTS (SELECT 1 FROM eb
+        |        WHERE eb.topic = ea.topic AND eb.key = ea.key
+        |          AND eb.replica = ea.replica AND eb.clock = ea.clock)
+        |  AND (vB.clock IS NULL OR ea.clock > vB.clock)
+        |UNION ALL
+        |SELECT eb.topic, eb.key, eb.meta, eb.replica, eb.clock
+        |FROM eb LEFT JOIN vA ON eb.replica = vA.replica
+        |WHERE NOT EXISTS (SELECT 1 FROM ea
+        |        WHERE ea.topic = eb.topic AND ea.key = eb.key
+        |          AND ea.replica = eb.replica AND ea.clock = eb.clock)
+        |  AND (vA.clock IS NULL OR eb.clock > vA.clock)""".stripMargin))
   )
 
   // ------------------------------------------- config / routing / set / scalar

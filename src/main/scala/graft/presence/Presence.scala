@@ -39,6 +39,70 @@ object Presence {
     state.groupBy("topic")
       .agg(sort_array(collect_list(struct(col("key"), col("meta")))).as("presences"))
 
+  /** One tracker's ORSWOT state (observed-remove set without tombstones —
+    * the CRDT under Phoenix.Tracker, presence.ex:8-12): `entries` are the
+    * live presences, each tagged with its add DOT (origin `replica`, that
+    * replica's monotone `clock` at the add); `vv` is the tracker's version
+    * vector — the highest clock it has OBSERVED per replica, including
+    * clocks whose entries it has since removed. The vv is what lets the
+    * merge distinguish "removed" from "never seen" without tombstones. */
+  final case class TrackerState(entries: DataFrame, vv: DataFrame)
+
+  /** Build a tracker's state from its OWN event log: the latest `track`
+    * per (topic, key) not superseded by an `untrack` survives, dotted at
+    * its own `seqCol`; the vv is the max seq ingested (untracks advance
+    * it — that is the observed-remove memory). A sync snapshot of a PEER
+    * tracker is the same function over the peer's log up to the sync
+    * point, merged in with [[mergeTrackers]]. */
+  def trackerFromEvents(events: DataFrame, replica: String,
+      seqCol: String = "seq"): TrackerState = {
+    val w = Window.partitionBy("topic", "key").orderBy(col(seqCol).desc)
+    val entries = events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("action") === "track")
+      .select(col("topic"), col("key"), col("meta"),
+        lit(replica).as("replica"), col(seqCol).cast("long").as("clock"))
+    val vv = events.agg(max(col(seqCol)).cast("long").as("clock"))
+      .where(col("clock").isNotNull) // empty log observed nothing
+      .select(lit(replica).as("replica"), col("clock"))
+    TrackerState(entries, vv)
+  }
+
+  /** ORSWOT join of two trackers' states — the cross-tracker merge the
+    * reference performs when Phoenix.Tracker replicas gossip
+    * (presence.ex:8-12). Dot identity is (topic, key, replica, clock);
+    * meta rides as payload. Per ORSWOT rules an entry survives iff:
+    *  - it is in BOTH states (same dot), or
+    *  - it is in one state only and the OTHER side has not observed its
+    *    dot (clock > that side's vv[replica]) — a new add wins over an
+    *    older concurrent remove;
+    * an entry present in one side whose dot the other side HAS observed
+    * was removed there — observed-remove wins, and it does not
+    * resurrect. The merged vv is the pointwise max. Commutative,
+    * associative, idempotent (PresenceSpec asserts both orderings
+    * converge).
+    *
+    * Scale shape: the semi/anti joins co-partition both entry sets on
+    * the dot — one shuffle each; the vv is replica-count-sized and
+    * broadcast. Nothing presence-sized reaches the driver. */
+  def mergeTrackers(a: TrackerState, b: TrackerState): TrackerState = {
+    val dot = Seq("topic", "key", "replica", "clock")
+    val both = a.entries.join(b.entries, dot, "left_semi")
+    def unseenOnly(mine: DataFrame, theirs: DataFrame,
+        theirVv: DataFrame): DataFrame =
+      mine.join(theirs, dot, "left_anti")
+        .join(broadcast(theirVv.withColumnRenamed("clock", "_seen")),
+          Seq("replica"), "left")
+        .where(col("_seen").isNull || col("clock") > col("_seen"))
+        .drop("_seen")
+    val entries = both
+      .unionByName(unseenOnly(a.entries, b.entries, b.vv))
+      .unionByName(unseenOnly(b.entries, a.entries, a.vv))
+    val vv = a.vv.unionByName(b.vv)
+      .groupBy("replica").agg(max("clock").as("clock"))
+    TrackerState(entries, vv)
+  }
+
   /** Streaming: per-topic state machine emitting presence_diff rows.
     * State = Map[key → meta]; a track of a new key emits a join, an untrack
     * of a present key emits a leave. A re-track of a LIVE key follows the

@@ -36,6 +36,54 @@ class PresenceSpec extends SparkSpec {
     assert(got("room1") == Seq("u1", "u2"))
   }
 
+  test("ORSWOT merge: both orderings converge; add wins; observed-remove wins") {
+    // replica A's log: tracks u1 (clock 1), tracks u2 (3), untracks u2 (5)
+    val evA = Seq(
+      ("room", "u1", "track", "m1", 1L),
+      ("room", "u2", "track", "m2", 3L),
+      ("room", "u2", "untrack", "", 5L)
+    ).toDF("topic", "key", "action", "meta", "seq")
+    // replica B's log: tracks u3 (2), tracks u4 (6)
+    val evB = Seq(
+      ("room", "u3", "track", "m3", 2L),
+      ("room", "u4", "track", "m4", 6L)
+    ).toDF("topic", "key", "action", "meta", "seq")
+    // A synced B's state at clock 2 (holds u3, observed rB→2); B synced
+    // A's state at clock 3 (holds u1 AND the now-dead u2, observed rA→3)
+    val a = Presence.mergeTrackers(
+      Presence.trackerFromEvents(evA, "rA"),
+      Presence.trackerFromEvents(evB.where($"seq" <= 2), "rB"))
+    val b = Presence.mergeTrackers(
+      Presence.trackerFromEvents(evB, "rB"),
+      Presence.trackerFromEvents(evA.where($"seq" <= 3), "rA"))
+    def rows(st: Presence.TrackerState) = st.entries
+      .select("topic", "key", "meta", "replica", "clock")
+      .as[(String, String, String, String, Long)].collect().toSet
+    val ab = Presence.mergeTrackers(a, b)
+    // u1: shared dot, stays. u2: B holds a copy but A OBSERVED the dot
+    // and removed it — remove wins, no resurrection. u3: shared. u4: in
+    // B only with clock 6 > A's observed rB→2 — concurrent add wins.
+    val expected = Set(
+      ("room", "u1", "m1", "rA", 1L),
+      ("room", "u3", "m3", "rB", 2L),
+      ("room", "u4", "m4", "rB", 6L))
+    assert(rows(ab) == expected)
+    // commutative and idempotent (CRDT join laws)
+    assert(rows(Presence.mergeTrackers(b, a)) == expected)
+    assert(rows(Presence.mergeTrackers(ab, ab)) == rows(ab))
+    assert(rows(Presence.mergeTrackers(ab, a)) == expected)
+    // merged vv is the pointwise max
+    val vv = ab.vv.as[(String, Long)].collect().toMap
+    assert(vv == Map("rA" -> 5L, "rB" -> 6L))
+    // re-track with new meta: the newer dot replaces the stale copy
+    val evA2 = evA.union(Seq(("room", "u1", "track", "m1b", 7L))
+      .toDF("topic", "key", "action", "meta", "seq"))
+    val a2 = Presence.trackerFromEvents(evA2, "rA")
+    val merged2 = Presence.mergeTrackers(a2, ab)
+    assert(rows(merged2).contains(("room", "u1", "m1b", "rA", 7L)) &&
+      !rows(merged2).exists(r => r._2 == "u1" && r._3 == "m1"))
+  }
+
   test("diffStream emits joins, meta-update joins, and leaves across batches") {
     implicit val s = spark
     val input = MemoryStream[PresenceEvent](spark)
