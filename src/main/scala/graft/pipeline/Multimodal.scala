@@ -267,10 +267,11 @@ object Multimodal {
     * single returned handle (unpersist it after consumption; the session
     * loop's clearCache also drops it). Emits `a_<c>`/`b_<c>` per pair
     * column (ordered a < b on the first) plus `hamming`. */
-  private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+  private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
       maxHamming: Int, pairCols: Seq[String], extraKeys: Seq[String],
       maxBucket: Int,
-      shape: DataFrame => DataFrame = identity): DataFrame = {
+      shape: DataFrame => DataFrame = identity,
+      eager: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val bandBits = 64 / bands
@@ -333,9 +334,12 @@ object Multimodal {
               when(fwd, col(s"y.$c")).otherwise(col(s"x.$c")).as(s"b_$c")) :+
             hamming: _*)
       }
-    val out =
-      shape(cand.where(col("hamming") <= maxHamming).distinct()).persist()
-    try { out.count(); out } finally h.unpersist()
+    val shaped = shape(cand.where(col("hamming") <= maxHamming).distinct())
+    if (!eager) { h.unpersist(); shaped } // plan-inspection path (specs)
+    else {
+      val out = shaped.persist()
+      try { out.count(); out } finally h.unpersist()
+    }
   }
 
   /** [[bandedHammingPairs]] specialized to one-id pair identity, emitting

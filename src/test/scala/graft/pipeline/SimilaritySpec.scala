@@ -102,6 +102,9 @@ class SimilaritySpec extends SparkSpec {
       (i.toLong, Array(base._1, base._2))
     }.toDF("vec_id", "embedding")
     val q = pts.where(col("vec_id") < 6)
+    // relative, not absolute: other suites share this session and may
+    // legitimately hold caches — the claim is that the REPORT adds none
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val rep = Similarity.recallReport(q, pts, "embedding", "vec_id",
         ks = Seq(3, 5), probes = Seq(1, 2, 3), nCentroids = 3)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
@@ -115,7 +118,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.values.forall(r => r >= 0.0 && r <= 1.0))
     // the report leaves no caches behind (its intermediates are released
     // inside; the result is a literal frame)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore)
   }
 
   test("int8 quantization: scale from max component, bounded error, zero-safe") {

@@ -62,9 +62,23 @@ class PlanShapeSpec extends SparkSpec {
       MediaRecord(2L, "audio", MediaCodec.encodeWav(800, 1), "s"),
       MediaRecord(3L, "video", MediaCodec.encodeVideo(2, 40, 16, 16, 2), "s"))
       .toDS()
-    for (df <- Seq(Multimodal.phashNearDups(media, 7),
-        Multimodal.audioNearDups(media, 7),
-        Multimodal.videoNearDups(media, 7))) {
+    // inspect the LAZY plan (eager=false): the public ops return a
+    // cached pair frame whose executed plan is just the cache scan
+    def banded(hashes: org.apache.spark.sql.DataFrame, hashCol: String,
+        maxH: Int, extraKeys: Seq[String], maxBucket: Int) =
+      Multimodal.bandedHammingPairs(hashes, hashCol, maxH,
+        pairCols = Seq("media_id"), extraKeys = extraKeys,
+        maxBucket = maxBucket, eager = false)
+    val img = Multimodal.imagePhash(media.filter(_.media_type == "image"))
+    val vid = Multimodal.videoSignatures(media.filter(_.media_type == "video"))
+    for (df <- Seq(
+        banded(img, "phash", 7, Nil, 0),
+        banded(vid, "vsig", 7, Seq("n_frames"), 0),
+        // the capped grid must keep the equi-join shape too: sub-group
+        // cell ids join as plain keys, and the sizes frame joins back on
+        // the bucket key (data-sized at bands=1 — never a nested loop)
+        banded(img, "phash", 7, Nil, 2),
+        banded(img, "phash", 0, Nil, 2))) {
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
