@@ -56,9 +56,14 @@ object Bench {
       val r = graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
         seconds = 8, triggerMs = 100L, warmupSec = 3)
       val baseOk = r.nDelivered == r.nSent && r.steady.p99 <= 1000L
+      // sweep until failure: 32-cpu runs sustain 10k/s, so the tail
+      // points exist to actually FIND the knee there (the sweep stops at
+      // the first failing rate, so cheap machines pay only the early
+      // points)
       val kn = graft.cdc.StreamLatency.knee(spark,
-        rates = Seq(2000, 5000, 10000), seconds = 6, triggerMs = 100L,
-        warmupSec = 2, p99SloMs = 1000L)
+        rates = Seq(2000, 5000, 10000, 20000, 40000, 80000, 160000, 320000),
+        seconds = 6,
+        triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
       val maxSustained =
         math.max(if (baseOk) r.ratePerSec else 0, kn.maxSustainedRate)
       val sweep = kn.points.map(p =>

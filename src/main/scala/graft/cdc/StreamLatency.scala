@@ -163,24 +163,33 @@ object StreamLatency {
     *    `p99SloMs` budget: micro-batches are queueing faster than they
     *    execute, the classic knee signature.
     * The sweep stops at the first failure (higher rates only degrade
-    * further — measuring them adds wall-clock, not information). */
+    * further — measuring them adds wall-clock, not information). A
+    * failing point is re-measured ONCE before it is declared the knee:
+    * each point is a single `seconds`-long window, so one unlucky GC
+    * pause can fail an easily-sustained rate and report a bogus
+    * near-zero knee — a genuine knee fails both runs. */
   def knee(spark: SparkSession, rates: Seq[Int],
       seconds: Int = 6, triggerMs: Long = 100L, warmupSec: Int = 2,
       p99SloMs: Long = 1000L): KneeReport = {
-    val points = Seq.newBuilder[SweepPoint]
-    var failure = "none"
-    var maxSustained = 0
-    var stop = false
-    for (r <- rates if !stop) {
+    def measure(r: Int): SweepPoint = {
       val rep = run(spark, r, seconds, triggerMs, warmupSec)
       val mode =
         if (rep.nDelivered < rep.nSent) "drops"
         else if (rep.steady.p99 > p99SloMs) "p99_degraded"
         else "none"
-      val ok = mode == "none"
-      points += SweepPoint(r, rep.nSent, rep.nDelivered, rep.steady, ok, mode)
-      if (ok) maxSustained = r
-      else { failure = mode; stop = true }
+      SweepPoint(r, rep.nSent, rep.nDelivered, rep.steady,
+        sustained = mode == "none", failureMode = mode)
+    }
+    val points = Seq.newBuilder[SweepPoint]
+    var failure = "none"
+    var maxSustained = 0
+    var stop = false
+    for (r <- rates if !stop) {
+      val first = measure(r)
+      val p = if (first.sustained) first else measure(r)
+      points += p
+      if (p.sustained) maxSustained = r
+      else { failure = p.failureMode; stop = true }
     }
     KneeReport(points.result(), maxSustained, failure)
   }
