@@ -84,6 +84,48 @@ class PresenceSpec extends SparkSpec {
       !rows(merged2).exists(r => r._2 == "u1" && r._3 == "m1"))
   }
 
+  test("ORSWOT merge: CRDT join laws on randomized three-replica logs") {
+    // deterministic pseudo-random logs: tracks/untracks over shared keys
+    // with unique per-replica clocks, plus stale cross-syncs — the lattice
+    // laws (commutative, associative, idempotent) must hold for ANY such
+    // states, and any merge order must converge to one state
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq("k1", "k2", "k3", "k4")
+      def log(replica: Int): org.apache.spark.sql.DataFrame = {
+        val n = 6 + rnd.nextInt(6)
+        (1 to n).map { i =>
+          val action = if (rnd.nextInt(3) == 0) "untrack" else "track"
+          ("room", keys(rnd.nextInt(keys.size)), action,
+            s"m$replica-$i", replica * 1000L + i)
+        }.toDF("topic", "key", "action", "meta", "seq")
+      }
+      val (la, lb, lc) = (log(1), log(2), log(3))
+      def cutoff(df: org.apache.spark.sql.DataFrame) =
+        df.where($"seq" % 1000 <= 3 + rnd.nextInt(3))
+      // each tracker: own log + a stale snapshot of one peer
+      val a = Presence.mergeTrackers(
+        Presence.trackerFromEvents(la, "rA"),
+        Presence.trackerFromEvents(cutoff(lb), "rB"))
+      val b = Presence.mergeTrackers(
+        Presence.trackerFromEvents(lb, "rB"),
+        Presence.trackerFromEvents(cutoff(lc), "rC"))
+      val c = Presence.mergeTrackers(
+        Presence.trackerFromEvents(lc, "rC"),
+        Presence.trackerFromEvents(cutoff(la), "rA"))
+      def rows(st: Presence.TrackerState) = st.entries
+        .select("topic", "key", "meta", "replica", "clock")
+        .as[(String, String, String, String, Long)].collect().toSet
+      val m = Presence.mergeTrackers _
+      val abc = rows(m(m(a, b), c))
+      assert(abc == rows(m(a, m(b, c))), s"associative (seed $seed)")
+      assert(abc == rows(m(m(a, c), b)), s"order-free (seed $seed)")
+      assert(abc == rows(m(m(b, a), c)), s"commutative (seed $seed)")
+      assert(rows(m(m(a, b), m(a, b))) == rows(m(a, b)),
+        s"idempotent (seed $seed)")
+    }
+  }
+
   test("diffStream emits joins, meta-update joins, and leaves across batches") {
     implicit val s = spark
     val input = MemoryStream[PresenceEvent](spark)
