@@ -47,10 +47,39 @@ final class PollPacer(
     else baseIntervalMs * idleMultiplier
 }
 
+/** The reference poller's error-retry policy: RANDOMIZED EXPONENTIAL
+  * backoff between 100 ms and 5 s with at most `maxRetries` consecutive
+  * failures before giving up to the supervisor
+  * (/root/reference/lib/extensions/postgres_cdc_rls/replication_poller.ex:49,93,358-367
+  * — `Backoff.new(backoff_min:100, backoff_max:5000, backoff_type::rand_exp)`,
+  * `@max_retries 6`, reset on every successful poll). Delay for attempt
+  * k is uniform in [min, min(max, min·2^(k−1))] — exponentially growing
+  * cap with jitter so restarting pollers don't stampede a recovering
+  * database. Deterministic per seed so specs can pin the sequence. */
+final class RetryBackoff(
+    val minMs: Long = 100L, val maxMs: Long = 5000L,
+    val maxRetries: Int = 6, seed: Long = 0L) extends Serializable {
+  require(minMs > 0 && maxMs >= minMs && maxRetries >= 0)
+  private val rnd = new java.util.Random(seed)
+  private var attempt = 0
+  def attempts: Int = attempt
+  /** Delay before the next retry, or None once retries are exhausted. */
+  def nextDelayMs(): Option[Long] =
+    if (attempt >= maxRetries) None
+    else {
+      attempt += 1
+      val cap = math.min(maxMs, minMs << math.min(attempt - 1, 30))
+      Some(minMs + (rnd.nextDouble() * (cap - minMs)).toLong)
+    }
+  /** A successful poll clears the consecutive-failure streak. */
+  def reset(): Unit = attempt = 0
+}
+
 /** Handle for a running adaptive poll loop. A loop that died on an
   * exception is distinguishable from one that completed: `failure`
-  * carries the cause (polling has STOPPED either way — the caller
-  * decides whether to restart, exactly like the reference's supervisor). */
+  * carries the cause (polling has STOPPED either way — after exhausting
+  * the in-loop [[RetryBackoff]] — and the caller decides whether to
+  * restart, exactly like the reference's supervisor). */
 final class PollHandle private[cdc] (thread: Thread, flag: AtomicBoolean) {
   @volatile private[cdc] var failed: Option[Throwable] = None
   def stop(): Unit = { flag.set(false); thread.interrupt(); thread.join(5000L) }
@@ -60,19 +89,22 @@ final class PollHandle private[cdc] (thread: Thread, flag: AtomicBoolean) {
 
 object AdaptivePoll {
 
-  /** Spawn the loop on a daemon thread; poll/process failures land in
-    * `PollHandle.failure` instead of vanishing with the thread. */
+  /** Spawn the loop on a daemon thread; poll/process failures retry on
+    * the [[RetryBackoff]] schedule, and only an EXHAUSTED retry budget
+    * lands in `PollHandle.failure` instead of vanishing with the
+    * thread. */
   private[cdc] def spawn(
       name: String,
       pollFn: () => org.apache.spark.sql.DataFrame,
       processFn: org.apache.spark.sql.DataFrame => (Long, Long),
       pacer: PollPacer,
       flag: AtomicBoolean,
-      maxPolls: Long): PollHandle = {
+      maxPolls: Long,
+      backoff: RetryBackoff = new RetryBackoff()): PollHandle = {
     @volatile var handle: PollHandle = null
     val t = new Thread(() => {
       try AdaptivePoll.loop(pollFn, processFn, pacer,
-        ms => Thread.sleep(ms), () => flag.get(), maxPolls)
+        ms => Thread.sleep(ms), () => flag.get(), maxPolls, backoff)
       catch {
         case _: InterruptedException => () // stop() requested
         // a stop() interrupt can land mid-Spark-action inside processFn
@@ -89,24 +121,42 @@ object AdaptivePoll {
     handle
   }
 
-  /** Run `maxPolls` iterations of poll → process → pace. Broken out of the
-    * thread wrapper so specs can drive it synchronously with a recording
-    * `sleeper`. Returns the per-iteration delays that were applied. */
+  /** Run `maxPolls` iterations of poll → process → pace. A failed
+    * iteration does NOT consume a poll: it sleeps the next backoff delay
+    * and retries, up to [[RetryBackoff.maxRetries]] CONSECUTIVE failures
+    * — then the final cause is rethrown (the reference re-raises to its
+    * supervisor after `@max_retries`). Any successful poll resets the
+    * streak. Broken out of the thread wrapper so specs can drive it
+    * synchronously with a recording `sleeper`. Returns the per-iteration
+    * pacing delays that were applied (backoff sleeps go through the same
+    * `sleeper` but are not part of the pacing record). */
   private[cdc] def loop(
       pollFn: () => DataFrame,
       processFn: DataFrame => (Long, Long),
       pacer: PollPacer,
       sleeper: Long => Unit,
       keepGoing: () => Boolean,
-      maxPolls: Long): Seq[Long] = {
+      maxPolls: Long,
+      backoff: RetryBackoff = new RetryBackoff()): Seq[Long] = {
     val delays = Seq.newBuilder[Long]
     var n = 0L
     while (keepGoing() && n < maxPolls) {
-      val (processed, slotChanges) = processFn(pollFn())
-      val d = pacer.nextDelayMs(processed, slotChanges)
-      delays += d
-      n += 1
-      if (d > 0L && keepGoing() && n < maxPolls) sleeper(d)
+      val outcome =
+        try Right(processFn(pollFn()))
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
+      outcome match {
+        case Left(e) =>
+          backoff.nextDelayMs() match {
+            case Some(d) => if (keepGoing()) sleeper(d)
+            case None => throw e // budget exhausted — surface the cause
+          }
+        case Right((processed, slotChanges)) =>
+          backoff.reset()
+          val d = pacer.nextDelayMs(processed, slotChanges)
+          delays += d
+          n += 1
+          if (d > 0L && keepGoing() && n < maxPolls) sleeper(d)
+      }
     }
     delays.result()
   }

@@ -440,7 +440,8 @@ object CdcStream {
       defaultTenantLimit: Long = Long.MaxValue,
       rates: Option[graft.rates.TenantRateCounters] = None,
       deliverTo: Option[DeliverySink] = None,
-      maxPolls: Long = Long.MaxValue): PollHandle = {
+      maxPolls: Long = Long.MaxValue,
+      backoff: RetryBackoff = new RetryBackoff()): PollHandle = {
     val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
     val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
     val processFn: DataFrame => (Long, Long) = { batch =>
@@ -452,7 +453,7 @@ object CdcStream {
       (s.nChanges - s.shedTenants.values.sum, s.nChanges)
     }
     AdaptivePoll.spawn(s"graft-adaptive-poll-$table", pollFn, processFn,
-      pacer, flag, maxPolls)
+      pacer, flag, maxPolls, backoff)
   }
 
   /** Adaptive cadence on the wal2json path — the faithful pairing: the
@@ -469,7 +470,8 @@ object CdcStream {
       subs: Seq[Subscription],
       bus: MemoryBus,
       pacer: PollPacer,
-      maxPolls: Long = Long.MaxValue): PollHandle = {
+      maxPolls: Long = Long.MaxValue,
+      backoff: RetryBackoff = new RetryBackoff()): PollHandle = {
     val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
     val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
     val registry = scala.collection.mutable
@@ -484,7 +486,7 @@ object CdcStream {
       (s.nDeliveries, s.nChanges)
     }
     AdaptivePoll.spawn("graft-adaptive-poll-wal2json", pollFn, processFn,
-      pacer, flag, maxPolls)
+      pacer, flag, maxPolls, backoff)
   }
 
   /** Adaptive cadence on the binary pgoutput path — same loop as
@@ -501,6 +503,7 @@ object CdcStream {
       bus: MemoryBus,
       pacer: PollPacer,
       maxPolls: Long = Long.MaxValue,
+      backoff: RetryBackoff = new RetryBackoff(),
       initialRegistry: Map[Int, PgOutput.RelationMeta] = Map.empty): PollHandle = {
     val flag = new java.util.concurrent.atomic.AtomicBoolean(true)
     val batchId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -512,7 +515,7 @@ object CdcStream {
       (s.nDeliveries, s.nChanges)
     }
     AdaptivePoll.spawn("graft-adaptive-poll-pgoutput", pollFn, processFn,
-      pacer, flag, maxPolls)
+      pacer, flag, maxPolls, backoff)
   }
 
   /** Attach the CDC pipeline to a streaming change DataFrame.

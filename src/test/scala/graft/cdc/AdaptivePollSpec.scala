@@ -50,14 +50,78 @@ class AdaptivePollSpec extends SparkSpec {
     assert(slept.result() == delays.slice(2, 4))
   }
 
+  test("RetryBackoff: rand_exp bounds, growth, reset, exhaustion") {
+    val b = new RetryBackoff(minMs = 100L, maxMs = 5000L, maxRetries = 6,
+      seed = 7L)
+    val caps = Seq(100L, 200L, 400L, 800L, 1600L, 3200L)
+    val delays = (1 to 6).map(_ => b.nextDelayMs().get)
+    delays.zip(caps).foreach { case (d, cap) =>
+      assert(d >= 100L && d <= cap, s"delay $d out of [100, $cap]")
+    }
+    assert(b.nextDelayMs().isEmpty, "7th consecutive failure exhausts")
+    b.reset()
+    assert(b.nextDelayMs().nonEmpty, "a success clears the streak")
+    // deterministic per seed
+    val b2 = new RetryBackoff(seed = 7L)
+    assert((1 to 6).map(_ => b2.nextDelayMs().get) == delays)
+  }
+
+  test("loop: transient failures retry on backoff; a success resets") {
+    // fails twice, succeeds, fails twice, succeeds — never exhausts the
+    // 3-retry budget because successes reset the streak
+    val script = Iterator[() => (Long, Long)](
+      () => throw new RuntimeException("t1"),
+      () => throw new RuntimeException("t2"),
+      () => (1L, 1L),
+      () => throw new RuntimeException("t3"),
+      () => throw new RuntimeException("t4"),
+      () => (0L, 0L))
+    val slept = Seq.newBuilder[Long]
+    val backoff = new RetryBackoff(minMs = 10L, maxMs = 80L, maxRetries = 3,
+      seed = 1L)
+    val delays = AdaptivePoll.loop(
+      pollFn = () => null,
+      processFn = _ => script.next()(),
+      pacer = new PollPacer(100L, jitterSeed = 1L),
+      sleeper = slept += _,
+      keepGoing = () => true,
+      maxPolls = 2L,
+      backoff = backoff)
+    assert(delays.size == 2, "failed polls do not consume the poll budget")
+    assert(delays.head == 0L && delays.last == 500L)
+    // 4 backoff sleeps happened, all within policy bounds
+    val backoffSleeps = slept.result().filter(d => d >= 10L && d <= 80L)
+    assert(backoffSleeps.size == 4, s"slept=${slept.result()}")
+    assert(backoff.attempts == 0, "final success reset the streak")
+  }
+
+  test("loop: the retry budget exhausts on consecutive failures") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      AdaptivePoll.loop(
+        pollFn = () => null,
+        processFn = _ => { calls += 1; throw new RuntimeException(s"c$calls") },
+        pacer = new PollPacer(100L),
+        sleeper = _ => (),
+        keepGoing = () => true,
+        maxPolls = 10L,
+        backoff = new RetryBackoff(1L, 2L, maxRetries = 3, seed = 1L))
+    }
+    // initial attempt + 3 retries, and the LAST cause surfaces
+    assert(calls == 4 && e.getMessage == "c4")
+  }
+
   test("a crashed poll loop reports its failure instead of dying silently") {
     val subs = Seq(Subscription("s", "public", "t", Nil))
     val dataSchema = Seq.empty[Change].toDS().toDF()
       .drop("change_type", "commit_timestamp").schema
     val bus = CdcStream.MemoryBus()
     val boom = () => throw new RuntimeException("db outage")
+    // fast backoff so the spec exercises retry-then-surface in ms; the
+    // default policy is the reference's 100 ms–5 s rand_exp
     val h = CdcStream.startAdaptivePoll(boom, subs, dataSchema, "t",
-      pk = Seq("id"), bus = bus, pacer = new PollPacer(50L), maxPolls = 10L)
+      pk = Seq("id"), bus = bus, pacer = new PollPacer(50L), maxPolls = 10L,
+      backoff = new RetryBackoff(1L, 4L, maxRetries = 2, seed = 1L))
     try {
       val deadline = System.currentTimeMillis() + 10000L
       while (h.isRunning && System.currentTimeMillis() < deadline)
