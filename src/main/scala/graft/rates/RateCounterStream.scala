@@ -30,17 +30,32 @@ object RateCounterStream {
       firstTick: Long,          // ring length grows until windowTicks (ref :210-214)
       triggered: Boolean)
 
+  /** @param idleTimeoutMs > 0 enables the opt-in idle reap: a key with no
+    *        events for that span has its ring REMOVED via processing-time
+    *        timeout — the reference's 5-min zero shutdown
+    *        (rate_counter.ex:25,226-234). A returning key restarts from an
+    *        empty ring, like the reference's counter restart. Opt-in
+    *        because enabling timeouts makes the engine schedule periodic
+    *        empty micro-batches (see [[graft.presence.Presence.diffStream]]). */
   def apply(
       events: Dataset[Event],
       limitAvg: Double,
-      windowTicks: Int = 60)(
+      windowTicks: Int = 60,
+      idleTimeoutMs: Long = 0L)(
       implicit spark: SparkSession): Dataset[RateTick] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState[RingState, RateTick](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, timeoutConf) {
         (key: String, evs: Iterator[Event], state: GroupState[RingState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle ring reaped; no emission (all-zero window)
+            Iterator.empty
+          } else {
           var st = state.getOption
             .getOrElse(RingState(Map.empty, Long.MinValue, triggered = false))
           val out = Seq.newBuilder[RateTick]
@@ -62,7 +77,9 @@ object RateCounterStream {
               out += RateTick(key, tick, sum, math.rint(avg * 1e6) / 1e6, triggered)
             }
           state.update(st)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
           out.result().iterator
+          }
       }
   }
 }

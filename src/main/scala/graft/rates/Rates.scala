@@ -329,6 +329,7 @@ final class TenantRateCounters(
   import scala.collection.mutable
   private final class St {
     val buckets = mutable.Map[Long, Long]() // epoch second → events
+    var lastAddMs = 0L                      // for idle eviction
   }
   private val state = mutable.Map[String, St]()
   private def pruned(tenant: String, nowMs: Long): St = {
@@ -340,13 +341,33 @@ final class TenantRateCounters(
   /** Record `n` processed events for `tenant` at `nowMs`. */
   def add(tenant: String, n: Long, nowMs: Long): Unit = {
     val st = pruned(tenant, nowMs)
+    st.lastAddMs = nowMs
     val sec = nowMs / 1000
     st.buckets(sec) = st.buckets.getOrElse(sec, 0L) + n
   }
+  /** Number of tenants currently holding state (telemetry/spec surface). */
+  def nTracked: Int = state.size
+  /** Drop counters idle for `idleSec` — the reference shuts a counter
+    * down after 5 minutes of zeros (rate_counter.ex:25,226-234) so a
+    * churning tenant population doesn't grow driver state without bound;
+    * a returning tenant simply re-creates its counter (reads on an
+    * evicted tenant see an empty — all-zero — window, same as the
+    * reference's restart-from-empty). Call on the poll/batch cadence;
+    * returns the evicted tenant ids. */
+  def evictIdle(nowMs: Long, idleSec: Int = 300): Seq[String] = {
+    val victims = state.collect {
+      case (t, st) if nowMs - st.lastAddMs >= idleSec * 1000L => t
+    }.toSeq
+    victims.foreach(state.remove)
+    victims.sorted
+  }
   /** Average events/sec over the fixed-length window (sum/len — empty
-    * seconds count, like the reference's zero-filled ring). */
+    * seconds count, like the reference's zero-filled ring). Reading an
+    * unknown/evicted tenant does NOT materialize state (otherwise probe
+    * reads would recreate what [[evictIdle]] just dropped). */
   def avg(tenant: String, nowMs: Long): Double =
-    pruned(tenant, nowMs).buckets.values.sum.toDouble / windowSec
+    if (!state.contains(tenant)) 0.0
+    else pruned(tenant, nowMs).buckets.values.sum.toDouble / windowSec
   /** The poller's gate: is this tenant's current rate over its cap? */
   def triggered(tenant: String, nowMs: Long): Boolean =
     avg(tenant, nowMs) > limitsPerSec.getOrElse(tenant, defaultLimitPerSec)

@@ -157,6 +157,24 @@ class RatesSpec extends SparkSpec {
     assert(got.size == 3, "no B→A carryover across users")
   }
 
+  test("TenantRateCounters: idle counters evict after the zero span") {
+    val rc = new graft.rates.TenantRateCounters(10, defaultLimitPerSec = 1.0)
+    rc.add("hot", 5, nowMs = 1000L)
+    rc.add("cold", 5, nowMs = 1000L)
+    assert(rc.nTracked == 2)
+    rc.add("hot", 5, nowMs = 200000L) // hot keeps reporting
+    // 5 minutes after cold's last event: only cold evicts
+    assert(rc.evictIdle(nowMs = 301000L) == Seq("cold"))
+    assert(rc.nTracked == 1)
+    // an evicted tenant reads as an empty (all-zero) window — the
+    // reference's restart-from-empty — and re-creates on its next event
+    assert(rc.avg("cold", 301000L) == 0.0)
+    rc.add("cold", 3, nowMs = 302000L)
+    assert(rc.avg("cold", 302000L) == 0.3 && rc.nTracked == 2)
+    // nothing else is idle yet
+    assert(rc.evictIdle(nowMs = 302000L).isEmpty)
+  }
+
   test("ewmaTrailing: exact binary-fraction weights, per-key warm-up") {
     val ev = Seq(
       ("u", t("2024-01-01 00:00:01"), 1L, 8.0),
