@@ -382,10 +382,11 @@ object CdcStream {
       orderCol: String,
       subs: Seq[Subscription],
       bus: MemoryBus,
-      triggerMs: Long = 100L): StreamingQuery = {
+      triggerMs: Long = 100L,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     val registry = scala.collection.mutable
       .Map[(String, String), (StructType, Seq[String])]()
-    msgs.writeStream
+    val w = msgs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -393,7 +394,8 @@ object CdcStream {
           batchId)
         ()
       }
-      .start()
+    checkpointLocation.foreach(loc => w.option("checkpointLocation", loc))
+    w.start()
   }
 
   /** Attach the full raw-WAL pipeline (binary pgoutput frames in,
@@ -407,17 +409,19 @@ object CdcStream {
       subs: Seq[Subscription],
       bus: MemoryBus,
       triggerMs: Long = 100L,
-      initialRegistry: Map[Int, PgOutput.RelationMeta] = Map.empty): StreamingQuery = {
+      initialRegistry: Map[Int, PgOutput.RelationMeta] = Map.empty,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     val registry =
       scala.collection.mutable.Map[Int, PgOutput.RelationMeta]() ++ initialRegistry
-    msgs.writeStream
+    val w = msgs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processWalBatch(batch, bytesCol, orderCol, subs, bus, registry, batchId)
         ()
       }
-      .start()
+    checkpointLocation.foreach(loc => w.option("checkpointLocation", loc))
+    w.start()
   }
 
   /** The CDC pipeline under ADAPTIVE poll cadence (O9): a daemon-thread
