@@ -926,6 +926,41 @@ object Queries {
         |SELECT node,
         |       array_to_string(list_sort(list(user_id)), ',') AS subscriber_ids
         |FROM m GROUP BY 1""".stripMargin)),
+    // O7's fallback arm: ids ABSENT from the id→node map cannot be
+    // routed point-to-point, so they fan out to EVERY node (the
+    // reference broadcasts when any subscriber id is unmapped,
+    // replication_poller.ex:457-472). Map = broadcast dim (users
+    // divisible by 3 are "mapped", node = id % 4); the unmapped rest
+    // replicate across all 4 nodes via a broadcast cross join.
+    Q("j8_routing_fallback",
+      (s, d) => {
+        val ids = ev(s, d).select(col("user_id")).distinct()
+        val nodeMap = ids.where(col("user_id") % 3 === 0)
+          .select(col("user_id").as("mapped_id"),
+            (col("user_id") % 4).as("node"))
+        val nodes = ev(s, d).select((col("user_id") % 4).as("node")).distinct()
+        val routed = ids.join(broadcast(nodeMap),
+            col("user_id") === col("mapped_id"), "left")
+        val direct = routed.where(col("node").isNotNull)
+          .select(col("node"), col("user_id"))
+        val fallback = routed.where(col("node").isNull)
+          .select(col("user_id")).crossJoin(broadcast(nodes))
+          .select(col("node"), col("user_id"))
+        direct.unionByName(fallback)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_routed"),
+            sum(col("user_id")).as("id_sum"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT user_id FROM events),
+        |nodes AS (SELECT DISTINCT user_id % 4 AS node FROM events),
+        |direct AS (SELECT user_id % 4 AS node, user_id FROM ids
+        |           WHERE user_id % 3 = 0),
+        |fallback AS (SELECT n.node, i.user_id FROM ids i CROSS JOIN nodes n
+        |             WHERE i.user_id % 3 != 0)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_routed,
+        |       CAST(sum(user_id) AS BIGINT) AS id_sum
+        |FROM (SELECT * FROM direct UNION ALL SELECT * FROM fallback)
+        |GROUP BY 1""".stripMargin)),
     // Late-arriving dimension detection: facts whose dim key is absent
     // from a partial dimension snapshot — broadcast anti-join against
     // the dim, grouped orphan counts per missing key (the data-quality

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.StructType
   * each micro-batch (small, slowly-changing dimension).
   */
 final class SubscriptionRegistry(
-    catalog: Map[(String, String), StructType]) {
+    catalog: Map[(String, String), StructType],
+    maxChannelsPerClient: Int = 100) {
 
   @volatile private var subs: Map[(String, String, String), Subscription] = Map.empty
 
@@ -69,6 +70,17 @@ final class SubscriptionRegistry(
                 claimsRole, actionFilter, selectedColumns).canonical
             }
             synchronized {
+              // channels-per-client cap (the reference rejects a client
+              // exceeding max_channels_per_client, default 100,
+              // realtime_channel.ex:665-682 / config/runtime.exs:98):
+              // count the rows this client would hold AFTER the upsert —
+              // replaced keys don't double-count, and a wildcard
+              // expansion can trip the cap in one call
+              val after = subs.keys.filter(_._1 == subscriptionId).toSet ++
+                created.map(c => (c.subscriptionId, c.schema, c.table))
+              if (after.size > maxChannelsPerClient)
+                return Left(s"too many channels: $subscriptionId would hold " +
+                  s"${after.size} > $maxChannelsPerClient")
               // ON CONFLICT (id, entity) DO UPDATE
               created.foreach(c => subs += ((c.subscriptionId, c.schema, c.table) -> c))
             }

@@ -39,6 +39,30 @@ class SubscriptionRegistrySpec extends AnyFunSuite {
     assert(r.all.size == 1 && r.all.head.filters.head.value == "5")
   }
 
+  test("channels-per-client cap: upsert doesn't double-count, wildcard " +
+      "expansion can trip it in one call") {
+    val r = new SubscriptionRegistry(Map(
+      ("public", "test") -> tSchema,
+      ("public", "other") -> tSchema,
+      ("audit", "log") -> tSchema), maxChannelsPerClient = 2)
+    assert(r.subscribe("c1", "public", "test").isRight)
+    // replacing the same (id, entity) stays at 1 channel
+    assert(r.subscribe("c1", "public", "test", "id=gt.5").isRight)
+    assert(r.subscribe("c1", "public", "other").isRight)
+    // a third distinct entity exceeds the cap of 2 — rejected, state intact
+    val over = r.subscribe("c1", "audit", "log")
+    assert(over.swap.toOption.get.contains("too many channels"))
+    assert(r.all.size == 2)
+    // a 3-table wildcard blows the cap atomically (nothing inserted)
+    val r2 = new SubscriptionRegistry(Map(
+      ("public", "test") -> tSchema,
+      ("public", "other") -> tSchema,
+      ("audit", "log") -> tSchema), maxChannelsPerClient = 2)
+    assert(r2.subscribe("c2", "*", "*").isLeft && r2.all.isEmpty)
+    // other clients are unaffected by c1's count
+    assert(r.subscribe("c3", "audit", "log").isRight)
+  }
+
   test("invalid filters and unknown columns are rejected at subscribe time") {
     val r = reg
     assert(r.subscribe("s1", "public", "test", "nope=eq.1").isLeft)
