@@ -27,7 +27,8 @@ object Explain {
         "a_rolling_actives", "a_outliers_mad", "a_debounce",
         "j_asof_next", "pipeline_curation_e2e_v3", "a_wow_growth",
         "a_percent_rank", "a_chisq", "curation_split3",
-        "text_keyphrases", "text_textrank")
+        "text_keyphrases", "text_textrank", "a4_presence_orswot",
+        "j8_routing_fallback", "sim_ann_recall")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
