@@ -60,7 +60,12 @@ object Wal2Json {
     StructField("identity", colEntry),
     StructField("pk", ArrayType(StructType(Seq(
       StructField("name", StringType),
-      StructField("type", StringType)))))))
+      StructField("type", StringType))))),
+    // logical-message fields (action "M", wal2json include-message):
+    // absent on row changes, so they parse as nulls there
+    StructField("prefix", StringType),
+    StructField("content", StringType),
+    StructField("transactional", BooleanType)))
 
   /** Parse a wal2json v2 JSON string column to the typed struct. */
   def parsed(json: Column): Column = from_json(json, Schema)
@@ -116,11 +121,21 @@ object Wal2Json {
         when(a === "I", "INSERT").when(a === "U", "UPDATE")
           .when(a === "D", "DELETE").when(a === "T", "TRUNCATE")
           .when(a === "B", "BEGIN").when(a === "C", "COMMIT")
+          .when(a === "M", "MESSAGE")
           .otherwise("ERROR").as("message"),
         col("w.schema").as("change_schema"),
         col("w.table").as("change_table"),
         isoTimestamp(col("w.timestamp")).as("commit_timestamp"),
-        entriesToMap(col("w.columns")).as("record"),
+        // logical messages (pg_logical_emit_message via include-message)
+        // carry prefix/content/transactional instead of columns — shaped
+        // identically to the pgoutput decoder's tag-M record so both
+        // formats feed one downstream (PgOutput.decodeIterator case 'M')
+        when(a === "M", map(
+            lit("prefix"), col("w.prefix"),
+            lit("content"), col("w.content"),
+            lit("transactional"),
+            coalesce(col("w.transactional").cast("string"), lit("false"))))
+          .otherwise(entriesToMap(col("w.columns"))).as("record"),
         entriesToMap(col("w.identity")).as("old_record"),
         array().cast("array<string>").as("unchanged_toast"))
       .as[PgOutput.WalChange]

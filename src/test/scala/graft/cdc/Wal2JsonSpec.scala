@@ -84,6 +84,27 @@ class Wal2JsonSpec extends SparkSpec {
     assert(got == Seq("TRUNCATE", "BEGIN", "COMMIT", "ERROR"))
   }
 
+  test("action M: logical messages shape like the pgoutput tag-M record") {
+    val json =
+      """{"action":"M","transactional":true,"prefix":"realtime",
+        |"content":"{\"event\":\"go\"}",
+        |"timestamp":"2024-01-01 00:00:00+00"}""".stripMargin.replace("\n", "")
+    val m = decode((0L, json)).collect().head
+    assert(m.message == "MESSAGE")
+    assert(m.change_schema == null && m.change_table == null)
+    assert(m.record == Map(
+      "prefix" -> "realtime",
+      "content" -> """{"event":"go"}""",
+      "transactional" -> "true"))
+    // a row change is unaffected by the new message fields (they parse
+    // as nulls and the columns map wins)
+    val ins =
+      """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00",
+        |"columns":[{"name":"a","type":"int8","typeoid":20,"value":1}]}"""
+        .stripMargin.replace("\n", "")
+    assert(decode((1L, ins)).collect().head.record == Map("a" -> "1"))
+  }
+
   test("decodeRaw exposes pk column names and typeoids") {
     val json =
       """{"action":"I","schema":"s","table":"t","timestamp":"2024-01-01 00:00:00+00",
