@@ -17,42 +17,61 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("events", "documents", "embeddings", "lineitem")
       .foreach(t => graft.cdc.ChangeFeed.table(spark, sfDir, t).count())
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // a crashed run is recorded as -1 (and the name lands in `failed`),
+    // never as its elapsed-time-to-failure: a query that starts dying
+    // quickly must not masquerade as a fast warm run in warm_min
+    val failed = scala.collection.mutable.TreeSet.empty[String]
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop query-persisted intermediates so caches never accumulate
       // across the suite (cleanup charged to the query that cached)
       spark.catalog.clearCache()
-      dt
+      if (ok) dt else { failed += name; -1.0 }
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // pass 1: one-shot numbers (what every prior round reported — first
     // execution of each plan in this session, JIT/codegen state included)
-    val oneshot = sorted.map { case (name, fn) => name -> time(fn) }
+    val oneshot = sorted.map { case (name, fn) => name -> time(name, fn) }
     // pass 2: one warm re-run of everything; pass 3: a second warm run
     // for queries still at >= 1 s (where one-shot noise has repeatedly
     // produced multi-second false regressions). warm_min is the per-query
-    // minimum over the warm runs — the adjudication number: a one-shot
-    // outlier with a warm_min in its usual band is JIT/GC noise, a
-    // warm_min that moved is a real regression.
-    val warm1 = sorted.map { case (name, fn) => name -> time(fn) }.toMap
+    // minimum over the SUCCESSFUL warm runs — the adjudication number: a
+    // one-shot outlier with a warm_min in its usual band is JIT/GC noise,
+    // a warm_min that moved is a real regression; any failed run anywhere
+    // forces warm_min to -1 so failure is visible, not averaged away.
+    val warm1 = sorted.map { case (name, fn) => name -> time(name, fn) }.toMap
     val oneshotMap = oneshot.toMap
     val warm2 = sorted
-      .filter { case (name, _) => math.min(oneshotMap(name), warm1(name)) >= 1.0 }
-      .map { case (name, fn) => name -> time(fn) }.toMap
+      .filter { case (name, _) =>
+        math.min(oneshotMap(name), warm1(name)) >= 1.0 }
+      .map { case (name, fn) => name -> time(name, fn) }.toMap
     val warmMin = sorted.map { case (name, _) =>
-      name -> math.min(warm1(name), warm2.getOrElse(name, Double.MaxValue))
+      val runs = warm1(name) +: warm2.get(name).toSeq
+      name -> (if (failed(name)) -1.0 else runs.min)
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (oneshot.nonEmpty) oneshot.map(_._2).sum else 0.0
+    val total = if (oneshot.nonEmpty) oneshot.map(_._2).filter(_ >= 0).sum
+                else 0.0
     // streaming SLO: commit→broadcast latency at the reference's implied
     // design point (1,000 changes/s, 100 ms poll) — the one number the
     // batch queries above can't measure — plus a rate sweep upward to
     // find the knee (max sustained rate and how the first failure fails)
     val stream = try {
+      // throwaway warm pass first: after ~10 min of batch sweeps the
+      // streaming path's codegen/JIT state is cold (code-cache churn),
+      // and r8 recorded a 1000/s steady block failing its own p99 SLO
+      // while the sweep seconds later sustained 160× the rate — the
+      // recorded number must reflect steady state, not session history
+      graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
+        seconds = 4, triggerMs = 100L, warmupSec = 2)
       val r = graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
         seconds = 8, triggerMs = 100L, warmupSec = 3)
       val baseOk = r.nDelivered == r.nSent && r.steady.p99 <= 1000L
@@ -86,7 +105,8 @@ object Bench {
         System.err.println(s"[bench] stream SLO measurement failed: $e")
         ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(oneshot)},"warm_min":${jmap(warmMin)},"sf":"$sfDir"$stream}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(oneshot)},"warm_min":${jmap(warmMin)},"failed":$failedJson,"sf":"$sfDir"$stream}""")
     spark.stop()
   }
 }

@@ -708,20 +708,18 @@ object PipelineQueries {
         import s.implicits._
         val media = Multimodal.mediaFromDocuments(docs(s, d))
           .as[Multimodal.MediaRecord].persist()
-        // the per-modality near-dup ops are EAGER (pair frames come back
-        // persisted with the heavy banded-hash frames already released),
-        // so everything this composition caches can be dropped in a
-        // finally once label propagation has materialized the labels —
-        // no net decode-sized caches outlive the query
-        val perMode = Seq(
-          Multimodal.phashNearDups(media, maxHamming = 7)(s),
-          Multimodal.audioNearDups(media, maxHamming = 7)(s),
-          Multimodal.videoNearDups(media, maxHamming = 7)(s))
-        try {
-          val pairs = perMode.reduce(_ unionByName _).select("id_a", "id_b")
+        // all three banding paths come back as ONE persisted pair frame
+        // materialized under a single action (concurrent subtree stages
+        // — three serial eager barriers were the r8 32-cpu inversion);
+        // everything this composition caches is dropped in the finally
+        // once label propagation has materialized the labels — no net
+        // decode-sized caches outlive the query
+        val pairs = Multimodal.mediaNearDupPairs(media, maxHamming = 7)(s)
+        try
           Dedup.nearDupClusters(
-            media.toDF().select(col("media_id")), "media_id", pairs)
-        } finally { perMode.foreach(_.unpersist()); media.unpersist() }
+            media.toDF().select(col("media_id")), "media_id",
+            pairs.select("id_a", "id_b"))
+        finally { pairs.unpersist(); media.unpersist() }
       },
       Some("""WITH m AS (SELECT doc_id, doc_id % 192 AS seed FROM documents),
         |g AS (SELECT seed, min(doc_id) AS cid, count(*) AS n

@@ -79,12 +79,15 @@ final class SubscriptionRegistry(
               val after = subs.keys.filter(_._1 == subscriptionId).toSet ++
                 created.map(c => (c.subscriptionId, c.schema, c.table))
               if (after.size > maxChannelsPerClient)
-                return Left(s"too many channels: $subscriptionId would hold " +
+                Left(s"too many channels: $subscriptionId would hold " +
                   s"${after.size} > $maxChannelsPerClient")
-              // ON CONFLICT (id, entity) DO UPDATE
-              created.foreach(c => subs += ((c.subscriptionId, c.schema, c.table) -> c))
+              else {
+                // ON CONFLICT (id, entity) DO UPDATE
+                created.foreach(c =>
+                  subs += ((c.subscriptionId, c.schema, c.table) -> c))
+                Right(created)
+              }
             }
-            Right(created)
           }
         }
       }

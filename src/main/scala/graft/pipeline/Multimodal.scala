@@ -272,6 +272,32 @@ object Multimodal {
       maxBucket: Int,
       shape: DataFrame => DataFrame = identity,
       eager: Boolean = true): DataFrame = {
+    val (shaped, release) = bandedHammingPairsDeferred(hashes, hashCol,
+      maxHamming, pairCols, extraKeys, maxBucket, shape)
+    if (!eager) { release(); shaped } // plan-inspection path (specs)
+    else {
+      val out = shaped.persist()
+      // if materialization fails the caller never receives the handle, so
+      // release `out` here — only a successful count transfers ownership
+      try { out.count(); out }
+      catch { case e: Throwable => out.unpersist(); throw e }
+      finally release()
+    }
+  }
+
+  /** [[bandedHammingPairs]] with the materialization barrier handed to
+    * the CALLER: returns the lazy shaped pair frame plus a release thunk
+    * for the banded-hash cache. A composition unioning several banding
+    * paths materializes them all under ONE action (independent subtrees
+    * schedule concurrently inside one job) instead of paying one eager
+    * `count()` barrier per path — the caller MUST materialize the pair
+    * frame before invoking release, or the self-join recomputes the
+    * decode pipeline uncached (the round-7 scale-killer). */
+  private[graft] def bandedHammingPairsDeferred(hashes: DataFrame,
+      hashCol: String, maxHamming: Int, pairCols: Seq[String],
+      extraKeys: Seq[String], maxBucket: Int,
+      shape: DataFrame => DataFrame = identity)
+      : (DataFrame, () => Unit) = {
     require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ > maxHamming).get
     val bandBits = 64 / bands
@@ -335,11 +361,7 @@ object Multimodal {
             hamming: _*)
       }
     val shaped = shape(cand.where(col("hamming") <= maxHamming).distinct())
-    if (!eager) { h.unpersist(); shaped } // plan-inspection path (specs)
-    else {
-      val out = shaped.persist()
-      try { out.count(); out } finally h.unpersist()
-    }
+    (shaped, () => { h.unpersist(); () })
   }
 
   /** [[bandedHammingPairs]] specialized to one-id pair identity, emitting
@@ -397,6 +419,36 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame =
     hammingNearDups(videoSignatures(media)(spark), "vsig", maxHamming,
       extraKeys = Seq("n_frames"), maxBucket = maxBucket)
+
+  /** All three modality near-dup pair lists ([[phashNearDups]] ∪
+    * [[audioNearDups]] ∪ [[videoNearDups]]) materialized under ONE
+    * action: the banding paths are independent subtrees of a single
+    * union plan, so their decode/hash/join stages schedule CONCURRENTLY
+    * inside one job instead of paying three serial eager `count()`
+    * barriers — at high core counts the serial barriers are pure
+    * per-stage scheduling overhead (the r8 `mm_media_clusters` 32-cpu
+    * inversion). Pair set identical to the three separate calls; the
+    * returned frame is persisted + counted and the caller owns the
+    * single pair-sized handle (banded-hash caches released here). */
+  def mediaNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int,
+      maxBucket: Int = 0)(
+      implicit spark: SparkSession): DataFrame = {
+    val oneId = (df: DataFrame) => df.select(col("a_media_id").as("id_a"),
+      col("b_media_id").as("id_b"), col("hamming"))
+    val parts = Seq(
+      (imagePhash(media)(spark), "phash", Seq.empty[String]),
+      (audioFingerprints(media)(spark), "fp", Seq.empty[String]),
+      (videoSignatures(media)(spark), "vsig", Seq("n_frames"))
+    ).map { case (hashes, hc, extra) =>
+      bandedHammingPairsDeferred(hashes, hc, maxHamming,
+        pairCols = Seq("media_id"), extraKeys = extra,
+        maxBucket = maxBucket, shape = oneId)
+    }
+    val out = parts.map(_._1).reduce(_ unionByName _).persist()
+    try { out.count(); out }
+    catch { case e: Throwable => out.unpersist(); throw e }
+    finally parts.foreach(_._2())
+  }
 
   /** Per-image channel statistics from the DECODED raster: exact integer
     * sums of the R/G/B bytes (24-bit BMP is lossless, so every pixel
