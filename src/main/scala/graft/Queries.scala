@@ -770,7 +770,54 @@ object Queries {
         |UNION ALL
         |SELECT 'authenticated', NULL, 'Error 400: Bad Request, no primary key',
         |       'sel1', count(*)
-        |FROM changes WHERE value > 50""".stripMargin))
+        |FROM changes WHERE value > 50""".stripMargin)),
+    // Broadcast WRITE-path authorization (the ingest-side twin of j9's
+    // read probe): private-channel pushes pass iff the rolled-back insert
+    // probe finds a write-policy row for (role, topic); public pushes
+    // skip the probe. Denied pushes drop silently and do NOT count
+    // toward the tenant rate counter; authorized ones still face the
+    // payload-size guard (authorization.ex:273-341,
+    // broadcast_handler.ex:25-88). Policy view: service writes every
+    // topic, authenticated only topics with tn % 5 != 0, anon none.
+    Q("p_write_authz",
+      (s, d) => {
+        import graft.api.WriteAuthz
+        val e = ev(s, d).select(
+          concat(lit("room:"), (col("user_id") % 40).cast("string")).as("topic"),
+          (col("user_id") % 40).as("tn"),
+          when(col("user_id") % 3 === 0, "service")
+            .when(col("user_id") % 3 === 1, "authenticated")
+            .otherwise("anon").as("role"),
+          (col("user_id") % 2 === 0).as("private"),
+          length(col("props")).cast("long").as("payload_bytes"))
+        val topics = e.select("topic", "tn").distinct()
+        val policies = topics.select(lit("service").as("role"), col("topic"))
+          .unionByName(topics.where(col("tn") % 5 =!= 0)
+            .select(lit("authenticated").as("role"), col("topic")))
+        WriteAuthz.check(e.drop("tn"), policies, maxPayloadBytes = 8)
+          .groupBy("role", "private", "status")
+          .agg(count(lit(1)).as("n"),
+            sum(col("rate_counted").cast("long")).as("n_rate_counted"))
+      },
+      Some("""WITH i AS (
+        |  SELECT 'room:' || (user_id % 40) AS topic, user_id % 40 AS tn,
+        |         CASE user_id % 3 WHEN 0 THEN 'service'
+        |              WHEN 1 THEN 'authenticated' ELSE 'anon' END AS role,
+        |         (user_id % 2 = 0) AS private,
+        |         length(props) AS payload_bytes
+        |  FROM events),
+        |a AS (SELECT *,
+        |        (NOT private) OR role = 'service'
+        |          OR (role = 'authenticated' AND tn % 5 != 0) AS write_allowed
+        |      FROM i)
+        |SELECT role, private,
+        |       CASE WHEN NOT write_allowed THEN 'denied'
+        |            WHEN payload_bytes > 8 THEN 'oversize'
+        |            ELSE 'deliver' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN write_allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_rate_counted
+        |FROM a GROUP BY 1, 2, 3""".stripMargin))
   )
 
   // --------------------------------------------------------------- presence
@@ -926,38 +973,65 @@ object Queries {
         |SELECT node,
         |       array_to_string(list_sort(list(user_id)), ',') AS subscriber_ids
         |FROM m GROUP BY 1""".stripMargin)),
-    // O7's fallback arm: ids ABSENT from the id→node map cannot be
-    // routed point-to-point, so they fan out to EVERY node (the
-    // reference broadcasts when any subscriber id is unmapped,
-    // replication_poller.ex:457-472). Map = broadcast dim (users
-    // divisible by 3 are "mapped", node = id % 4); the unmapped rest
-    // replicate across all 4 nodes via a broadcast cross join.
+    // O7's fallback arm at the reference's granularity: routing is
+    // all-or-nothing PER CHANGE. collect_subscription_nodes halts on the
+    // FIRST subscriber id absent from the id→node ETS map and the poller
+    // then pubsub_broadcasts the ENTIRE change — all of its subscription
+    // ids — to every node (replication_poller.ex:457-472); only a change
+    // whose ids are ALL mapped routes point-to-point per node
+    // (:425-447). Model: a change = 8 consecutive event ids, its
+    // subscriber set = the distinct user_ids of those events; users
+    // divisible by 3 are "mapped" with node = id % 4. The per-change
+    // any-unmapped flag is a same-key aggregate joined back on change_id
+    // (co-partitioned with the pair frame — one shuffle key end to end);
+    // only the tiny node dim is broadcast for the fan-out arm.
     Q("j8_routing_fallback",
       (s, d) => {
-        val ids = ev(s, d).select(col("user_id")).distinct()
-        val nodeMap = ids.where(col("user_id") % 3 === 0)
-          .select(col("user_id").as("mapped_id"),
-            (col("user_id") % 4).as("node"))
+        val pairs = ev(s, d)
+          .select(floor(col("event_id") / 8).as("change_id"), col("user_id"))
+          .distinct()
         val nodes = ev(s, d).select((col("user_id") % 4).as("node")).distinct()
-        val routed = ids.join(broadcast(nodeMap),
-            col("user_id") === col("mapped_id"), "left")
-        val direct = routed.where(col("node").isNotNull)
-          .select(col("node"), col("user_id"))
-        val fallback = routed.where(col("node").isNull)
-          .select(col("user_id")).crossJoin(broadcast(nodes))
-          .select(col("node"), col("user_id"))
+        val flagged = pairs.groupBy("change_id")
+          .agg(max((col("user_id") % 3 =!= 0).cast("int")).as("has_unmapped"))
+        val routed = pairs.join(flagged, "change_id")
+        val direct = routed.where(col("has_unmapped") === 0)
+          .select((col("user_id") % 4).as("node"), col("change_id"),
+            col("user_id"), lit(1).as("direct"))
+        val fallback = routed.where(col("has_unmapped") === 1)
+          .crossJoin(broadcast(nodes))
+          .select(col("node"), col("change_id"), col("user_id"),
+            lit(0).as("direct"))
         direct.unionByName(fallback)
           .groupBy("node")
-          .agg(count(lit(1)).as("n_routed"),
+          .agg(
+            countDistinct(when(col("direct") === 1, col("change_id")))
+              .as("n_direct_changes"),
+            countDistinct(when(col("direct") === 0, col("change_id")))
+              .as("n_fallback_changes"),
+            count(lit(1)).as("n_id_deliveries"),
             sum(col("user_id")).as("id_sum"))
       },
-      Some("""WITH ids AS (SELECT DISTINCT user_id FROM events),
+      Some("""WITH pairs AS (SELECT DISTINCT event_id // 8 AS change_id, user_id
+        |               FROM events),
         |nodes AS (SELECT DISTINCT user_id % 4 AS node FROM events),
-        |direct AS (SELECT user_id % 4 AS node, user_id FROM ids
-        |           WHERE user_id % 3 = 0),
-        |fallback AS (SELECT n.node, i.user_id FROM ids i CROSS JOIN nodes n
-        |             WHERE i.user_id % 3 != 0)
-        |SELECT node, CAST(count(*) AS BIGINT) AS n_routed,
+        |flagged AS (SELECT change_id,
+        |                   max(CASE WHEN user_id % 3 != 0 THEN 1 ELSE 0 END)
+        |                     AS has_unmapped
+        |            FROM pairs GROUP BY 1),
+        |direct AS (SELECT p.user_id % 4 AS node, p.change_id, p.user_id,
+        |                  1 AS direct
+        |           FROM pairs p JOIN flagged f USING (change_id)
+        |           WHERE f.has_unmapped = 0),
+        |fallback AS (SELECT n.node, p.change_id, p.user_id, 0 AS direct
+        |             FROM pairs p JOIN flagged f USING (change_id)
+        |             CROSS JOIN nodes n
+        |             WHERE f.has_unmapped = 1)
+        |SELECT node,
+        |       CAST(count(DISTINCT CASE WHEN direct = 1 THEN change_id END)
+        |            AS BIGINT) AS n_direct_changes,
+        |       CAST(count(DISTINCT CASE WHEN direct = 0 THEN change_id END)
+        |            AS BIGINT) AS n_fallback_changes,
+        |       CAST(count(*) AS BIGINT) AS n_id_deliveries,
         |       CAST(sum(user_id) AS BIGINT) AS id_sum
         |FROM (SELECT * FROM direct UNION ALL SELECT * FROM fallback)
         |GROUP BY 1""".stripMargin)),
