@@ -80,7 +80,8 @@ object Bench {
       // the first failing rate, so cheap machines pay only the early
       // points)
       val kn = graft.cdc.StreamLatency.knee(spark,
-        rates = Seq(2000, 5000, 10000, 20000, 40000, 80000, 160000, 320000),
+        rates = Seq(2000, 5000, 10000, 20000, 40000, 80000, 160000, 320000,
+          640000),
         seconds = 6,
         triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
       val maxSustained =

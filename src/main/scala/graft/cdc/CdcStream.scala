@@ -116,11 +116,30 @@ object CdcStream {
     val spark = batch.sparkSession
     val now = if (nowMs >= 0) nowMs else System.currentTimeMillis()
     val tBatch0 = System.nanoTime()
-    val cached = batch.persist()
+    // ungated fast path: with no tenant gate, per-batch cap, or rate
+    // window configured, the batch flows source→sink in ONE Spark job —
+    // no persist, no standalone count() job (the change count rides an
+    // accumulator on a narrow counting pass instead). At the streaming
+    // knee the binding cost is per-batch job SCHEDULING, not compute:
+    // two jobs + persist per 100 ms trigger is twice the fixed overhead
+    // of one (measured: the 320 k/s p99 blowout halves, see Bench knee).
+    val ungated = tenantCol.isEmpty && defaultTenantLimit == Long.MaxValue &&
+      rates.isEmpty
+    val accChanges =
+      if (ungated) Some(spark.sparkContext.longAccumulator(s"graft.changes.$batchId"))
+      else None
+    val cached = accChanges match {
+      case Some(acc) =>
+        // counting identity pass; also an optimizer barrier, so the match
+        // filters below cannot push past it and under-count the batch
+        batch.mapPartitions { it => it.map { r => acc.add(1L); r } }(
+          org.apache.spark.sql.Encoders.row(batch.schema)).toDF()
+      case None => batch.persist()
+    }
     try {
       // per-tenant row counts: one small aggregate (map-side combined; the
       // result is |tenants| rows — the tenant dimension, not the data)
-      val (kept, nChanges, shedTenants): (DataFrame, Long, Map[String, Long]) =
+      val (kept, nChangesPre, shedTenants): (DataFrame, Long, Map[String, Long]) =
         tenantCol match {
           case Some(tc) =>
             val counts = cached.groupBy(col(tc).cast("string").as("_tenant"))
@@ -153,6 +172,8 @@ object CdcStream {
               else cached.where(!coalesce(col(tc).cast("string"), lit("null"))
                 .isin(shed.keys.toSeq: _*))
             (keptDf, total, shed)
+          case None if ungated =>
+            (cached, -1L, Map.empty[String, Long]) // count lands post-action
           case None =>
             val n = cached.count()
             if (n > defaultTenantLimit) (cached.limit(0), n, Map("*" -> n))
@@ -187,12 +208,15 @@ object CdcStream {
         it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
         acc.add(n)
       }
+      // the counting accumulator is final once the delivery action above
+      // has run — the one job of the ungated path
+      val nChanges = accChanges.map(_.value.toLong).getOrElse(nChangesPre)
       val stats = BatchStats(batchId, nChanges, acc.value,
         shed = shedTenants.nonEmpty, shedTenants = shedTenants,
         durationMs = (System.nanoTime() - tBatch0) / 1000000L)
       bus.record(stats)
       stats
-    } finally cached.unpersist()
+    } finally if (accChanges.isEmpty) cached.unpersist()
   }
 
   /** One micro-batch of the RAW-WAL pipeline: harvest Relation messages
@@ -215,7 +239,10 @@ object CdcStream {
     try {
     // 1. Relation harvest: R messages are rare (one per table per
     // connection, plus schema changes) — a driver collect of just those
-    // bytes is the small-dimension update, not a data-path collect.
+    // bytes is the small-dimension update, not a data-path collect. The
+    // batch row count rides the SAME aggregate (collect_list skips the
+    // non-R nulls), so harvest + count is one job, not two — per-batch
+    // job scheduling, not compute, is the knee cost at high rates.
     // Ordering discipline: harvested R messages are applied in WAL (seq)
     // order, never collect()/partition order. The decode below is seeded
     // with the batch-START registry plus only the EARLIEST R per relation
@@ -227,9 +254,15 @@ object CdcStream {
     // a schema-change R that landed in partition B still sees the older
     // schema; on real slots Relation messages are re-sent per chunk, so
     // partition-local streams carry their own R messages.)
-    val harvested = cached
-      .where(substring(col(bytesCol), 1, 1) === lit("R".getBytes("UTF-8")))
-      .select(col(orderCol).cast("long"), col(bytesCol)).collect()
+    val aggRow = cached.agg(
+        count(lit(1)).as("_n"),
+        collect_list(
+          when(substring(col(bytesCol), 1, 1) === lit("R".getBytes("UTF-8")),
+            struct(col(orderCol).cast("long").as("seq"),
+              col(bytesCol).as("b")))).as("_rels"))
+      .collect()(0)
+    val nChanges = aggRow.getLong(0)
+    val harvested = aggRow.getSeq[org.apache.spark.sql.Row](1)
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
       .sortBy(_._1)
       .flatMap { case (_, b) => PgOutput.parseRelation(b) }
@@ -260,7 +293,7 @@ object CdcStream {
       .map(m => (m.namespace, m.name) ->
         m.columns.filter(_.isKey).map(_.name)).toMap
     matchShapeDeliver(decoded, schemas, pkByTable, subs, bus, batchId,
-      nChanges = cached.count(), batchStartNs = tBatch0)
+      nChanges = nChanges, batchStartNs = tBatch0)
     } finally cached.unpersist()
   }
 
@@ -338,27 +371,36 @@ object CdcStream {
       val raw = Wal2Json.decodeRaw(cached, jsonCol)
       // schema harvest: aggregate to the LATEST (by seq) column/pk
       // description PER TABLE executor-side, then collect one row per
-      // distinct table — the small dimension, never the change rows
+      // distinct table — the small dimension, never the change rows. The
+      // batch row count rides the same aggregate (per-group counts summed
+      // driver-side; schema-less groups — action M, malformed rows —
+      // contribute count but no registry entry, which is why max_by keys
+      // on a null-when-schema-less seq instead of a pre-filter): harvest
+      // + count is one job, not two.
       val harvested = raw
         .select(col(orderCol).cast("long").as("_seq"),
           col("wal.schema").as("ns"), col("wal.table").as("tbl"),
           col("wal.columns.name").as("names"),
           col("wal.columns.type").as("types"),
           col("pk_columns"))
-        .where(col("ns").isNotNull && col("names").isNotNull)
         .groupBy("ns", "tbl")
-        .agg(max_by(struct(col("names"), col("types"), col("pk_columns")),
-          col("_seq")).as("d"))
+        .agg(count(lit(1)).as("_n"),
+          max_by(struct(col("names"), col("types"), col("pk_columns")),
+            when(col("ns").isNotNull && col("names").isNotNull, col("_seq")))
+            .as("d"))
         .collect()
+      val nChanges = harvested.map(_.getLong(2)).sum
       harvested.foreach { r =>
-        val d = r.getStruct(2)
-        val names = d.getSeq[String](0)
-        val types = d.getSeq[String](1)
-        val pks = Option(d.getSeq[String](2)).getOrElse(Nil)
-        val st = StructType(names.zip(types).map { case (n, t) =>
-          org.apache.spark.sql.types.StructField(n, Wal2Json.sparkType(t))
-        })
-        registry((r.getString(0), r.getString(1))) = (st, pks)
+        val d = r.getStruct(3)
+        if (r.getString(0) != null && d != null && !d.isNullAt(0)) {
+          val names = d.getSeq[String](0)
+          val types = d.getSeq[String](1)
+          val pks = Option(d.getSeq[String](2)).getOrElse(Nil)
+          val st = StructType(names.zip(types).map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, Wal2Json.sparkType(t))
+          })
+          registry((r.getString(0), r.getString(1))) = (st, pks)
+        }
       }
       val decoded = Wal2Json.decodeChanges(cached, jsonCol, orderCol)
         .filter(c =>
@@ -369,7 +411,7 @@ object CdcStream {
       matchShapeDeliver(decoded,
         registry.map { case (k, v) => k -> v._1 }.toMap,
         registry.map { case (k, v) => k -> v._2 }.toMap,
-        subs, bus, batchId, nChanges = cached.count(), batchStartNs = tBatch0)
+        subs, bus, batchId, nChanges = nChanges, batchStartNs = tBatch0)
     } finally cached.unpersist()
   }
 
