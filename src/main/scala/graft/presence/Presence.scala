@@ -103,6 +103,161 @@ object Presence {
     TrackerState(entries, vv)
   }
 
+  /** N-replica ORSWOT join — the lattice fold over ANY number of tracker
+    * states (Phoenix.Tracker gossip converges every replica to this,
+    * presence.ex:8-12). Semantics: a dot survives iff every state that
+    * does NOT hold it has also NOT observed it (clock > that state's
+    * vv[replica]); the merged vv is the pointwise max. Equal by
+    * construction to any fold of pairwise [[mergeTrackers]] in any
+    * association/order (PresenceSpec asserts this on randomized logs).
+    *
+    * Scale shape: ONE shuffle (the groupBy on the dot) no matter how
+    * many replicas — a pairwise fold would pay N−1 semi/anti join
+    * rounds — and the version vectors stay replica-count-sized and
+    * broadcast. */
+  def mergeAll(states: Seq[TrackerState]): TrackerState = {
+    require(states.nonEmpty, "mergeAll of zero tracker states")
+    if (states.sizeIs == 1) states.head
+    else {
+      val tagged = states.zipWithIndex.map { case (s, i) =>
+        s.entries.withColumn("_src", lit(i)) }.reduce(_ unionByName _)
+      val vvTagged = states.zipWithIndex.map { case (s, i) =>
+        s.vv.withColumn("_src", lit(i)) }.reduce(_ unionByName _)
+      // per replica: which state observed up to which clock (N·|replicas|
+      // rows — broadcast dimension)
+      val vvByReplica = vvTagged.groupBy("replica")
+        .agg(collect_list(struct(col("_src").as("src"),
+          col("clock").as("seen"))).as("_seen_by"))
+      val owners = tagged
+        .groupBy("topic", "key", "replica", "clock", "meta")
+        .agg(collect_set(col("_src")).as("_owners"))
+      val entries = owners.join(broadcast(vvByReplica), Seq("replica"), "left")
+        .where(coalesce(
+          forall(filter(col("_seen_by"),
+              s => !array_contains(col("_owners"), s.getField("src"))),
+            s => col("clock") > s.getField("seen")),
+          lit(true))) // no state has a vv for this replica ⇒ unobserved
+        .select("topic", "key", "meta", "replica", "clock")
+      val vv = vvTagged.groupBy("replica").agg(max("clock").as("clock"))
+      TrackerState(entries, vv)
+    }
+  }
+
+  /** One dotted presence entry of a topic snapshot (the in-memory twin of
+    * a [[TrackerState]] entries row, minus the topic). */
+  final case class Dot(key: String, meta: String, replica: String,
+      clock: Long)
+
+  /** In-memory per-topic ORSWOT state: live dotted entries + the version
+    * vector. This is the streaming state-store representation — per
+    * TOPIC sized, the same granularity [[diffStream]] already holds. */
+  final case class Snapshot(entries: Set[Dot], vv: Map[String, Long]) {
+    def observed(d: Dot): Boolean = vv.get(d.replica).exists(_ >= d.clock)
+  }
+
+  object Snapshot { val empty: Snapshot = Snapshot(Set.empty, Map.empty) }
+
+  /** Pure ORSWOT join of two topic snapshots — the same rules as
+    * [[mergeTrackers]] (PresenceSpec proves them pointwise equal on
+    * randomized states); runs executor-side inside the streaming state
+    * function, where the operands are single-topic-sized. */
+  def mergeSnapshots(a: Snapshot, b: Snapshot): Snapshot = {
+    val both = a.entries.intersect(b.entries)
+    val aOnly = a.entries.diff(b.entries).filterNot(b.observed)
+    val bOnly = b.entries.diff(a.entries).filterNot(a.observed)
+    val vv = (a.vv.keySet ++ b.vv.keySet).map { r =>
+      r -> math.max(a.vv.getOrElse(r, Long.MinValue),
+        b.vv.getOrElse(r, Long.MinValue))
+    }.toMap
+    Snapshot(both ++ aOnly ++ bOnly, vv)
+  }
+
+  /** One input op of the replicated streaming tracker: a LOCAL `track`/
+    * `untrack` (dotted at `clock` by `replica`), or a `sync` carrying a
+    * PEER's full topic snapshot (`syncEntries` + `syncVv`) — the gossip
+    * message Phoenix.Tracker replicas exchange. */
+  final case class ReplicaOp(topic: String, seq: Long, op: String,
+      key: String, meta: String, replica: String, clock: Long,
+      syncEntries: Seq[Dot], syncVv: Map[String, Long])
+
+  object ReplicaOp {
+    def track(topic: String, seq: Long, key: String, meta: String,
+        replica: String, clock: Long): ReplicaOp =
+      ReplicaOp(topic, seq, "track", key, meta, replica, clock, Nil, Map.empty)
+    def untrack(topic: String, seq: Long, key: String, replica: String,
+        clock: Long): ReplicaOp =
+      ReplicaOp(topic, seq, "untrack", key, null, replica, clock, Nil, Map.empty)
+    def sync(topic: String, seq: Long, entries: Seq[Dot],
+        vv: Map[String, Long]): ReplicaOp =
+      ReplicaOp(topic, seq, "sync", null, null, null, -1L, entries, vv)
+  }
+
+  /** Streaming tracker WITH the replica sync path: local track/untrack
+    * ops mutate the topic's ORSWOT state; a `sync` op ORSWOT-merges a
+    * late replica's snapshot mid-stream — removed dots emit leaves,
+    * new dots emit joins, exactly the diff Phoenix broadcasts after a
+    * gossip merge. Multiple presences of one key (one per replica) are
+    * distinct dots, as in Phoenix Presence's metas list.
+    *
+    * The per-topic state is the same single-owner-partition model as
+    * [[diffStream]] — Spark's shuffle gives each topic one authoritative
+    * state; `sync` is how ANOTHER tracker's view of the same topic folds
+    * in, which is the reference's N-replica composition. */
+  def diffStreamSync(ops: Dataset[ReplicaOp])(
+      implicit spark: SparkSession): Dataset[PresenceDiff] = {
+    import spark.implicits._
+    ops
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState[Snapshot, PresenceDiff](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (topic: String, evs: Iterator[ReplicaOp], state: GroupState[Snapshot]) =>
+          var st = state.getOption.getOrElse(Snapshot.empty)
+          val out = Seq.newBuilder[PresenceDiff]
+          def emit(before: Snapshot, after: Snapshot): Unit = {
+            (before.entries -- after.entries).toSeq.sortBy(_.clock).foreach(
+              d => out += PresenceDiff(topic, d.key, "leave", d.meta))
+            (after.entries -- before.entries).toSeq.sortBy(_.clock).foreach(
+              d => out += PresenceDiff(topic, d.key, "join", d.meta))
+          }
+          evs.toSeq.sortBy(_.seq).foreach { e =>
+            e.op match {
+              case "track" =>
+                // a newer dot from the same (key, replica) supersedes the
+                // old one (the already_tracked update path): the old dot
+                // is observed-removed, identical meta is a no-op
+                val prev = st.entries.find(d =>
+                  d.key == e.key && d.replica == e.replica)
+                val vv2 = st.vv.updated(e.replica,
+                  math.max(st.vv.getOrElse(e.replica, Long.MinValue), e.clock))
+                if (!prev.exists(_.meta == e.meta)) {
+                  val after = Snapshot(
+                    st.entries -- prev + Dot(e.key, e.meta, e.replica, e.clock),
+                    vv2)
+                  emit(st, after)
+                  st = after
+                } else st = Snapshot(st.entries, vv2)
+              case "untrack" =>
+                val gone = st.entries.filter(d =>
+                  d.key == e.key && d.replica == e.replica)
+                val after = Snapshot(st.entries -- gone,
+                  st.vv.updated(e.replica,
+                    math.max(st.vv.getOrElse(e.replica, Long.MinValue), e.clock)))
+                emit(st, after)
+                st = after
+              case "sync" =>
+                val after = mergeSnapshots(st,
+                  Snapshot(e.syncEntries.toSet, e.syncVv))
+                emit(st, after)
+                st = after
+              case _ => ()
+            }
+          }
+          if (st.entries.isEmpty && st.vv.isEmpty) state.remove()
+          else state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming: per-topic state machine emitting presence_diff rows.
     * State = Map[key → meta]; a track of a new key emits a join, an untrack
     * of a present key emits a leave. A re-track of a LIVE key follows the

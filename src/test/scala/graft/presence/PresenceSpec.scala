@@ -123,7 +123,110 @@ class PresenceSpec extends SparkSpec {
       assert(abc == rows(m(m(b, a), c)), s"commutative (seed $seed)")
       assert(rows(m(m(a, b), m(a, b))) == rows(m(a, b)),
         s"idempotent (seed $seed)")
+      // the N-way fold: one-shuffle mergeAll == any pairwise fold order
+      assert(rows(Presence.mergeAll(Seq(a, b, c))) == abc,
+        s"mergeAll == pairwise fold (seed $seed)")
+      assert(rows(Presence.mergeAll(Seq(c, a, b))) == abc,
+        s"mergeAll permutation-free (seed $seed)")
+      assert(rows(Presence.mergeAll(Seq(a, b, c, b))) == abc,
+        s"mergeAll duplicate-state idempotent (seed $seed)")
+      // the pure in-memory snapshot merge (the streaming sync path's
+      // engine) agrees with the relational merge pointwise
+      def snap(st: Presence.TrackerState): Presence.Snapshot =
+        Presence.Snapshot(
+          st.entries.select("key", "meta", "replica", "clock")
+            .as[(String, String, String, Long)].collect()
+            .map(r => Presence.Dot(r._1, r._2, r._3, r._4)).toSet,
+          st.vv.as[(String, Long)].collect().toMap)
+      val pure = Presence.mergeSnapshots(
+        Presence.mergeSnapshots(snap(a), snap(b)), snap(c))
+      assert(pure.entries.map(d =>
+          ("room", d.key, d.meta, d.replica, d.clock)) == abc,
+        s"mergeSnapshots == mergeTrackers (seed $seed)")
     }
+  }
+
+  test("diffStreamSync: three replicas, interleaved mid-stream syncs, " +
+      "stale re-sync does not resurrect; converges to mergeAll") {
+    implicit val s = spark
+    import Presence.{Dot, ReplicaOp}
+    val input = MemoryStream[ReplicaOp](spark)
+    val q = Presence.diffStreamSync(input.toDS())
+      .writeStream.format("memory").queryName("psync")
+      .outputMode(OutputMode.Append).start()
+    def diffs = spark.table("psync").as[PresenceDiff].collect().toSet
+    try {
+      // batch 1: local tracker rA tracks u1, u2
+      input.addData(
+        ReplicaOp.track("room", 1L, "u1", "m1", "rA", 1L),
+        ReplicaOp.track("room", 2L, "u2", "m2", "rA", 2L))
+      q.processAllAvailable()
+      val b1 = diffs
+      assert(b1 == Set(
+        PresenceDiff("room", "u1", "join", "m1"),
+        PresenceDiff("room", "u2", "join", "m2")))
+      // batch 2: replica rB's snapshot syncs in mid-stream — u2 gains a
+      // second presence (a distinct dot, Phoenix metas-list semantics),
+      // u3 joins
+      input.addData(ReplicaOp.sync("room", 3L,
+        Seq(Dot("u2", "mB", "rB", 11L), Dot("u3", "mB3", "rB", 12L)),
+        Map("rB" -> 12L)))
+      q.processAllAvailable()
+      val b2 = diffs -- b1
+      assert(b2 == Set(
+        PresenceDiff("room", "u2", "join", "mB"),
+        PresenceDiff("room", "u3", "join", "mB3")))
+      // batch 3: local untrack of u1, then a LATE replica rC syncs its
+      // own u1 presence — the untrack removed rA's dot only, rC's dot is
+      // unobserved and joins
+      input.addData(
+        ReplicaOp.untrack("room", 4L, "u1", "rA", 3L),
+        ReplicaOp.sync("room", 5L,
+          Seq(Dot("u1", "mC", "rC", 21L)), Map("rC" -> 21L)))
+      q.processAllAvailable()
+      val b3 = diffs -- b1 -- b2
+      assert(b3 == Set(
+        PresenceDiff("room", "u1", "leave", "m1"),
+        PresenceDiff("room", "u1", "join", "mC")))
+      // batch 4: a STALE rB re-sync still carrying rA's long-removed u1
+      // dot (observed ⇒ no resurrection) and missing nothing new — the
+      // merge must be a no-op
+      input.addData(ReplicaOp.sync("room", 6L,
+        Seq(Dot("u2", "mB", "rB", 11L), Dot("u3", "mB3", "rB", 12L),
+          Dot("u1", "m1", "rA", 1L)),
+        Map("rB" -> 11L, "rA" -> 1L)))
+      q.processAllAvailable()
+      assert((diffs -- b1 -- b2 -- b3).isEmpty,
+        "stale snapshot must not resurrect observed-removed dots")
+      // the streamed state == the batch N-way merge of the three
+      // replicas' tracker states
+      val logA = Seq(
+        ("room", "u1", "track", "m1", 1L), ("room", "u2", "track", "m2", 2L),
+        ("room", "u1", "untrack", "", 3L))
+        .toDF("topic", "key", "action", "meta", "seq")
+      val stB = Presence.TrackerState(
+        Seq(("room", "u2", "mB", "rB", 11L), ("room", "u3", "mB3", "rB", 12L))
+          .toDF("topic", "key", "meta", "replica", "clock"),
+        Seq(("rB", 12L)).toDF("replica", "clock"))
+      val stC = Presence.TrackerState(
+        Seq(("room", "u1", "mC", "rC", 21L))
+          .toDF("topic", "key", "meta", "replica", "clock"),
+        Seq(("rC", 21L)).toDF("replica", "clock"))
+      val merged = Presence.mergeAll(Seq(
+          Presence.trackerFromEvents(logA, "rA"), stB, stC))
+        .entries.select("key", "meta").as[(String, String)].collect().toSet
+      // .iterator before collect: a Map's collect over pair results
+      // rebuilds a Map keyed by km._1 and silently drops same-key metas
+      val streamed = diffs.groupBy(d => (d.key, d.meta)).iterator.collect {
+        case (km, ds)
+          if ds.count(_.kind == "join") > ds.count(_.kind == "leave") => km
+      }.toSet
+      assert(merged == Set(
+        ("u2", "m2"), ("u2", "mB"), ("u3", "mB3"), ("u1", "mC")),
+        s"batch mergeAll state: $merged")
+      assert(streamed == merged,
+        s"streamed net state $streamed != merged $merged")
+    } finally q.stop()
   }
 
   test("diffStream emits joins, meta-update joins, and leaves across batches") {
