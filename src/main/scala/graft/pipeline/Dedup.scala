@@ -544,16 +544,73 @@ object Dedup {
   def connectedComponents(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 25): DataFrame = {
-    // persist the symmetrized edges: every propagation round joins them,
-    // and `edges` is typically the OUTPUT OF A WHOLE DEDUP PIPELINE
-    // (shingle + index + verify) — without the cache each round would
-    // recompute that pipeline end-to-end (measured 5.2 s → 2.6 s at
-    // sf0.1). Cache ownership: session loop's clearCache, as elsewhere.
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+      maxIters: Int = 25,
+      smallGraphEdgeCap: Long = 2000000L): DataFrame = {
+    // Small-graph fast path: near-dup edge lists are usually TINY next to
+    // the corpus (62 k edges over 5 k media at sf0.1), and min-label
+    // propagation pays one Spark job per diameter round — pure scheduling
+    // at high core counts (measured: the 5+ s tail of mm_media_clusters).
+    // When the whole edge list fits one task's working set (≤ cap edges ≈
+    // 32 MB of id pairs), run union-find in a SINGLE executor task — one
+    // job instead of diameter-many — and join labels back. Executor-side,
+    // not a driver collect; the iterative path below remains the scale
+    // route and the cap keeps the kernel off data-sized graphs. Same
+    // output by construction: union-by-minimum makes each root the
+    // component minimum, exactly the propagation fixpoint.
     val spark = vertices.sparkSession
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      vertices.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    // persist the projected edges first: `edges` is typically the OUTPUT
+    // OF A WHOLE DEDUP PIPELINE (shingle + index + verify), and both the
+    // size probe below and either component path re-read them — without
+    // the cache each pass would recompute that pipeline end-to-end
+    // (measured 5.2 s → 2.6 s at sf0.1)
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    val nEdges = e0.count()
+    if (integralIds && nEdges <= smallGraphEdgeCap) {
+      import spark.implicits._
+      val labels = e0
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          parent.keysIterator.map(k => (k, find(k)))
+        }
+        .toDF("id", "label").persist()
+      // materialize NOW: callers release their pair-frame caches as soon
+      // as this returns (the eager-labels contract the iterative path
+      // has always honored) — a lazy return would recompute the whole
+      // upstream dedup pipeline uncached on the caller's first action
+      labels.count()
+      e0.unpersist()
+      return vertices.select(col(idCol).cast("long").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("cluster_id"))
+    }
+    // symmetrize for propagation (every round joins these; built from the
+    // cached projection, cache ownership: session loop's clearCache)
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
     var persisted = vertices
       .select(col(idCol).as("id"), col(idCol).as("label")).persist()
     var labels = persisted
@@ -590,7 +647,7 @@ object Dedup {
     // converged labels are materialized, so release it here rather than
     // deferring to the session loop (recompute after eviction still
     // works — the lazy edge plan is intact, just uncached)
-    sym.unpersist()
+    sym.unpersist(); e0.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 
