@@ -1660,7 +1660,39 @@ object Queries {
         |  epoch_us(ts) // 1000 AS epoch_ms,
         |  CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip,
         |  md5(event_id::VARCHAR || '|' || event_type) AS param_hash
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+    // S1 external-source adapter, batch surface: produce a bounded event
+    // slice into a Kafka-shaped replay log partitioned by user_id % 4
+    // (driver-side appender stands in for the external producer — capped
+    // at <=2000 ids, an ingest-cap-bounded loop, never the data path),
+    // read it back through the DataSource V2 batch scan, and verify the
+    // offset assignment end to end: per-partition offsets dense from 0
+    // in append order, every record present exactly once.
+    Q("src_replay_log",
+      (s, d) => {
+        import graft.sources.ReplayLog
+        val topic = "q-src-replay"
+        ReplayLog.delete(topic) // idempotent re-runs within one session
+        ev(s, d).where(col("event_id") <= 2000)
+          .select(col("event_id").cast("long"), col("user_id").cast("long"))
+          .collect().sortBy(_.getLong(0))
+          .foreach { r =>
+            ReplayLog.append(topic, (r.getLong(1) % 4).toInt,
+              r.getLong(0).toString,
+              r.getLong(0).toString.getBytes("UTF-8"))
+          }
+        s.read.format("graft-replaylog").option("topic", topic).load()
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"),
+            sum(col("value").cast("string").cast("long")).as("id_sum"))
+          .select(col("partition").cast("long").as("partition"),
+            col("n"), col("max_offset"), col("id_sum"))
+      },
+      Some("""SELECT CAST(user_id % 4 AS BIGINT) AS partition,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) - 1 AS BIGINT) AS max_offset,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id <= 2000 GROUP BY 1""".stripMargin))
   )
 
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
