@@ -172,6 +172,12 @@ object StreamLatency {
       seconds: Int = 6, triggerMs: Long = 100L, warmupSec: Int = 2,
       p99SloMs: Long = 1000L): KneeReport = {
     def measure(r: Int): SweepPoint = {
+      // quiesce the allocator before each point: in a long bench session
+      // the sweep inherits minutes of batch-query garbage, and a single
+      // old-gen pause inside a 6 s window fails a rate the pipeline
+      // sustains — the point measures the pipeline, not allocator debt
+      System.gc()
+      Thread.sleep(200L)
       val rep = run(spark, r, seconds, triggerMs, warmupSec)
       val mode =
         if (rep.nDelivered < rep.nSent) "drops"
