@@ -1262,6 +1262,69 @@ object Queries {
         |  CASE WHEN event_id % 3 < 2 THEN value END AS value_new,
         |  CASE WHEN event_id % 3 > 0 THEN value - 1 END AS value_old
         |FROM events""".stripMargin)),
+    // S1 (Kafka-Debezium edge): render each event as a Debezium slim
+    // envelope (payload object, schemas.enable=false) and decode through
+    // Debezium into the shared WalChange shape. Action mix c/u/d by
+    // event_id mod 3; updates carry a before image with value-1; a
+    // "note" column arrives as Debezium's unavailable-TOAST placeholder
+    // on event_id % 6 == 1 — it must vanish from record (key-absence,
+    // P8's contract) and surface in unchanged_toast. commit_timestamp
+    // derives from source.ts_ms (millis), so the oracle truncates ts to
+    // the millisecond before rendering micros.
+    Q("s1_debezium_decode",
+      (s, d) => {
+        import graft.cdc.Debezium
+        val e = ev(s, d).select(col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        val m = pmod(col("event_id"), lit(3))
+        val note = when(pmod(col("event_id"), lit(6)) === 1,
+            lit(Debezium.UnavailableValue))
+          .otherwise(concat(lit("n"), col("event_id").cast("string")))
+        val after = format_string(
+          """{"event_id":%s,"event_type":"%s","value":%s,"note":"%s"}""",
+          col("event_id"), col("event_type"), col("value"), note)
+        val before = format_string(
+          """{"event_id":%s,"value":%s}""",
+          col("event_id"), col("value") - 1)
+        val src = format_string(
+          """{"schema":"public","table":"events","ts_ms":%s,"lsn":%s,"txId":%s}""",
+          unix_millis(col("ts")), col("event_id"),
+          pmod(col("event_id"), lit(1000)))
+        val json = when(m === 0, format_string(
+            s"""{"before":null,"after":%s,"source":%s,"op":"c","ts_ms":%s}""",
+            after, src, unix_millis(col("ts"))))
+          .when(m === 1, format_string(
+            s"""{"before":%s,"after":%s,"source":%s,"op":"u","ts_ms":%s}""",
+            before, after, src, unix_millis(col("ts"))))
+          .otherwise(format_string(
+            s"""{"before":%s,"after":null,"source":%s,"op":"d","ts_ms":%s}""",
+            before, src, unix_millis(col("ts"))))
+        Debezium.decodeChanges(
+            e.select(col("event_id").as("seq"), json.as("dbz")), "dbz", "seq")
+          .toDF()
+          .select(col("seq").as("event_id"), col("message"), col("xid"),
+            col("change_schema"), col("change_table"), col("commit_timestamp"),
+            element_at(col("record"), "event_type").as("event_type"),
+            element_at(col("record"), "value").cast("double").as("value_new"),
+            element_at(col("old_record"), "value").cast("double").as("value_old"),
+            element_at(col("record"), "note").as("note_out"),
+            array_join(col("unchanged_toast"), ",").as("toast_cols"))
+      },
+      Some("""SELECT event_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE'
+        |       ELSE 'DELETE' END AS message,
+        |  CAST(event_id % 1000 AS BIGINT) AS xid,
+        |  'public' AS change_schema, 'events' AS change_table,
+        |  strftime(make_timestamp((epoch_us(ts) // 1000) * 1000),
+        |           '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS commit_timestamp,
+        |  CASE WHEN event_id % 3 < 2 THEN event_type END AS event_type,
+        |  CASE WHEN event_id % 3 < 2 THEN value END AS value_new,
+        |  CASE WHEN event_id % 3 > 0 THEN value - 1 END AS value_old,
+        |  CASE WHEN event_id % 3 < 2 AND event_id % 6 != 1
+        |       THEN 'n' || CAST(event_id AS VARCHAR) END AS note_out,
+        |  CASE WHEN event_id % 3 < 2 AND event_id % 6 = 1
+        |       THEN 'note' ELSE '' END AS toast_cols
+        |FROM events""".stripMargin)),
     // CDC mirror: wal2json-encode a change stream keyed by user_id
     // (~10 changes per key), decode through Wal2Json, and compact to the
     // implied current state — last write per pk wins, trailing DELETE

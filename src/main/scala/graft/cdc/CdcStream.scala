@@ -415,6 +415,90 @@ object CdcStream {
     } finally cached.unpersist()
   }
 
+  /** One micro-batch of the Debezium-envelope pipeline — the
+    * external-topic dialect of S1 ([[Debezium]] decode over e.g. a
+    * [[graft.sources.ReplayLog]] stream). The slim envelope carries
+    * column names but no types or pk metadata, so the schema "harvest"
+    * unions the observed record/old keys per table (all STRING — pass
+    * `schemaOverrides` for typed filter matching) and primary keys come
+    * from `pkByTable` (connector config in a real deployment; without an
+    * entry the payload path serves its no-pk 400 contract). Harvest +
+    * row count ride one aggregate job, as on the other WAL paths. */
+  def processDebeziumBatch(
+      batch: DataFrame,
+      jsonCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      registry: scala.collection.mutable.Map[(String, String),
+        (StructType, Seq[String])],
+      pkByTable: Map[(String, String), Seq[String]] = Map.empty,
+      schemaOverrides: Map[(String, String), StructType] = Map.empty,
+      batchId: Long = 0L): BatchStats = {
+    val tBatch0 = System.nanoTime()
+    val cached = batch.persist()
+    try {
+      val decoded = Debezium.decodeChanges(cached, jsonCol, orderCol).toDF()
+      val harvested = decoded
+        .groupBy(col("change_schema").as("ns"), col("change_table").as("tbl"))
+        .agg(count(lit(1)).as("_n"),
+          array_distinct(flatten(collect_list(array_union(
+            coalesce(map_keys(col("record")),
+              array().cast("array<string>")),
+            array_union(
+              coalesce(map_keys(col("old_record")),
+                array().cast("array<string>")),
+              coalesce(col("unchanged_toast"),
+                array().cast("array<string>"))))))).as("cols"))
+        .collect()
+      val nChanges = harvested.map(_.getLong(2)).sum
+      harvested.foreach { r =>
+        val (ns, tbl) = (r.getString(0), r.getString(1))
+        if (ns != null && tbl != null) {
+          val st = schemaOverrides.getOrElse((ns, tbl),
+            StructType(r.getSeq[String](3).sorted
+              .map(org.apache.spark.sql.types.StructField(_,
+                org.apache.spark.sql.types.StringType))))
+          registry((ns, tbl)) = (st, pkByTable.getOrElse((ns, tbl), Nil))
+        }
+      }
+      val changes = decoded
+        .where(col("message").isin("INSERT", "UPDATE", "DELETE", "TRUNCATE"))
+        .withColumnRenamed("message", Walrus.TypeCol)
+      matchShapeDeliver(changes,
+        registry.map { case (k, v) => k -> v._1 }.toMap,
+        registry.map { case (k, v) => k -> v._2 }.toMap,
+        subs, bus, batchId, nChanges = nChanges, batchStartNs = tBatch0)
+    } finally cached.unpersist()
+  }
+
+  /** Attach the Debezium-envelope pipeline to a streaming DataFrame —
+    * same downstream as [[startWal2Json]], envelope decode + config-fed
+    * pk metadata instead of self-describing rows. */
+  def startDebezium(
+      msgs: DataFrame,
+      jsonCol: String,
+      orderCol: String,
+      subs: Seq[Subscription],
+      bus: MemoryBus,
+      pkByTable: Map[(String, String), Seq[String]] = Map.empty,
+      schemaOverrides: Map[(String, String), StructType] = Map.empty,
+      triggerMs: Long = 100L,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val registry = scala.collection.mutable
+      .Map[(String, String), (StructType, Seq[String])]()
+    val w = msgs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDebeziumBatch(batch, jsonCol, orderCol, subs, bus, registry,
+          pkByTable, schemaOverrides, batchId)
+        ()
+      }
+    checkpointLocation.foreach(loc => w.option("checkpointLocation", loc))
+    w.start()
+  }
+
   /** Attach the wal2json pipeline (format-v2 JSON rows in, per-subscriber
     * frames out) to a streaming DataFrame — the same downstream as
     * [[startWal]], different source decode. */
