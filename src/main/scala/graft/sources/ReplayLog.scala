@@ -96,6 +96,44 @@ object ReplayLog {
 
   /** Drop a topic (spec hygiene). */
   def delete(topic: String): Unit = { logs.remove(topic); () }
+
+  /** Offset-cursored poll function over a topic — the external-transport
+    * analog of `pg_logical_slot_get_changes(slot, null, max_changes)`
+    * the reference's poller drains
+    * (/root/reference/lib/extensions/postgres_cdc_rls/replication_poller.ex:149-232):
+    * each call reads up to `maxRecords` past the tracked cursor (the
+    * consumer-side slot position) and advances it, returning an empty
+    * frame when idle — exactly the contract `startAdaptivePollWal2Json`
+    * and friends pace on. The returned frame carries
+    * `(seq, topic, partition, offset, key, value)` with `seq` a
+    * poll-order monotone (partition-major within a poll) for the decode
+    * order column. Driver-side and poll-cap-bounded by construction —
+    * the same boundedness as the reference's single poller process. */
+  def pollFn(spark: org.apache.spark.sql.SparkSession, topic: String,
+      maxRecords: Int): () => org.apache.spark.sql.DataFrame = {
+    val cursor = scala.collection.mutable.Map.empty[Int, Long]
+    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    () => {
+      val drained = Seq.newBuilder[Record]
+      var remaining = maxRecords
+      partitions(topic).foreach { p =>
+        if (remaining > 0) {
+          val from = cursor.getOrElse(p, 0L)
+          val recs = read(topic, p, from, from + remaining)
+          if (recs.nonEmpty) {
+            drained ++= recs
+            cursor(p) = recs.last.offset + 1
+            remaining -= recs.size
+          }
+        }
+      }
+      import spark.implicits._
+      drained.result()
+        .map(r => (seq.getAndIncrement(), r.topic, r.partition, r.offset,
+          r.key, r.value))
+        .toDF("seq", "topic", "partition", "offset", "key", "value")
+    }
+  }
 }
 
 /** Checkpointable offset: exclusive end offset per partition, JSON

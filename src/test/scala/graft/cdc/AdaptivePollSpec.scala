@@ -163,6 +163,37 @@ class AdaptivePollSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("adaptive poll over the replay-log transport: the cursor is the " +
+      "slot position — drains capped, advances, never re-reads") {
+    import graft.sources.ReplayLog
+    val topic = "ap-rl-" + System.nanoTime()
+    val walSubs = Seq(Subscription("sAll", "public", "orders", Nil))
+    def row(id: Int): String =
+      s"""{"action":"I","schema":"public","table":"orders",""" +
+        s""""timestamp":"2024-01-01 00:00:01+00",""" +
+        s""""columns":[{"name":"id","type":"bigint","value":$id}],""" +
+        s""""pk":[{"name":"id","type":"bigint"}]}"""
+    (1 to 5).foreach(i => ReplayLog.append(topic, i % 2, i.toString,
+      row(i).getBytes("UTF-8")))
+    val bus = CdcStream.MemoryBus()
+    // cap 2 per poll: 5 records need 3 busy polls; a 4th returns empty
+    val poll = ReplayLog.pollFn(spark, topic, maxRecords = 2)
+    val h = CdcStream.startAdaptivePollWal2Json(
+      (() => poll().selectExpr("seq", "cast(value as string) as w2j")),
+      "w2j", "seq", walSubs, bus, new PollPacer(50L), maxPolls = 4L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (h.isRunning && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(!h.isRunning)
+      val ids = bus.deliveries.filter(_.subscriptionId == "sAll")
+        .map(d => CdcRecoverySpec.idOf(d.frame.replace("\"", "")))
+      // every record exactly once across capped polls, no re-reads
+      assert(bus.deliveries.size == 5, s"5 inserts once each: $ids")
+      assert(bus.batches.map(_.nChanges).sorted == Seq(0L, 1L, 2L, 2L))
+    } finally { h.stop(); ReplayLog.delete(topic) }
+  }
+
   test("startAdaptivePollWal: binary pgoutput polls keep the registry " +
       "across iterations") {
     import PgOutput.{RelColumn, RelationMeta, TText}
