@@ -45,6 +45,14 @@ object ChangeFeed {
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // naive µs timestamps (TIMESTAMP_NTZ) → session-UTC instants: every
+      // main/spec session pins spark.sql.session.timeZone=UTC, so the cast
+      // is value-preserving and DuckDB's naive read sees the same epoch —
+      // while LTZ-only functions (unix_micros & co) keep working when the
+      // driver emits µs instead of nanos
+      case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }
