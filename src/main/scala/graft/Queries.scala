@@ -360,6 +360,110 @@ object Queries {
         |         (epoch_us(ts)//1000000//30)*30 AS bucket_s
         |  FROM events GROUP BY topic, key, bucket_s)
         |WHERE n > 5""".stripMargin)),
+    // Join-admission replay (check_tenant: max_concurrent_users then the
+    // joins-per-second RateCounter counting ADMITTED joins only,
+    // tenant_rate_limiters.ex:12-43): sequential per-tenant feedback, so
+    // the oracle is a recursive CTE carrying the tick ring as a list
+    // column. Tick scaled to 1 h (the corpus is a 30-day trace; the
+    // reference's 5 s × 12-bucket ring keeps its 12-tick shape); limit =
+    // 1 join/tick-hour average, integer-exact on both engines.
+    Q("a2_join_admission",
+      (s, d) => Rates.joinAdmission(ev(s, d),
+        tenantCol = "event_type", userCol = "user_id",
+        tsCol = "ts", tieCol = "event_id", maxConcurrent = 100,
+        limitNum = 1L, limitDen = 3600L, tickSec = 3600L, windowTicks = 12),
+      Some("""WITH RECURSIVE att0 AS MATERIALIZED (
+        |  SELECT event_type AS tenant, user_id AS usr,
+        |         epoch_us(ts)//1000000//3600 AS tick,
+        |         epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |firsts AS MATERIALIZED (
+        |  SELECT tenant, usr,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY us, event_id) AS conn_rank
+        |  FROM (SELECT tenant, usr, us, event_id,
+        |          row_number() OVER (PARTITION BY tenant, usr ORDER BY us, event_id) AS rn
+        |        FROM att0) WHERE rn = 1),
+        |att AS MATERIALIZED (
+        |  SELECT a.*, f.conn_rank > 100 AS conn_over
+        |  FROM att0 a JOIN firsts f USING (tenant, usr)),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, n,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick, count(*) AS n FROM att
+        |        WHERE NOT conn_over GROUP BY 1, 2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick, false AS flag,
+        |         CAST(n AS BIGINT) AS admitted,
+        |         [{'t': tick, 'c': CAST(n AS BIGINT)}] AS ring
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, flag,
+        |         CASE WHEN flag THEN CAST(0 AS BIGINT) ELSE n END AS admitted,
+        |         list_append(pruned,
+        |           {'t': tick, 'c': CASE WHEN flag THEN CAST(0 AS BIGINT) ELSE n END}) AS ring
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, CAST(t.n AS BIGINT) AS n,
+        |           list_filter(s.ring, x -> x.t >= t.tick - 12) AS pruned,
+        |           least(12, t.tick - t.first_tick) > 0 AND
+        |             coalesce(list_sum(list_transform(
+        |               list_filter(s.ring, x -> x.t >= t.tick - 12 AND x.t < t.tick),
+        |               x -> x.c)), 0) * 3600
+        |             >= 1 * least(12, t.tick - t.first_tick) * 3600 AS flag
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant AND t.idx = s.idx + 1))
+        |SELECT a.tenant, a.event_id,
+        |  CASE WHEN a.conn_over THEN 'too_many_connections'
+        |       WHEN s.flag THEN 'too_many_joins' ELSE 'ok' END AS status
+        |FROM att a LEFT JOIN sim s ON s.tenant = a.tenant AND s.tick = a.tick""".stripMargin)),
+    // Batch-broadcast admission replay (check_rate_limit's two 429 modes +
+    // admitted-only weighted counting, batch_broadcast.ex:170-184): one
+    // batch per (tenant, user, day), hourly ticks. At replay density the
+    // size-vs-rate check is the binding one — a size-2 batch is admitted
+    // iff the 12-tick window holds nothing, which is exactly the feedback
+    // the recursive oracle must replay; the spec covers `rate_limited`.
+    Q("s8_batch_admission",
+      (s, d) => Rates.batchAdmission(
+        ev(s, d).groupBy(col("event_type"),
+            col("user_id"), expr("unix_micros(ts) div 1000000 div 86400"))
+          .agg(min(col("ts")).as("ts"), min(col("event_id")).as("batch_id"),
+            count(lit(1)).as("n")),
+        tenantCol = "event_type", tsCol = "ts", tieCol = "batch_id",
+        sizeCol = "n", limitNum = 2L, limitDen = 1L, tickSec = 3600L,
+        windowTicks = 12),
+      Some("""WITH RECURSIVE bat AS MATERIALIZED (
+        |  SELECT event_type AS tenant, min(epoch_us(ts)) AS us, min(event_id) AS batch_id,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         min(epoch_us(ts))//1000000//3600 AS tick
+        |  FROM events GROUP BY event_type, user_id, epoch_us(ts)//1000000//86400),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, sizes,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick, list(n) AS sizes FROM bat GROUP BY 1,2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick,
+        |         CAST(0 AS BIGINT) AS sum_ring, CAST(3600 AS BIGINT) AS l,
+        |         [{'t': tick, 'c': coalesce(list_sum(list_filter(sizes,
+        |             s -> s*3600*1 <= 2*3600)), 0)}] AS ring
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, sum_ring, l,
+        |         list_append(list_filter(ring0, x -> x.t >= tick - 12),
+        |           {'t': tick, 'c': CASE WHEN sum_ring*1 > 2*l THEN CAST(0 AS BIGINT)
+        |              ELSE coalesce(list_sum(list_filter(sizes,
+        |                s -> s*l*1 + sum_ring*1 <= 2*l)), 0) END}) AS ring
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, t.sizes, s.ring AS ring0,
+        |           coalesce(list_sum(list_transform(
+        |             list_filter(s.ring, x -> x.t >= t.tick - 12 AND x.t < t.tick),
+        |             x -> x.c)), 0) AS sum_ring,
+        |           greatest(least(12, t.tick - t.first_tick), 1) * 3600 AS l
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant AND t.idx = s.idx + 1))
+        |SELECT b.tenant, b.batch_id,
+        |  CASE WHEN s.sum_ring*1 > 2*s.l THEN 'rate_limited'
+        |       WHEN b.n*s.l*1 + s.sum_ring*1 > 2*s.l THEN 'batch_too_large'
+        |       ELSE 'ok' END AS status
+        |FROM bat b JOIN sim s ON s.tenant = b.tenant AND s.tick = b.tick""".stripMargin)),
     Q("a3_distinct_users",
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users")),

@@ -310,6 +310,153 @@ object Rates {
     events.select(col(keyCol), col(tsCol), col(tieCol),
       x.as(valueCol), terms.reduceLeft(_ + _).as("ewma"))
   }
+
+  final case class BatchRow(tenant: String, us: Long, tie: Long, n: Long)
+
+  /** HTTP batch-broadcast admission — the reference's `check_rate_limit`
+    * (batch_broadcast.ex:58-59,170-184) replayed over a logged batch
+    * stream. Two denial modes, checked in order against the tenant's
+    * events-per-second counter (strict `>`, reference cond order):
+    *   1. `avg > max`                  → `rate_limited` (429)
+    *   2. `batch_size + avg > max`     → `batch_too_large` (429)
+    * Admitted batches count every message into the ring
+    * (send_message_and_count → GenCounter.add, :130-142) — admitted-only,
+    * batch-WEIGHTED counting, so each decision feeds the next. The avg is
+    * a tick-boundary snapshot (RateCounter recomputes on its timer tick,
+    * not on GenCounter.add), so all batches landing in one tick see the
+    * same avg and same-tick order can't matter — which is what makes the
+    * replay deterministic and the recursive-CTE oracle per-tick.
+    *
+    * Note the reference's unit mixing is preserved deliberately: a batch
+    * COUNT is compared against a per-second RATE, so check 2 is the
+    * binding one at replay densities and check 1 needs a sustained window
+    * (the spec exercises all three statuses; see `s8_batch_admission` for
+    * the corpus mix). Arithmetic is all-integer: with L = max(len,1)·tick
+    * completed-window seconds, check 1 is `sum·den > num·L` and check 2
+    * is `n·L·den + sum·den > num·L` — exact on any engine.
+    *
+    * Same scale shape as [[joinAdmission]]: one tenant-keyed shuffle, an
+    * O(windowTicks) ring per tenant, streaming group iterator. */
+  def batchAdmission(batches: DataFrame, tenantCol: String, tsCol: String,
+      tieCol: String, sizeCol: String, limitNum: Long, limitDen: Long,
+      tickSec: Long = 5L, windowTicks: Int = 12): DataFrame = {
+    val spark = batches.sparkSession
+    import spark.implicits._
+    val typed = batches.select(col(tenantCol).cast("string").as("tenant"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        col(sizeCol).cast("long").as("n"))
+      .as[BatchRow]
+    typed.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        var firstTick = Long.MinValue
+        it.map { b =>
+          val tick = b.us / 1000000L / tickSec
+          if (firstTick == Long.MinValue) firstTick = tick
+          ring.filterInPlace((t, _) => t >= tick - windowTicks)
+          val len = math.min(windowTicks.toLong, tick - firstTick)
+          val l = math.max(len, 1L) * tickSec
+          val sum = ring.collect { case (t, c) if t < tick => c }.sum
+          if (sum * limitDen > limitNum * l)
+            JoinDecisionRow(tenant, b.tie, "rate_limited")
+          else if (b.n * l * limitDen + sum * limitDen > limitNum * l)
+            JoinDecisionRow(tenant, b.tie, "batch_too_large")
+          else {
+            ring.update(tick, ring.getOrElse(tick, 0L) + b.n)
+            JoinDecisionRow(tenant, b.tie, "ok")
+          }
+        }
+      }.toDF("tenant", "batch_id", "status")
+  }
+
+  final case class JoinAttemptRow(tenant: String, us: Long, tie: Long,
+      connOver: Boolean)
+  final case class JoinDecisionRow(tenant: String, event_id: Long,
+      status: String)
+
+  /** Join-admission replay — the reference's `check_tenant` gate
+    * (tenant_rate_limiters.ex:12-43) over a logged attempt stream, the
+    * feedback loop the plain [[overLimit]] trigger can't express: the rate
+    * counter counts ADMITTED joins only (GenCounter.add fires after the
+    * check passes, realtime_channel.ex:649-653), so each decision depends
+    * on the decisions before it.
+    *
+    * Semantics, in check order:
+    *  1. `max_concurrent_users` — slots are claimed by socket-connect
+    *     order, i.e. each user's FIRST attempt (UsersCounter.add at
+    *     connect, realtime_channel.ex:159); users ranked past the cap get
+    *     every attempt denied `too_many_connections`. The replay log has
+    *     no disconnects, so occupancy is monotone — first-N semantics.
+    *  2. `max_joins_per_second` — a [[RateCounterStream]]-shaped ring of
+    *     per-tick admitted counts (tick × windowTicks, the reference's
+    *     5 s × 12 buckets), consulted BEFORE counting: the flag a tick-T
+    *     attempt sees is computed from COMPLETED ticks [T−window, T−1],
+    *     with ring length = min(window, T − firstTick) completed ticks
+    *     since the counter's creation at the first eligible attempt (a
+    *     brand-new counter reads untriggered, so the creation tick always
+    *     admits). Denials are all-or-nothing per tick — the flag only
+    *     moves on tick boundaries, exactly the trigger-on-tick contract.
+    *
+    * The limit is a RATIONAL per-second rate `limitNum/limitDen`; the
+    * trigger is the integer comparison `sum·limitDen ≥ limitNum·len·tick`
+    * — no float division anywhere, so any engine replays the exact same
+    * decisions (the oracle is a recursive CTE carrying the ring as a
+    * list column).
+    *
+    * Scale: one shuffle keyed by tenant for the rank join, one for the
+    * per-tenant kernel; kernel state is O(windowTicks) per tenant and the
+    * group iterator streams (flatMapSortedGroups — no per-tenant
+    * materialization). Tenants parallelize across executors; the per-key
+    * sequential fold is irreducible (each decision feeds the next), same
+    * as the reference's one-counter-process-per-tenant. */
+  def joinAdmission(events: DataFrame, tenantCol: String, userCol: String,
+      tsCol: String, tieCol: String, maxConcurrent: Int,
+      limitNum: Long, limitDen: Long, tickSec: Long = 5L,
+      windowTicks: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wUserFirst = Window.partitionBy(col(tenantCol), col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val wTenant = Window.partitionBy(col(tenantCol))
+      .orderBy(col(tsCol), col(tieCol))
+    // socket-connect order: each user's first attempt claims a slot
+    val firsts = events
+      .withColumn("_ufirst", row_number().over(wUserFirst))
+      .where(col("_ufirst") === 1)
+      .withColumn("_conn_rank", row_number().over(wTenant))
+      .select(col(tenantCol).as("_t"), col(userCol).as("_u"),
+        col("_conn_rank"))
+    val att = events
+      .join(firsts, col(tenantCol) === col("_t") && col(userCol) === col("_u"))
+      .select(col(tenantCol).cast("string").as("tenant"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        (col("_conn_rank") > maxConcurrent).as("connOver"))
+      .as[JoinAttemptRow]
+    att.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        var firstTick = Long.MinValue
+        it.map { a =>
+          if (a.connOver) JoinDecisionRow(tenant, a.tie, "too_many_connections")
+          else {
+            val tick = a.us / 1000000L / tickSec
+            if (firstTick == Long.MinValue) firstTick = tick
+            ring.filterInPlace((t, _) => t >= tick - windowTicks)
+            val len = math.min(windowTicks.toLong, tick - firstTick)
+            val sum = ring.collect { case (t, c) if t < tick => c }.sum
+            if (len > 0 && sum * limitDen >= limitNum * len * tickSec)
+              JoinDecisionRow(tenant, a.tie, "too_many_joins")
+            else {
+              ring.update(tick, ring.getOrElse(tick, 0L) + 1L)
+              JoinDecisionRow(tenant, a.tie, "ok")
+            }
+          }
+        }
+      }.toDF()
+  }
 }
 
 /** Driver-side per-tenant RateCounter for the CDC poll loop — the
