@@ -464,6 +464,57 @@ object Queries {
         |       WHEN b.n*s.l*1 + s.sum_ring*1 > 2*s.l THEN 'batch_too_large'
         |       ELSE 'ok' END AS status
         |FROM bat b JOIN sim s ON s.tenant = b.tenant AND s.tick = b.tick""".stripMargin)),
+    // Message-rate socket shutdown replay (count-then-check with terminal
+    // per-socket consequence, realtime_channel.ex:291-302): ring + dead-set
+    // feedback, oracle recursion carries both as list columns.
+    Q("a2_message_shutdown",
+      (s, d) => Rates.messageRateShutdown(ev(s, d),
+        tenantCol = "event_type", userCol = "user_id",
+        tsCol = "ts", tieCol = "event_id",
+        limitNum = 3L, limitDen = 3600L, tickSec = 3600L, windowTicks = 12),
+      Some("""WITH RECURSIVE msg AS MATERIALIZED (
+        |  SELECT event_type AS tenant, user_id AS usr, epoch_us(ts) AS us, event_id,
+        |         epoch_us(ts)//1000000//3600 AS tick
+        |  FROM events),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, entries,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick,
+        |          list({'u': usr, 'n': n}) AS entries
+        |        FROM (SELECT tenant, tick, usr, CAST(count(*) AS BIGINT) AS n
+        |              FROM msg GROUP BY 1,2,3) GROUP BY 1,2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick, false AS flag,
+        |         CAST([] AS BIGINT[]) AS dead_before,
+        |         [{'t': tick, 'c': coalesce(list_sum(list_transform(entries, e -> e.n)), 0)}] AS ring,
+        |         CAST([] AS BIGINT[]) AS dead
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, flag,
+        |         dead0 AS dead_before,
+        |         list_append(pruned, {'t': tick,
+        |           'c': CASE WHEN flag THEN CAST(len(alive) AS BIGINT)
+        |                ELSE coalesce(list_sum(list_transform(alive, e -> e.n)), 0) END}) AS ring,
+        |         CASE WHEN flag THEN list_concat(dead0, list_transform(alive, e -> e.u))
+        |              ELSE dead0 END AS dead
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, s.dead AS dead0,
+        |           list_filter(s.ring, x -> x.t >= t.tick - 12) AS pruned,
+        |           list_filter(t.entries, e -> NOT list_contains(s.dead, e.u)) AS alive,
+        |           least(12, t.tick - t.first_tick) > 0 AND
+        |             coalesce(list_sum(list_transform(
+        |               list_filter(s.ring, x -> x.t >= t.tick - 12 AND x.t < t.tick),
+        |               x -> x.c)), 0) * 3600
+        |             >= 3 * least(12, t.tick - t.first_tick) * 3600 AS flag
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant AND t.idx = s.idx + 1))
+        |SELECT m.tenant, m.event_id,
+        |  CASE WHEN list_contains(s.dead_before, m.usr) THEN 'dropped'
+        |       WHEN NOT s.flag THEN 'ok'
+        |       WHEN row_number() OVER (PARTITION BY m.tenant, m.tick, m.usr
+        |                               ORDER BY m.us, m.event_id) = 1 THEN 'shutdown'
+        |       ELSE 'dropped' END AS status
+        |FROM msg m JOIN sim s ON s.tenant = m.tenant AND s.tick = m.tick""".stripMargin)),
     Q("a3_distinct_users",
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users")),

@@ -370,6 +370,66 @@ object Rates {
       }.toDF("tenant", "batch_id", "status")
   }
 
+  final case class MsgRow(tenant: String, user: Long, us: Long, tie: Long)
+
+  /** Message-rate socket shutdown replay — the reference's third
+    * enforcement surface (realtime_channel.ex:291-302 with the fastlane
+    * poke, message_dispatcher.ex:103): every message DELIVERED to a
+    * socket counts into the tenant's events ring (count-THEN-check,
+    * `count(socket)` before `RateCounter.get`), and a socket that
+    * observes the triggered flag shuts down — "Too many messages per
+    * second" — terminally. Dead sockets receive nothing and count
+    * nothing, which is the feedback: the ring's contents depend on who
+    * died, and who dies depends on the ring.
+    *
+    * The flag is the usual tick-boundary snapshot (completed ticks only),
+    * so within a flagged tick every still-alive socket dies at its FIRST
+    * delivery of that tick (that message was delivered, then the check
+    * killed the socket → `shutdown`); its later same-tick messages — and
+    * everything after — are `dropped`. Unflagged ticks deliver normally
+    * (`ok`). Counting follows delivery: a flagged tick contributes one
+    * count per dying socket, an unflagged tick every delivered message.
+    *
+    * Contrast with [[joinAdmission]] (check-before-count, per-attempt
+    * denial, recoverable) — here the consequence is terminal per socket,
+    * the reference's actual load-shedding of runaway channels. State per
+    * tenant: O(windowTicks) ring + O(sockets) dead set (the same bound as
+    * the reference's socket processes). Oracle: the recursive CTE carries
+    * BOTH as list columns. */
+  def messageRateShutdown(messages: DataFrame, tenantCol: String,
+      userCol: String, tsCol: String, tieCol: String,
+      limitNum: Long, limitDen: Long, tickSec: Long = 5L,
+      windowTicks: Int = 12): DataFrame = {
+    val spark = messages.sparkSession
+    import spark.implicits._
+    val typed = messages.select(col(tenantCol).cast("string").as("tenant"),
+        col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"))
+      .as[MsgRow]
+    typed.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        val dead = scala.collection.mutable.Set.empty[Long]
+        var firstTick = Long.MinValue
+        it.map { m =>
+          val tick = m.us / 1000000L / tickSec
+          if (firstTick == Long.MinValue) firstTick = tick
+          if (dead.contains(m.user)) JoinDecisionRow(tenant, m.tie, "dropped")
+          else {
+            ring.filterInPlace((t, _) => t >= tick - windowTicks)
+            val len = math.min(windowTicks.toLong, tick - firstTick)
+            val sum = ring.collect { case (t, c) if t < tick => c }.sum
+            ring.update(tick, ring.getOrElse(tick, 0L) + 1L) // count, THEN check
+            if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
+              dead.add(m.user)
+              JoinDecisionRow(tenant, m.tie, "shutdown")
+            } else JoinDecisionRow(tenant, m.tie, "ok")
+          }
+        }
+      }.toDF("tenant", "event_id", "status")
+  }
+
   final case class JoinAttemptRow(tenant: String, us: Long, tie: Long,
       connOver: Boolean)
   final case class JoinDecisionRow(tenant: String, event_id: Long,
