@@ -1,0 +1,61 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan governance sweep: builds every registered query at sf0.001 and
+  * flags unpartitioned window operators. A global window is a
+  * single-task sort — allowed ONLY where the frame is bounded by
+  * construction: after a `.limit(k)` (the distributed TakeOrdered
+  * already happened; the window re-sorts ≤ k rows) or over a
+  * dimension-capped grid (χ² cells, per-source shares). Any query
+  * outside the whitelist fails the audit — run it whenever an operator
+  * changes shape (it is part of the verify recipe). */
+object PlanAudit {
+  /** Queries whose global windows are k-capped (rank after limit) or
+    * dimension-capped (category grids); each is bounded at ANY corpus
+    * size, so the single task holds ≤ k / |dims| rows. */
+  val boundedGlobalWindows: Set[String] = Set(
+    "a_chisq",              // R×C category grid marginals
+    "a_skew_keys",          // rank over limit(topK)
+    "curation_source_mix",  // per-source shares, |sources| rows
+    "text_bm25",            // rank over limit(k)
+    "text_keyphrases",      // rank over limit(k)
+    "text_ndcg",            // ideal/actual ranks over limit(k)
+    "text_rrf",             // per-list + fused ranks over limit(k)
+    "text_textrank",        // rank over limit(k)
+    "text_zipf")            // rank over limit(topK)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = List.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        var n = 0
+        plan.foreach {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => n += 1
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => n += 1
+          case _ =>
+        }
+        if (n > 0 && !boundedGlobalWindows.contains(name)) bad ::= name
+        else if (n > 0) println(s"[audit] $name: $n bounded global window(s) (whitelisted)")
+      } catch { case scala.util.control.NonFatal(e) =>
+        println(s"[audit] ERR $name ${String.valueOf(e.getMessage).take(100)}")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+    if (bad.nonEmpty) {
+      System.err.println(s"[audit] UNBOUNDED global windows in: ${bad.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+    println("[audit] PASS: no unbounded global windows")
+  }
+}

@@ -151,11 +151,30 @@ object Profile {
     * |keys| rows. */
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = df.groupBy(col(keyCol).as("_k"))
       .agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("i",
-      row_number().over(Window.orderBy(col("c").asc, col("_k").asc))
-        .cast("long"))
+    // global (c, _k) ranks WITHOUT a single-task window: the ranked set is
+    // key-cardinality — billions at corpus scale — so rank two-phase like
+    // curriculumBins: range-partition on the order keys, rank within each
+    // partition, add per-partition offsets (a partition-COUNT-sized
+    // driver map, never data). Persisted: consumed twice (offsets + agg);
+    // cache ownership is the session loop's (clearCache after the query).
+    val parts = counts
+      .repartitionByRange(col("c").asc, col("_k").asc)
+      .withColumn("_pid", spark_partition_id())
+    parts.persist()
+    val offs = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = offs.map(_._1).zip(offs.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, off).otherwise(acc)
+    }
+    val localW = Window.partitionBy(col("_pid"))
+      .orderBy(col("c").asc, col("_k").asc)
+    val ranked = parts.withColumn("i",
+      (offCol + row_number().over(localW)).cast("long"))
     ranked.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         sum(col("i") * col("c")).as("_s"))
       .select(col("n_keys"), col("n_rows"),
