@@ -515,6 +515,38 @@ object Queries {
         |                               ORDER BY m.us, m.event_id) = 1 THEN 'shutdown'
         |       ELSE 'dropped' END AS status
         |FROM msg m JOIN sim s ON s.tenant = m.tenant AND s.tick = m.tick""".stripMargin)),
+    // Anchored-window client limiter (limit_client_presence_event,
+    // presence_handler.ex:214-236): window anchors at first contact,
+    // denials don't consume, expiry resets on contact. The anchor CHAIN is
+    // the sequential part — the oracle recursion locksteps per-key call
+    // indexes carrying (counter, reset_at), no list state. Window scaled
+    // to 7 days (reference default 5/30 s; replay cadence is ~days).
+    Q("a2_presence_client_window",
+      (s, d) => Rates.clientWindowLimit(ev(s, d),
+        keyCols = Seq("event_type", "user_id"), tsCol = "ts",
+        tieCol = "event_id", maxCalls = 3, windowMs = 604800000L),
+      Some("""WITH RECURSIVE calls AS MATERIALIZED (
+        |  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_us(ts) AS us, event_id,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS idx
+        |  FROM events),
+        |sim AS (
+        |  SELECT key, idx, event_id, 'ok' AS status,
+        |         CAST(1 AS BIGINT) AS counter, us + 604800000000 AS reset_at
+        |  FROM calls WHERE idx = 1
+        |  UNION ALL
+        |  SELECT c.key, c.idx, c.event_id,
+        |         CASE WHEN c.us > s.reset_at THEN 'ok'
+        |              WHEN s.counter >= 3 THEN 'rate_limited'
+        |              ELSE 'ok' END AS status,
+        |         CASE WHEN c.us > s.reset_at THEN CAST(1 AS BIGINT)
+        |              WHEN s.counter >= 3 THEN s.counter
+        |              ELSE s.counter + 1 END AS counter,
+        |         CASE WHEN c.us > s.reset_at THEN c.us + 604800000000
+        |              ELSE s.reset_at END AS reset_at
+        |  FROM sim s JOIN calls c ON c.key = s.key AND c.idx = s.idx + 1)
+        |SELECT key, event_id, status FROM sim""".stripMargin)),
     Q("a3_distinct_users",
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users")),

@@ -430,6 +430,52 @@ object Rates {
       }.toDF("tenant", "event_id", "status")
   }
 
+  final case class CallRow(key: String, us: Long, tie: Long)
+
+  /** Per-client anchored-window limiter — the reference's
+    * `limit_client_presence_event` (presence_handler.ex:214-236): the
+    * window ANCHORS at the first call (or the first call strictly past
+    * the previous window's expiry), calls 2..maxCalls inside the window
+    * pass, calls beyond are denied WITHOUT consuming anything, and an
+    * expired window resets on contact (counter=1, new anchor). A third
+    * sequential shape beside the ring gates: state is just two scalars
+    * per key (anchor expiry + counter), but the anchor CHAIN — each
+    * window's start depends on where the previous one ended — is what
+    * fixed tumbling windows can't express (a tumbling bucket would split
+    * a burst straddling the boundary into two fresh allowances).
+    *
+    * Oracle shape: per-key call-index lockstep recursion (depth = max
+    * calls per key), no list state. Scale: one shuffle on the composite
+    * key, O(1) state per key, streaming group iterator. */
+  def clientWindowLimit(calls: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, maxCalls: Int,
+      windowMs: Long): DataFrame = {
+    val spark = calls.sparkSession
+    import spark.implicits._
+    val windowUs = windowMs * 1000L
+    // composite key as one ':'-joined column (callers pick separator-free
+    // key columns; the oracle concatenates identically)
+    val typed = calls.select(
+        concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
+          .as("key"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"))
+      .as[CallRow]
+    typed.groupByKey(_.key)
+      .flatMapSortedGroups($"us", $"tie") { (key, it) =>
+        var resetAt = Long.MinValue
+        var counter = 0L
+        it.map { c =>
+          val status =
+            if (resetAt == Long.MinValue || c.us > resetAt) {
+              counter = 1L; resetAt = c.us + windowUs; "ok"
+            } else if (counter >= maxCalls) "rate_limited"
+            else { counter += 1L; "ok" }
+          JoinDecisionRow(key, c.tie, status)
+        }
+      }.toDF("key", "event_id", "status")
+  }
+
   final case class JoinAttemptRow(tenant: String, us: Long, tie: Long,
       connOver: Boolean)
   final case class JoinDecisionRow(tenant: String, event_id: Long,
