@@ -547,6 +547,43 @@ object Queries {
         |              ELSE s.reset_at END AS reset_at
         |  FROM sim s JOIN calls c ON c.key = s.key AND c.idx = s.idx + 1)
         |SELECT key, event_id, status FROM sim""".stripMargin)),
+    // Tenant presence-rate admission (limit_presence_event,
+    // presence_handler.ex:201-212): check-before-count, admitted-only,
+    // STRICT > off the raw avg — the fifth reference rate check.
+    Q("a4_presence_rate_admission",
+      (s, d) => Rates.presenceRateAdmission(ev(s, d),
+        tenantCol = "event_type", tsCol = "ts", tieCol = "event_id",
+        limitNum = 2L, limitDen = 3600L, tickSec = 3600L, windowTicks = 12),
+      Some("""WITH RECURSIVE msg AS MATERIALIZED (
+        |  SELECT event_type AS tenant, epoch_us(ts) AS us, event_id,
+        |         epoch_us(ts)//1000000//3600 AS tick
+        |  FROM events),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, n,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick, CAST(count(*) AS BIGINT) AS n FROM msg GROUP BY 1,2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick, false AS flag, n AS admitted,
+        |         [{'t': tick, 'c': n}] AS ring
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, flag,
+        |         CASE WHEN flag THEN CAST(0 AS BIGINT) ELSE n END AS admitted,
+        |         list_append(pruned,
+        |           {'t': tick, 'c': CASE WHEN flag THEN CAST(0 AS BIGINT) ELSE n END}) AS ring
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, t.n,
+        |           list_filter(s.ring, x -> x.t >= t.tick - 12) AS pruned,
+        |           least(12, t.tick - t.first_tick) > 0 AND
+        |             coalesce(list_sum(list_transform(
+        |               list_filter(s.ring, x -> x.t >= t.tick - 12 AND x.t < t.tick),
+        |               x -> x.c)), 0) * 3600
+        |             > 2 * least(12, t.tick - t.first_tick) * 3600 AS flag
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant AND t.idx = s.idx + 1))
+        |SELECT m.tenant, m.event_id,
+        |  CASE WHEN s.flag THEN 'rate_limited' ELSE 'ok' END AS status
+        |FROM msg m JOIN sim s ON s.tenant = m.tenant AND s.tick = m.tick""".stripMargin)),
     Q("a3_distinct_users",
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users")),

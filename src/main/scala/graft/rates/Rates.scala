@@ -476,6 +476,46 @@ object Rates {
       }.toDF("key", "event_id", "status")
   }
 
+  final case class PresenceOpRow(tenant: String, us: Long, tie: Long)
+
+  /** Tenant-level presence-event admission — `limit_presence_event`
+    * (presence_handler.ex:201-212): the fifth and last of the reference's
+    * rate checks. Check-BEFORE-count with admitted-only increments like
+    * the joins gate, but the comparison is `avg > max` — STRICT, read
+    * straight off the counter rather than through the triggered flag's
+    * `>=` — so a window sitting exactly AT the limit still admits (the
+    * spec pins the boundary against [[joinAdmission]]'s). Same
+    * integer-rational arithmetic, same tick-snapshot all-or-nothing
+    * denial, same recursive-CTE oracle shape minus the slot arm. */
+  def presenceRateAdmission(ops: DataFrame, tenantCol: String,
+      tsCol: String, tieCol: String, limitNum: Long, limitDen: Long,
+      tickSec: Long = 5L, windowTicks: Int = 12): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val typed = ops.select(col(tenantCol).cast("string").as("tenant"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"))
+      .as[PresenceOpRow]
+    typed.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        var firstTick = Long.MinValue
+        it.map { a =>
+          val tick = a.us / 1000000L / tickSec
+          if (firstTick == Long.MinValue) firstTick = tick
+          ring.filterInPlace((t, _) => t >= tick - windowTicks)
+          val len = math.min(windowTicks.toLong, tick - firstTick)
+          val sum = ring.collect { case (t, c) if t < tick => c }.sum
+          if (len > 0 && sum * limitDen > limitNum * len * tickSec)
+            JoinDecisionRow(tenant, a.tie, "rate_limited")
+          else {
+            ring.update(tick, ring.getOrElse(tick, 0L) + 1L)
+            JoinDecisionRow(tenant, a.tie, "ok")
+          }
+        }
+      }.toDF("tenant", "event_id", "status")
+  }
+
   final case class JoinAttemptRow(tenant: String, us: Long, tie: Long,
       connOver: Boolean)
   final case class JoinDecisionRow(tenant: String, event_id: Long,
