@@ -32,6 +32,59 @@ object AdmissionStream {
       firstTick: Long,         // counter creation (first eligible attempt)
       slots: Set[Long])        // users holding connection slots, first-N
 
+  final case class ShutdownState(
+      ring: Map[Long, Long],   // tick → counted deliveries
+      firstTick: Long,
+      dead: Set[Long])         // terminally shut-down sockets
+
+  /** Streaming twin of [[Rates.messageRateShutdown]]: the live
+    * count-then-check kill path (realtime_channel.ex:291-302). The dead
+    * set is ABSORBING state — a socket shut down in one micro-batch
+    * stays dead for every later batch, the semantics that make this a
+    * keyed-state op rather than a window: no watermark ever retires a
+    * death. Ring + dead set carry across batches; same ordering caveat
+    * as [[apply]]. Parity with the batch replay is spec-pinned. */
+  def shutdownStream(
+      messages: Dataset[Attempt],
+      limitNum: Long,
+      limitDen: Long,
+      tickSec: Long = 5L,
+      windowTicks: Int = 12)(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    messages
+      .groupByKey(_.tenant)
+      .flatMapGroupsWithState[ShutdownState, Decision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (tenant: String, evs: Iterator[Attempt], state: GroupState[ShutdownState]) =>
+          var st = state.getOption
+            .getOrElse(ShutdownState(Map.empty, Long.MinValue, Set.empty))
+          val out = Seq.newBuilder[Decision]
+          evs.toSeq.sortBy(a => (a.epochSec, a.tie)).foreach { m =>
+            val tick = m.epochSec / tickSec
+            val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
+            if (st.dead.contains(m.user)) {
+              st = st.copy(firstTick = first)
+              out += Decision(tenant, m.tie, "dropped")
+            } else {
+              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
+              val len = math.min(windowTicks.toLong, tick - first)
+              val sum = ring.collect { case (t, c) if t < tick => c }.sum
+              val counted = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
+              if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
+                st = ShutdownState(counted, first, st.dead + m.user)
+                out += Decision(tenant, m.tie, "shutdown")
+              } else {
+                st = ShutdownState(counted, first, st.dead)
+                out += Decision(tenant, m.tie, "ok")
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def apply(
       attempts: Dataset[Attempt],
       maxConcurrent: Int,
