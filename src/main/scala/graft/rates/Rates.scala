@@ -516,8 +516,8 @@ object Rates {
       }.toDF("tenant", "event_id", "status")
   }
 
-  final case class JoinAttemptRow(tenant: String, us: Long, tie: Long,
-      connOver: Boolean)
+  final case class JoinAttemptRow(tenant: String, user: Long, us: Long,
+      tie: Long)
   final case class JoinDecisionRow(tenant: String, event_id: Long,
       status: String)
 
@@ -550,44 +550,42 @@ object Rates {
     * decisions (the oracle is a recursive CTE carrying the ring as a
     * list column).
     *
-    * Scale: one shuffle keyed by tenant for the rank join, one for the
-    * per-tenant kernel; kernel state is O(windowTicks) per tenant and the
-    * group iterator streams (flatMapSortedGroups — no per-tenant
-    * materialization). Tenants parallelize across executors; the per-key
-    * sequential fold is irreducible (each decision feeds the next), same
-    * as the reference's one-counter-process-per-tenant. */
+    * Scale: ONE shuffle keyed by tenant; kernel state is an
+    * O(windowTicks) ring plus an O(users-per-tenant) slot set (the
+    * reference's UsersCounter bound) and the group iterator streams
+    * (flatMapSortedGroups — no per-tenant materialization). Tenants
+    * parallelize across executors; the per-key sequential fold is
+    * irreducible (each decision feeds the next), same as the reference's
+    * one-counter-process-per-tenant. */
   def joinAdmission(events: DataFrame, tenantCol: String, userCol: String,
       tsCol: String, tieCol: String, maxConcurrent: Int,
       limitNum: Long, limitDen: Long, tickSec: Long = 5L,
       windowTicks: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
-    val wUserFirst = Window.partitionBy(col(tenantCol), col(userCol))
-      .orderBy(col(tsCol), col(tieCol))
-    val wTenant = Window.partitionBy(col(tenantCol))
-      .orderBy(col(tsCol), col(tieCol))
-    // socket-connect order: each user's first attempt claims a slot
-    val firsts = events
-      .withColumn("_ufirst", row_number().over(wUserFirst))
-      .where(col("_ufirst") === 1)
-      .withColumn("_conn_rank", row_number().over(wTenant))
-      .select(col(tenantCol).as("_t"), col(userCol).as("_u"),
-        col("_conn_rank"))
-    val att = events
-      .join(firsts, col(tenantCol) === col("_t") && col(userCol) === col("_u"))
-      .select(col(tenantCol).cast("string").as("tenant"),
+    // ONE tenant-keyed shuffle: the kernel walks attempts in (ts, tie)
+    // order, so socket-connect order — each user's first attempt claims a
+    // slot — falls out of the same walk as the ring (a claimed-slot set,
+    // exactly [[AdmissionStream]]'s state; an earlier form computed
+    // connection ranks with two windows plus a join back, three shuffles
+    // for what the fold already knows). Slot state is O(users-per-tenant),
+    // the reference's UsersCounter bound.
+    val att = events.select(col(tenantCol).cast("string").as("tenant"),
+        col(userCol).cast("long").as("user"),
         unix_micros(col(tsCol)).as("us"),
-        col(tieCol).cast("long").as("tie"),
-        (col("_conn_rank") > maxConcurrent).as("connOver"))
+        col(tieCol).cast("long").as("tie"))
       .as[JoinAttemptRow]
     att.groupByKey(_.tenant)
       .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
         val ring = scala.collection.mutable.Map.empty[Long, Long]
+        val slots = scala.collection.mutable.Set.empty[Long]
         var firstTick = Long.MinValue
         it.map { a =>
-          if (a.connOver) JoinDecisionRow(tenant, a.tie, "too_many_connections")
+          if (!slots.contains(a.user) && slots.size >= maxConcurrent)
+            JoinDecisionRow(tenant, a.tie, "too_many_connections")
           else {
+            slots.add(a.user) // first attempt claims the slot, even if the
+                              // join itself is then rate-denied
             val tick = a.us / 1000000L / tickSec
             if (firstTick == Long.MinValue) firstTick = tick
             ring.filterInPlace((t, _) => t >= tick - windowTicks)

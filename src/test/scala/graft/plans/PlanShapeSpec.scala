@@ -86,19 +86,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("admission replays: windows tenant-partitioned, rank join an equi-join") {
+  test("admission replay is one tenant shuffle: no windows, no joins") {
     val ts = new java.sql.Timestamp(1700000000000L)
     val ev = Seq((ts, 1L, "t", 1L), (ts, 2L, "t", 2L))
       .toDF("ts", "user_id", "event_type", "event_id")
     val p = plan(graft.rates.Rates.joinAdmission(ev, "event_type", "user_id",
       "ts", "event_id", maxConcurrent = 1, limitNum = 1L, limitDen = 1L))
-    val specs = "windowspecdefinition\\(([^)]*)\\)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty, p)
-    specs.foreach(s => assert(s.contains("event_type"),
-      s"admission windows must partition by tenant, got: $s"))
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      s"slot-rank join must stay an equi-join:\n$p")
+    // slot order falls out of the kernel's sorted walk — a regression back
+    // to rank-windows-plus-join would reintroduce two shuffles here
+    assert(!p.contains("windowspecdefinition") &&
+      !p.contains("HashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"admission must shuffle once, by tenant:\n$p")
   }
 }
