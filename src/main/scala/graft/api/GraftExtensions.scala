@@ -1,0 +1,104 @@
+package graft.api
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Concat, Expression, ExpressionInfo, Literal, RegExpReplace}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for the library's native expressions — the
+  * `SparkSessionExtensions` registration route, so a SQL-only user gets
+  * the same codegen'd kernels the DataFrame API uses:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.api.GraftExtensions …
+  *   spark.sql("SELECT quote_wal2json(s, t), json_map_project(m, 'a')")
+  *
+  * Registered functions:
+  *  - `quote_wal2json(schema, table)` — the reference's add-tables
+  *    identifier escape ([[graft.cdc.Wal2Json.quoteWal2json]];
+  *    …create_realtime_quote_wal2json_function.ex:7-45)
+  *  - `json_map_project(map[, key, …])` — project-and-serialize a
+  *    `map<string,string>` to JSON in one whole-stage-codegen expression
+  *    ([[graft.plans.JsonMapProject]]); with keys, only those keys
+  *  - `json_struct_project(name1, val1[, name2, val2, …])` — serialize
+  *    named typed fields to a JSON object with Jackson parity
+  *    ([[graft.plans.JsonStructProject]])
+  *
+  * For an already-built session (notebooks, tests), the same list
+  * registers imperatively via [[GraftFunctions.register]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Key/name arguments must be resolvable at plan time (they become the
+    * expression's constant shape); accept any foldable string. */
+  private def litString(fn: String, e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ if e.foldable && e.dataType == StringType =>
+      val v = e.eval()
+      if (v == null)
+        throw new IllegalArgumentException(s"$fn: literal argument is null")
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private val quoteWal2json: FunctionDescription = (
+    FunctionIdentifier("quote_wal2json"),
+    info("quote_wal2json",
+      "quote_wal2json(schema, table) - escape an identifier pair for the wal2json add-tables list"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "quote_wal2json(schema, table) takes 2 arguments")
+      // the catalyst twin of Wal2Json.quoteWal2json (a SQL function builder
+      // must return a resolved-shape catalyst tree, not a Column wrapper);
+      // byte-parity with the column path is spec-pinned
+      def strip(e: Expression) =
+        RegExpReplace(e, Literal("^\"|\"$"), Literal(""))
+      def esc(e: Expression) =
+        RegExpReplace(strip(e), Literal("(.)"), Literal("\\\\$1"))
+      Concat(Seq(esc(args(0)), Literal("."), esc(args(1))))
+    })
+
+  private val jsonMapProject: FunctionDescription = (
+    FunctionIdentifier("json_map_project"),
+    info("json_map_project",
+      "json_map_project(map[, key, ...]) - serialize a map<string,string> to JSON, optionally keeping only the named keys"),
+    (args: Seq[Expression]) => {
+      require(args.nonEmpty, "json_map_project(map[, key, ...]) takes at least 1 argument")
+      val keep =
+        if (args.length == 1) None
+        else Some(args.tail.map(litString("json_map_project", _)))
+      graft.plans.JsonMapProject(args.head, keep)
+    })
+
+  private val jsonStructProject: FunctionDescription = (
+    FunctionIdentifier("json_struct_project"),
+    info("json_struct_project",
+      "json_struct_project(name1, val1[, name2, val2, ...]) - serialize named fields to a JSON object"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 2 && args.length % 2 == 0,
+        "json_struct_project takes alternating name, value arguments")
+      val names = args.grouped(2).map(p =>
+        litString("json_struct_project", p.head)).toSeq
+      val values = args.grouped(2).map(_(1)).toSeq
+      graft.plans.JsonStructProject(names, values)
+    })
+
+  val all: Seq[FunctionDescription] =
+    Seq(quoteWal2json, jsonMapProject, jsonStructProject)
+
+  /** Imperative twin of [[GraftExtensions]] for an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

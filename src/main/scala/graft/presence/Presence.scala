@@ -202,7 +202,16 @@ object Presence {
     * The per-topic state is the same single-owner-partition model as
     * [[diffStream]] — Spark's shuffle gives each topic one authoritative
     * state; `sync` is how ANOTHER tracker's view of the same topic folds
-    * in, which is the reference's N-replica composition. */
+    * in, which is the reference's N-replica composition.
+    *
+    * Deliberately NO idle reap here (unlike [[diffStream]] and the
+    * admission twins): the version vector is what makes removals win —
+    * reaping an idle topic's ORSWOT state and later receiving a `sync`
+    * carrying old dots would RESURRECT every untracked presence the
+    * lost vv had observed-removed. State only clears when it is
+    * provably empty (no entries, no vv), below. Topic cardinality is
+    * tenant-bounded, the same bound as the reference's one Tracker
+    * state per topic. */
   def diffStreamSync(ops: Dataset[ReplicaOp])(
       implicit spark: SparkSession): Dataset[PresenceDiff] = {
     import spark.implicits._

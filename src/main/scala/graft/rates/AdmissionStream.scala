@@ -37,93 +37,307 @@ object AdmissionStream {
       firstTick: Long,
       dead: Set[Long])         // terminally shut-down sockets
 
+  /** A timestamped batch with its message count (`us` = event-time µs). */
+  final case class SizedAttempt(tenant: String, us: Long, tie: Long, n: Long)
+
+  /** A timestamped call on a composite key (`us` = event-time µs). */
+  final case class Call(key: String, us: Long, tie: Long)
+
+  final case class RingState(ring: Map[Long, Long], firstTick: Long)
+
+  final case class WindowState(resetAt: Long, counter: Long)
+
+  /** Streaming twin of [[Rates.batchAdmission]] — the LIVE
+    * `check_rate_limit` gate (batch_broadcast.ex:58-59,170-184): the two
+    * 429 modes in reference cond order (`avg > max` → rate_limited,
+    * `size + avg > max` → batch_too_large), admitted batches counting
+    * every message (batch-WEIGHTED admitted-only ring). The ring carries
+    * across micro-batches, so an admitted burst in one batch can push a
+    * later batch's avg over either check — the cross-batch feedback the
+    * batch replay can't show. Arithmetic is the batch twin's exact
+    * integer form (`sum·den > num·L`, `n·L·den + sum·den > num·L` with
+    * L = max(len,1)·tick), so parity is bit-identical (spec-pinned).
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap: a pure rate counter, so
+    * a reaped tenant's state is REMOVED outright — recreation on next
+    * contact is a fresh counter (creation tick admits), the reference's
+    * idle-RateCounter shutdown-and-recreate. */
+  def batchStream(
+      batches: Dataset[SizedAttempt],
+      limitNum: Long,
+      limitDen: Long,
+      tickSec: Long = 5L,
+      windowTicks: Int = 12,
+      idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    batches
+      .groupByKey(_.tenant)
+      .flatMapGroupsWithState[RingState, Decision](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (tenant: String, evs: Iterator[SizedAttempt], state: GroupState[RingState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle counter shut down; next contact recreates
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(RingState(Map.empty, Long.MinValue))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(b => (b.us, b.tie)).foreach { b =>
+              val tick = b.us / 1000000L / tickSec
+              val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
+              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
+              val len = math.min(windowTicks.toLong, tick - first)
+              val l = math.max(len, 1L) * tickSec
+              val sum = ring.collect { case (t, c) if t < tick => c }.sum
+              if (sum * limitDen > limitNum * l) {
+                st = RingState(ring, first)
+                out += Decision(tenant, b.tie, "rate_limited")
+              } else if (b.n * l * limitDen + sum * limitDen > limitNum * l) {
+                st = RingState(ring, first)
+                out += Decision(tenant, b.tie, "batch_too_large")
+              } else {
+                st = RingState(ring.updated(tick, ring.getOrElse(tick, 0L) + b.n), first)
+                out += Decision(tenant, b.tie, "ok")
+              }
+            }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming twin of [[Rates.clientWindowLimit]] — the LIVE
+    * `limit_client_presence_event` anchored window
+    * (presence_handler.ex:214-236). State is two scalars per key (anchor
+    * expiry + counter): calls 2..maxCalls inside the anchored window
+    * pass, calls beyond are denied WITHOUT consuming, an expired window
+    * resets on contact. The anchor CHAIN crosses micro-batch boundaries
+    * — a window opened in one batch still gates calls arriving in the
+    * next, and a boundary-exact call (`us == resetAt`) stays inside the
+    * window (strict `>` reset, the batch twin's boundary).
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap — ESSENTIAL here at
+    * scale: the key space is per-CLIENT (unbounded cardinality, unlike
+    * the tenant-keyed ring gates). An absent state and an expired window
+    * decide identically (both re-anchor fresh on contact), so with
+    * `idleTimeoutMs ≥ windowMs` the reap is decision-invariant whenever
+    * processing time keeps pace with event time; the reference's limiter
+    * state lives in the (wall-clock-reaped) socket process anyway. */
+  def clientWindowStream(
+      calls: Dataset[Call],
+      maxCalls: Int,
+      windowMs: Long,
+      idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    val windowUs = windowMs * 1000L
+    calls
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[WindowState, Decision](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[Call], state: GroupState[WindowState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle client reaped; next contact re-anchors
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(WindowState(Long.MinValue, 0L))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(c => (c.us, c.tie)).foreach { c =>
+              val status =
+                if (st.resetAt == Long.MinValue || c.us > st.resetAt) {
+                  st = WindowState(c.us + windowUs, 1L); "ok"
+                } else if (st.counter >= maxCalls) "rate_limited"
+                else { st = st.copy(counter = st.counter + 1L); "ok" }
+              out += Decision(key, c.tie, status)
+            }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming twin of [[Rates.presenceRateAdmission]] — the LIVE
+    * `limit_presence_event` gate (presence_handler.ex:201-212):
+    * check-before-count with admitted-only increments, but STRICT
+    * `avg > max` (a window sitting exactly AT the limit still admits —
+    * the boundary the batch spec pins against the joins gate's `>=`).
+    * Ring carries across micro-batches; parity spec-pinned.
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap (pure rate counter ⇒
+    * full removal, fresh counter on next contact — see [[batchStream]]). */
+  def presenceRateStream(
+      ops: Dataset[Call],
+      limitNum: Long,
+      limitDen: Long,
+      tickSec: Long = 5L,
+      windowTicks: Int = 12,
+      idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    ops
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RingState, Decision](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (tenant: String, evs: Iterator[Call], state: GroupState[RingState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle counter shut down; next contact recreates
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(RingState(Map.empty, Long.MinValue))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(a => (a.us, a.tie)).foreach { a =>
+              val tick = a.us / 1000000L / tickSec
+              val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
+              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
+              val len = math.min(windowTicks.toLong, tick - first)
+              val sum = ring.collect { case (t, c) if t < tick => c }.sum
+              if (len > 0 && sum * limitDen > limitNum * len * tickSec) {
+                st = RingState(ring, first)
+                out += Decision(tenant, a.tie, "rate_limited")
+              } else {
+                st = RingState(ring.updated(tick, ring.getOrElse(tick, 0L) + 1L), first)
+                out += Decision(tenant, a.tie, "ok")
+              }
+            }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[Rates.messageRateShutdown]]: the live
     * count-then-check kill path (realtime_channel.ex:291-302). The dead
     * set is ABSORBING state — a socket shut down in one micro-batch
     * stays dead for every later batch, the semantics that make this a
     * keyed-state op rather than a window: no watermark ever retires a
     * death. Ring + dead set carry across batches; same ordering caveat
-    * as [[apply]]. Parity with the batch replay is spec-pinned. */
+    * as [[apply]]. Parity with the batch replay is spec-pinned.
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap ([[RateCounterStream]]'s
+    * contract, the reference's wall-clock idle-counter sweep): an idle
+    * tenant's RING is dropped — a reaped window is all-zero anyway — but
+    * the dead set survives (deaths are terminal, never rate state), so
+    * reaped state shrinks to the O(dead-sockets) bound. */
   def shutdownStream(
       messages: Dataset[Attempt],
       limitNum: Long,
       limitDen: Long,
       tickSec: Long = 5L,
-      windowTicks: Int = 12)(
+      windowTicks: Int = 12,
+      idleTimeoutMs: Long = 0L)(
       implicit spark: SparkSession): Dataset[Decision] = {
     import spark.implicits._
     messages
       .groupByKey(_.tenant)
       .flatMapGroupsWithState[ShutdownState, Decision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (tenant: String, evs: Iterator[Attempt], state: GroupState[ShutdownState]) =>
-          var st = state.getOption
-            .getOrElse(ShutdownState(Map.empty, Long.MinValue, Set.empty))
-          val out = Seq.newBuilder[Decision]
-          evs.toSeq.sortBy(a => (a.epochSec, a.tie)).foreach { m =>
-            val tick = m.epochSec / tickSec
-            val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
-            if (st.dead.contains(m.user)) {
-              st = st.copy(firstTick = first)
-              out += Decision(tenant, m.tie, "dropped")
-            } else {
-              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
-              val len = math.min(windowTicks.toLong, tick - first)
-              val sum = ring.collect { case (t, c) if t < tick => c }.sum
-              val counted = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
-              if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
-                st = ShutdownState(counted, first, st.dead + m.user)
-                out += Decision(tenant, m.tie, "shutdown")
+          if (state.hasTimedOut) {
+            // idle reap: ring drops (all-zero window), dead set survives
+            val kept = state.get.dead
+            if (kept.isEmpty) state.remove()
+            else state.update(ShutdownState(Map.empty, Long.MinValue, kept))
+            Iterator.empty
+          } else {
+            var st = state.getOption
+              .getOrElse(ShutdownState(Map.empty, Long.MinValue, Set.empty))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(a => (a.epochSec, a.tie)).foreach { m =>
+              val tick = m.epochSec / tickSec
+              val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
+              if (st.dead.contains(m.user)) {
+                st = st.copy(firstTick = first)
+                out += Decision(tenant, m.tie, "dropped")
               } else {
-                st = ShutdownState(counted, first, st.dead)
-                out += Decision(tenant, m.tie, "ok")
+                val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
+                val len = math.min(windowTicks.toLong, tick - first)
+                val sum = ring.collect { case (t, c) if t < tick => c }.sum
+                val counted = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
+                if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
+                  st = ShutdownState(counted, first, st.dead + m.user)
+                  out += Decision(tenant, m.tie, "shutdown")
+                } else {
+                  st = ShutdownState(counted, first, st.dead)
+                  out += Decision(tenant, m.tie, "ok")
+                }
               }
             }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
+  /** `idleTimeoutMs > 0` opts into the idle reap: the joins RING is
+    * dropped (idle RateCounter shutdown; recreation on next contact is a
+    * fresh counter), but the SLOT set survives — connection slots are
+    * UsersCounter state, held while sockets stay connected, never
+    * rate-counter state — so reaped state shrinks to the
+    * O(users-per-tenant) bound. */
   def apply(
       attempts: Dataset[Attempt],
       maxConcurrent: Int,
       limitNum: Long,
       limitDen: Long,
       tickSec: Long = 5L,
-      windowTicks: Int = 12)(
+      windowTicks: Int = 12,
+      idleTimeoutMs: Long = 0L)(
       implicit spark: SparkSession): Dataset[Decision] = {
     import spark.implicits._
     attempts
       .groupByKey(_.tenant)
       .flatMapGroupsWithState[GateState, Decision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (tenant: String, evs: Iterator[Attempt], state: GroupState[GateState]) =>
-          var st = state.getOption
-            .getOrElse(GateState(Map.empty, Long.MinValue, Set.empty))
-          val out = Seq.newBuilder[Decision]
-          evs.toSeq.sortBy(a => (a.epochSec, a.tie)).foreach { a =>
-            val overCap = !st.slots.contains(a.user) && st.slots.size >= maxConcurrent
-            if (overCap) out += Decision(tenant, a.tie, "too_many_connections")
-            else {
-              val slots = st.slots + a.user // first attempt claims the slot
-              val tick = a.epochSec / tickSec
-              val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
-              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
-              val len = math.min(windowTicks.toLong, tick - first)
-              val sum = ring.collect { case (t, c) if t < tick => c }.sum
-              if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
-                st = GateState(ring, first, slots)
-                out += Decision(tenant, a.tie, "too_many_joins")
-              } else {
-                st = GateState(ring.updated(tick, ring.getOrElse(tick, 0L) + 1L),
-                  first, slots)
-                out += Decision(tenant, a.tie, "ok")
+          if (state.hasTimedOut) {
+            // idle reap: ring drops, claimed slots survive (UsersCounter
+            // state — sockets are still connected while the tenant idles)
+            val kept = state.get.slots
+            if (kept.isEmpty) state.remove()
+            else state.update(GateState(Map.empty, Long.MinValue, kept))
+            Iterator.empty
+          } else {
+            var st = state.getOption
+              .getOrElse(GateState(Map.empty, Long.MinValue, Set.empty))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(a => (a.epochSec, a.tie)).foreach { a =>
+              val overCap = !st.slots.contains(a.user) && st.slots.size >= maxConcurrent
+              if (overCap) out += Decision(tenant, a.tie, "too_many_connections")
+              else {
+                val slots = st.slots + a.user // first attempt claims the slot
+                val tick = a.epochSec / tickSec
+                val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
+                val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
+                val len = math.min(windowTicks.toLong, tick - first)
+                val sum = ring.collect { case (t, c) if t < tick => c }.sum
+                if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
+                  st = GateState(ring, first, slots)
+                  out += Decision(tenant, a.tie, "too_many_joins")
+                } else {
+                  st = GateState(ring.updated(tick, ring.getOrElse(tick, 0L) + 1L),
+                    first, slots)
+                  out += Decision(tenant, a.tie, "ok")
+                }
               }
             }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -152,27 +152,43 @@ object Rates {
     * Ordering caveat (documented, same as every keyed-state op here):
     * events must arrive key-ordered across batches (per-key FIFO
     * source partitioning) — a cross-batch out-of-order event would
-    * chain onto the newer cursor. */
-  def transitionStream(events: org.apache.spark.sql.Dataset[TransitionEvent])(
+    * chain onto the newer cursor.
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap (unbounded per-client
+    * key space, so live deployments want it): an idle key's cursor is
+    * dropped, and its next event starts a fresh chain — the session-gap
+    * semantics (no cross-session transition is counted), matching
+    * [[sessionize]]'s reading of an idle gap. */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TransitionEvent],
+      idleTimeoutMs: Long = 0L)(
       implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[TransitionInc] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.key)
       .flatMapGroupsWithState[TransitionCursor, TransitionInc](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (key: String, evs: Iterator[TransitionEvent],
          state: GroupState[TransitionCursor]) =>
-          val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.tie))
-          val out = Seq.newBuilder[TransitionInc]
-          var prev = state.getOption.map(_.eventType)
-          sorted.foreach { e =>
-            prev.foreach(p => out += TransitionInc(key, p, e.eventType))
-            prev = Some(e.eventType)
+          if (state.hasTimedOut) {
+            state.remove() // idle cursor reaped; next event starts a chain
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.tie))
+            val out = Seq.newBuilder[TransitionInc]
+            var prev = state.getOption.map(_.eventType)
+            sorted.foreach { e =>
+              prev.foreach(p => out += TransitionInc(key, p, e.eventType))
+              prev = Some(e.eventType)
+            }
+            sorted.lastOption.foreach(e =>
+              state.update(TransitionCursor(e.eventType)))
+            if (idleTimeoutMs > 0 && state.exists)
+              state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
           }
-          sorted.lastOption.foreach(e =>
-            state.update(TransitionCursor(e.eventType)))
-          out.result().iterator
       }
   }
 
@@ -196,28 +212,44 @@ object Rates {
     * against the previous event). Keyed state is ONE long per key (the
     * last kept timestamp), events sort (microsecond ts, tie) within a
     * batch — same `unix_micros` precision as the batch twin — and the
-    * anchor carries across micro-batches. */
+    * anchor carries across micro-batches.
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap (unbounded per-client
+    * key space). With `idleTimeoutMs ≥ minGapSec·1000` the reap is
+    * decision-INVARIANT whenever processing time keeps pace with event
+    * time: an anchor older than the gap can't suppress anything, and an
+    * absent anchor admits — the two states decide identically. */
   def debounceStream(events: org.apache.spark.sql.Dataset[DebounceEvent],
-      minGapSec: Long)(implicit spark: org.apache.spark.sql.SparkSession)
+      minGapSec: Long, idleTimeoutMs: Long = 0L)(
+      implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[DebounceEvent] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = minGapSec * 1000000L
     events.groupByKey(_.key)
       .flatMapGroupsWithState[Long, DebounceEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (_: String, evs: Iterator[DebounceEvent], state: GroupState[Long]) =>
-          val out = Seq.newBuilder[DebounceEvent]
-          var anchor = state.getOption
-          evs.toSeq.sortBy(e => (tsMicros(e.ts), e.tie)).foreach { e =>
-            val tUs = tsMicros(e.ts)
-            if (anchor.forall(a => tUs - a > gapUs)) {
-              out += e
-              anchor = Some(tUs)
+          if (state.hasTimedOut) {
+            state.remove() // stale anchor (older than the gap) reaped
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[DebounceEvent]
+            var anchor = state.getOption
+            evs.toSeq.sortBy(e => (tsMicros(e.ts), e.tie)).foreach { e =>
+              val tUs = tsMicros(e.ts)
+              if (anchor.forall(a => tUs - a > gapUs)) {
+                out += e
+                anchor = Some(tUs)
+              }
             }
+            anchor.foreach(state.update)
+            if (idleTimeoutMs > 0 && state.exists)
+              state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
           }
-          anchor.foreach(state.update)
-          out.result().iterator
       }
   }
 

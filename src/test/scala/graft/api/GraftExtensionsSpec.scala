@@ -1,0 +1,73 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+
+/** The SQL registration surface: the same native expressions the
+  * DataFrame API uses, reachable from `spark.sql` — imperatively via
+  * [[GraftFunctions.register]] and declaratively via
+  * `spark.sql.extensions=graft.api.GraftExtensions`. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered functions evaluate via SQL, matching the column API") {
+    GraftFunctions.register(spark)
+    // quote_wal2json: SQL path ≡ column path (quoted, comma'd identifier)
+    val sqlQ = spark.sql("""SELECT quote_wal2json('"We,ird"', 'Orders')""")
+      .head.getString(0)
+    val colQ = spark.range(1).select(graft.cdc.Wal2Json.quoteWal2json(
+        lit("\"We,ird\""), lit("Orders")))
+      .head.getString(0)
+    assert(sqlQ == colQ)
+    assert(sqlQ == "\\W\\e\\,\\i\\r\\d.\\O\\r\\d\\e\\r\\s")
+
+    // json_map_project: key subset keeps map order, renders SQL NULL
+    val sub = spark.sql(
+        "SELECT json_map_project(map('a','1','b',cast(null as string),'c','x'), 'a', 'b')")
+      .head.getString(0)
+    assert(sub == """{"a":"1","b":null}""")
+    val all = spark.sql("SELECT json_map_project(map('a','1','b','2'))")
+      .head.getString(0)
+    assert(all == """{"a":"1","b":"2"}""")
+
+    // json_struct_project: byte parity with to_json(named_struct(…))
+    val row = spark.sql(
+        """SELECT json_struct_project('id', 7, 'name', 'a"b'),
+                  to_json(named_struct('id', 7, 'name', 'a"b'))""")
+      .head
+    assert(row.getString(0) == row.getString(1))
+
+    // malformed calls fail analysis, not execution
+    intercept[Exception] {
+      spark.sql("SELECT json_struct_project('only_a_name')").head
+    }
+    intercept[Exception] {
+      // non-literal key: the keep set is plan-time constant by design
+      spark.sql("SELECT json_map_project(map('a','1'), cast(rand() as string))")
+        .head
+    }
+  }
+
+  test("spark.sql.extensions wiring: a fresh session gets the functions") {
+    val suiteSession = spark // force-build the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the suite's SparkContext; applies the extensions to the
+      // new session — exactly what --conf spark.sql.extensions does
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = ext.sql("SELECT quote_wal2json('public', 'orders')")
+        .head.getString(0)
+      assert(v == "\\p\\u\\b\\l\\i\\c.\\o\\r\\d\\e\\r\\s")
+      // a genuinely new session, not the suite's, received the injection
+      assert(suiteSession ne ext)
+    } finally {
+      SparkSession.setDefaultSession(suiteSession)
+      SparkSession.setActiveSession(suiteSession)
+    }
+  }
+}

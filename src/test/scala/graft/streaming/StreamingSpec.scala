@@ -214,6 +214,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // With ProcessingTimeTimeout the engine keeps scheduling empty
+  // micro-batches to fire timeouts — processAllAvailable never latches
+  // "no new data" — so the reap tests sequence by polling the sink.
+  private def awaitRows(table: String, n: Long): Unit = {
+    val deadline = System.currentTimeMillis + 30000L
+    while (spark.table(table).count() < n &&
+      System.currentTimeMillis < deadline) Thread.sleep(50L)
+    assert(spark.table(table).count() >= n,
+      s"$table never reached $n rows")
+  }
+
+  test("transitionStream idle reap: a reaped cursor starts a fresh chain") {
+    import graft.rates.Rates
+    import graft.rates.Rates.TransitionEvent
+    implicit val s = spark
+    val input = MemoryStream[TransitionEvent](spark)
+    val q = Rates.transitionStream(input.toDS(), idleTimeoutMs = 100L)
+      .writeStream.format("memory").queryName("trans_reap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TransitionEvent("u", t("2024-01-01 00:00:01"), 1L, "A"),
+        TransitionEvent("u", t("2024-01-01 00:00:02"), 2L, "B"))
+      awaitRows("trans_reap_out", 1L) // (u, A, B)
+      Thread.sleep(600L)              // empty batches fire u's timeout
+      // without the reap this would chain (u, B, C)
+      input.addData(TransitionEvent("u", t("2024-01-01 00:00:09"), 3L, "C"))
+      // the next adjacency proves the C event was processed either way
+      input.addData(TransitionEvent("u", t("2024-01-01 00:00:10"), 4L, "D"))
+      awaitRows("trans_reap_out", 2L) // (u, C, D)
+      val got = spark.table("trans_reap_out")
+        .as[(String, String, String)].collect().toSeq
+      assert(got.contains(("u", "C", "D")))
+      assert(!got.contains(("u", "B", "C")),
+        s"got $got — the reaped cursor must not chain across the gap")
+    } finally q.stop()
+  }
+
+  test("debounceStream idle reap: a reaped anchor admits the next event") {
+    import graft.rates.Rates
+    import graft.rates.Rates.DebounceEvent
+    implicit val s = spark
+    // idleTimeout deliberately << minGapSec to make the reap observable
+    // (production sets idleTimeoutMs ≥ minGapSec·1000 for invariance)
+    val input = MemoryStream[DebounceEvent](spark)
+    val q = Rates.debounceStream(input.toDS(), minGapSec = 5L,
+        idleTimeoutMs = 100L)
+      .writeStream.format("memory").queryName("deb_reap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(DebounceEvent("u", t("2024-01-01 00:00:00"), 1L))
+      awaitRows("deb_reap_out", 1L)
+      Thread.sleep(600L) // empty batches fire u's timeout
+      // 3 s after the old anchor: a kept anchor would suppress this
+      input.addData(DebounceEvent("u", t("2024-01-01 00:00:03"), 2L))
+      awaitRows("deb_reap_out", 2L)
+      val got = spark.table("deb_reap_out").select("tie").as[Long]
+        .collect().toSet
+      assert(got == Set(1L, 2L),
+        s"got $got — the reaped anchor must admit tie=2")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped AND accounted") {
     val input = MemoryStream[Tick](spark)
     val agg = input.toDF().withWatermark("ts", "10 seconds")
