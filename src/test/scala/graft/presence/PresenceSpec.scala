@@ -262,6 +262,49 @@ class PresenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diffStream idle reap: the reaped topic emits leaves, re-track joins fresh") {
+    implicit val s = spark
+    val input = MemoryStream[PresenceEvent](spark)
+    val q = Presence.diffStream(input.toDS(), timeoutMs = 100L)
+      .writeStream.format("memory").queryName("pdiff_reap")
+      .outputMode(OutputMode.Append).start()
+    // ProcessingTimeTimeout keeps the engine scheduling empty batches
+    // (that's what fires the reap during the sleep) — sequence by polling
+    // the sink, processAllAvailable never latches
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000L
+      while (spark.table("pdiff_reap").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(50L)
+      assert(spark.table("pdiff_reap").count() >= n,
+        s"pdiff_reap never reached $n rows")
+    }
+    try {
+      input.addData(
+        PresenceEvent("room1", "u1", "track", "m1", t("2024-01-01 10:00:00")),
+        PresenceEvent("room1", "u2", "track", "m2", t("2024-01-01 10:00:01")))
+      awaitRows(2L) // two joins
+      Thread.sleep(600L) // idle → the reap emits a leave per present key
+      awaitRows(4L)
+      val afterReap = spark.table("pdiff_reap").as[PresenceDiff].collect()
+      assert(afterReap.count(d => d.kind == "leave") == 2,
+        s"reap must emit one leave per present key: ${afterReap.toSeq}")
+      // a returning key is a fresh join (state was removed, not a
+      // meta-update leave+join pair — which would carry the OLD meta m1)
+      input.addData(
+        PresenceEvent("room1", "u1", "track", "m1b", t("2024-01-01 10:20:00")))
+      awaitRows(5L)
+      val last = spark.table("pdiff_reap").as[PresenceDiff].collect()
+        .diff(afterReap)
+      assert(last.contains(PresenceDiff("room1", "u1", "join", "m1b")),
+        s"got ${last.toSeq}")
+      assert(!last.contains(PresenceDiff("room1", "u1", "leave", "m1")),
+        s"must not replay the pre-reap meta as an update pair: ${last.toSeq}")
+      // (a trailing leave(m1b) may appear if the 100 ms reap fires again
+      // before the collect — the query is still live; that's the reap
+      // doing its job, not a semantic defect)
+    } finally q.stop()
+  }
+
   test("already_tracked: update diff ordering is leave(old) then join(new)") {
     implicit val s = spark
     val input = MemoryStream[PresenceEvent](spark)

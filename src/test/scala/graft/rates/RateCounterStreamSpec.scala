@@ -51,4 +51,38 @@ class RateCounterStreamSpec extends SparkSpec {
       assert(got("b").sum == 1 && got("b").triggered) // 1/1 = 1.0 ≥ 0.5
     } finally q.stop()
   }
+
+  test("idle reap: a returning key restarts from an empty ring") {
+    implicit val s = spark
+    val input = MemoryStream[Event](spark)
+    val q = RateCounterStream(input.toDS(), limitAvg = 1.5, windowTicks = 4,
+        idleTimeoutMs = 100L)
+      .writeStream.format("memory").queryName("rc_reap_out")
+      .outputMode(OutputMode.Append).start()
+    // ProcessingTimeTimeout keeps the engine scheduling empty batches (which
+    // is what fires the reap during the sleep) — processAllAvailable never
+    // latches "no new data", so sequence by polling the sink
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000L
+      while (spark.table("rc_reap_out").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(50L)
+      assert(spark.table("rc_reap_out").count() >= n,
+        s"rc_reap_out never reached $n rows")
+    }
+    try {
+      input.addData(Event("k", 100), Event("k", 100), Event("k", 100),
+        Event("k", 100))
+      awaitRows(1L) // tick 100: sum=4, avg=4.0, triggered
+      Thread.sleep(600L) // empty batches fire k's timeout → ring removed
+      input.addData(Event("k", 102))
+      awaitRows(2L)
+      val got = spark.table("rc_reap_out").as[RateTick].collect()
+        .map(t => t.tickSec -> t).toMap
+      assert(got(100).sum == 4 && got(100).triggered)
+      // reaped: fresh ring {102:1}, len=1, avg=1.0 < 1.5 → released.
+      // kept state would read sum=5, len=3, avg≈1.667 → still triggered.
+      assert(got(102).sum == 1 && !got(102).triggered,
+        s"returning key must restart from an empty ring: ${got(102)}")
+    } finally q.stop()
+  }
 }
