@@ -47,6 +47,24 @@ object AdmissionStream {
 
   final case class WindowState(resetAt: Long, counter: Long)
 
+  /** The shared ring-window arithmetic every gate kernel — streaming
+    * twin AND batch replay — performs per event: prune buckets older
+    * than the window, resolve the counter-creation tick, and read
+    * length (completed ticks since creation, capped at the window) and
+    * sum (completed-tick counts only, `t < tick`). One copy, so the
+    * twins cannot drift. */
+  private[rates] final case class RingView(
+      ring: Map[Long, Long], first: Long, len: Long, sum: Long)
+
+  private[rates] def ringView(ring: Map[Long, Long], firstTick: Long, tick: Long,
+      windowTicks: Int): RingView = {
+    val first = if (firstTick == Long.MinValue) tick else firstTick
+    val pruned = ring.filter { case (t, _) => t >= tick - windowTicks }
+    val len = math.min(windowTicks.toLong, tick - first)
+    val sum = pruned.collect { case (t, c) if t < tick => c }.sum
+    RingView(pruned, first, len, sum)
+  }
+
   /** Streaming twin of [[Rates.batchAdmission]] — the LIVE
     * `check_rate_limit` gate (batch_broadcast.ex:58-59,170-184): the two
     * 429 modes in reference cond order (`avg > max` → rate_limited,
@@ -86,19 +104,17 @@ object AdmissionStream {
             val out = Seq.newBuilder[Decision]
             evs.toSeq.sortBy(b => (b.us, b.tie)).foreach { b =>
               val tick = b.us / 1000000L / tickSec
-              val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
-              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
-              val len = math.min(windowTicks.toLong, tick - first)
-              val l = math.max(len, 1L) * tickSec
-              val sum = ring.collect { case (t, c) if t < tick => c }.sum
-              if (sum * limitDen > limitNum * l) {
-                st = RingState(ring, first)
+              val v = ringView(st.ring, st.firstTick, tick, windowTicks)
+              val l = math.max(v.len, 1L) * tickSec
+              if (v.sum * limitDen > limitNum * l) {
+                st = RingState(v.ring, v.first)
                 out += Decision(tenant, b.tie, "rate_limited")
-              } else if (b.n * l * limitDen + sum * limitDen > limitNum * l) {
-                st = RingState(ring, first)
+              } else if (b.n * l * limitDen + v.sum * limitDen > limitNum * l) {
+                st = RingState(v.ring, v.first)
                 out += Decision(tenant, b.tie, "batch_too_large")
               } else {
-                st = RingState(ring.updated(tick, ring.getOrElse(tick, 0L) + b.n), first)
+                st = RingState(
+                  v.ring.updated(tick, v.ring.getOrElse(tick, 0L) + b.n), v.first)
                 out += Decision(tenant, b.tie, "ok")
               }
             }
@@ -123,8 +139,11 @@ object AdmissionStream {
     * scale: the key space is per-CLIENT (unbounded cardinality, unlike
     * the tenant-keyed ring gates). An absent state and an expired window
     * decide identically (both re-anchor fresh on contact), so with
-    * `idleTimeoutMs ≥ windowMs` the reap is decision-invariant whenever
-    * processing time keeps pace with event time; the reference's limiter
+    * `idleTimeoutMs > windowMs` the reap is decision-invariant whenever
+    * processing time keeps pace with event time — STRICTLY greater: a
+    * boundary-exact call (`us == resetAt`) is still INSIDE a kept window
+    * but would re-anchor against reaped state, so an idle timeout equal
+    * to the window can flip exactly that call. The reference's limiter
     * state lives in the (wall-clock-reaped) socket process anyway. */
   def clientWindowStream(
       calls: Dataset[Call],
@@ -195,15 +214,13 @@ object AdmissionStream {
             val out = Seq.newBuilder[Decision]
             evs.toSeq.sortBy(a => (a.us, a.tie)).foreach { a =>
               val tick = a.us / 1000000L / tickSec
-              val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
-              val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
-              val len = math.min(windowTicks.toLong, tick - first)
-              val sum = ring.collect { case (t, c) if t < tick => c }.sum
-              if (len > 0 && sum * limitDen > limitNum * len * tickSec) {
-                st = RingState(ring, first)
+              val v = ringView(st.ring, st.firstTick, tick, windowTicks)
+              if (v.len > 0 && v.sum * limitDen > limitNum * v.len * tickSec) {
+                st = RingState(v.ring, v.first)
                 out += Decision(tenant, a.tie, "rate_limited")
               } else {
-                st = RingState(ring.updated(tick, ring.getOrElse(tick, 0L) + 1L), first)
+                st = RingState(
+                  v.ring.updated(tick, v.ring.getOrElse(tick, 0L) + 1L), v.first)
                 out += Decision(tenant, a.tie, "ok")
               }
             }
@@ -260,15 +277,14 @@ object AdmissionStream {
                 st = st.copy(firstTick = first)
                 out += Decision(tenant, m.tie, "dropped")
               } else {
-                val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
-                val len = math.min(windowTicks.toLong, tick - first)
-                val sum = ring.collect { case (t, c) if t < tick => c }.sum
-                val counted = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
-                if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
-                  st = ShutdownState(counted, first, st.dead + m.user)
+                val v = ringView(st.ring, st.firstTick, tick, windowTicks)
+                val counted =
+                  v.ring.updated(tick, v.ring.getOrElse(tick, 0L) + 1L)
+                if (v.len > 0 && v.sum * limitDen >= limitNum * v.len * tickSec) {
+                  st = ShutdownState(counted, v.first, st.dead + m.user)
                   out += Decision(tenant, m.tie, "shutdown")
                 } else {
-                  st = ShutdownState(counted, first, st.dead)
+                  st = ShutdownState(counted, v.first, st.dead)
                   out += Decision(tenant, m.tie, "ok")
                 }
               }
@@ -320,16 +336,14 @@ object AdmissionStream {
               else {
                 val slots = st.slots + a.user // first attempt claims the slot
                 val tick = a.epochSec / tickSec
-                val first = if (st.firstTick == Long.MinValue) tick else st.firstTick
-                val ring = st.ring.filter { case (t, _) => t >= tick - windowTicks }
-                val len = math.min(windowTicks.toLong, tick - first)
-                val sum = ring.collect { case (t, c) if t < tick => c }.sum
-                if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
-                  st = GateState(ring, first, slots)
+                val v = ringView(st.ring, st.firstTick, tick, windowTicks)
+                if (v.len > 0 && v.sum * limitDen >= limitNum * v.len * tickSec) {
+                  st = GateState(v.ring, v.first, slots)
                   out += Decision(tenant, a.tie, "too_many_joins")
                 } else {
-                  st = GateState(ring.updated(tick, ring.getOrElse(tick, 0L) + 1L),
-                    first, slots)
+                  st = GateState(
+                    v.ring.updated(tick, v.ring.getOrElse(tick, 0L) + 1L),
+                    v.first, slots)
                   out += Decision(tenant, a.tie, "ok")
                 }
               }

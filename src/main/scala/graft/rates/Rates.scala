@@ -215,10 +215,13 @@ object Rates {
     * anchor carries across micro-batches.
     *
     * `idleTimeoutMs > 0` opts into the idle reap (unbounded per-client
-    * key space). With `idleTimeoutMs ≥ minGapSec·1000` the reap is
+    * key space). With `idleTimeoutMs > minGapSec·1000` the reap is
     * decision-INVARIANT whenever processing time keeps pace with event
     * time: an anchor older than the gap can't suppress anything, and an
-    * absent anchor admits — the two states decide identically. */
+    * absent anchor admits — the two states decide identically. Strictly
+    * greater: an event exactly `minGapSec` after the anchor is still
+    * suppressed by kept state (`tUs - a > gapUs` is false at equality)
+    * but admitted against reaped state. */
   def debounceStream(events: org.apache.spark.sql.Dataset[DebounceEvent],
       minGapSec: Long, idleTimeoutMs: Long = 0L)(
       implicit spark: org.apache.spark.sql.SparkSession)
@@ -381,21 +384,21 @@ object Rates {
       .as[BatchRow]
     typed.groupByKey(_.tenant)
       .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
-        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        // ring arithmetic shared with the streaming twin
+        // (AdmissionStream.ringView) — one copy, no drift
+        var ring = Map.empty[Long, Long]
         var firstTick = Long.MinValue
         it.map { b =>
           val tick = b.us / 1000000L / tickSec
-          if (firstTick == Long.MinValue) firstTick = tick
-          ring.filterInPlace((t, _) => t >= tick - windowTicks)
-          val len = math.min(windowTicks.toLong, tick - firstTick)
-          val l = math.max(len, 1L) * tickSec
-          val sum = ring.collect { case (t, c) if t < tick => c }.sum
-          if (sum * limitDen > limitNum * l)
+          val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+          ring = v.ring; firstTick = v.first
+          val l = math.max(v.len, 1L) * tickSec
+          if (v.sum * limitDen > limitNum * l)
             JoinDecisionRow(tenant, b.tie, "rate_limited")
-          else if (b.n * l * limitDen + sum * limitDen > limitNum * l)
+          else if (b.n * l * limitDen + v.sum * limitDen > limitNum * l)
             JoinDecisionRow(tenant, b.tie, "batch_too_large")
           else {
-            ring.update(tick, ring.getOrElse(tick, 0L) + b.n)
+            ring = ring.updated(tick, ring.getOrElse(tick, 0L) + b.n)
             JoinDecisionRow(tenant, b.tie, "ok")
           }
         }
@@ -441,7 +444,7 @@ object Rates {
       .as[MsgRow]
     typed.groupByKey(_.tenant)
       .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
-        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        var ring = Map.empty[Long, Long]
         val dead = scala.collection.mutable.Set.empty[Long]
         var firstTick = Long.MinValue
         it.map { m =>
@@ -449,11 +452,11 @@ object Rates {
           if (firstTick == Long.MinValue) firstTick = tick
           if (dead.contains(m.user)) JoinDecisionRow(tenant, m.tie, "dropped")
           else {
-            ring.filterInPlace((t, _) => t >= tick - windowTicks)
-            val len = math.min(windowTicks.toLong, tick - firstTick)
-            val sum = ring.collect { case (t, c) if t < tick => c }.sum
-            ring.update(tick, ring.getOrElse(tick, 0L) + 1L) // count, THEN check
-            if (len > 0 && sum * limitDen >= limitNum * len * tickSec) {
+            val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+            firstTick = v.first
+            ring = v.ring.updated(tick,
+              v.ring.getOrElse(tick, 0L) + 1L) // count, THEN check
+            if (v.len > 0 && v.sum * limitDen >= limitNum * v.len * tickSec) {
               dead.add(m.user)
               JoinDecisionRow(tenant, m.tie, "shutdown")
             } else JoinDecisionRow(tenant, m.tie, "ok")
@@ -530,18 +533,16 @@ object Rates {
       .as[PresenceOpRow]
     typed.groupByKey(_.tenant)
       .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
-        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        var ring = Map.empty[Long, Long]
         var firstTick = Long.MinValue
         it.map { a =>
           val tick = a.us / 1000000L / tickSec
-          if (firstTick == Long.MinValue) firstTick = tick
-          ring.filterInPlace((t, _) => t >= tick - windowTicks)
-          val len = math.min(windowTicks.toLong, tick - firstTick)
-          val sum = ring.collect { case (t, c) if t < tick => c }.sum
-          if (len > 0 && sum * limitDen > limitNum * len * tickSec)
+          val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+          ring = v.ring; firstTick = v.first
+          if (v.len > 0 && v.sum * limitDen > limitNum * v.len * tickSec)
             JoinDecisionRow(tenant, a.tie, "rate_limited")
           else {
-            ring.update(tick, ring.getOrElse(tick, 0L) + 1L)
+            ring = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
             JoinDecisionRow(tenant, a.tie, "ok")
           }
         }
@@ -609,7 +610,7 @@ object Rates {
       .as[JoinAttemptRow]
     att.groupByKey(_.tenant)
       .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
-        val ring = scala.collection.mutable.Map.empty[Long, Long]
+        var ring = Map.empty[Long, Long]
         val slots = scala.collection.mutable.Set.empty[Long]
         var firstTick = Long.MinValue
         it.map { a =>
@@ -619,14 +620,12 @@ object Rates {
             slots.add(a.user) // first attempt claims the slot, even if the
                               // join itself is then rate-denied
             val tick = a.us / 1000000L / tickSec
-            if (firstTick == Long.MinValue) firstTick = tick
-            ring.filterInPlace((t, _) => t >= tick - windowTicks)
-            val len = math.min(windowTicks.toLong, tick - firstTick)
-            val sum = ring.collect { case (t, c) if t < tick => c }.sum
-            if (len > 0 && sum * limitDen >= limitNum * len * tickSec)
+            val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+            ring = v.ring; firstTick = v.first
+            if (v.len > 0 && v.sum * limitDen >= limitNum * v.len * tickSec)
               JoinDecisionRow(tenant, a.tie, "too_many_joins")
             else {
-              ring.update(tick, ring.getOrElse(tick, 0L) + 1L)
+              ring = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
               JoinDecisionRow(tenant, a.tie, "ok")
             }
           }

@@ -12,4 +12,16 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Poll a memory sink until it holds `n` rows. Streaming tests with a
+    * ProcessingTimeTimeout reap sequence on this instead of
+    * `processAllAvailable`: the timeout keeps the engine scheduling
+    * (empty) micro-batches — which is what fires reaps without traffic —
+    * so "no new data" never latches and processAllAvailable hangs. */
+  def awaitRows(table: String, n: Long, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (spark.table(table).count() < n &&
+      System.currentTimeMillis < deadline) Thread.sleep(50L)
+    assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+  }
 }

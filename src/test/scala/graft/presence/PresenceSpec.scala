@@ -268,23 +268,15 @@ class PresenceSpec extends SparkSpec {
     val q = Presence.diffStream(input.toDS(), timeoutMs = 100L)
       .writeStream.format("memory").queryName("pdiff_reap")
       .outputMode(OutputMode.Append).start()
-    // ProcessingTimeTimeout keeps the engine scheduling empty batches
-    // (that's what fires the reap during the sleep) — sequence by polling
-    // the sink, processAllAvailable never latches
-    def awaitRows(n: Long): Unit = {
-      val deadline = System.currentTimeMillis + 30000L
-      while (spark.table("pdiff_reap").count() < n &&
-        System.currentTimeMillis < deadline) Thread.sleep(50L)
-      assert(spark.table("pdiff_reap").count() >= n,
-        s"pdiff_reap never reached $n rows")
-    }
+    // sequence via SparkSpec's sink-polling awaitRows
+    // (processAllAvailable hangs under ProcessingTimeTimeout)
     try {
       input.addData(
         PresenceEvent("room1", "u1", "track", "m1", t("2024-01-01 10:00:00")),
         PresenceEvent("room1", "u2", "track", "m2", t("2024-01-01 10:00:01")))
-      awaitRows(2L) // two joins
+      awaitRows("pdiff_reap", 2L) // two joins
       Thread.sleep(600L) // idle → the reap emits a leave per present key
-      awaitRows(4L)
+      awaitRows("pdiff_reap", 4L)
       val afterReap = spark.table("pdiff_reap").as[PresenceDiff].collect()
       assert(afterReap.count(d => d.kind == "leave") == 2,
         s"reap must emit one leave per present key: ${afterReap.toSeq}")
@@ -292,7 +284,7 @@ class PresenceSpec extends SparkSpec {
       // meta-update leave+join pair — which would carry the OLD meta m1)
       input.addData(
         PresenceEvent("room1", "u1", "track", "m1b", t("2024-01-01 10:20:00")))
-      awaitRows(5L)
+      awaitRows("pdiff_reap", 5L)
       val last = spark.table("pdiff_reap").as[PresenceDiff].collect()
         .diff(afterReap)
       assert(last.contains(PresenceDiff("room1", "u1", "join", "m1b")),

@@ -293,22 +293,12 @@ class AdmissionStreamSpec extends SparkSpec {
 
   // ── idle reap (idleTimeoutMs > 0): the reference's wall-clock idle-counter
   // sweep. Each test proves the reap by a DECISION that differs between
-  // reaped (fresh counter) and kept state. With ProcessingTimeTimeout the
-  // engine keeps scheduling (empty) micro-batches to fire timeouts — which
-  // both fires the reap during the sleep AND means processAllAvailable
-  // never latches "no new data", so these tests sequence by POLLING the
-  // memory sink for the cumulative row count instead. Sleeps are 6× the
-  // timeout — generous against clock jitter.
+  // reaped (fresh counter) and kept state, sequenced via SparkSpec's
+  // sink-polling awaitRows (processAllAvailable hangs under
+  // ProcessingTimeTimeout). Sleeps are 6× the timeout — generous against
+  // clock jitter.
 
   private def reapGap(): Unit = Thread.sleep(600L)
-
-  private def awaitRows(table: String, n: Long): Unit = {
-    val deadline = System.currentTimeMillis + 30000L
-    while (spark.table(table).count() < n &&
-      System.currentTimeMillis < deadline) Thread.sleep(50L)
-    assert(spark.table(table).count() >= n,
-      s"$table never reached $n rows")
-  }
 
   test("idle reap, join twin: ring drops, claimed slots survive") {
     implicit val s = spark

@@ -59,23 +59,15 @@ class RateCounterStreamSpec extends SparkSpec {
         idleTimeoutMs = 100L)
       .writeStream.format("memory").queryName("rc_reap_out")
       .outputMode(OutputMode.Append).start()
-    // ProcessingTimeTimeout keeps the engine scheduling empty batches (which
-    // is what fires the reap during the sleep) — processAllAvailable never
-    // latches "no new data", so sequence by polling the sink
-    def awaitRows(n: Long): Unit = {
-      val deadline = System.currentTimeMillis + 30000L
-      while (spark.table("rc_reap_out").count() < n &&
-        System.currentTimeMillis < deadline) Thread.sleep(50L)
-      assert(spark.table("rc_reap_out").count() >= n,
-        s"rc_reap_out never reached $n rows")
-    }
+    // sequence via SparkSpec's sink-polling awaitRows
+    // (processAllAvailable hangs under ProcessingTimeTimeout)
     try {
       input.addData(Event("k", 100), Event("k", 100), Event("k", 100),
         Event("k", 100))
-      awaitRows(1L) // tick 100: sum=4, avg=4.0, triggered
+      awaitRows("rc_reap_out", 1L) // tick 100: sum=4, avg=4.0, triggered
       Thread.sleep(600L) // empty batches fire k's timeout → ring removed
       input.addData(Event("k", 102))
-      awaitRows(2L)
+      awaitRows("rc_reap_out", 2L)
       val got = spark.table("rc_reap_out").as[RateTick].collect()
         .map(t => t.tickSec -> t).toMap
       assert(got(100).sum == 4 && got(100).triggered)

@@ -214,16 +214,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  // With ProcessingTimeTimeout the engine keeps scheduling empty
-  // micro-batches to fire timeouts — processAllAvailable never latches
-  // "no new data" — so the reap tests sequence by polling the sink.
-  private def awaitRows(table: String, n: Long): Unit = {
-    val deadline = System.currentTimeMillis + 30000L
-    while (spark.table(table).count() < n &&
-      System.currentTimeMillis < deadline) Thread.sleep(50L)
-    assert(spark.table(table).count() >= n,
-      s"$table never reached $n rows")
-  }
+  // The reap tests sequence via SparkSpec's sink-polling awaitRows
+  // (processAllAvailable hangs under ProcessingTimeTimeout).
 
   test("transitionStream idle reap: a reaped cursor starts a fresh chain") {
     import graft.rates.Rates
@@ -239,10 +231,13 @@ class StreamingSpec extends SparkSpec {
         TransitionEvent("u", t("2024-01-01 00:00:02"), 2L, "B"))
       awaitRows("trans_reap_out", 1L) // (u, A, B)
       Thread.sleep(600L)              // empty batches fire u's timeout
-      // without the reap this would chain (u, B, C)
-      input.addData(TransitionEvent("u", t("2024-01-01 00:00:09"), 3L, "C"))
-      // the next adjacency proves the C event was processed either way
-      input.addData(TransitionEvent("u", t("2024-01-01 00:00:10"), 4L, "D"))
+      // one batch (a staged C-then-D pair would let the 100 ms timeout
+      // fire between them and reap C's fresh cursor): without the reap
+      // C would chain (u, B, C); the (u, C, D) adjacency proves both
+      // events were processed
+      input.addData(
+        TransitionEvent("u", t("2024-01-01 00:00:09"), 3L, "C"),
+        TransitionEvent("u", t("2024-01-01 00:00:10"), 4L, "D"))
       awaitRows("trans_reap_out", 2L) // (u, C, D)
       val got = spark.table("trans_reap_out")
         .as[(String, String, String)].collect().toSeq
