@@ -275,6 +275,41 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id ASC) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin)),
+    Q("sim_ann_pq",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.pqTopK(e.where(col("vec_id") < 10), e,
+          "embedding", "vec_id", k = 5, m = 4, codebookSize = 16, dim = 64)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT g.m,
+        |       row_number() OVER (PARTITION BY g.m ORDER BY e.vec_id) - 1 AS k,
+        |       e.v[g.m*16+1 : g.m*16+16] AS cv
+        |       FROM e, generate_series(0, 3) g(m) WHERE e.vec_id < 16),
+        |enc AS (SELECT vec_id, m, k FROM (
+        |  SELECT e.vec_id, cb.m, cb.k,
+        |         row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+        |           list_dot_product(
+        |             [e.v[cb.m*16+i] - cb.cv[i] for i in generate_series(1,16)],
+        |             [e.v[cb.m*16+i] - cb.cv[i] for i in generate_series(1,16)])
+        |             ASC, cb.k ASC) AS rn
+        |  FROM e, cb) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |contrib AS (SELECT q.query_id, enc.vec_id AS neighbor_id, enc.m,
+        |        list_dot_product(
+        |          [q.qv[enc.m*16+i] - cb.cv[i] for i in generate_series(1,16)],
+        |          [q.qv[enc.m*16+i] - cb.cv[i] for i in generate_series(1,16)]) AS d
+        |        FROM q, enc JOIN cb ON cb.m = enc.m AND cb.k = enc.k
+        |        WHERE enc.vec_id != q.query_id),
+        |adc AS (SELECT query_id, neighbor_id,
+        |        ds[1] + ds[2] + ds[3] + ds[4] AS adist
+        |        FROM (SELECT query_id, neighbor_id, list(d ORDER BY m) AS ds
+        |              FROM contrib GROUP BY 1, 2))
+        |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adist ASC, neighbor_id ASC) AS rn
+        |  FROM adc) WHERE rn <= 5""".stripMargin)),
     Q("sim_quantize_int8",
       (s, d) => Similarity.quantizeInt8(emb(s, d), "embedding", "vec_id"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -139,6 +139,87 @@ object Similarity {
       .select(col(idCol), col("v"), col("centroid_id").as("bucket"))
   }
 
+  /** Product-quantization (PQ) top-k — the memory side of the 100 TB ANN
+    * path, complementing [[ivfTopK]]'s scan-fraction side: each corpus
+    * vector is stored as `m` codebook indexes (4 bytes here vs 512 for
+    * float64×64 — a 128× payload compression), and query-time distance is
+    * the asymmetric sum of per-subvector distances to the CODEBOOK entry
+    * the code names, so the scan never touches the original floats.
+    *
+    * Codebooks are the deterministic lowest-id sample set (the
+    * [[centroids]] k-means stand-in both engines reproduce exactly; swap
+    * in k-means-trained codebooks in production — the plan shape is
+    * unchanged). Distances are squared-L2 computed as left-associated
+    * flat codegen arithmetic (cf. [[dotFixed]]), so the DuckDB oracle
+    * replays the exact doubles and the ranking hash-matches.
+    *
+    * Scale shape: the codebook is model-sized (m·codebookSize·subDim
+    * doubles) and inlined as constants into ONE codegen'd encode
+    * projection — a narrow corpus pass, persisted at ingest in a real
+    * deployment (like [[ivfTopKFromIndex]]'s build). Queries broadcast;
+    * the corpus is scanned once; per-query top-k is a partitioned
+    * window. Ties break on (distance, lowest k / lowest id) in both
+    * engines. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      m: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must split into m equal subvectors")
+    val subDim = dim / m
+    // deterministic sampled codebook: the codebookSize lowest-id vectors,
+    // k = rank by id. Collected rows index (sample k)(subvector m) —
+    // transpose so cb(mm)(kk) is subvector mm of sample kk
+    val samples: Array[Array[Array[Double]]] = corpus
+      .orderBy(col(idCol)).limit(codebookSize)
+      .select(asDouble(col(vecCol)).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray.grouped(subDim).toArray)
+    require(samples.length == codebookSize,
+      s"corpus has fewer than $codebookSize vectors")
+    val cb = Array.tabulate(m, codebookSize)((mm, kk) => samples(kk)(mm))
+    // squared-L2 of x[off+1..off+subDim] against a CONSTANT entry —
+    // flat left-associated arithmetic, no HOFs, stays in codegen
+    def d2Const(x: Column, off: Int, entry: Array[Double]): Column =
+      (1 to subDim).map { i =>
+        val dlt = element_at(x, off + i) - lit(entry(i - 1))
+        dlt * dlt
+      }.reduce(_ + _)
+    // same, against a runtime-selected codebook entry (array<double>)
+    def d2Entry(x: Column, off: Int, entry: Column): Column =
+      (1 to subDim).map { i =>
+        val dlt = element_at(x, off + i) - element_at(entry, i)
+        dlt * dlt
+      }.reduce(_ + _)
+    // ENCODE: per subvector, argmin over the codebook by (distance, k)
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("codes", array((0 until m).map { mm =>
+        array_min(array((0 until codebookSize).map { kk =>
+          struct(d2Const(col("cv"), mm * subDim, cb(mm)(kk)).as("d"),
+            lit(kk).as("k"))
+        }: _*)).getField("k")
+      }: _*))
+      .select(col("neighbor_id"), col("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // ADC: codebook-per-subvector as a literal lookup table the stored
+    // code indexes into; contributions summed in fixed subvector order
+    val cbLit = (0 until m).map(mm => typedLit(cb(mm).map(_.toSeq).toSeq))
+    val adist = (0 until m).map { mm =>
+      d2Entry(col("qv"), mm * subDim,
+        element_at(cbLit(mm), element_at(col("codes"), mm + 1) + 1))
+    }.reduce(_ + _)
+    val scored = enc.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    // the rank rides along: the oracle hash then pins the exact ORDER of
+    // the PQ ranking, not just the membership of the top-k set
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn")
+  }
+
   /** IVF top-k with `probe` probed buckets per query: each query is scored
     * only against corpus vectors in its `probe` nearest centroid buckets.
     * Recall < 1 by construction; validated against [[bruteForceTopK]]. */

@@ -48,6 +48,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set(1L, 3L, 4L))
   }
 
+  test("PQ on codebook-composed vectors is exact (lossless codes ⇒ L2 ranking)") {
+    // ids 0,1 form the codebook (lowest ids); 2,3 are built from codebook
+    // subvectors, so encoding is lossless and adist == exact squared L2
+    val c = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 1f, 2f, 2f)),
+      (2L, Array(0f, 0f, 2f, 2f)), // sub1 of 0, sub2 of 1
+      (3L, Array(1f, 1f, 0f, 0f))  // sub1 of 1, sub2 of 0
+    ).toDF("vec_id", "embedding")
+    // exact L2² from 0: id3→2, id2→8, id1→10 — and PQ must agree exactly
+    val ranked = Similarity.pqTopK(c.where(col("vec_id") === 0), c,
+        "embedding", "vec_id", k = 3, m = 2, codebookSize = 2, dim = 4)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(ranked == Seq(3L, 2L, 1L), s"got $ranked")
+  }
+
+  test("PQ ranks by code distance only; equal codes tie-break on id") {
+    // 2 and 3 both quantize to codebook entry 0 on every subvector, so
+    // their ADC distances are IDENTICAL even though their true distances
+    // differ — the scan never touches the floats; id breaks the tie
+    val c = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(4f, 4f, 4f, 4f)),
+      (2L, Array(0.1f, 0f, 0f, 0f)),
+      (3L, Array(0.2f, 0.1f, 0f, 0f)) // truly closer to the query than 2
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(c.where(col("vec_id") === 1), c,
+        "embedding", "vec_id", k = 3, m = 2, codebookSize = 2, dim = 4)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 2L, 3L), s"got $got")
+  }
+
   test("k-means centroids converge to the cluster directions") {
     // three tight clusters around x, y, and -x; init picks the 3 smallest
     // ids (all from the x cluster) — only TRAINED centroids separate them
