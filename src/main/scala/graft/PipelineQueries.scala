@@ -858,6 +858,31 @@ object PipelineQueries {
     * benchmark set for the contamination check is the doc_id % 97 == 0
     * slice of `documents`, the corpus is the rest. */
   private val curationQueries: Seq[Q] = Seq(
+    // Z-order (Morton) layout key over (user bucket, hour bucket): the
+    // 2-D clustering key a 100 TB table sorts/partitions by so parquet
+    // min/max stats stay tight on BOTH dimensions (predicates on either
+    // prune row groups). The oracle SQL is GENERATED from the same bit
+    // walk as the Spark column (Distribution.zOrderSql), so the engines
+    // agree by construction; zb (z >> 8) is the coarse write-partition
+    // bucket that zBucketsForBox covers at query time.
+    Q("curation_zorder",
+      (s, d) => {
+        val e = ChangeFeed.table(s, d, "events")
+          .select(col("event_id"),
+            col("user_id").bitwiseAND(lit(255L)).as("x"),
+            expr("unix_micros(ts) div 1000000 div 3600")
+              .bitwiseAND(lit(255L)).as("y"))
+        e.withColumn("z",
+            graft.plans.Distribution.zOrderKey(col("x"), col("y"), 8))
+          .withColumn("zb", shiftright(col("z"), 8))
+      },
+      Some {
+        val zSql = graft.plans.Distribution.zOrderSql("x", "y", 8)
+        s"""WITH b AS (SELECT event_id, (user_id & 255) AS x,
+           |  ((epoch_us(ts)//1000000//3600) & 255) AS y FROM events)
+           |SELECT event_id, x, y, $zSql AS z, ($zSql) >> 8 AS zb
+           |FROM b""".stripMargin
+      }),
     Q("curation_sample",
       (s, d) => Curation.stratifiedSample(docs(s, d), "lang", "doc_id",
           rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.125)
@@ -2083,6 +2108,23 @@ object PipelineQueries {
         |       round(max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE,
         |         6) AS skew_factor
         |FROM top, t WHERE rank <= 10""".stripMargin)),
+    // Exact heavy hitters with NO per-key shuffle: Misra–Gries native
+    // aggregate (k-entry bounded buffers, mergeable-summaries merge)
+    // proposes ≤k candidates guaranteed to cover every key with
+    // count > n/(k+1); a broadcast verify pass re-counts candidates
+    // exactly and thresholds on pure BIGINT math — deterministic even
+    // though the sketch's below-bound extras are merge-order dependent.
+    // k=4 over 5 event types forces eviction inside the sketch.
+    Q("a_heavy_hitters",
+      (s, d) => graft.pipeline.Profile.heavyHitters(
+        ChangeFeed.table(s, d, "events"), "event_type", k = 4),
+      Some("""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |             count(*) AS cnt
+        |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt, n_rows,
+        |       round(cnt::DOUBLE / n_rows::DOUBLE, 6) AS share
+        |FROM c, t WHERE cnt * 5 > n_rows""".stripMargin)),
     // First-order Markov transitions between event types per user, in
     // (ts, event_id) order; row-normalized probability from exact
     // counts.

@@ -23,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `json_struct_project(name1, val1[, name2, val2, …])` — serialize
   *    named typed fields to a JSON object with Jackson parity
   *    ([[graft.plans.JsonStructProject]])
+  *  - `misra_gries(key, k)` — bounded-memory heavy-hitter sketch
+  *    aggregate, `array<struct<key,cnt>>` of ≤k candidates covering
+  *    every key with count > n/(k+1) ([[graft.plans.MisraGries]])
   *
   * For an already-built session (notebooks, tests), the same list
   * registers imperatively via [[GraftFunctions.register]]. */
@@ -93,8 +96,28 @@ object GraftFunctions {
       graft.plans.JsonStructProject(names, values)
     })
 
+  private val misraGries: FunctionDescription = (
+    FunctionIdentifier("misra_gries"),
+    info("misra_gries",
+      "misra_gries(key, k) - bounded-memory Misra-Gries heavy-hitter sketch: at most k (key, cnt) candidates covering every key with count > n/(k+1)"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "misra_gries(key, k) takes 2 arguments")
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val k = args(1) match {
+        case e if e.foldable && Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(e.dataType) && e.eval() != null =>
+          e.eval().toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"misra_gries: k must be an integer literal, got $other")
+      }
+      // an AggregateFunction returned bare: the analyzer wraps it in an
+      // AggregateExpression at the call site (the built-in registry's own
+      // convention for aggregates)
+      graft.plans.MisraGries(args.head, k)
+    })
+
   val all: Seq[FunctionDescription] =
-    Seq(quoteWal2json, jsonMapProject, jsonStructProject)
+    Seq(quoteWal2json, jsonMapProject, jsonStructProject, misraGries)
 
   /** Imperative twin of [[GraftExtensions]] for an already-built session. */
   def register(spark: SparkSession): Unit =

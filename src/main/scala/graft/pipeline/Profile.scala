@@ -364,4 +364,71 @@ object Profile {
         sum(col("_term")).as("psi_micros"))
       .withColumn("drifted", col("psi_micros") > lit(200000L))
   }
+
+  /** Exact heavy hitters WITHOUT a per-key shuffle — the 100 TB companion
+    * to [[keySkew]]: keys whose exact count strictly exceeds n/(k+1).
+    *
+    * Two passes, neither of which shuffles the full key space:
+    *  1. sketch pass — one scan folded into a [[graft.plans.MisraGries]]
+    *     native aggregate (O(k) state per partition, k-entry partial
+    *     buffers merged under the mergeable-summaries rule) plus the
+    *     total row count in the same aggregate. The MG bound guarantees
+    *     the ≤k candidates cover every key with count > n/(k+1).
+    *  2. verify pass — the ≤k candidate keys are BROADCAST back over the
+    *     scan (hash semi-match, no shuffle of non-candidates) and counted
+    *     exactly; the strict integer threshold cnt·(k+1) > n then makes
+    *     the result independent of which extra below-bound candidates
+    *     the sketch happened to retain — deterministic across partition
+    *     counts, merge orders, and engines.
+    *
+    * Contrast with [[keySkew]]: that is a full groupBy over every
+    * distinct key — exact, but the shuffle scales with key cardinality.
+    * This scales with data volume only (two scans, k-bounded state). */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+    val mg = ColumnBridge.column(
+      graft.plans.MisraGries(
+        ColumnBridge.expression(col("key")), k).toAggregateExpression())
+    val sketchAndN = keyed.agg(mg.as("sk"), count(col("key")).as("n_rows"))
+    val cand = sketchAndN
+      .select(explode(col("sk")).as("e"), col("n_rows"))
+      .select(col("e.key").as("key"), col("n_rows"))
+    keyed.join(broadcast(cand), Seq("key"))
+      .groupBy(col("key"), col("n_rows"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit((k + 1).toLong) > col("n_rows"))
+      .select(col("key"), col("cnt"), col("n_rows"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Per-group exact heavy hitters — [[heavyHitters]] stratified by
+    * `groupCol` (top talkers per tenant): one MG sketch per group in a
+    * single pass (the aggregate composes with groupBy — G·k bounded
+    * state, still no per-key shuffle), then one broadcast verify pass
+    * over the ≤G·k (group, key) candidates with per-group totals carried
+    * in the same aggregate. Same determinism argument as the global
+    * form: the strict per-group threshold on exact counts erases the
+    * sketch's merge-order-dependent extras. */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keyed = df.select(col(groupCol).cast("string").as("grp"),
+      col(keyCol).cast("string").as("key"))
+    val mg = ColumnBridge.column(
+      graft.plans.MisraGries(
+        ColumnBridge.expression(col("key")), k).toAggregateExpression())
+    val cand = keyed.groupBy(col("grp"))
+      .agg(mg.as("sk"), count(col("key")).as("n_grp"))
+      .select(col("grp"), explode(col("sk")).as("e"), col("n_grp"))
+      .select(col("grp"), col("e.key").as("key"), col("n_grp"))
+    keyed.join(broadcast(cand), Seq("grp", "key"))
+      .groupBy(col("grp"), col("key"), col("n_grp"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit((k + 1).toLong) > col("n_grp"))
+      .select(col("grp"), col("key"), col("cnt"), col("n_grp"),
+        round(col("cnt").cast("double") / col("n_grp").cast("double"), 6)
+          .as("share"))
+  }
 }

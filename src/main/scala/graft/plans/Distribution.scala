@@ -50,4 +50,101 @@ object Distribution {
         pmod(hash(df.columns.map(col): _*), lit(salt)).cast("int"))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum("_partial").as("n"))
+
+  /** Z-order (Morton) interleave of two bucketed dimensions — the
+    * multi-dimensional data-layout key. Sorting/partitioning a 100 TB
+    * table by `zOrderKey(x, y, bits)` keeps parquet row-group min/max
+    * statistics tight on BOTH dimensions simultaneously, so a predicate
+    * on either (or both) prunes row groups — a single-column sort can
+    * only ever serve one of them.
+    *
+    * Inputs must already be non-negative bucket ordinals < 2^bits (the
+    * caller buckets raw values; buckets are what the curve orders). `x`
+    * lands in the odd (higher) bit of each pair, `y` in the even. Pure
+    * column arithmetic — shift/mask/or per bit — so the whole key stays
+    * inside whole-stage codegen and is reproducible in any engine. */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column =
+    zOrderKey(Seq(x, y), bits)
+
+  /** N-dimensional generalization: round-robin bit interleave across
+    * `dims` (earlier dimensions take the more significant bit of each
+    * round, so `Seq(x, y)` reproduces the classic 2-D Morton layout).
+    * Requires `dims.size * bits <= 63`. */
+  def zOrderKey(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"dims*bits must fit a positive long, got $n*$bits")
+    (for { b <- 0 until bits; (d, i) <- dims.zipWithIndex } yield
+      shiftleft(shiftright(d.cast("long"), b).bitwiseAND(lit(1L)),
+        b * n + (n - 1 - i))
+    ).reduce(_ bitwiseOR _)
+  }
+
+  /** Reference (driver-side) z-value — the same interleave as
+    * [[zOrderKey]], used by [[zBucketsForBox]] and the specs. */
+  def zValue(x: Long, y: Long, bits: Int): Long = zValue(Seq(x, y), bits)
+
+  def zValue(dims: Seq[Long], bits: Int): Long = {
+    val n = dims.size
+    require(n >= 2 && bits >= 1 && n * bits <= 63)
+    dims.foreach(d => require(d >= 0 && d < (1L << bits), s"dim $d out of range"))
+    (for { b <- 0 until bits; (d, i) <- dims.zipWithIndex } yield
+      ((d >> b) & 1L) << (b * n + (n - 1 - i))
+    ).foldLeft(0L)(_ | _)
+  }
+
+  /** The coarse z-buckets (z >> shift) that cover a rectangular query box
+    * in bucket coordinates — the query-time half of a z-ordered layout:
+    * a table written `partitionBy(zbucket)` answers a 2-D box predicate
+    * by partition PRUNING with `zbucket IN cover` plus the residual box
+    * filter, instead of scanning every partition. Enumerates the box's
+    * bucket grid (boxes are small relative to the bucket grid — the
+    * point of bucketing), so cost is |box|, independent of data size. */
+  def zBucketsForBox(xMin: Long, xMax: Long, yMin: Long, yMax: Long,
+      bits: Int, shift: Int): Seq[Long] = {
+    require(shift >= 0 && shift < 2 * bits)
+    (for { x <- xMin to xMax; y <- yMin to yMax }
+      yield zValue(x, y, bits) >>> shift).distinct.sorted
+  }
+
+  /** Write `df` z-order-clustered on two bucketed dimension columns:
+    * partitioned by the coarse bucket `zb = z >> shift` (directory-level
+    * pruning via [[readBox]]) and sorted by the full z within each
+    * partition (row-group min/max stays tight on both dims). The raw
+    * dimension columns are retained for the residual filter. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      shift: Int, path: String): Unit =
+    df.withColumn("_z", zOrderKey(col(xCol), col(yCol), bits))
+      .withColumn("zb", shiftright(col("_z"), shift))
+      .sortWithinPartitions("zb", "_z")
+      .drop("_z")
+      .write.mode("overwrite").partitionBy("zb").parquet(path)
+
+  /** Read a rectangular box (inclusive bucket coordinates) from a
+    * [[writeZOrdered]] layout: partition-prunes to the z-bucket cover of
+    * the box, then applies the exact box predicate as the residual
+    * filter — the scan touches only the covered partitions' files
+    * regardless of table size. */
+  def readBox(spark: SparkSession, path: String, xCol: String, yCol: String,
+      xMin: Long, xMax: Long, yMin: Long, yMax: Long,
+      bits: Int, shift: Int): DataFrame = {
+    val cover = zBucketsForBox(xMin, xMax, yMin, yMax, bits, shift)
+    spark.read.parquet(path)
+      .where(col("zb").isin(cover: _*) &&
+        col(xCol).between(xMin, xMax) && col(yCol).between(yMin, yMax))
+  }
+
+  /** The DuckDB-SQL rendering of [[zOrderKey]] over integer expressions
+    * — the oracle twin, generated from the same bit walk so the two
+    * engines compute identical keys by construction. */
+  def zOrderSql(x: String, y: String, bits: Int): String =
+    zOrderSql(Seq(x, y), bits)
+
+  def zOrderSql(dims: Seq[String], bits: Int): String = {
+    val n = dims.size
+    (for { b <- 0 until bits; (d, i) <- dims.zipWithIndex } yield
+      s"(((($d) >> $b) & 1) << ${b * n + (n - 1 - i)})"
+    ).mkString("(", " | ", ")")
+  }
 }

@@ -37,6 +37,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .head
     assert(row.getString(0) == row.getString(1))
 
+    // misra_gries: an aggregate registered bare — the analyzer wraps it;
+    // k=2 over {a×3, b×2, c×1} keeps the two true heavies
+    val mg = spark.sql(
+        """SELECT misra_gries(k, 2) AS sk FROM VALUES
+           ('a'),('a'),('a'),('b'),('b'),('c') AS t(k)""")
+      .selectExpr("transform(sk, e -> e.key) AS keys").head.getSeq[String](0)
+    assert(mg.contains("a"), s"sketch lost the heaviest key: $mg")
+    assert(mg.size <= 2)
+    intercept[Exception] { // k must be a plan-time integer literal
+      spark.sql("SELECT misra_gries(k, k) FROM VALUES (1) AS t(k)").head
+    }
+
     // malformed calls fail analysis, not execution
     intercept[Exception] {
       spark.sql("SELECT json_struct_project('only_a_name')").head

@@ -75,6 +75,82 @@ class DistributionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
   }
 
+  test("zOrderKey column matches the reference interleave on the full grid") {
+    // known corners of the 8-bit curve
+    assert(Distribution.zValue(1, 0, 8) == 2L)
+    assert(Distribution.zValue(0, 1, 8) == 1L)
+    assert(Distribution.zValue(255, 0, 8) == 0xAAAAL)
+    assert(Distribution.zValue(0, 255, 8) == 0x5555L)
+    assert(Distribution.zValue(255, 255, 8) == 0xFFFFL)
+    // the whole 256×256 grid: column expression ≡ driver reference
+    val grid = spark.range(256L * 256L).select(
+      (col("id") / 256L).cast("long").as("x"), pmod(col("id"), lit(256L)).as("y"))
+    val mismatches = grid
+      .withColumn("z", Distribution.zOrderKey(col("x"), col("y"), 8))
+      .as[(Long, Long, Long)].collect()
+      .count { case (x, y, z) => Distribution.zValue(x, y, 8) != z }
+    assert(mismatches == 0)
+    // bijective: 65536 distinct z values over the grid
+    val distinct = grid
+      .select(Distribution.zOrderKey(col("x"), col("y"), 8).as("z"))
+      .distinct().count()
+    assert(distinct == 256L * 256L)
+  }
+
+  test("N-dimensional interleave: 3-D column ≡ reference, bijective") {
+    // 3 dims × 4 bits: the full 16^3 grid
+    val grid = spark.range(16L * 16L * 16L).select(
+      (col("id") / 256L).cast("long").as("x"),
+      pmod((col("id") / 16L).cast("long"), lit(16L)).as("y"),
+      pmod(col("id"), lit(16L)).as("w"))
+    val rows = grid.withColumn("z",
+        Distribution.zOrderKey(Seq(col("x"), col("y"), col("w")), 4))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.forall { case (x, y, w, z) =>
+      Distribution.zValue(Seq(x, y, w), 4) == z })
+    assert(rows.map(_._4).distinct.length == 16 * 16 * 16)
+    // first-dim MSB convention: (1,0,0) > (0,1,0) > (0,0,1)
+    assert(Distribution.zValue(Seq(1L, 0L, 0L), 4) == 4L)
+    assert(Distribution.zValue(Seq(0L, 1L, 0L), 4) == 2L)
+    assert(Distribution.zValue(Seq(0L, 0L, 1L), 4) == 1L)
+  }
+
+  test("z-bucket cover prunes a partitioned layout and preserves the box answer") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
+    try {
+      val data = spark.range(20000).select(
+        col("id"),
+        pmod(col("id") * 37L, lit(256L)).as("x"),
+        pmod(col("id") * 91L, lit(256L)).as("y"))
+      Distribution.writeZOrdered(data, "x", "y", bits = 8, shift = 8,
+        dir.toString)
+
+      val (x0, x1, y0, y1) = (10L, 25L, 40L, 55L)
+      val cover = Distribution.zBucketsForBox(x0, x1, y0, y1, bits = 8, shift = 8)
+      val back = spark.read.parquet(dir.toString)
+      val total = back.select("zb").distinct().count()
+      assert(cover.size < total / 4,
+        s"cover ${cover.size} buckets of $total — not a prune")
+
+      val pruned = Distribution.readBox(spark, dir.toString, "x", "y",
+        x0, x1, y0, y1, bits = 8, shift = 8)
+      val boxPred = col("x").between(x0, x1) && col("y").between(y0, y1)
+      val expected = data.where(boxPred).select("id").as[Long].collect().sorted
+      assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+        expected.toSeq, "bucket cover must not lose box rows")
+      // the pruned scan touches only the covered partitions' files
+      val filesRead = pruned.select(input_file_name()).distinct().count()
+      val filesTotal = back.select(input_file_name()).distinct().count()
+      assert(filesRead < filesTotal / 4,
+        s"read $filesRead of $filesTotal files — partition pruning missing")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("repetitionFeatures pre-aggregates before every exchange") {
     val df = spark.range(100).select(col("id"),
       lit("a b a c a b d").as("text"))
