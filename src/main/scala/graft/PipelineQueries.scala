@@ -326,6 +326,21 @@ object PipelineQueries {
         |                   for i in generate_series(1, len(v))]), 6)
         |  END AS max_abs_err
         |FROM q""".stripMargin)),
+    // Johnson–Lindenstrauss sign projection 64→16: exact BIGINT sums of
+    // 1e-6-integerized components with ±1 signs both engines derive
+    // from md5 parity — bit-identical across engines by construction.
+    Q("sim_random_projection",
+      (s, d) => Similarity.randomProject(emb(s, d), "embedding", "vec_id",
+        dIn = 64, dOut = 16),
+      Some {
+        val comps = Similarity.randomProjectSql("vi", 64, 16)
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding::DOUBLE[],
+           |    x -> CAST(round(x * 1e6) AS BIGINT)) AS vi
+           |  FROM embeddings)
+           |SELECT vec_id, array_to_string($comps, ',') AS p_csv
+           |FROM e""".stripMargin
+      }),
     // IVF with spherical-k-means-trained centroids (Lloyd iterations as
     // DataFrame aggregations). No SQL oracle — k-means isn't reasonably
     // re-expressible in the DuckDB harness, so the driver records the
@@ -882,6 +897,33 @@ object PipelineQueries {
            |  ((epoch_us(ts)//1000000//3600) & 255) AS y FROM events)
            |SELECT event_id, x, y, $zSql AS z, ($zSql) >> 8 AS zb
            |FROM b""".stripMargin
+      }),
+    // 3-D variant through the N-ary interleave: (user, hour, event-type
+    // ordinal) at 4 bits each — the layout key for a table queried by
+    // any subset of three dimensions. Same generated-oracle contract.
+    Q("curation_zorder3",
+      (s, d) => {
+        val ord = expr("""CASE event_type WHEN 'click' THEN 0
+          WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+          WHEN 'signup' THEN 3 ELSE 4 END""")
+        val e = ChangeFeed.table(s, d, "events")
+          .select(col("event_id"),
+            col("user_id").bitwiseAND(lit(15L)).as("x"),
+            expr("unix_micros(ts) div 1000000 div 3600")
+              .bitwiseAND(lit(15L)).as("y"),
+            ord.cast("long").as("w"))
+        e.withColumn("z", graft.plans.Distribution.zOrderKey(
+          Seq(col("x"), col("y"), col("w")), 4))
+      },
+      Some {
+        val zSql = graft.plans.Distribution.zOrderSql(Seq("x", "y", "w"), 4)
+        s"""WITH b AS (SELECT event_id, (user_id & 15) AS x,
+           |  ((epoch_us(ts)//1000000//3600) & 15) AS y,
+           |  (CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+           |   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+           |   ELSE 4 END) AS w
+           |  FROM events)
+           |SELECT event_id, x, y, w, $zSql AS z FROM b""".stripMargin
       }),
     Q("curation_sample",
       (s, d) => Curation.stratifiedSample(docs(s, d), "lang", "doc_id",

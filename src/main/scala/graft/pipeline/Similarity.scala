@@ -369,6 +369,56 @@ object Similarity {
         round(col("max_abs_err"), 6).as("max_abs_err"))
   }
 
+  /** Sparse-sign random projection (Johnson–Lindenstrauss, Achlioptas
+    * ±1 variant): project `dIn`-dim embeddings to `dOut` dims with a
+    * deterministic sign matrix — the dimensionality-reduction step
+    * before ANN indexing or near-dup banding at 100 TB (dOut=16 over
+    * d=64 shuffles 4× fewer bytes per vector, with pairwise distances
+    * preserved in expectation: E‖Px‖² = dOut·‖x‖²).
+    *
+    * Determinism is absolute, not approximate: inputs are integerized
+    * at 1e-6 and each component is an exact BIGINT sum of ±v_i — no
+    * float accumulation, so the result is bit-identical across engines,
+    * partitionings, and summation orders. The sign for (out dim j,
+    * in dim i) is the parity of the first byte of md5("rp:j:i")
+    * ([[rpSign]]); the DuckDB oracle derives the SAME signs from its
+    * own md5, so the two engines agree by construction, with no magic
+    * constants in either. Components are emitted CSV-joined in micro
+    * units (the repo's array-output convention). Pure narrow
+    * projection — one codegen'd pass, no shuffle, no UDF. */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+      dIn: Int, dOut: Int): DataFrame = {
+    val vi = transform(col(vecCol).cast("array<double>"),
+      x => round(x * lit(1e6)).cast("long"))
+    val comps = (0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        element_at(col("_vi"), i + 1) * lit(rpSign(j, i).toLong)
+      }.reduce(_ + _)
+    }
+    df.select(col(idCol), vi.as("_vi"))
+      .select(col(idCol),
+        concat_ws(",", comps.map(_.cast("string")): _*).as("p_csv"))
+  }
+
+  /** The (j, i) projection sign: +1 when the first byte of
+    * md5("rp:j:i") is even, −1 otherwise. */
+  def rpSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if (((d(0) & 0xFF) % 2) == 0) 1 else -1
+  }
+
+  /** DuckDB rendering of [[randomProject]]'s component list over a
+    * BIGINT-list column `vi` — the oracle twin, deriving identical
+    * signs from DuckDB's md5. */
+  def randomProjectSql(vi: String, dIn: Int, dOut: Int): String =
+    (0 until dOut).map { j =>
+      s"""list_sum([$vi[i] * (CASE WHEN CAST('0x' ||
+         |      substr(md5('rp:$j:' || (i-1)), 1, 2) AS INT) % 2 = 0
+         |      THEN 1 ELSE -1 END) for i in generate_series(1, $dIn)])"""
+        .stripMargin
+    }.mkString("[", ",\n", "]")
+
   /** Bucketed k-NN GRAPH over the whole corpus (each vector's k nearest
     * neighbors within its IVF bucket) — the input to SemDeDup-style
     * semantic curation, graph-based diversity sampling, and kNN

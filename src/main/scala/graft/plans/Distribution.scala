@@ -102,10 +102,18 @@ object Distribution {
     * bucket grid (boxes are small relative to the bucket grid — the
     * point of bucketing), so cost is |box|, independent of data size. */
   def zBucketsForBox(xMin: Long, xMax: Long, yMin: Long, yMax: Long,
-      bits: Int, shift: Int): Seq[Long] = {
-    require(shift >= 0 && shift < 2 * bits)
-    (for { x <- xMin to xMax; y <- yMin to yMax }
-      yield zValue(x, y, bits) >>> shift).distinct.sorted
+      bits: Int, shift: Int): Seq[Long] =
+    zBucketsForBox(Seq((xMin, xMax), (yMin, yMax)), bits, shift)
+
+  /** N-dimensional box cover: `ranges` gives the inclusive [min, max]
+    * per dimension, in [[zOrderKey]]'s dimension order. */
+  def zBucketsForBox(ranges: Seq[(Long, Long)], bits: Int,
+      shift: Int): Seq[Long] = {
+    require(shift >= 0 && shift < ranges.size * bits)
+    val grid = ranges.foldLeft(Seq(Seq.empty[Long])) { (acc, r) =>
+      for { prefix <- acc; v <- r._1 to r._2 } yield prefix :+ v
+    }
+    grid.map(p => zValue(p, bits) >>> shift).distinct.sorted
   }
 
   /** Write `df` z-order-clustered on two bucketed dimension columns:
@@ -115,7 +123,12 @@ object Distribution {
     * dimension columns are retained for the residual filter. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
       shift: Int, path: String): Unit =
-    df.withColumn("_z", zOrderKey(col(xCol), col(yCol), bits))
+    writeZOrdered(df, Seq(xCol, yCol), bits, shift, path)
+
+  /** N-dimensional variant: dimension columns in [[zOrderKey]] order. */
+  def writeZOrdered(df: DataFrame, dims: Seq[String], bits: Int,
+      shift: Int, path: String): Unit =
+    df.withColumn("_z", zOrderKey(dims.map(col), bits))
       .withColumn("zb", shiftright(col("_z"), shift))
       .sortWithinPartitions("zb", "_z")
       .drop("_z")
@@ -128,11 +141,19 @@ object Distribution {
     * regardless of table size. */
   def readBox(spark: SparkSession, path: String, xCol: String, yCol: String,
       xMin: Long, xMax: Long, yMin: Long, yMax: Long,
-      bits: Int, shift: Int): DataFrame = {
-    val cover = zBucketsForBox(xMin, xMax, yMin, yMax, bits, shift)
-    spark.read.parquet(path)
-      .where(col("zb").isin(cover: _*) &&
-        col(xCol).between(xMin, xMax) && col(yCol).between(yMin, yMax))
+      bits: Int, shift: Int): DataFrame =
+    readBox(spark, path, Seq((xCol, xMin, xMax), (yCol, yMin, yMax)),
+      bits, shift)
+
+  /** N-dimensional box read: `box` gives (column, min, max) per
+    * dimension in [[zOrderKey]]'s dimension order. */
+  def readBox(spark: SparkSession, path: String,
+      box: Seq[(String, Long, Long)], bits: Int, shift: Int): DataFrame = {
+    val cover = zBucketsForBox(box.map(b => (b._2, b._3)), bits, shift)
+    box.foldLeft(
+      spark.read.parquet(path).where(col("zb").isin(cover: _*))) {
+      case (df, (c, lo, hi)) => df.where(col(c).between(lo, hi))
+    }
   }
 
   /** The DuckDB-SQL rendering of [[zOrderKey]] over integer expressions

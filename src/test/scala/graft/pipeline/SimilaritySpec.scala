@@ -168,6 +168,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == ((0.0, "0,0,0", 0.0)), "all-zero vector is safe")
   }
 
+  test("randomProject: exact vs driver reference; JL norm preservation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(id =>
+      (id, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "embedding", "vec_id", 64, 16)
+      .as[(Long, String)].collect().toMap
+    // exactness: the column kernel reproduces the driver-side math
+    def reference(v: Array[Float]): Seq[Long] = {
+      val vi = v.map(x => math.round(x.toDouble * 1e6))
+      (0 until 16).map(j =>
+        (0 until 64).map(i => vi(i) * Similarity.rpSign(j, i)).sum)
+    }
+    vecs.foreach { case (id, v) =>
+      assert(out(id) == reference(v).mkString(","), s"vec $id")
+    }
+    // JL property: E||Px||^2 = dOut/dIn * ... with ±1 signs,
+    // E||Px||^2 = dOut * ||x||^2; check the empirical mean ratio over
+    // 40 gaussian vectors lands within a loose (1 ± 0.5) band
+    val ratios = vecs.map { case (id, v) =>
+      val p = out(id).split(",").map(_.toLong)
+      val p2 = p.map(x => x.toDouble * x).sum
+      val v2 = v.map(x => x.toDouble * 1e6 * x * 1e6).sum
+      p2 / (16.0 * v2)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"JL mean ratio off: $mean")
+    // sign matrix is balanced-ish (md5 parity, 1024 entries)
+    val pos = (for { j <- 0 until 16; i <- 0 until 64 }
+      yield Similarity.rpSign(j, i)).count(_ == 1)
+    assert(pos > 400 && pos < 624, s"sign matrix skewed: $pos/1024 positive")
+  }
+
   test("knnGraphIvf: neighbors stay in-bucket, ranked by cosine") {
     import spark.implicits._
     // Two orthogonal clusters; centroids = ids 0,1 (lowest ids) land one

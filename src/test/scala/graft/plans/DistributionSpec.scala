@@ -113,6 +113,11 @@ class DistributionSpec extends SparkSpec {
     assert(Distribution.zValue(Seq(1L, 0L, 0L), 4) == 4L)
     assert(Distribution.zValue(Seq(0L, 1L, 0L), 4) == 2L)
     assert(Distribution.zValue(Seq(0L, 0L, 1L), 4) == 1L)
+    // N-D cover enumerates the full box grid through the same curve
+    val cover3 = Distribution.zBucketsForBox(
+      Seq((0L, 1L), (2L, 3L), (4L, 5L)), bits = 4, shift = 0)
+    assert(cover3.size == 8 && cover3 == cover3.distinct.sorted)
+    assert(cover3.contains(Distribution.zValue(Seq(1L, 2L, 5L), 4)))
   }
 
   test("z-bucket cover prunes a partitioned layout and preserves the box answer") {
