@@ -77,11 +77,24 @@ object Similarity {
   /** Deterministic centroid set: the corpus rows with the `nCentroids`
     * smallest ids (a k-means stand-in that both engines reproduce exactly;
     * swap in trained centroids in production). Vectors come out normalized.
-    */
+    *
+    * The id pick runs as its OWN root query (collect of ≤nCentroids ids,
+    * bounded like the PQ codebook collect), then filters the corpus by
+    * the id list. A mid-plan `orderBy(id).limit(n)` reads the same but
+    * physical-plans as a RANGE-PARTITIONED GLOBAL SORT of the whole
+    * corpus (Spark only rewrites root-level sort+limit to the
+    * distributed TakeOrdered heap) — found by the plan-fingerprint
+    * lock as `global_sort=1` in every IVF-derived query, and exactly
+    * the operator that cannot exist at 100 TB. The root collect DOES
+    * get TakeOrdered; the isin filter is a narrow pushed-down scan. */
   def centroids(corpus: DataFrame, vecCol: String, idCol: String,
-      nCentroids: Int): DataFrame =
-    normalized(corpus.orderBy(col(idCol)).limit(nCentroids), vecCol, "centv")
+      nCentroids: Int): DataFrame = {
+    val ids = corpus.select(col(idCol))
+      .orderBy(col(idCol)).limit(nCentroids)
+      .collect().map(_.get(0))
+    normalized(corpus.where(col(idCol).isin(ids: _*)), vecCol, "centv")
       .select(col(idCol).as("centroid_id"), col("centv"))
+  }
 
   /** Spherical k-means (Lloyd) training for the IVF centroids, as plain
     * DataFrame iterations: assign → per-bucket element-wise mean
