@@ -24,6 +24,16 @@ object PlanAudit {
     "text_textrank",        // rank over limit(k)
     "text_zipf")            // rank over limit(topK)
 
+  /** Queries whose global SortExec is bounded by construction — a
+    * re-sort of ≤k rows AFTER a limit (chronological delivery order of
+    * a replay page). Any OTHER global sort is a range-partitioned sort
+    * of unbounded input — the mid-plan orderBy+limit trap that
+    * Similarity.centroids fell into (Spark rewrites sort+limit to the
+    * distributed TakeOrdered heap only at the plan ROOT) — and fails
+    * the audit. */
+  val boundedGlobalSorts: Set[String] = Set(
+    "w1_replay_topk")       // ≤25-row page re-sorted to delivery order
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -37,15 +47,20 @@ object PlanAudit {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         var n = 0
+        var sorts = 0
         plan.foreach {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => n += 1
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
             if w.partitionSpec.isEmpty => n += 1
+          case s: org.apache.spark.sql.execution.SortExec if s.global =>
+            sorts += 1
           case _ =>
         }
         if (n > 0 && !boundedGlobalWindows.contains(name)) bad ::= name
         else if (n > 0) println(s"[audit] $name: $n bounded global window(s) (whitelisted)")
+        if (sorts > 0 && !boundedGlobalSorts.contains(name)) bad ::= name
+        else if (sorts > 0) println(s"[audit] $name: $sorts bounded global sort(s) (whitelisted)")
       } catch { case scala.util.control.NonFatal(e) =>
         println(s"[audit] ERR $name ${String.valueOf(e.getMessage).take(100)}")
       }
@@ -53,9 +68,9 @@ object PlanAudit {
     }
     spark.stop()
     if (bad.nonEmpty) {
-      System.err.println(s"[audit] UNBOUNDED global windows in: ${bad.sorted.mkString(", ")}")
+      System.err.println(s"[audit] UNBOUNDED global windows/sorts in: ${bad.sorted.mkString(", ")}")
       sys.exit(1)
     }
-    println("[audit] PASS: no unbounded global windows")
+    println("[audit] PASS: no unbounded global windows or sorts")
   }
 }
