@@ -60,7 +60,7 @@ object Classifier {
         round(log(lit(1.0) / (col("tok_c") + col("v"))) * lit(1e6))
           .cast("long").as("oov_micro"))
 
-    // model: (label, token, logp_micro) — V×C rows, broadcastable.
+    // model: (label, token, logp_micro) — V×C rows, vocab-scaling.
     val model = classTok.join(classTot, labelCol).crossJoin(vocab)
       .select(col(labelCol), col("w"),
         round(log((col("cnt") + lit(1.0)) / (col("tok_c") + col("v"))) *
@@ -70,7 +70,8 @@ object Classifier {
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
     val tokScore = testTf
       .crossJoin(broadcast(classes.select(col(labelCol), col("oov_micro"))))
-      .join(broadcast(model), Seq(labelCol, "w"), "left")
+      // model is V×C (vocab-sized) — no broadcast hint; AQE decides
+      .join(model, Seq(labelCol, "w"), "left")
       .groupBy(col(idCol), col(labelCol))
       .agg(sum(col("tf") * coalesce(col("logp_micro"), col("oov_micro")))
         .as("tok_micro"))

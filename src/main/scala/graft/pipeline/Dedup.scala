@@ -247,8 +247,10 @@ object Dedup {
     * shingle sets. Only the band keys and candidate ids shuffle.
     */
   /** MinHash signatures as a relational plan: hash each DISTINCT shingle
-    * once (broadcast vocabulary join, like [[simhashDF]]'s word trick),
-    * then per-doc element-wise minima via k codegen'd `min` aggs.
+    * once (vocabulary equi-join, like [[simhashDF]]'s word trick — no
+    * broadcast hint, since the shingle universe scales with the corpus;
+    * AQE decides), then per-doc element-wise minima via k codegen'd
+    * `min` aggs.
     * Identical signatures to [[minhashSignature]].
     *
     * MEASURED SLOWER than the narrow expression form on this corpus
@@ -270,7 +272,9 @@ object Dedup {
       .withColumn("hs", array((0 until k).map(i =>
         md5(concat(lit(i.toString), lit(":"), col("s")))): _*))
     val aggs = (0 until k).map(i => min(element_at(col("hs"), i + 1)).as(s"h$i"))
-    val sigs = toks.join(broadcast(vocab), "s")
+    // no broadcast hint: the distinct-shingle universe scales with the
+    // corpus (far past broadcast size at scale) — AQE picks the strategy
+    val sigs = toks.join(vocab, "s")
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -437,12 +441,15 @@ object Dedup {
   }
 
   /** SimHash-60 as a relational plan: explode words, hash each DISTINCT
-    * word once (the vocabulary is tiny relative to the corpus — word hashes
-    * are shared across all documents via a broadcast join), then 60
-    * codegen'd conditional sums per document. Same arithmetic as
-    * [[simhash]] (identical signatures), but fully inside whole-stage
-    * codegen — no interpreted HOF in the hot path — and the per-word md5
-    * count drops from |corpus tokens| to |vocabulary|. */
+    * word once (word hashes are shared across all documents via an
+    * equi-join on the vocabulary), then 60 codegen'd conditional sums per
+    * document. Same arithmetic as [[simhash]] (identical signatures), but
+    * fully inside whole-stage codegen — no interpreted HOF in the hot
+    * path — and the per-word md5 count drops from |corpus tokens| to
+    * |vocabulary|. The vocabulary side carries NO broadcast hint: it is
+    * corpus-derived (word vocab grows with the corpus), so the join
+    * strategy is left to AQE — broadcast at runtime while the vocab fits,
+    * graceful shuffle join when it doesn't, never a hinted OOM. */
   def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(TextAnalysis.words(col(textCol))).as("w"))
@@ -454,7 +461,7 @@ object Dedup {
     val aggs = count(lit(1)).as("n_words") +:
       (0 until SimhashBits).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
-    val perDoc = toks.join(broadcast(vocab), "w")
+    val perDoc = toks.join(vocab, "w")
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
     perDoc.select(col("id"),

@@ -57,8 +57,10 @@ object NgramLm {
         explode(charNgrams(col(textCol), 3)).as("g3"))
       .withColumn("g2", col("g3").substr(1, 2))
     grams
-      .join(broadcast(tri), Seq("g3"), "left")
-      .join(broadcast(bi), Seq("g2"), "left")
+      // n-gram count tables grow with the training corpus — no broadcast
+      // hint; AQE broadcasts at runtime while they fit
+      .join(tri, Seq("g3"), "left")
+      .join(bi, Seq("g2"), "left")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_grams"),

@@ -260,10 +260,10 @@ object TextAnalysis {
       .where(col("c_pair") >= minCount)
     def d18(c: Column) = c.cast("decimal(18,0)")
     pairs
-      .join(broadcast(uni.select(col("w").as("w1"), col("c_uni").as("c1"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("c_uni").as("c2"))),
-        Seq("w2"))
+      // unigram counts are corpus-vocabulary-sized — no broadcast hint
+      // (AQE broadcasts at runtime while they fit); nTotal is one row
+      .join(uni.select(col("w").as("w1"), col("c_uni").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_uni").as("c2")), Seq("w2"))
       .crossJoin(broadcast(nTotal))
       .select(col("w1"), col("w2"), col("c_pair"),
         round((d18(col("c_pair")) * d18(col("n_tokens"))).cast("double") /
@@ -409,7 +409,7 @@ object TextAnalysis {
         round(col("d").cast("double") / col("f").cast("double") *
           lit(1e6)).cast("long").as("s"))
     val pScore = ns.join(ph, Seq("id", "grp"))
-      .join(broadcast(sc), "w")
+      .join(sc, "w") // per-word scores are vocab-sized — AQE decides
       .groupBy(col("id"), col("grp"), col("phrase"), col("len"))
       .agg(sum(col("s")).as("score"))
     val agg = pScore.groupBy(col("phrase"))
