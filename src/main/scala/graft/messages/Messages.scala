@@ -33,6 +33,32 @@ object Messages {
       .withColumn("inserted_date", to_date(col("inserted_at")))
       .write.mode("append").partitionBy("inserted_date").parquet(path)
 
+  /** The retention MAINTENANCE job on a [[write]] layout: delete the
+    * day-partitions that lie entirely before the 72 h cutoff — a
+    * directory drop, never a rewrite (the reference drops whole daily
+    * RANGE partitions the same way, messages.ex:73-102). The partition
+    * containing the cutoff instant is KEPT (it still holds live rows);
+    * [[retained]] remains the row-level filter for reads. Returns the
+    * dropped partition names. Works through the Hadoop FS API, so the
+    * same call runs on local disk, HDFS, or object storage. */
+  def dropExpired(spark: org.apache.spark.sql.SparkSession, path: String,
+      now: java.sql.Timestamp): Seq[String] = {
+    val cutoffDate = java.time.Instant
+      .ofEpochMilli(now.getTime - RetentionHours * 3600000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("inserted_date="))
+      .filter(s => java.time.LocalDate
+        .parse(s.getPath.getName.stripPrefix("inserted_date="))
+        .isBefore(cutoffDate))
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .sorted
+  }
+
   /** Bounded replay for one topic (reference messages.ex:45-67): private
     * broadcast messages in `[since, now+1min)`, newest `limit` (≤25), returned
     * in chronological order. `now` is an explicit parameter — determinism. */

@@ -72,6 +72,34 @@ class MessagesSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == Set(2, 3, 4, 6)) // 10:00:01 and later survive the -72h cutoff
   }
+
+  test("dropExpired deletes only fully-expired day partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("msgdrop").toString
+    val three = Seq(
+      Msg(1, "r", "a", true, "broadcast", t("2024-01-01 10:00:00")),
+      Msg(2, "r", "b", true, "broadcast", t("2024-01-02 18:00:00")),
+      Msg(3, "r", "c", true, "broadcast", t("2024-01-05 09:00:00"))
+    ).toDF().withColumnRenamed("insertedAt", "inserted_at")
+      .withColumnRenamed("priv", "private")
+    Messages.write(three, dir)
+    // now = Jan 5 12:00 → cutoff instant Jan 2 12:00 → only the Jan 1
+    // partition lies entirely before the cutoff; Jan 2 still holds the
+    // live 18:00 row and must survive as a partition
+    val dropped = Messages.dropExpired(spark, dir, t("2024-01-05 12:00:00"))
+    assert(dropped == Seq("inserted_date=2024-01-01"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq ==
+      Seq("inserted_date=2024-01-02", "inserted_date=2024-01-05"))
+    // surviving rows still filter row-level through `retained`
+    val live = Messages.retained(
+        spark.read.parquet(dir).drop("inserted_date"),
+        t("2024-01-05 12:00:00"))
+      .select("id").as[Long].collect().toSet
+    assert(live == Set(2, 3))
+    // idempotent: a second run drops nothing
+    assert(Messages.dropExpired(spark, dir, t("2024-01-05 12:00:00")).isEmpty)
+  }
 }
 
 object MessagesSpec {
