@@ -167,9 +167,12 @@ object Similarity {
     * replays the exact doubles and the ranking hash-matches.
     *
     * Scale shape: the codebook is model-sized (m·codebookSize·subDim
-    * doubles) and inlined as constants into ONE codegen'd encode
-    * projection — a narrow corpus pass, persisted at ingest in a real
-    * deployment (like [[ivfTopKFromIndex]]'s build). Queries broadcast;
+    * doubles) and rides into ONE codegen'd encode projection as a flat
+    * double[] reference driving a native loop kernel
+    * ([[graft.plans.PqEncode]] — constant generated-code size in K, vs the
+    * unrolled battery that breaches the 64 KB method limit) — a narrow
+    * corpus pass, persisted at ingest in a real deployment (like
+    * [[ivfTopKFromIndex]]'s build). Queries broadcast;
     * the corpus is scanned once; per-query top-k is a partitioned
     * window. Ties break on (distance, lowest k / lowest id) in both
     * engines. */
@@ -190,28 +193,31 @@ object Similarity {
     require(samples.length == codebookSize,
       s"corpus has fewer than $codebookSize vectors")
     val cb = Array.tabulate(m, codebookSize)((mm, kk) => samples(kk)(mm))
-    // squared-L2 of x[off+1..off+subDim] against a CONSTANT entry —
-    // flat left-associated arithmetic, no HOFs, stays in codegen
-    def d2Const(x: Column, off: Int, entry: Array[Double]): Column =
-      (1 to subDim).map { i =>
-        val dlt = element_at(x, off + i) - lit(entry(i - 1))
-        dlt * dlt
-      }.reduce(_ + _)
-    // same, against a runtime-selected codebook entry (array<double>)
+    // squared-L2 of x[off+1..off+subDim] against a runtime-selected
+    // codebook entry (array<double>) — flat left-associated arithmetic,
+    // no HOFs, stays in codegen (m·subDim terms: small, unlike the encode)
     def d2Entry(x: Column, off: Int, entry: Column): Column =
       (1 to subDim).map { i =>
         val dlt = element_at(x, off + i) - element_at(entry, i)
         dlt * dlt
       }.reduce(_ + _)
-    // ENCODE: per subvector, argmin over the codebook by (distance, k)
+    // ENCODE: per subvector, argmin over the codebook by (distance, k) —
+    // a native loop kernel (plans.PqEncode), NOT the unrolled
+    // array_min(array(struct…)) battery: at m·K·subDim unrolled terms the
+    // fused whole-stage-codegen method exceeds the JVM's 64 KB limit and
+    // the full corpus pass silently drops to interpreted eval. The
+    // expression is differential-tested against the unrolled form
+    // (PqEncodeSpec) and keeps its exact doubles and tie-breaks.
+    val cbFlat: Array[Double] = Array.tabulate(m * codebookSize * subDim) {
+      j => cb(j / (codebookSize * subDim))((j / subDim) % codebookSize)(j % subDim)
+    }
     val enc = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("codes", array((0 until m).map { mm =>
-        array_min(array((0 until codebookSize).map { kk =>
-          struct(d2Const(col("cv"), mm * subDim, cb(mm)(kk)).as("d"),
-            lit(kk).as("k"))
-        }: _*)).getField("k")
-      }: _*))
+      .withColumn("codes", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.plans.PqEncode(
+          ColumnBridge.expression(col("cv")), cbFlat, m, codebookSize, subDim))
+      })
       .select(col("neighbor_id"), col("codes"))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
