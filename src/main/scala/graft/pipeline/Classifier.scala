@@ -115,9 +115,13 @@ object Classifier {
     val tr = prepared(train)
     val n = tr.count().toDouble
     var w = Array.fill(dim + 1)(0.0)
+    // dot against the constant weight vector via the DotFixed loop
+    // kernel (same left-associated sum as the unrolled chain it
+    // replaced, which generated a >12 KB unJITtable method — CodegenAudit
+    // catch); the bias rides as a plain literal add
     def margin(weights: Array[Double]): org.apache.spark.sql.Column =
-      (1 to dim).map(i => element_at(col("x"), i) * lit(weights(i - 1)))
-        .reduce(_ + _) + lit(weights(dim))
+      Similarity.dotFixed(col("x"),
+        typedLit(weights.take(dim).toSeq), dim) + lit(weights(dim))
     for (_ <- 1 to iters) {
       val resid = tr.withColumn("g",
         lit(1.0) / (lit(1.0) + exp(-margin(w))) - col("y"))

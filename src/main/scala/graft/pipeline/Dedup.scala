@@ -464,10 +464,18 @@ object Dedup {
     val perDoc = toks.join(vocab, "w")
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
-    perDoc.select(col("id"),
-      (0 until SimhashBits).map { b =>
-        when(col(s"b$b") * 2 > col("n_words"), lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _).as("simhash"))
+    // majority-pack as a native kernel (plans.MajorityPack): the
+    // unrolled 60-arm when-chain generated an ~11.5 KB method — past the
+    // JIT's 8 000-byte ceiling (CodegenAudit catch). Exact integer
+    // arithmetic, so signatures are identical by construction.
+    perDoc.select(col("id"), {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.plans.MajorityPack(
+        ColumnBridge.expression(
+          array((0 until SimhashBits).map(b => col(s"b$b")): _*)),
+        ColumnBridge.expression(col("n_words")),
+        SimhashBits)).as("simhash")
+    })
   }
 
   /** SimHash near-dup pairs: block on the top `prefixBits` bits (cheap LSH

@@ -25,13 +25,22 @@ object Similarity {
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
-  /** Fixed-dimension dot product expanded to flat arithmetic:
-    * `a[1]*b[1] + … + a[dim]*b[dim]`. Unlike the `aggregate` fold (an
-    * interpreted higher-order function), this is plain codegen'd arithmetic
-    * inside whole-stage codegen — ~10× faster in O(n²) pair loops — and the
-    * left-associated sum is bit-identical to the fold (IEEE `0.0+x = x`). */
-  def dotFixed(x: Column, y: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(x, i) * element_at(y, i)).reduce(_ + _)
+  /** Fixed-dimension dot product as a native codegen'd loop kernel
+    * ([[graft.plans.DotFixed]]). Unlike the `aggregate` fold (an
+    * interpreted higher-order function), this runs inside whole-stage
+    * codegen — ~10× faster in O(n²) pair loops — and unlike the unrolled
+    * `element_at(x,i)*element_at(y,i)` chain it originally expanded to,
+    * its generated code is constant-size in `dim`: the unrolled form's
+    * per-element null/bounds blocks made dim=64 scoring projections
+    * ~20 KB — past HotSpot's 8 000-byte JIT ceiling, so the hot pair
+    * loop ran interpreted anyway (CodegenAudit catch). The kernel's
+    * left-associated sum is bit-identical to both the fold and the
+    * unrolled chain (IEEE `0.0+x = x`; differential spec). */
+  def dotFixed(x: Column, y: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.DotFixed(
+      ColumnBridge.expression(x), ColumnBridge.expression(y), dim))
+  }
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column =
@@ -409,14 +418,22 @@ object Similarity {
       dIn: Int, dOut: Int): DataFrame = {
     val vi = transform(col(vecCol).cast("array<double>"),
       x => round(x * lit(1e6)).cast("long"))
-    val comps = (0 until dOut).map { j =>
-      (0 until dIn).map { i =>
-        element_at(col("_vi"), i + 1) * lit(rpSign(j, i).toLong)
-      }.reduce(_ + _)
+    // sign matrix as one flat byte[] into a native loop kernel
+    // (plans.SignProject): the unrolled dOut·dIn signed-term chain
+    // generated a 56 KB method — unJITtable, and nearly at Janino's
+    // 64 KB compile cliff (CodegenAudit catch). Exact long arithmetic,
+    // so results are identical by construction.
+    val signs: Array[Byte] = Array.tabulate(dOut * dIn) { idx =>
+      rpSign(idx / dIn, idx % dIn).toByte
+    }
+    val comps = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.plans.SignProject(
+        ColumnBridge.expression(col("_vi")), signs, dIn, dOut))
     }
     df.select(col(idCol), vi.as("_vi"))
       .select(col(idCol),
-        concat_ws(",", comps.map(_.cast("string")): _*).as("p_csv"))
+        array_join(transform(comps, _.cast("string")), ",").as("p_csv"))
   }
 
   /** The (j, i) projection sign: +1 when the first byte of
@@ -585,16 +602,16 @@ object Similarity {
     * throwing INVALID_ARRAY_INDEX. */
   def binarySignature(df: DataFrame, vecCol: String, idCol: String)
       : DataFrame = {
+    // sign-bit words as a native kernel (plans.SignBits): the unrolled
+    // 2×32-arm when-chain generated a ~17 KB method — past the JIT's
+    // 8 000-byte ceiling (CodegenAudit catch). The kernel also subsumes
+    // the old explicit zero-padding of short vectors: out-of-range
+    // components leave their bits unset.
+    import org.apache.spark.sql.graft.ColumnBridge
     def word(off: Int): Column =
-      (0 until 32).map(i =>
-        when(element_at(col("_v"), off + i + 1) > 0, lit(1L << i))
-          .otherwise(0L)).reduce(_ + _)
-    val v = col(vecCol).cast("array<double>")
-    df.select(col(idCol),
-        // pad ONLY short vectors: the standard 64-dim case stays a plain
-        // column reference with no per-row array allocation
-        when(size(v) < 64, concat(v, array_repeat(lit(0.0), 64)))
-          .otherwise(v).as("_v"))
+      ColumnBridge.column(graft.plans.SignBits(
+        ColumnBridge.expression(col("_v")), off))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .select(col(idCol), word(0).as("w0"), word(32).as("w1"))
   }
 

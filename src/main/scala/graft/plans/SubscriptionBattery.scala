@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -117,6 +117,39 @@ case class SubscriptionBattery(
     val gArmRef = ctx.addReferenceObj("globalArm", globalArm, "int[]")
     val lensRef = ctx.addReferenceObj("armLens", armLens, "int[]")
     val list = ctx.freshName("batteryMatched")
+    // Inside whole-stage codegen the inputs are deferred LOCAL variables,
+    // so Spark's splitExpressionsWithCurrentInputs refuses to split the
+    // arm blocks into helper methods — at 200 arms the fused processNext
+    // lands at ~15 KB bytecode, past HotSpot's 8 000-byte JIT ceiling,
+    // and the flagship hot loop runs in the bytecode interpreter
+    // (measured 1.7× slower warm than the same plan with huge-method JIT
+    // forced on). The fix: evaluate every input column the arms
+    // reference ONCE into named locals up front, then split the arm
+    // blocks ourselves, passing those locals (plus the input row, for
+    // any column codegen still routed through it) as explicit helper
+    // parameters — after the pre-evaluation the blocks mention only
+    // stable names, which is the precondition the generic splitter
+    // cannot establish for arbitrary expressions.
+    val inputEval = new StringBuilder
+    val inputArgs: Seq[(String, String)] =
+      if (ctx.currentVars == null) Nil
+      else {
+        def isIdent(s: String): Boolean =
+          s.nonEmpty && s.head.isUnicodeIdentifierStart &&
+            s.forall(c => c.isUnicodeIdentifierPart || c == '_') &&
+            s != "false" && s != "true" && s != "null"
+        val ords = preds.flatMap(_.collect { case b: BoundReference => b })
+          .groupBy(_.ordinal).values.map(_.head).toSeq.sortBy(_.ordinal)
+        ords.flatMap { b =>
+          val c = b.genCode(ctx) // emits any deferred load, exactly once
+          inputEval ++= c.code.toString + "\n"
+          val vArg = Some((CodeGenerator.javaType(b.dataType), c.value.toString))
+            .filter(a => isIdent(a._2))
+          val nArg = Some(("boolean", c.isNull.toString))
+            .filter(a => isIdent(a._2))
+          vArg.toSeq ++ nArg.toSeq
+        }
+      }
     def armCode(i: Int): String = {
       val c = preds(i).genCode(ctx)
       s"""
@@ -155,9 +188,18 @@ case class SubscriptionBattery(
       List(("boolean", tyNullVar),
         ("org.apache.spark.unsafe.types.UTF8String", tyVar))
       else Nil)
-    val arms = ctx.splitExpressionsWithCurrentInputs(blocks, "subBattery", extraArgs)
+    val arms =
+      if (ctx.currentVars == null)
+        // row-input context: the generic splitter handles this fine
+        ctx.splitExpressionsWithCurrentInputs(blocks, "subBattery", extraArgs)
+      else
+        ctx.splitExpressions(blocks, "subBattery",
+          extraArgs ++ inputArgs ++
+            (if (ctx.INPUT_ROW != null) Seq(("InternalRow", ctx.INPUT_ROW))
+             else Nil))
     ev.copy(code = code"""
       |boolean[] $list = new boolean[${preds.size}];
+      |${inputEval.toString}
       |$tyEval
       |$arms
       |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
