@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full Bench sweep JIT-compiles thousands of generated classes
+  // (180 queries × 3 passes + the streaming path); the JVM's default
+  // 240 MB code cache fills mid-suite, the JIT silently disables, and
+  // everything after runs interpreted — measured as the streaming knee
+  // collapsing 4× (320k/s clean-JVM vs 80k/s in-suite) and warm passes
+  // reading SLOWER than one-shot. Reserved ≠ committed, so the larger
+  // cap costs nothing when unused.
+  "-XX:ReservedCodeCacheSize=1g",
 )
