@@ -35,6 +35,7 @@ object CodegenAudit {
     spark.sparkContext.setLogLevel("ERROR")
     var failed = List.empty[String]
     var huge = List.empty[String]
+    var errored = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
@@ -46,15 +47,19 @@ object CodegenAudit {
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>
+        // a query whose plan won't even build must FAIL the gate — a
+        // silently-skipped query would pass the audit unexamined
+        errored ::= name
         println(s"[cg] ERR $name ${String.valueOf(e.getMessage).take(100)}")
       }
       spark.catalog.clearCache()
     }
     spark.stop()
-    if (failed.nonEmpty || huge.nonEmpty) {
+    if (failed.nonEmpty || huge.nonEmpty || errored.nonEmpty) {
       System.err.println(
         s"[cg] FAIL: compile-failed=${failed.distinct.sorted.mkString(",")} " +
-          s"jit-hostile=${huge.distinct.sorted.mkString(",")}")
+          s"jit-hostile=${huge.distinct.sorted.mkString(",")} " +
+          s"errored=${errored.distinct.sorted.mkString(",")}")
       sys.exit(1)
     }
     println("[cg] PASS: every codegen stage compiles and fits the JIT method ceiling")

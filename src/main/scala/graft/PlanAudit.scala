@@ -62,13 +62,15 @@ object PlanAudit {
         if (sorts > 0 && !boundedGlobalSorts.contains(name)) bad ::= name
         else if (sorts > 0) println(s"[audit] $name: $sorts bounded global sort(s) (whitelisted)")
       } catch { case scala.util.control.NonFatal(e) =>
+        // a plan that fails to build must fail the audit, not skip it
+        bad ::= name
         println(s"[audit] ERR $name ${String.valueOf(e.getMessage).take(100)}")
       }
       spark.catalog.clearCache()
     }
     spark.stop()
     if (bad.nonEmpty) {
-      System.err.println(s"[audit] UNBOUNDED global windows/sorts in: ${bad.sorted.mkString(", ")}")
+      System.err.println(s"[audit] UNBOUNDED global windows/sorts (or plan-build ERR) in: ${bad.sorted.mkString(", ")}")
       sys.exit(1)
     }
     println("[audit] PASS: no unbounded global windows or sorts")

@@ -27,13 +27,15 @@ import org.apache.spark.sql.functions._
   * message":
   *
   *  1. distinct (role, topic) keys of the private-channel ingest — the
-  *     probe set, |keys|-sized, NOT |messages|-sized;
+  *     probe set: a |keys|-sized exchange (the `.distinct` shuffles the
+  *     key projection, never the message payloads), NOT |messages|-sized;
   *  2. probe = left join against the write-policy view (a tenant-config
   *     dimension: tiny, broadcast — never a shuffle of the ingest);
   *  3. decisions join back to the full ingest on the same (role, topic)
   *     key — also broadcast (decisions ≤ probe keys), so the message
-  *     stream flows through two broadcast hash joins and one codegen'd
-  *     projection: no exchange at any scale.
+  *     stream itself flows through two broadcast hash joins and one
+  *     codegen'd projection without being exchanged; the only shuffle in
+  *     the plan is the keys-sized distinct of step 1.
   *
   * At 100 TB ingest the policy view and the decision set stay
   * dimension-sized (roles × topics), so the plan shape is invariant to

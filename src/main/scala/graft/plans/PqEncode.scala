@@ -32,9 +32,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * [[java.lang.Double.compare]], matching Spark's double ordering; -0.0
   * cannot arise from a sum of squares.
   *
-  * Elements of the input array must be non-null (guaranteed by the
-  * upstream `cast` of the embeddings column); a null vector yields a
-  * null result via the standard null-safe wrapper. */
+  * Null semantics mirror [[DotFixed]]: a null vector, a vector shorter
+  * than m·subDim, or a null element within the first m·subDim positions
+  * yields a null result — the same degradation the original unrolled
+  * `element_at` form had, instead of an out-of-bounds read. */
 case class PqEncode(
     child: Expression,
     codebook: Array[Double], // flat (mm·K + kk)·subDim + i layout
@@ -45,16 +46,25 @@ case class PqEncode(
     s"codebook length ${codebook.length} != m*k*subDim = ${m * k * subDim}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      PqEncode.encode(input.asInstanceOf[ArrayData], codebook, m, k, subDim))
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() < m * subDim || PqEncode.hasNull(vec, m * subDim)) null
+    else new GenericArrayData(PqEncode.encode(vec, codebook, m, k, subDim))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val need = m * subDim
     nullSafeCodeGen(ctx, ev, vec =>
-      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.plans.PqEncode.encode($vec, $cbRef, $m, $k, $subDim));""".stripMargin)
+      s"""if ($vec.numElements() < $need ||
+         |    graft.plans.PqEncode.hasNull($vec, $need)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.plans.PqEncode.encode($vec, $cbRef, $m, $k, $subDim));
+         |}""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -64,6 +74,16 @@ case class PqEncode(
 }
 
 object PqEncode {
+
+  /** True when the vector holds a null within the first `need` slots. */
+  def hasNull(vec: ArrayData, need: Int): Boolean = {
+    var i = 0
+    while (i < need) {
+      if (vec.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 
   /** The encode kernel, shared by interpreted eval and generated code.
     * Sequential (left-associated) inner sum; first-strictly-smaller argmin

@@ -131,22 +131,35 @@ case class SubscriptionBattery(
     // stable names, which is the precondition the generic splitter
     // cannot establish for arbitrary expressions.
     val inputEval = new StringBuilder
+    // A value the split helper can reference without receiving it as a
+    // parameter: the java literals codegen actually folds to. Anything
+    // else that fails isIdent (a compound expression) would leave the
+    // helper referencing symbols it doesn't have — in that case we must
+    // not split at all (splitSafe=false below), or Janino fails and the
+    // WHOLE stage silently drops to interpreted execution.
+    def isLiteral(s: String): Boolean =
+      s == "false" || s == "true" || s == "null" ||
+        s.matches("""-?\d+(\.\d+)?[DdFfLl]?""")
+    def isIdent(s: String): Boolean =
+      s.nonEmpty && s.head.isUnicodeIdentifierStart &&
+        s.forall(c => c.isUnicodeIdentifierPart || c == '_') &&
+        !isLiteral(s)
+    var splitSafe = true
     val inputArgs: Seq[(String, String)] =
       if (ctx.currentVars == null) Nil
       else {
-        def isIdent(s: String): Boolean =
-          s.nonEmpty && s.head.isUnicodeIdentifierStart &&
-            s.forall(c => c.isUnicodeIdentifierPart || c == '_') &&
-            s != "false" && s != "true" && s != "null"
         val ords = preds.flatMap(_.collect { case b: BoundReference => b })
           .groupBy(_.ordinal).values.map(_.head).toSeq.sortBy(_.ordinal)
         ords.flatMap { b =>
           val c = b.genCode(ctx) // emits any deferred load, exactly once
           inputEval ++= c.code.toString + "\n"
-          val vArg = Some((CodeGenerator.javaType(b.dataType), c.value.toString))
+          val v = c.value.toString
+          val n = c.isNull.toString
+          if (!isIdent(v) && !isLiteral(v)) splitSafe = false
+          if (!isIdent(n) && !isLiteral(n)) splitSafe = false
+          val vArg = Some((CodeGenerator.javaType(b.dataType), v))
             .filter(a => isIdent(a._2))
-          val nArg = Some(("boolean", c.isNull.toString))
-            .filter(a => isIdent(a._2))
+          val nArg = Some(("boolean", n)).filter(a => isIdent(a._2))
           vArg.toSeq ++ nArg.toSeq
         }
       }
@@ -192,6 +205,11 @@ case class SubscriptionBattery(
       if (ctx.currentVars == null)
         // row-input context: the generic splitter handles this fine
         ctx.splitExpressionsWithCurrentInputs(blocks, "subBattery", extraArgs)
+      else if (!splitSafe)
+        // an input's ExprCode value is a compound expression the helper
+        // parameter list can't carry — inline unsplit rather than emit a
+        // helper with undefined symbols (Janino failure ⇒ interpreted)
+        blocks.mkString("\n")
       else
         ctx.splitExpressions(blocks, "subBattery",
           extraArgs ++ inputArgs ++

@@ -104,4 +104,31 @@ class PqEncodeSpec extends SparkSpec {
     val out = df.withColumn("c", kernelCodes(cb)).select("c").collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("short vector and null element yield null, not garbage (both paths)") {
+    val cb = Array.fill(m, k)(Array.fill(subDim)(0.0))
+    // array shorter than m*subDim, and a dense-length array with one null
+    val df = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  (array(1.0d, 2.0d, 3.0d)),
+         |  (${(0 until dim).map(i => if (i == 7) "CAST(NULL AS DOUBLE)"
+              else s"${i}.0d").mkString("array(", ", ", ")")})
+         |AS t(cv)""".stripMargin)
+    // codegen path
+    val viaPlan = df.withColumn("c", kernelCodes(cb)).select("c").collect()
+    assert(viaPlan.forall(_.isNullAt(0)))
+    // interpreted path (direct expression eval on the same inputs)
+    val flat = Array.fill(m * k * subDim)(0.0)
+    val short = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1.0, 2.0, 3.0))
+    val holed = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (0 until dim).map(i => if (i == 7) null else i.toDouble: Any).toArray)
+    assert(short.numElements() < m * subDim)
+    assert(PqEncode.hasNull(holed, m * subDim))
+    val expr = PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), flat, m, k, subDim)
+    assert(expr.eval(null) === null)
+  }
 }
