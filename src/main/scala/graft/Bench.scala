@@ -78,10 +78,11 @@ object Bench {
       // sweep until failure: 32-cpu runs sustain 10k/s, so the tail
       // points exist to actually FIND the knee there (the sweep stops at
       // the first failing rate, so cheap machines pay only the early
-      // points)
+      // points). Each rate is now a 2-of-3 window majority (see
+      // StreamLatency.knee), so the low-rate grid is coarser to keep the
+      // sweep's wall-clock flat — the curve is flat there anyway.
       val kn = graft.cdc.StreamLatency.knee(spark,
-        rates = Seq(2000, 5000, 10000, 20000, 40000, 80000, 160000, 320000,
-          640000),
+        rates = Seq(2000, 10000, 40000, 160000, 320000, 640000),
         seconds = 6,
         triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
       val maxSustained =
@@ -90,7 +91,8 @@ object Bench {
         s"""{"rate_per_sec":${p.ratePerSec},"n_sent":${p.nSent},""" +
           s""""n_delivered":${p.nDelivered},"p50_ms":${p.steady.p50},""" +
           s""""p95_ms":${p.steady.p95},"p99_ms":${p.steady.p99},""" +
-          s""""sustained":${p.sustained}}""").mkString("[", ",", "]")
+          s""""sustained":${p.sustained},"windows":${p.windows}}""")
+        .mkString("[", ",", "]")
       s""","stream":{"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
         s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
         s""""p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +

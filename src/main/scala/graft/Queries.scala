@@ -319,7 +319,104 @@ object Queries {
       Some(s"""$msgsCte
         |SELECT topic, count(*) AS n_retained FROM msgs
         |WHERE inserted_at >= TIMESTAMP '2024-01-17 00:00:00'
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+    // S7 bridge: trigger-driven broadcast_changes/send_binary end-to-end —
+    // change rows shaped into send() payloads, message rows streamed back
+    // out as broadcast frames (encoding-split, size-validated), plus the
+    // raise path (invalid operation) as error rows.
+    Q("s7_broadcast_changes",
+      (s, d) => {
+        import graft.messages.BroadcastChanges
+        val ops = array(lit("INSERT"), lit("UPDATE"), lit("DELETE"),
+          lit("TRUNCATE"))
+        val rec = to_json(map(
+          lit("event_id"), col("event_id").cast("string"),
+          lit("user_id"), col("user_id").cast("string")))
+        val old = to_json(map(
+          lit("event_id"), col("event_id").cast("string"),
+          lit("user_id"), (col("user_id") - 1).cast("string")))
+        val changes = ev(s, d).select(
+          col("event_id").as("id"),
+          col("event_type"),
+          element_at(ops, (pmod(col("event_id"), lit(4)) + 1).cast("int"))
+            .as("operation"),
+          when(pmod(col("event_id"), lit(4)).isin(0, 1), rec).as("record"),
+          when(pmod(col("event_id"), lit(4)).isin(1, 2), old).as("old_record"),
+          lit("events").as("table_name"),
+          lit("public").as("table_schema"),
+          col("ts").as("inserted_at"))
+        val bridged = BroadcastChanges.changesToMessages(changes,
+          topicCol = col("event_type"), eventCol = lit("db_change"))
+        val binMsgs = BroadcastChanges.sendBinary(
+          ChangeFeed.table(s, d, "documents"),
+          payloadCol = encode(col("text"), "UTF-8"),
+          eventCol = lit("bin_doc"), topicCol = col("source"),
+          idCol = col("doc_id"),
+          insertedAtCol = lit("2024-01-01 00:00:00").cast("timestamp"))
+        val outCols = Seq("tenant_topic", "user_event", "encoding",
+          "payload_text", "payload_hex", "metadata_id", "status")
+        val frames = BroadcastChanges.streamOut(
+            bridged.where(col("error").isNull).unionByName(binMsgs),
+            tenantId = "t0", maxPayloadKb = 0L)
+          .withColumn("payload_hex", hex(col("payload_binary")))
+          .select(outCols.map(col): _*)
+        val rejected = bridged.where(col("error").isNotNull).select(
+          lit(null).cast("string").as("tenant_topic"),
+          lit(null).cast("string").as("user_event"),
+          lit(null).cast("string").as("encoding"),
+          lit(null).cast("string").as("payload_text"),
+          lit(null).cast("string").as("payload_hex"),
+          col("id").as("metadata_id"),
+          col("error").as("status"))
+        frames.unionByName(rejected)
+      },
+      Some("""WITH changes AS (
+        |  SELECT event_id AS id, event_type AS topic,
+        |    list_extract(['INSERT','UPDATE','DELETE','TRUNCATE'],
+        |                 CAST(event_id % 4 + 1 AS INT)) AS operation,
+        |    CASE WHEN event_id % 4 IN (0, 1) THEN
+        |      to_json(MAP {'event_id': event_id::VARCHAR,
+        |                   'user_id': user_id::VARCHAR})::VARCHAR END AS record,
+        |    CASE WHEN event_id % 4 IN (1, 2) THEN
+        |      to_json(MAP {'event_id': event_id::VARCHAR,
+        |                   'user_id': (user_id - 1)::VARCHAR})::VARCHAR END AS old_record
+        |  FROM events),
+        |json_msgs AS (
+        |  SELECT id, topic, 'db_change' AS user_event,
+        |    '{"old_record":' || coalesce(old_record, 'null') ||
+        |    ',"record":' || coalesce(record, 'null') ||
+        |    ',"operation":"' || operation ||
+        |    '","table":"events","schema":"public"}' AS payload
+        |  FROM changes WHERE operation IN ('INSERT','UPDATE','DELETE')),
+        |bin_msgs AS (
+        |  SELECT doc_id AS id, source AS topic, 'bin_doc' AS user_event,
+        |         encode(text) AS body
+        |  FROM documents),
+        |frames AS (
+        |  SELECT 't0-private:' || topic AS tenant_topic, user_event,
+        |    'json' AS encoding,
+        |    CASE WHEN octet_length(encode(payload)) <= 500
+        |         THEN payload END AS payload_text,
+        |    NULL::VARCHAR AS payload_hex,
+        |    id AS metadata_id,
+        |    CASE WHEN octet_length(encode(payload)) > 500
+        |         THEN 'payload_size_exceeded' ELSE 'delivered' END AS status
+        |  FROM json_msgs
+        |  UNION ALL
+        |  SELECT 't0-private:' || topic, user_event, 'binary',
+        |    NULL::VARCHAR,
+        |    CASE WHEN octet_length(body) <= 500 THEN hex(body) END,
+        |    id,
+        |    CASE WHEN octet_length(body) > 500
+        |         THEN 'payload_size_exceeded' ELSE 'delivered' END
+        |  FROM bin_msgs),
+        |rejected AS (
+        |  SELECT NULL::VARCHAR AS tenant_topic, NULL::VARCHAR AS user_event,
+        |    NULL::VARCHAR AS encoding, NULL::VARCHAR AS payload_text,
+        |    NULL::VARCHAR AS payload_hex, id AS metadata_id,
+        |    'unexpected_operation' AS status
+        |  FROM changes WHERE operation NOT IN ('INSERT','UPDATE','DELETE'))
+        |SELECT * FROM frames UNION ALL SELECT * FROM rejected""".stripMargin))
   )
 
   // ------------------------------------------------------------ aggregations

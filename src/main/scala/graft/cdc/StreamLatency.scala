@@ -145,9 +145,12 @@ object StreamLatency {
 
   /** One sweep point of [[knee]]: the rate, its steady percentiles, the
     * sent/delivered counts, and whether the point counts as SUSTAINED
-    * (nothing dropped AND steady p99 within `p99SloMs`). */
+    * (nothing dropped AND steady p99 within `p99SloMs`). `windows` is how
+    * many measurement windows the majority vote consumed (2 when the
+    * first two agreed, 3 when a tiebreaker ran). */
   final case class SweepPoint(ratePerSec: Int, nSent: Long, nDelivered: Long,
-      steady: Percentiles, sustained: Boolean, failureMode: String)
+      steady: Percentiles, sustained: Boolean, failureMode: String,
+      windows: Int = 1)
 
   final case class KneeReport(points: Seq[SweepPoint],
       maxSustainedRate: Int, failureMode: String)
@@ -163,16 +166,24 @@ object StreamLatency {
     *    `p99SloMs` budget: micro-batches are queueing faster than they
     *    execute, the classic knee signature.
     * The sweep stops at the first failure (higher rates only degrade
-    * further — measuring them adds wall-clock, not information). A
-    * failing point is re-measured ONCE before it is declared the knee:
-    * each point is a single `seconds`-long window, so one unlucky GC
-    * pause can fail an easily-sustained rate and report a bogus
-    * near-zero knee — a genuine knee fails both runs. */
+    * further — measuring them adds wall-clock, not information).
+    *
+    * A rate's verdict is a MAJORITY over consecutive windows, not one
+    * draw: the first two windows must agree, a disagreement runs a third
+    * deciding window. Rationale (round-9 verdict): each window is one
+    * `seconds`-long sample, so a single GC pause can fail an easily-
+    * sustained rate (bogus low knee), and one lucky draw can pass a
+    * boundary-marginal rate (bogus high knee) — the recorded knee then
+    * flips between runs on host state. Two-of-three makes a boundary
+    * point settle on the side it actually lands on most, so the artifact
+    * is stable across back-to-back suite runs. The reported percentiles
+    * for the point are the WORSE (by p99) of the agreeing windows —
+    * the conservative reading of the evidence. */
   def knee(spark: SparkSession, rates: Seq[Int],
       seconds: Int = 6, triggerMs: Long = 100L, warmupSec: Int = 2,
       p99SloMs: Long = 1000L): KneeReport = {
-    def measure(r: Int): SweepPoint = {
-      // quiesce the allocator before each point: in a long bench session
+    def window(r: Int): SweepPoint = {
+      // quiesce the allocator before each window: in a long bench session
       // the sweep inherits minutes of batch-query garbage, and a single
       // old-gen pause inside a 6 s window fails a rate the pipeline
       // sustains — the point measures the pipeline, not allocator debt
@@ -186,13 +197,24 @@ object StreamLatency {
       SweepPoint(r, rep.nSent, rep.nDelivered, rep.steady,
         sustained = mode == "none", failureMode = mode)
     }
+    def measure(r: Int): SweepPoint = {
+      val w1 = window(r)
+      val w2 = window(r)
+      val agreeing =
+        if (w1.sustained == w2.sustained) Seq(w1, w2)
+        else {
+          val w3 = window(r)
+          Seq(w1, w2, w3).filter(_.sustained == w3.sustained)
+        }
+      val rep = agreeing.maxBy(_.steady.p99) // worst agreeing window
+      rep.copy(windows = if (w1.sustained == w2.sustained) 2 else 3)
+    }
     val points = Seq.newBuilder[SweepPoint]
     var failure = "none"
     var maxSustained = 0
     var stop = false
     for (r <- rates if !stop) {
-      val first = measure(r)
-      val p = if (first.sustained) first else measure(r)
+      val p = measure(r)
       points += p
       if (p.sustained) maxSustained = r
       else { failure = p.failureMode; stop = true }

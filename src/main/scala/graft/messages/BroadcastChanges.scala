@@ -1,0 +1,148 @@
+package graft.messages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The trigger-driven "broadcast table changes" bridge: user tables →
+  * `realtime.broadcast_changes` → `realtime.send` → messages rows →
+  * (replication loop) → broadcast frames.
+  *
+  * Reference surface:
+  *  - `realtime.broadcast_changes(topic, event, operation, table, schema,
+  *    NEW, OLD)` shapes `{old_record, record, operation, table, schema}`
+  *    and PERFORMs `realtime.send(payload, event, topic)` — an INSERT into
+  *    `realtime.messages` with `extension = 'broadcast'`, `private` true
+  *    by default (/root/reference/lib/realtime/tenants/repo/migrations/
+  *    20240919163303_add_payload_to_messages.ex:18-53). An operation
+  *    outside INSERT/UPDATE/DELETE raises — here that is an error row,
+  *    never a message.
+  *  - `realtime.send_binary(payload bytea, event, topic, private)` is the
+  *    bytea variant writing `binary_payload`
+  *    (…/20260603120000_add_send_binary_function.ex:8-31); its insert
+  *    failure is a WARNING (the row is dropped), not a raise.
+  *  - The replication connection tails the messages table and broadcasts
+  *    each row: requires id/topic/event/private/inserted_at present, picks
+  *    `binary_payload` over `payload` (encoding `binary` vs `json` —
+  *    `pick_payload`, /root/reference/lib/realtime/tenants/
+  *    replication_connection.ex:406-467,515-517), validates payload size
+  *    against `max_payload_size_in_kb * 1000 + 500`
+  *    (/root/reference/lib/realtime/tenants.ex:532-537), and publishes to
+  *    `tenant_topic` = `{tenant}-private:{topic}` (private) or
+  *    `{tenant}:{topic}` (public) (tenants.ex:509-513). The payload body
+  *    travels VERBATIM — already-encoded JSON text is spliced raw, never
+  *    re-encoded (no-double-encoding).
+  *
+  * Divergences, by design: payload JSON keys keep the build order of the
+  * migration's `jsonb_build_object` call (`old_record, record, operation,
+  * table, schema`) rather than PG's jsonb storage canonicalization
+  * (length-then-byte key sort) — a storage artifact, not an API contract;
+  * payload size is the body's UTF-8/raw byte length rather than
+  * `:erlang.external_size` (a VM-term measure with no Spark analog) — the
+  * 500-byte padding constant is kept.
+  *
+  * Scale shape: every step is a codegen'd projection or filter on the
+  * change stream — no join, no shuffle, no driver loop. The one lookup
+  * (tenant config: max payload size) is a constant/broadcast dimension.
+  */
+object BroadcastChanges {
+
+  /** `@payload_size_padding` (tenants.ex:532). */
+  val PayloadSizePadding = 500
+
+  private val ValidOps = Seq("INSERT", "UPDATE", "DELETE")
+
+  /** `realtime.broadcast_changes` + `realtime.send` over a change batch:
+    * shape the payload and emit message rows. Input columns: `id`,
+    * `operation`, `record` (JSON text or null), `old_record` (JSON text
+    * or null), `table_name`, `table_schema`, `inserted_at`; `topicCol` /
+    * `eventCol` are the trigger's arguments (any Column over the input).
+    *
+    * Output: messages-shaped rows `(id, payload, binary_payload=null,
+    * event, topic, private, extension, inserted_at, error)`. A row whose
+    * operation is not INSERT/UPDATE/DELETE carries
+    * `error = 'unexpected_operation'` and a NULL payload (the reference
+    * raises, so no message is written — filter on `error IS NULL` for the
+    * inserted set). */
+  def changesToMessages(changes: DataFrame, topicCol: Column,
+      eventCol: Column, privateFlag: Boolean = true): DataFrame = {
+    val opOk = col("operation").isin(ValidOps: _*)
+    changes.select(
+      col("id"),
+      when(opOk, concat(
+        lit("{\"old_record\":"), coalesce(col("old_record"), lit("null")),
+        lit(",\"record\":"), coalesce(col("record"), lit("null")),
+        lit(",\"operation\":\""), col("operation"),
+        lit("\",\"table\":\""), col("table_name"),
+        lit("\",\"schema\":\""), col("table_schema"),
+        lit("\"}"))).as("payload"),
+      lit(null).cast("binary").as("binary_payload"),
+      eventCol.as("event"),
+      topicCol.as("topic"),
+      lit(privateFlag).as("private"),
+      lit("broadcast").as("extension"),
+      col("inserted_at"),
+      when(!opOk, lit("unexpected_operation")).as("error"))
+  }
+
+  /** `realtime.send_binary`: bytea payload into messages rows. A null
+    * payload is the reference's swallowed-warning case — the row is
+    * DROPPED (filter), matching "RAISE WARNING … END" never inserting. */
+  def sendBinary(rows: DataFrame, payloadCol: Column, eventCol: Column,
+      topicCol: Column, idCol: Column, insertedAtCol: Column,
+      privateFlag: Boolean = true): DataFrame =
+    rows.select(
+      idCol.as("id"),
+      lit(null).cast("string").as("payload"),
+      payloadCol.as("binary_payload"),
+      eventCol.as("event"),
+      topicCol.as("topic"),
+      lit(privateFlag).as("private"),
+      lit("broadcast").as("extension"),
+      insertedAtCol.as("inserted_at"),
+      lit(null).cast("string").as("error"))
+      .where(col("binary_payload").isNotNull)
+
+  /** The replication-connection outbound loop over messages rows →
+    * broadcast frames: `(tenant_topic, user_event, encoding,
+    * payload_text, payload_binary, metadata_id, status)`.
+    *
+    * `status = 'delivered'` rows are the published set; error rows keep
+    * the reference's first-failing-check name (`<field>_missing`,
+    * `payload_missing`, `payload_size_exceeded`) and are NOT published
+    * (`log_error("UnableToBroadcastChanges")` — the loop skips them).
+    * Check order matches the `with` chain: inserted_at, event, id, topic,
+    * private, payload pick, size. */
+  def streamOut(messages: DataFrame, tenantId: String,
+      maxPayloadKb: Long): DataFrame = {
+    val maxBytes = maxPayloadKb * 1000L + PayloadSizePadding
+    val body = coalesce(col("binary_payload"),
+      to_binary(col("payload"), lit("utf-8")))
+    val status =
+      when(col("inserted_at").isNull, "inserted_at_missing")
+        .when(col("event").isNull, "event_missing")
+        .when(col("id").isNull, "id_missing")
+        .when(col("topic").isNull, "topic_missing")
+        .when(col("private").isNull, "private_missing")
+        .when(col("binary_payload").isNull && col("payload").isNull,
+          "payload_missing")
+        .when(octet_length(body) > maxBytes, "payload_size_exceeded")
+        .otherwise("delivered")
+    messages
+      .withColumn("status", status)
+      .select(
+        when(col("private"), concat(lit(tenantId + "-private:"), col("topic")))
+          .otherwise(concat(lit(tenantId + ":"), col("topic")))
+          .as("tenant_topic"),
+        col("event").as("user_event"),
+        when(col("binary_payload").isNotNull, "binary")
+          .when(col("payload").isNotNull, "json").as("encoding"),
+        // verbatim body, split by encoding: JSON text is spliced raw
+        // (never re-encoded), binary stays bytes
+        when(col("status") === "delivered" && col("binary_payload").isNull,
+          col("payload")).as("payload_text"),
+        when(col("status") === "delivered", col("binary_payload"))
+          .as("payload_binary"),
+        col("id").as("metadata_id"),
+        col("status"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.messages
+
+import graft.SparkSpec
+import graft.sources.ReplayLog
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The S7 bridge end-to-end: a change stream triggers
+  * `broadcast_changes` → `send` (messages rows appended to the message
+  * log), and a second, independent consumer streams the log back out as
+  * broadcast frames — the reference's trigger → `realtime.messages` →
+  * replication-connection loop
+  * (migrations/20240919163303_add_payload_to_messages.ex:18-53,
+  * replication_connection.ex:406-467). Asserts the no-double-encoding
+  * rule (payload text splices VERBATIM into the frame), binary
+  * passthrough (send_binary bytes survive bit-identically), the raise
+  * path (invalid operation never becomes a message), and the loop's
+  * validation order (oversize payloads reach the loop but are not
+  * published). */
+class BroadcastChangesSpec extends SparkSpec {
+  import BroadcastChangesSpec._
+
+  /** Serialize message rows into the log (the messages-table WAL) and
+    * stream them back out through the DSv2 adapter — `inserted_at` rides
+    * as epoch-micros so the round-trip is exact. */
+  private def appendToLog(topic: String, msgs: DataFrame): Unit =
+    msgs.select(to_json(struct(
+        col("id"), col("payload"),
+        base64(col("binary_payload")).as("binary_b64"),
+        col("event"), col("topic"), col("private"), col("extension"),
+        unix_micros(col("inserted_at")).as("inserted_us"))).as("j"))
+      .collect().zipWithIndex.foreach { case (r, i) =>
+        ReplayLog.append(topic, 0, i.toString, r.getString(0).getBytes(UTF_8))
+      }
+
+  private val logSchema = StructType(Seq(
+    StructField("id", LongType), StructField("payload", StringType),
+    StructField("binary_b64", StringType), StructField("event", StringType),
+    StructField("topic", StringType), StructField("private", BooleanType),
+    StructField("extension", StringType),
+    StructField("inserted_us", LongType)))
+
+  private def consumeLog(topic: String): DataFrame =
+    spark.read.format("graft-replaylog").option("topic", topic).load()
+      .select(from_json(col("value").cast("string"), logSchema).as("m"))
+      .select(
+        col("m.id").as("id"), col("m.payload").as("payload"),
+        unbase64(col("m.binary_b64")).as("binary_payload"),
+        col("m.event").as("event"), col("m.topic").as("topic"),
+        col("m.private").as("private"), col("m.extension").as("extension"),
+        timestamp_micros(col("m.inserted_us")).as("inserted_at"))
+
+  test("insert → message log → stream → delivery: payload verbatim, " +
+      "raise path drops, oversize validated in the loop") {
+    import spark.implicits._
+    val topic = "bc-e2e-" + System.nanoTime()
+    val recJson = """{"k":"v","n":7}"""
+    val big = "x" * 600 // > the 0-KB cap (500 B padding)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Chg](spark)
+    input.addData(Seq(
+      Chg(1L, "INSERT", recJson, null, "public", "t", "room1", 1000L),
+      Chg(2L, "UPDATE", recJson, recJson, "public", "t", "room1", 2000L),
+      Chg(3L, "DELETE", null, recJson, "public", "t", "room2", 3000L),
+      Chg(4L, "TRUNCATE", null, null, "public", "t", "room1", 4000L),
+      Chg(5L, "INSERT", "\"" + big + "\"", null, "public", "t", "room2", 5000L)))
+    // the "trigger" side: every micro-batch shapes and appends — the
+    // analog of realtime.send's INSERT INTO realtime.messages
+    val q = input.toDF()
+      .withColumn("inserted_at", timestamp_micros(col("insertedUs")))
+      .drop("insertedUs")
+      .withColumnRenamed("tableName", "table_name")
+      .withColumnRenamed("tableSchema", "table_schema")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bridged = BroadcastChanges.changesToMessages(
+          batch, topicCol = col("topic_name"), eventCol = lit("change"))
+        // the raise path: an invalid operation never becomes a message
+        appendToLog(topic, bridged.where(col("error").isNull))
+        ()
+      }.start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // the independent consumer: replication-connection loop over the log
+    val frames = BroadcastChanges.streamOut(
+      consumeLog(topic), tenantId = "t0", maxPayloadKb = 0L)
+    val byId = frames.collect().map(r => r.getAs[Long]("metadata_id") -> r).toMap
+
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L), "TRUNCATE row must be absent")
+    val f1 = byId(1L)
+    assert(f1.getAs[String]("status") == "delivered")
+    assert(f1.getAs[String]("tenant_topic") == "t0-private:room1")
+    assert(f1.getAs[String]("user_event") == "change")
+    assert(f1.getAs[String]("encoding") == "json")
+    // no-double-encoding: the record JSON appears VERBATIM in the body
+    assert(f1.getAs[String]("payload_text") ==
+      s"""{"old_record":null,"record":$recJson,"operation":"INSERT","table":"t","schema":"public"}""")
+    assert(byId(2L).getAs[String]("payload_text").contains(
+      s""""old_record":$recJson,"record":$recJson,"operation":"UPDATE""""))
+    assert(byId(3L).getAs[String]("payload_text").contains(
+      s""""record":null,"operation":"DELETE""""))
+    // loop-side size validation: the row IS in the log, but not published
+    assert(byId(5L).getAs[String]("status") == "payload_size_exceeded")
+    assert(byId(5L).getAs[String]("payload_text") == null)
+    ReplayLog.delete(topic)
+  }
+
+  test("send_binary: bytes pass through bit-identical, encoding=binary, " +
+      "null payload is the swallowed-warning drop") {
+    import spark.implicits._
+    val topic = "bc-bin-" + System.nanoTime()
+    val payload = (0 until 32).map(_.toByte).toArray
+    val rows = Seq(
+      (10L, payload, "room9"),
+      (11L, null: Array[Byte], "room9")) // warning path: dropped
+      .toDF("doc_id", "body", "chan")
+    val msgs = BroadcastChanges.sendBinary(rows,
+      payloadCol = col("body"), eventCol = lit("bin"),
+      topicCol = col("chan"), idCol = col("doc_id"),
+      insertedAtCol = lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(msgs.count() == 1, "null bytea insert is swallowed, not raised")
+    appendToLog(topic, msgs)
+    val out = BroadcastChanges.streamOut(
+      consumeLog(topic), tenantId = "t0", maxPayloadKb = 1L).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.getAs[String]("status") == "delivered")
+    assert(f.getAs[String]("encoding") == "binary")
+    assert(f.getAs[Array[Byte]]("payload_binary").toSeq == payload.toSeq,
+      "bytea must survive the log round-trip bit-identically")
+    assert(f.getAs[String]("payload_text") == null)
+    ReplayLog.delete(topic)
+  }
+
+  test("loop requires id/topic/event/private/inserted_at: first missing " +
+      "field names the error, reference check order") {
+    import spark.implicits._
+    val base = Seq((1L, """{"a":1}""", "e", "top", true, 1000L))
+      .toDF("id", "payload", "event", "topic", "private", "us")
+      .select(col("id"), col("payload"),
+        lit(null).cast("binary").as("binary_payload"),
+        col("event"), col("topic"), col("private"),
+        lit("broadcast").as("extension"),
+        timestamp_micros(col("us")).as("inserted_at"))
+    def statusWith(f: DataFrame => DataFrame): String =
+      BroadcastChanges.streamOut(f(base), "t0", 1L)
+        .collect().head.getAs[String]("status")
+    assert(statusWith(identity) == "delivered")
+    assert(statusWith(_.withColumn("inserted_at",
+      lit(null).cast("timestamp"))) == "inserted_at_missing")
+    assert(statusWith(_.withColumn("event",
+      lit(null).cast("string"))) == "event_missing")
+    assert(statusWith(_.withColumn("id",
+      lit(null).cast("long"))) == "id_missing")
+    assert(statusWith(_.withColumn("topic",
+      lit(null).cast("string"))) == "topic_missing")
+    assert(statusWith(_.withColumn("private",
+      lit(null).cast("boolean"))) == "private_missing")
+    assert(statusWith(_.withColumn("payload",
+      lit(null).cast("string"))) == "payload_missing")
+    // public channel: tenant_topic drops the -private marker
+    val pub = BroadcastChanges.streamOut(
+      base.withColumn("private", lit(false)), "t0", 1L).collect().head
+    assert(pub.getAs[String]("tenant_topic") == "t0:top")
+  }
+}
+
+object BroadcastChangesSpec {
+  /** Change row fed to the bridge (Encoder case class — companion-object
+    * scoped per the repo's spec conventions). */
+  final case class Chg(id: Long, operation: String, record: String,
+      old_record: String, tableSchema: String, tableName: String,
+      topic_name: String, insertedUs: Long)
+}
