@@ -75,6 +75,28 @@ object Bench {
       val r = graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
         seconds = 8, triggerMs = 100L, warmupSec = 3)
       val baseOk = r.nDelivered == r.nSent && r.steady.p99 <= 1000L
+      // the 160k reference point re-run through the OUTBOUND ReplayLog
+      // sink (frames produced to a partitioned log instead of the bus,
+      // latency clocked after the produce) — proves the real transport
+      // seam doesn't regress the sustained-rate story. Runs BEFORE the
+      // knee sweep: a failed tail point leaves millions of queued frames
+      // whose collection would poison this window (same reason knee()
+      // quiesces the allocator per window); one retry guards the
+      // one-unlucky-GC-pause case the sweep's majority vote covers.
+      def vlOnce() = {
+        System.gc(); Thread.sleep(200L)
+        val topic = "bench-out-" + System.nanoTime()
+        val rep = graft.cdc.StreamLatency.run(spark, ratePerSec = 160000,
+          seconds = 6, triggerMs = 100L, warmupSec = 2,
+          viaLog = Some((topic, 8)))
+        graft.sources.ReplayLog.delete(topic)
+        rep
+      }
+      val vl0 = vlOnce()
+      val vl =
+        if (vl0.nDelivered == vl0.nSent && vl0.steady.p99 <= 1000L) vl0
+        else vlOnce()
+      val vlOk = vl.nDelivered == vl.nSent && vl.steady.p99 <= 1000L
       // sweep until failure: 32-cpu runs sustain 10k/s, so the tail
       // points exist to actually FIND the knee there (the sweep stops at
       // the first failing rate, so cheap machines pay only the early
@@ -100,6 +122,10 @@ object Bench {
         s""""overall_p95_ms":${r.overall.p95},""" +
         s""""batch_duration_p95_ms":${r.batchDurationP95Ms},""" +
         s""""sweep":$sweep,"max_sustained_rate":$maxSustained,""" +
+        s""""via_log_sink":{"rate_per_sec":${vl.ratePerSec},""" +
+        s""""n_sent":${vl.nSent},"n_delivered":${vl.nDelivered},""" +
+        s""""p50_ms":${vl.steady.p50},"p95_ms":${vl.steady.p95},""" +
+        s""""p99_ms":${vl.steady.p99},"sustained":$vlOk},""" +
         s""""failure_mode":"${kn.failureMode}"}"""
     } catch {
       // NonFatal only: an OOM/linkage error must crash loudly, and a

@@ -52,6 +52,23 @@ object StreamLatency {
     }
   }
 
+  /** Timing sink that routes every frame through the outbound
+    * [[graft.sources.ReplayLogSink]] FIRST and clocks the latency after
+    * the produce returns — so the measured span includes the durable
+    * hand-off to the transport, the honest definition of "delivered"
+    * when the dispatch fastlane feeds a real log instead of sockets. */
+  final class LogTimingSink(runId: String, topic: String, parts: Int)
+      extends CdcStream.DeliverySink {
+    private val log = new graft.sources.ReplayLogSink(topic, parts)
+    def offer(d: CdcStream.Delivery): Unit = {
+      log.offer(d)
+      val commit = parseCommitMs(d.frame)
+      if (commit > 0L)
+        StreamLatency.queue(runId)
+          .add((commit, System.currentTimeMillis() - commit))
+    }
+  }
+
   /** Extract the epoch-millis commit stamp from the encoded frame without
     * a JSON parse (the hot path must not cost more than the pipeline). */
   private[cdc] def parseCommitMs(frame: String): Long = {
@@ -85,9 +102,13 @@ object StreamLatency {
   }
 
   /** Run the pipeline at `ratePerSec` for `seconds`, one match-all
-    * subscriber (deliveries = changes), and report commit→frame latency. */
+    * subscriber (deliveries = changes), and report commit→frame latency.
+    * `viaLog` routes deliveries through the outbound ReplayLog sink
+    * (topic, partitions) and clocks AFTER the produce — the caller owns
+    * the topic's cleanup. */
   def run(spark: SparkSession, ratePerSec: Int = 1000, seconds: Int = 8,
-      triggerMs: Long = 100L, warmupSec: Int = 3): Report = {
+      triggerMs: Long = 100L, warmupSec: Int = 3,
+      viaLog: Option[(String, Int)] = None): Report = {
     require(ratePerSec >= 20 && ratePerSec % 20 == 0,
       s"ratePerSec must be a positive multiple of 20 (50 ms feed steps), got $ratePerSec")
     require(seconds >= 1 && warmupSec < seconds)
@@ -106,7 +127,10 @@ object StreamLatency {
     val dataSchema = Seq.empty[Change].toDS().toDF()
       .drop("change_type", "commit_timestamp").schema
     val bus = CdcStream.MemoryBus()
-    val sink = new TimingSink(runId)
+    val sink: CdcStream.DeliverySink = viaLog match {
+      case Some((topic, parts)) => new LogTimingSink(runId, topic, parts)
+      case None => new TimingSink(runId)
+    }
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
       pk = Seq("id"), bus = bus, triggerMs = triggerMs,
       deliverTo = Some(sink))
