@@ -19,6 +19,16 @@ object PipelineQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     ChangeFeed.table(s, d, "embeddings")
 
+  /** Shared oracle CTE: the √n-scaled deterministic centroid pick —
+    * the DuckDB twin of [[Similarity.sqrtCentroids]] + `centroids`
+    * (rank-based so it never assumes dense ids; expects an `e` CTE with
+    * (vec_id, v) in scope). */
+  private val sqrtCentroidsSql =
+    """c AS (SELECT vec_id AS centroid_id, v AS centv FROM (
+      |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS crn FROM e)
+      |  WHERE crn <= (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))
+      |                FROM e))""".stripMargin
+
   /** Shared oracle CTEs: words → distinct 3-gram shingles. */
   private val shinglesCte =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -174,9 +184,10 @@ object PipelineQueries {
     // Same 0.4 threshold/margin regime as dedup_embedding.
     Q("dedup_semantic",
       (s, d) => Dedup.semanticNearDups(emb(s, d), "embedding", "vec_id",
-        threshold = 0.4, nCentroids = 8, dim = 64),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+        threshold = 0.4, nCentroids = Similarity.sqrtCentroids(emb(s, d)),
+        dim = 64),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |$sqrtCentroidsSql,
         |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
         |  SELECT e.vec_id, e.v, c.centroid_id,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -246,11 +257,12 @@ object PipelineQueries {
       (s, d) => {
         val e = emb(s, d)
         Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
-            "embedding", "vec_id", k = 5, nCentroids = 8, probe = 1, dim = 64)
+            "embedding", "vec_id", k = 5,
+            nCentroids = Similarity.sqrtCentroids(e), probe = 1, dim = 64)
           .select("query_id", "neighbor_id")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |$sqrtCentroidsSql,
         |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
         |  SELECT e.vec_id, e.v, c.centroid_id,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -350,7 +362,8 @@ object PipelineQueries {
       (s, d) => {
         val e = emb(s, d)
         Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
-            "embedding", "vec_id", k = 5, nCentroids = 8, probe = 2,
+            "embedding", "vec_id", k = 5,
+            nCentroids = Similarity.sqrtCentroids(e), probe = 2,
             dim = 64, trainIters = 2, trainSampleFraction = 0.25)
           .select("query_id", "neighbor_id")
       },
@@ -367,7 +380,7 @@ object PipelineQueries {
         val e = emb(s, d)
         Similarity.recallReport(e.where(col("vec_id") < 10), e,
           "embedding", "vec_id", ks = Seq(5, 10), probes = Seq(1, 2, 4),
-          nCentroids = 8, dim = 64)
+          nCentroids = Similarity.sqrtCentroids(e), dim = 64)
       },
       None)
   )
@@ -1316,11 +1329,10 @@ object PipelineQueries {
     // Bucketed kNN graph: every vector's top-5 within its IVF bucket.
     Q("sim_knn_graph",
       (s, d) => Similarity.knnGraphIvf(emb(s, d), "embedding", "vec_id",
-        k = 5, nCentroids = 8, dim = 64),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        k = 5, nCentroids = Similarity.sqrtCentroids(emb(s, d)), dim = 64),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e
-        |      WHERE vec_id < 8),
+        |$sqrtCentroidsSql,
         |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
         |  SELECT e.vec_id, e.v, c.centroid_id,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1345,11 +1357,11 @@ object PipelineQueries {
     Q("sim_hard_negatives",
       (s, d) => Similarity.hardNegatives(emb(s, d), docs(s, d),
         "embedding", "vec_id", "doc_id", "source",
-        k = 5, shortlist = 10, nCentroids = 8, dim = 64),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        k = 5, shortlist = 10,
+        nCentroids = Similarity.sqrtCentroids(emb(s, d)), dim = 64),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, v AS centv FROM e
-        |      WHERE vec_id < 8),
+        |$sqrtCentroidsSql,
         |asg AS (SELECT vec_id, v, centroid_id AS bucket FROM (
         |  SELECT e.vec_id, e.v, c.centroid_id,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY

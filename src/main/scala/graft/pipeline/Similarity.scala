@@ -48,16 +48,31 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Cast to double and L2-normalize into `outCol`. Staged through separate
-    * projections so the norm is computed once per row — an inline
-    * `transform(v, x => x / sqrt(dot(v,v)))` would re-evaluate the norm
-    * fold for every element (HOF lambdas don't share subexpressions).
-    * Downstream cosine between two normalized vectors is one dot fold. */
+  /** Cast to double and L2-normalize into `outCol` — ONE native compiled
+    * pass ([[graft.plans.NormalizeVec]]) for float/double arrays (every
+    * registered corpus). The original staged HOF chain
+    * (`transform(cast) → sqrt(dot) → transform(divide)`) is kept only as
+    * the fallback for other numeric element types: HOFs are
+    * CodegenFallback, so the chain ran INTERPRETED with three array
+    * allocations per row under every vector operator — and when a join
+    * keys on a column derived from it (the IVF bucket), constraint
+    * propagation substitutes the chain into scan-level filters and pays
+    * it twice per row. Bit-identical doubles either way
+    * (differential-tested). */
   def normalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
-    df.withColumn("_nv", asDouble(col(vecCol)))
-      .withColumn("_norm", sqrt(dot(col("_nv"), col("_nv"))))
-      .withColumn(outCol, transform(col("_nv"), x => x / col("_norm")))
-      .drop("_nv", "_norm")
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType, _) =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        df.withColumn(outCol, ColumnBridge.column(
+          graft.plans.NormalizeVec(ColumnBridge.expression(col(vecCol)))))
+      case _ =>
+        df.withColumn("_nv", asDouble(col(vecCol)))
+          .withColumn("_norm", sqrt(dot(col("_nv"), col("_nv"))))
+          .withColumn(outCol, transform(col("_nv"), x => x / col("_norm")))
+          .drop("_nv", "_norm")
+    }
 
   private def pairDot(dim: Int)(a: Column, b: Column): Column =
     if (dim > 0) dotFixed(a, b, dim) else dot(a, b)
@@ -105,6 +120,17 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col("centv"))
   }
 
+  /** The IVF scale rule: nCentroids = ⌈√n⌉ (floored at `min`). With √n
+    * buckets the expected bucket size is also √n, so the within-bucket
+    * pair/scoring work is n^1.5 total instead of n²/k at a FIXED k —
+    * the knob every real IVF deployment turns as the corpus grows
+    * (round-9 probe: fixed k=8 made `sim_ann_ivf` 4.9× and
+    * `sim_knn_graph` 5.8× at 10× input; √n holds them near-linear).
+    * One bounded count() job at build time; the count is the same
+    * number the oracle derives with `ceil(sqrt(count(*)))`. */
+  def sqrtCentroids(corpus: DataFrame, min: Int = 4): Int =
+    math.max(min, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+
   /** Spherical k-means (Lloyd) training for the IVF centroids, as plain
     * DataFrame iterations: assign → per-bucket element-wise mean
     * (posexplode + (bucket, pos) average, re-assembled in position order)
@@ -147,18 +173,50 @@ object Similarity {
   }
 
   /** Assign each (normalized) corpus vector to its nearest centroid —
-    * narrow projection against broadcast centroids; the bucket becomes the
-    * IVF partition key. */
+    * ONE narrow codegen'd projection against the collected centroid
+    * matrix (a model-sized reference object: k·dim doubles, ≤16 MB even
+    * at √(10⁹) centroids); the bucket becomes the IVF partition key.
+    *
+    * This is a [[graft.plans.ArgmaxDot]] native kernel, NOT the
+    * crossJoin(broadcast)+window form it replaces: the window
+    * hash-partitions and sorts n·k materialized rows to keep one per
+    * vector — with the k ~ √n scale rule that is an n^1.5-row exchange
+    * (31.6× shuffled rows per 10× of corpus; the round-9 probe's
+    * `sim_ann_ivf` 4.9× super-linearity was this operator). The kernel
+    * keeps the identical doubles and (cos DESC, centroid_id ASC)
+    * tie-break, so every IVF oracle still hash-matches. The generic
+    * `dim = 0` path (unknown dimension — no registered query uses it)
+    * keeps the window form. */
   def assignBuckets(corpusNorm: DataFrame, cents: DataFrame,
       idCol: String, dim: Int = 0): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    corpusNorm
-      .crossJoin(broadcast(cents))
-      .select(col(idCol), col("v"), col("centroid_id"),
-        pairDot(dim)(col("v"), col("centv")).as("cos"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col(idCol), col("v"), col("centroid_id").as("bucket"))
+    if (dim > 0) {
+      val rows = cents.orderBy(col("centroid_id")).collect()
+      val k = rows.length
+      val vIdx = cents.schema.fieldIndex("centv")
+      val cIdx = cents.schema.fieldIndex("centroid_id")
+      val ids = rows.map(r => r.getAs[Number](cIdx).longValue)
+      val flat = new Array[Double](k * dim)
+      var kk = 0
+      while (kk < k) {
+        val cv = rows(kk).getSeq[Double](vIdx)
+        var i = 0
+        while (i < dim) { flat(kk * dim + i) = cv(i); i += 1 }
+        kk += 1
+      }
+      import org.apache.spark.sql.graft.ColumnBridge
+      corpusNorm.select(col(idCol), col("v"),
+        ColumnBridge.column(graft.plans.ArgmaxDot(
+          ColumnBridge.expression(col("v")), flat, ids, k, dim)).as("bucket"))
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cos").desc, col("centroid_id").asc)
+      corpusNorm
+        .crossJoin(broadcast(cents))
+        .select(col(idCol), col("v"), col("centroid_id"),
+          pairDot(dim)(col("v"), col("centv")).as("cos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col(idCol), col("v"), col("centroid_id").as("bucket"))
+    }
   }
 
   /** Product-quantization (PQ) top-k — the memory side of the 100 TB ANN

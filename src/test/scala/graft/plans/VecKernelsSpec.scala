@@ -83,4 +83,81 @@ class VecKernelsSpec extends SparkSpec {
     }
     assert(viaPlan.toSeq === direct)
   }
+
+  test("NormalizeVec == staged cast/dot/divide HOF chain, bit-for-bit, " +
+      "from both float and double inputs") {
+    import spark.implicits._
+    val df = vecs(50).toDF("id", "v")
+      .withColumn("vf", transform(col("v"), x => x.cast("float")))
+    def chain(c: Column): Column = {
+      val nv = transform(c, x => x.cast("double"))
+      // the original normalized() body, inlined (norm via aggregate fold)
+      val norm = sqrt(aggregate(zip_with(nv, nv, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      transform(nv, x => x / norm)
+    }
+    def kernel(c: Column): Column =
+      ColumnBridge.column(NormalizeVec(ColumnBridge.expression(c)))
+    Seq("v", "vf").foreach { src =>
+      val out = df.select(kernel(col(src)).as("k"), chain(col(src)).as("u"))
+      assert(out.where(col("k") =!= col("u")).count() === 0, s"src=$src")
+      assert(out.where(col("k").isNull).count() === 0)
+    }
+    // null array -> null
+    val nv = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v")
+    assert(nv.select(kernel(col("v"))).collect().head.isNullAt(0))
+  }
+
+  test("ArgmaxDot == crossJoin+window assignment on a tie-bearing " +
+      "centroid set, bit-for-bit decisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(60)
+    // centroid rows 0..7, with 8..9 EXACT duplicates of 0..1 so ties are
+    // real: the duplicate (higher-id) copy must never win in either form
+    val base = all.take(8)
+    val cents = (base ++ Seq((8L, base(0)._2), (9L, base(1)._2)))
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / n))
+      }
+    val corpus = all.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }.toDF("id", "v")
+    val centsDf = cents.toDF("centroid_id", "centv")
+    // the window form ArgmaxDot replaced (verbatim from assignBuckets)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val viaWindow = corpus.crossJoin(broadcast(centsDf))
+      .select(col("id"), col("centroid_id"),
+        kernelDot(col("v"), col("centv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("centroid_id").as("bucket"))
+    val sorted = cents.sortBy(_._1)
+    val flat = sorted.flatMap(_._2).toArray
+    val ids = sorted.map(_._1).toArray
+    val viaKernel = corpus.select(col("id"),
+      ColumnBridge.column(ArgmaxDot(
+        ColumnBridge.expression(col("v")), flat, ids, ids.length, dim))
+        .as("bucket"))
+    val joined = viaWindow.as("w").join(viaKernel.as("k"), "id")
+      .select(col("w.bucket").as("wb"), col("k.bucket").as("kb"))
+    assert(joined.where(col("wb") =!= col("kb")).count() === 0)
+    assert(joined.count() === 60)
+    // ties resolved: duplicated centroids 8/9 never assigned
+    assert(viaKernel.where(col("bucket") >= 8).count() === 0)
+    // invalid-input semantics: short vector -> the -1 sentinel (the
+    // expression is non-nullable BY DESIGN — a nullable bucket makes the
+    // join infer isnotnull and push the whole interpreted chain into a
+    // per-row filter on both sides; see the scaladoc)
+    val shortV = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    assert(shortV.select(ColumnBridge.column(ArgmaxDot(
+        ColumnBridge.expression(col("v")), flat, ids, ids.length, dim)))
+      .collect().head.getLong(0) == ArgmaxDot.Invalid)
+    val nullV = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v")
+    assert(nullV.select(ColumnBridge.column(ArgmaxDot(
+        ColumnBridge.expression(col("v")), flat, ids, ids.length, dim)))
+      .collect().head.getLong(0) == ArgmaxDot.Invalid)
+  }
 }
