@@ -94,13 +94,80 @@ object Distribution {
     ).foldLeft(0L)(_ | _)
   }
 
-  /** The coarse z-buckets (z >> shift) that cover a rectangular query box
-    * in bucket coordinates — the query-time half of a z-ordered layout:
-    * a table written `partitionBy(zbucket)` answers a 2-D box predicate
-    * by partition PRUNING with `zbucket IN cover` plus the residual box
-    * filter, instead of scanning every partition. Enumerates the box's
-    * bucket grid (boxes are small relative to the bucket grid — the
-    * point of bucketing), so cost is |box|, independent of data size. */
+  /** Sorted, merged, inclusive ranges of coarse z-buckets (z >> shift)
+    * covering a rectangular query box — the query-time half of a
+    * z-ordered layout, computed as a prefix-tree (BIGMIN-style) cover:
+    * recurse the 2^n-ary Morton prefix tree from the root, pruning
+    * subtrees disjoint from the box, emitting whole z-ranges for
+    * subtrees fully inside it, and stopping at bucket granularity on
+    * the boundary (a prefix cell's z-values are contiguous and aligned,
+    * so every emitted node is one exact bucket range). Children are
+    * visited in z order, so ranges come out sorted and merge in one
+    * pass.
+    *
+    * Driver cost is the cover size — O(boundary nodes), ~O(2^n·n·bits +
+    * box surface in bucket cells) — NOT the |box| cell count the old
+    * full-grid enumeration paid: a 10⁴-cell box that is bucket-aligned
+    * covers via a handful of ranges. The bucket SET is identical to the
+    * grid enumeration's (differential-tested in DistributionSpec): a
+    * node is emitted iff it intersects the box, and an intersecting
+    * bucket-granularity node's single bucket contains a box cell. */
+  def zBucketRangesForBox(ranges: Seq[(Long, Long)], bits: Int,
+      shift: Int): Seq[(Long, Long)] = {
+    val n = ranges.size
+    require(n >= 2 && bits >= 1 && n * bits <= 63)
+    require(shift >= 0 && shift < n * bits)
+    ranges.foreach { case (lo, hi) =>
+      require(lo >= 0 && lo <= hi && hi < (1L << bits),
+        s"bad dimension range ($lo, $hi) for $bits bits")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(d: Int, origin: Seq[Long]): Unit = {
+      val size = 1L << (bits - d)
+      val disjoint = ranges.zip(origin).exists { case ((lo, hi), o) =>
+        o + size - 1 < lo || o > hi
+      }
+      if (!disjoint) {
+        val spanBits = n * (bits - d)
+        val inside = ranges.zip(origin).forall { case ((lo, hi), o) =>
+          o >= lo && o + size - 1 <= hi
+        }
+        if (inside || spanBits <= shift) {
+          val zLo = zValue(origin, bits)
+          // spanBits = 63 only at the root with zLo = 0: the wrap of
+          // (1L << 63) - 1 to Long.MaxValue is then exactly right
+          val zHi = zLo + ((1L << spanBits) - 1L)
+          out += ((zLo >>> shift, zHi >>> shift))
+        } else {
+          val step = size >> 1
+          var c = 0
+          while (c < (1 << n)) {
+            // child bit of dim i is bit (n-1-i) of c — the same
+            // significance order as zValue, so children walk in z order
+            val childOrigin = origin.zipWithIndex.map { case (o, i) =>
+              o + (if (((c >> (n - 1 - i)) & 1) == 1) step else 0L)
+            }
+            rec(d + 1, childOrigin)
+            c += 1
+          }
+        }
+      }
+    }
+    rec(0, Seq.fill(n)(0L))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    out.foreach { r =>
+      if (merged.nonEmpty && r._1 <= merged.last._2 + 1)
+        merged(merged.size - 1) =
+          (merged.last._1, math.max(merged.last._2, r._2))
+      else merged += r
+    }
+    merged.toSeq
+  }
+
+  /** The coarse z-buckets (z >> shift) that cover a rectangular query
+    * box, as an explicit id list (for `isin` pruning) — expands
+    * [[zBucketRangesForBox]]; use the ranges form when the cover may be
+    * large. */
   def zBucketsForBox(xMin: Long, xMax: Long, yMin: Long, yMax: Long,
       bits: Int, shift: Int): Seq[Long] =
     zBucketsForBox(Seq((xMin, xMax), (yMin, yMax)), bits, shift)
@@ -108,13 +175,9 @@ object Distribution {
   /** N-dimensional box cover: `ranges` gives the inclusive [min, max]
     * per dimension, in [[zOrderKey]]'s dimension order. */
   def zBucketsForBox(ranges: Seq[(Long, Long)], bits: Int,
-      shift: Int): Seq[Long] = {
-    require(shift >= 0 && shift < ranges.size * bits)
-    val grid = ranges.foldLeft(Seq(Seq.empty[Long])) { (acc, r) =>
-      for { prefix <- acc; v <- r._1 to r._2 } yield prefix :+ v
-    }
-    grid.map(p => zValue(p, bits) >>> shift).distinct.sorted
-  }
+      shift: Int): Seq[Long] =
+    zBucketRangesForBox(ranges, bits, shift)
+      .flatMap { case (lo, hi) => lo to hi }
 
   /** Write `df` z-order-clustered on two bucketed dimension columns:
     * partitioned by the coarse bucket `zb = z >> shift` (directory-level
@@ -146,12 +209,16 @@ object Distribution {
       bits, shift)
 
   /** N-dimensional box read: `box` gives (column, min, max) per
-    * dimension in [[zOrderKey]]'s dimension order. */
+    * dimension in [[zOrderKey]]'s dimension order. Pruning uses the
+    * RANGE cover (an OR of `zb BETWEEN` clauses — still
+    * partition-prunable), so a large box costs its handful of ranges,
+    * never an |cover|-long IN list. */
   def readBox(spark: SparkSession, path: String,
       box: Seq[(String, Long, Long)], bits: Int, shift: Int): DataFrame = {
-    val cover = zBucketsForBox(box.map(b => (b._2, b._3)), bits, shift)
-    box.foldLeft(
-      spark.read.parquet(path).where(col("zb").isin(cover: _*))) {
+    val cover = zBucketRangesForBox(box.map(b => (b._2, b._3)), bits, shift)
+    val prune = cover.map { case (lo, hi) => col("zb").between(lo, hi) }
+      .reduce(_ || _)
+    box.foldLeft(spark.read.parquet(path).where(prune)) {
       case (df, (c, lo, hi)) => df.where(col(c).between(lo, hi))
     }
   }

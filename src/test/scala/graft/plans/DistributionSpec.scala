@@ -156,6 +156,51 @@ class DistributionSpec extends SparkSpec {
     }
   }
 
+  test("zBucketRangesForBox == full-grid enumeration on exhaustive " +
+      "random boxes; large box covers via few ranges") {
+    // differential: every 2-D box over a small grid, three shifts
+    val bits = 4
+    for {
+      shift <- Seq(0, 2, 4)
+      x0 <- 0L to 15L; x1 <- x0 to 15L
+      y0 <- 0L until 16L by 5; y1 <- y0 to 15L by 3
+    } {
+      val ranges = Seq((x0, x1), (y0, y1))
+      // the original |box|-cost grid enumeration, kept as the oracle
+      val grid = (for { x <- x0 to x1; y <- y0 to y1 }
+        yield Distribution.zValue(Seq(x, y), bits) >>> shift)
+        .distinct.sorted
+      val viaRanges = Distribution.zBucketsForBox(ranges, bits, shift)
+      assert(viaRanges == grid, s"box=$ranges shift=$shift")
+      // ranges sorted, merged, non-adjacent
+      val rs = Distribution.zBucketRangesForBox(ranges, bits, shift)
+      assert(rs.forall { case (lo, hi) => lo <= hi })
+      assert(rs.sliding(2).forall {
+        case Seq((_, h1), (l2, _)) => l2 > h1 + 1
+        case _ => true
+      }, s"unmerged cover: $rs")
+    }
+    // 3-D differential sample
+    for (shift <- Seq(0, 3, 6)) {
+      val ranges = Seq((1L, 6L), (0L, 7L), (3L, 5L))
+      val grid = (for { x <- 1L to 6L; y <- 0L to 7L; w <- 3L to 5L }
+        yield Distribution.zValue(Seq(x, y, w), 3) >>> shift)
+        .distinct.sorted
+      assert(Distribution.zBucketsForBox(ranges, 3, shift) == grid)
+    }
+    // the scale claim: a 104-bucket-side box (10,816 bucket cells at
+    // shift 0 over 10 bits) covers via tens of RANGES, not 10^4 probes
+    val big = Seq((100L, 203L), (400L, 503L))
+    val rs = Distribution.zBucketRangesForBox(big, bits = 10, shift = 0)
+    val cells = rs.map { case (lo, hi) => hi - lo + 1 }.sum
+    assert(cells >= 104L * 104L, "cover must include every box cell")
+    assert(rs.size <= 200, s"prefix cover must stay range-sized: ${rs.size}")
+    // aligned big box: the degenerate-best case collapses to ONE range
+    val aligned = Distribution.zBucketRangesForBox(
+      Seq((0L, 255L), (0L, 255L)), bits = 8, shift = 0)
+    assert(aligned == Seq((0L, 65535L)))
+  }
+
   test("repetitionFeatures pre-aggregates before every exchange") {
     val df = spark.range(100).select(col("id"),
       lit("a b a c a b d").as("text"))
