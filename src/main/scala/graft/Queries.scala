@@ -416,7 +416,42 @@ object Queries {
         |    NULL::VARCHAR AS payload_hex, id AS metadata_id,
         |    'unexpected_operation' AS status
         |  FROM changes WHERE operation NOT IN ('INSERT','UPDATE','DELETE'))
-        |SELECT * FROM frames UNION ALL SELECT * FROM rejected""".stripMargin))
+        |SELECT * FROM frames UNION ALL SELECT * FROM rejected""".stripMargin)),
+    // The replication loop's per-tenant rate limit (`check_rate_limit`,
+    // replication_connection.ex:419-421) composed into streamOut: the
+    // admission verdict is a (topic, minute)-partitioned rank — the
+    // deterministic batch replay of a GenCounter events-per-second gate —
+    // and rate-limited rows are skipped AFTER the size check, matching the
+    // reference's with-chain order.
+    Q("s7_rate_gated",
+      (s, d) => {
+        import graft.messages.BroadcastChanges
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("topic"), expr("unix_micros(inserted_at) div 60000000"))
+          .orderBy(col("id"))
+        val msgs = messagesFromEvents(s, d)
+          .withColumn("event", lit("change"))
+          .withColumn("binary_payload", lit(null).cast("binary"))
+          .withColumn("over_rate", row_number().over(w) > 1)
+        BroadcastChanges.streamOut(msgs, "t0", 1L,
+            rateLimited = col("over_rate"))
+          .select("tenant_topic", "user_event", "encoding", "payload_text",
+            "metadata_id", "status")
+      },
+      Some(s"""$msgsCte
+        |SELECT CASE WHEN private THEN 't0-private:' || topic
+        |            ELSE 't0:' || topic END AS tenant_topic,
+        |  'change' AS user_event, 'json' AS encoding,
+        |  CASE WHEN st = 'delivered' THEN payload END AS payload_text,
+        |  id AS metadata_id, st AS status
+        |FROM (
+        |  SELECT *, CASE
+        |      WHEN octet_length(encode(payload)) > 1500 THEN 'payload_size_exceeded'
+        |      WHEN row_number() OVER (PARTITION BY topic, epoch_us(inserted_at)//60000000
+        |                              ORDER BY id) > 1 THEN 'rate_limited'
+        |      ELSE 'delivered' END AS st
+        |  FROM msgs)""".stripMargin))
   )
 
   // ------------------------------------------------------------ aggregations

@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `misra_gries(key, k)` — bounded-memory heavy-hitter sketch
   *    aggregate, `array<struct<key,cnt>>` of ≤k candidates covering
   *    every key with count > n/(k+1) ([[graft.plans.MisraGries]])
+  *  - `json_quote(s)` — render a string as a JSON string literal
+  *    (quoted + escaped, NULL → `null`; [[graft.plans.JsonQuote]])
   *
   * For an already-built session (notebooks, tests), the same list
   * registers imperatively via [[GraftFunctions.register]]. */
@@ -116,8 +118,18 @@ object GraftFunctions {
       graft.plans.MisraGries(args.head, k)
     })
 
+  private val jsonQuote: FunctionDescription = (
+    FunctionIdentifier("json_quote"),
+    info("json_quote",
+      "json_quote(s) - render a string as a JSON string literal (quoted + escaped; NULL renders as the JSON literal null)"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "json_quote(s) takes 1 argument")
+      graft.plans.JsonQuote(args.head)
+    })
+
   val all: Seq[FunctionDescription] =
-    Seq(quoteWal2json, jsonMapProject, jsonStructProject, misraGries)
+    Seq(quoteWal2json, jsonMapProject, jsonStructProject, misraGries,
+      jsonQuote)
 
   /** Imperative twin of [[GraftExtensions]] for an already-built session. */
   def register(spark: SparkSession): Unit =

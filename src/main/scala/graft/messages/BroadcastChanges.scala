@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   * (length-then-byte key sort) — a storage artifact, not an API contract;
   * payload size is the body's UTF-8/raw byte length rather than
   * `:erlang.external_size` (a VM-term measure with no Spark analog) — the
-  * 500-byte padding constant is kept.
+  * 500-byte padding constant is kept; the replication loop's tenant-cache
+  * lookup (`Cache.get_tenant_by_external_id`) has no analog — the tenant
+  * config IS the `maxPayloadKb`/rate arguments the caller passes, a
+  * broadcast-dimension lookup at scale, not a per-row RPC.
   *
   * Scale shape: every step is a codegen'd projection or filter on the
   * change stream — no join, no shuffle, no driver loop. The one lookup
@@ -66,15 +69,21 @@ object BroadcastChanges {
   def changesToMessages(changes: DataFrame, topicCol: Column,
       eventCol: Column, privateFlag: Boolean = true): DataFrame = {
     val opOk = col("operation").isin(ValidOps: _*)
+    // record/old_record are ALREADY-ENCODED JSON text, spliced verbatim
+    // (the no-double-encoding contract); the scalar string fields go
+    // through JsonQuote so a quote/backslash in an identifier cannot emit
+    // a malformed frame — the reference's jsonb_build_object escapes them
+    // the same way.
+    def jq(c: Column): Column = graft.plans.JsonQuote.quote(c)
     changes.select(
       col("id"),
       when(opOk, concat(
         lit("{\"old_record\":"), coalesce(col("old_record"), lit("null")),
         lit(",\"record\":"), coalesce(col("record"), lit("null")),
-        lit(",\"operation\":\""), col("operation"),
-        lit("\",\"table\":\""), col("table_name"),
-        lit("\",\"schema\":\""), col("table_schema"),
-        lit("\"}"))).as("payload"),
+        lit(",\"operation\":"), jq(col("operation")),
+        lit(",\"table\":"), jq(col("table_name")),
+        lit(",\"schema\":"), jq(col("table_schema")),
+        lit("}"))).as("payload"),
       lit(null).cast("binary").as("binary_payload"),
       eventCol.as("event"),
       topicCol.as("topic"),
@@ -108,12 +117,17 @@ object BroadcastChanges {
     *
     * `status = 'delivered'` rows are the published set; error rows keep
     * the reference's first-failing-check name (`<field>_missing`,
-    * `payload_missing`, `payload_size_exceeded`) and are NOT published
-    * (`log_error("UnableToBroadcastChanges")` — the loop skips them).
-    * Check order matches the `with` chain: inserted_at, event, id, topic,
-    * private, payload pick, size. */
+    * `payload_missing`, `payload_size_exceeded`, `rate_limited`) and are
+    * NOT published (`log_error("UnableToBroadcastChanges")` — the loop
+    * skips them). Check order matches the `with` chain: inserted_at,
+    * event, id, topic, private, payload pick, size, then the per-tenant
+    * events-per-second rate limit (`check_rate_limit`,
+    * replication_connection.ex:419-421) — pass the admission verdict as
+    * `rateLimited` (a boolean Column over the input, e.g. a
+    * [[graft.rates.Rates]] sliding-window gate); the default `false`
+    * models a tenant whose limit is never hit. */
   def streamOut(messages: DataFrame, tenantId: String,
-      maxPayloadKb: Long): DataFrame = {
+      maxPayloadKb: Long, rateLimited: Column = lit(false)): DataFrame = {
     val maxBytes = maxPayloadKb * 1000L + PayloadSizePadding
     val body = coalesce(col("binary_payload"),
       to_binary(col("payload"), lit("utf-8")))
@@ -126,6 +140,7 @@ object BroadcastChanges {
         .when(col("binary_payload").isNull && col("payload").isNull,
           "payload_missing")
         .when(octet_length(body) > maxBytes, "payload_size_exceeded")
+        .when(rateLimited, "rate_limited")
         .otherwise("delivered")
     messages
       .withColumn("status", status)

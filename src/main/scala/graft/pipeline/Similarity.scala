@@ -204,9 +204,17 @@ object Similarity {
         kk += 1
       }
       import org.apache.spark.sql.graft.ColumnBridge
+      // drop the Invalid (-1) sentinel: null/short vectors must never form
+      // a real bucket — they would be cross-scored against each other in
+      // ivfTopK/knnGraphIvf and mint a centroid_id -1 in trainCentroids,
+      // breaking the "no real centroid id is negative" invariant the
+      // sentinel relies on. An un-assignable vector has no nearest
+      // centroid; excluding it is the only reading that can't corrupt
+      // the index.
       corpusNorm.select(col(idCol), col("v"),
         ColumnBridge.column(graft.plans.ArgmaxDot(
           ColumnBridge.expression(col("v")), flat, ids, k, dim)).as("bucket"))
+        .where(col("bucket") =!= graft.plans.ArgmaxDot.Invalid)
     } else {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cos").desc, col("centroid_id").asc)

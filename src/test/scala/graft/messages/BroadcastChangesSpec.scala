@@ -165,6 +165,55 @@ class BroadcastChangesSpec extends SparkSpec {
       base.withColumn("private", lit(false)), "t0", 1L).collect().head
     assert(pub.getAs[String]("tenant_topic") == "t0:top")
   }
+
+  test("hostile identifiers: a quote/backslash in table or schema is " +
+      "JSON-escaped like jsonb_build_object, never a malformed frame") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "INSERT", """{"k":"v"}""", null: String, "a\"b\\c", "s\nx", "r"))
+      .toDF("id", "operation", "record", "old_record",
+        "table_name", "table_schema", "topic_name")
+      .withColumn("inserted_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val payload = BroadcastChanges.changesToMessages(changes,
+        topicCol = col("topic_name"), eventCol = lit("change"))
+      .select("payload").as[String].collect().head
+    // byte-exact: the escaping the reference's jsonb_build_object applies
+    assert(payload ==
+      """{"old_record":null,"record":{"k":"v"},"operation":"INSERT",""" +
+        """"table":"a\"b\\c","schema":"s\nx"}""")
+    // and it PARSES — the round-trip recovers the raw identifiers
+    val parsed = spark.range(1).select(
+      from_json(lit(payload), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("table",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("schema",
+          org.apache.spark.sql.types.StringType)))).as("p"))
+      .select("p.table", "p.schema").collect().head
+    assert(parsed.getString(0) == "a\"b\\c")
+    assert(parsed.getString(1) == "s\nx")
+  }
+
+  test("rate limit sits between the size check and delivered, matching " +
+      "the reference's with-chain order") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, """{"a":1}""", false), // under limit → delivered
+      (2L, """{"a":2}""", true),  // admission says over → rate_limited
+      (3L, "\"" + "x" * 1600 + "\"", true)) // oversize wins over rate limit
+      .toDF("id", "payload", "over_rate")
+      .select(col("id"), col("payload"),
+        lit(null).cast("binary").as("binary_payload"),
+        lit("e").as("event"), lit("top").as("topic"),
+        lit(true).as("private"), lit("broadcast").as("extension"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("inserted_at"),
+        col("over_rate"))
+    val statuses = BroadcastChanges.streamOut(base, "t0", 1L,
+        rateLimited = col("over_rate"))
+      .collect().map(r => r.getAs[Long]("metadata_id") ->
+        r.getAs[String]("status")).toMap
+    assert(statuses == Map(1L -> "delivered", 2L -> "rate_limited",
+      3L -> "payload_size_exceeded"))
+  }
 }
 
 object BroadcastChangesSpec {

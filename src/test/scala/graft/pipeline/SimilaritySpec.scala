@@ -309,4 +309,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got((0, 1)) == 0.0)
     assert(got((0, 2)) > 0.0 && got((0, 2)) == got((1, 2)))
   }
+
+  test("assignBuckets drops un-assignable vectors: null/short inputs " +
+      "never form a bucket (no -1 centroid can be minted)") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centv")
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),          // valid → bucket 0
+      (1L, Seq(0.6, 0.8)),          // valid → bucket 1
+      (2L, null: Seq[Double]),      // null vector → excluded
+      (3L, Seq(0.5))                // short (dim 1 < 2) → excluded
+    ).toDF("id", "v")
+    val got = Similarity.assignBuckets(corpus, cents, "id", dim = 2)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L),
+      s"invalid vectors must not appear in any bucket, got $got")
+    assert(got.values.forall(_ >= 0L))
+  }
 }
