@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
 object Bench {
+
+  /** The suite-health sentinel: one fixed query re-timed through the
+    * suite. Its drift series is the artifact's own adjudicator for
+    * "this query regressed" vs "this session degraded" — round 10
+    * recorded warm_min 3.08 s for a query whose fresh-JVM warm cost is
+    * 0.95 s with nothing in the JSON flagging the session, and the
+    * false regression cost a verdict dispute. Chosen query: shuffle +
+    * join + agg in ~0.8 s — small enough to re-run every 20 queries,
+    * big enough to feel JIT/code-cache/allocator damage. */
+  val ControlQuery = "text_source_overlap"
+  /** Re-time the control every this many measured runs. */
+  val ControlEvery = 20
+  /** A control reading more than this × the session-median control
+    * reading marks the segment's numbers suspect. */
+  val DriftSuspect = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,6 +39,24 @@ object Bench {
     // never as its elapsed-time-to-failure: a query that starts dying
     // quickly must not masquerade as a fast warm run in warm_min
     val failed = scala.collection.mutable.TreeSet.empty[String]
+    val controlFn = SparkEntry.queries(ControlQuery)
+    // (nth measured run when taken, seconds) — segment boundaries for the
+    // drift series
+    val controlTicks = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var nTimed = 0
+    def controlOnce(): Double = {
+      // a failed control reading records -1 and marks its segments
+      // suspect (the session is in an unknown state, which is the thing
+      // the sentinel exists to flag) — it must not crash the suite
+      try {
+        val t0 = System.nanoTime()
+        controlFn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] control query failed: $e"); -1.0 }
+    }
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
@@ -33,12 +69,19 @@ object Bench {
       // drop query-persisted intermediates so caches never accumulate
       // across the suite (cleanup charged to the query that cached)
       spark.catalog.clearCache()
+      nTimed += 1
+      if (nTimed % ControlEvery == 0) controlTicks += ((nTimed, controlOnce()))
       if (ok) dt else { failed += name; -1.0 }
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // control baseline: two draws before anything else, keep the min
+    // (first pays the query's own codegen)
+    controlOnce()
+    controlTicks += ((0, controlOnce()))
     // pass 1: one-shot numbers (what every prior round reported — first
     // execution of each plan in this session, JIT/codegen state included)
-    val oneshot = sorted.map { case (name, fn) => name -> time(name, fn) }
+    val oneshot = sorted.map { case (name, fn) =>
+      (name, nTimed, time(name, fn)) }
     // pass 2: one warm re-run of everything; pass 3: a second warm run
     // for queries still at >= 1 s (where one-shot noise has repeatedly
     // produced multi-second false regressions). warm_min is the per-query
@@ -46,20 +89,55 @@ object Bench {
     // one-shot outlier with a warm_min in its usual band is JIT/GC noise,
     // a warm_min that moved is a real regression; any failed run anywhere
     // forces warm_min to -1 so failure is visible, not averaged away.
-    val warm1 = sorted.map { case (name, fn) => name -> time(name, fn) }.toMap
-    val oneshotMap = oneshot.toMap
+    val warm1 = sorted.map { case (name, fn) =>
+      (name, nTimed, time(name, fn)) }
+    val oneshotMap = oneshot.map(r => r._1 -> r._3).toMap
+    val warm1Map = warm1.map(r => r._1 -> r._3).toMap
     val warm2 = sorted
       .filter { case (name, _) =>
-        math.min(oneshotMap(name), warm1(name)) >= 1.0 }
-      .map { case (name, fn) => name -> time(name, fn) }.toMap
+        math.min(oneshotMap(name), warm1Map(name)) >= 1.0 }
+      .map { case (name, fn) => (name, nTimed, time(name, fn)) }
+    controlTicks += ((nTimed, controlOnce())) // closing boundary
+    val warm2Map = warm2.map(r => r._1 -> r._3).toMap
     val warmMin = sorted.map { case (name, _) =>
-      val runs = warm1(name) +: warm2.get(name).toSeq
+      val runs = warm1Map(name) +: warm2Map.get(name).toSeq
       name -> (if (failed(name)) -1.0 else runs.min)
     }
+    // drift per control reading = reading / session-best reading; a run is
+    // suspect when either control boundary of its segment drifted past
+    // DriftSuspect — the artifact self-adjudicates a text_rrf-style false
+    // regression instead of leaving it to a fresh-JVM re-probe
+    val ticks = controlTicks.toIndexedSeq
+    val valid = ticks.map(_._2).filter(_ > 0).sorted
+    // baseline = MEDIAN reading, not min: a session's early readings run
+    // above its eventual best while JIT warms (that is normal one-shot
+    // state, not degradation), so min-relative drift would mark the whole
+    // warm-up phase suspect; the failure the sentinel exists for — the
+    // r10 session-wide 3× blow-up — pushes readings far above the median
+    val baseline = if (valid.nonEmpty) valid(valid.length / 2) else 1.0
+    // a failed (-1) reading reads as infinite drift: its segments are
+    // suspect by construction
+    val drift = ticks.map(t =>
+      if (t._2 > 0) t._2 / baseline else Double.PositiveInfinity)
+    def segDrift(atRun: Int): Double = {
+      val after = ticks.indexWhere(_._1 >= atRun)
+      val hi = if (after < 0) ticks.length - 1 else after
+      val lo = math.max(0, hi - 1)
+      math.max(drift(lo), drift(hi))
+    }
+    val suspect = (oneshot ++ warm1 ++ warm2)
+      .filter { case (_, atRun, sec) => sec >= 0 && segDrift(atRun) > DriftSuspect }
+      .map(_._1).distinct.sorted
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (oneshot.nonEmpty) oneshot.map(_._2).filter(_ >= 0).sum
-                else 0.0
+    val total = oneshot.map(_._3).filter(_ >= 0).sum
+    def driftJson(d: Double): String = if (d.isInfinity) "-1" else f"$d%.3f"
+    val controlJson =
+      s""""control":{"name":"$ControlQuery","baseline_sec":$baseline,""" +
+        s""""series":${ticks.map(t => s"[${t._1},${t._2}]").mkString("[", ",", "]")},""" +
+        s""""drift":${drift.map(driftJson).mkString("[", ",", "]")},""" +
+        s""""max_drift":${driftJson(drift.max)}},""" +
+        s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // streaming SLO: commit→broadcast latency at the reference's implied
     // design point (1,000 changes/s, 100 ms poll) — the one number the
     // batch queries above can't measure — plus a rate sweep upward to
@@ -97,23 +175,29 @@ object Bench {
         if (vl0.nDelivered == vl0.nSent && vl0.steady.p99 <= 1000L) vl0
         else vlOnce()
       val vlOk = vl.nDelivered == vl.nSent && vl.steady.p99 <= 1000L
-      // sweep until failure: 32-cpu runs sustain 10k/s, so the tail
-      // points exist to actually FIND the knee there (the sweep stops at
-      // the first failing rate, so cheap machines pay only the early
-      // points). Each rate is now a 2-of-3 window majority (see
-      // StreamLatency.knee), so the low-rate grid is coarser to keep the
-      // sweep's wall-clock flat — the curve is flat there anyway.
+      // in-suite sweep: the latency curve under session-historical JVM
+      // state, kept in the artifact as knee_in_suite so the delta to
+      // knee_fresh documents session degradation per round
       val kn = graft.cdc.StreamLatency.knee(spark,
         rates = Seq(2000, 10000, 40000, 160000, 320000, 640000),
         seconds = 6,
         triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
-      val maxSustained =
+      val kneeInSuite =
         math.max(if (baseOk) r.ratePerSec else 0, kn.maxSustainedRate)
-      val sweep = kn.points.map(p =>
-        s"""{"rate_per_sec":${p.ratePerSec},"n_sent":${p.nSent},""" +
-          s""""n_delivered":${p.nDelivered},"p50_ms":${p.steady.p50},""" +
-          s""""p95_ms":${p.steady.p95},"p99_ms":${p.steady.p99},""" +
-          s""""sustained":${p.sustained},"windows":${p.windows}}""")
+      // the HEADLINE knee is measured in a forked fresh JVM (KneeFresh):
+      // twice (r9, r10) the in-suite number contradicted every clean-JVM
+      // measurement because the stream block inherits ~180 batch queries
+      // of JIT/code-cache/allocator history — the artifact must be the
+      // number the prose can cite
+      val fresh = kneeFreshForked()
+      val maxSustained = fresh match {
+        case Some(json) =>
+          val m = """"max_sustained_rate":(\d+)""".r
+            .findFirstMatchIn(json).map(_.group(1).toInt)
+          m.getOrElse(kneeInSuite)
+        case None => kneeInSuite
+      }
+      val sweep = kn.points.map(graft.cdc.StreamLatency.sweepPointJson)
         .mkString("[", ",", "]")
       s""","stream":{"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
         s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
@@ -121,7 +205,9 @@ object Bench {
         s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +
         s""""overall_p95_ms":${r.overall.p95},""" +
         s""""batch_duration_p95_ms":${r.batchDurationP95Ms},""" +
-        s""""sweep":$sweep,"max_sustained_rate":$maxSustained,""" +
+        s""""sweep":$sweep,"knee_in_suite":$kneeInSuite,""" +
+        s""""knee_fresh":${fresh.getOrElse("null")},""" +
+        s""""max_sustained_rate":$maxSustained,""" +
         s""""via_log_sink":{"rate_per_sec":${vl.ratePerSec},""" +
         s""""n_sent":${vl.nSent},"n_delivered":${vl.nDelivered},""" +
         s""""p50_ms":${vl.steady.p50},"p95_ms":${vl.steady.p95},""" +
@@ -135,7 +221,45 @@ object Bench {
         ""
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(oneshot)},"warm_min":${jmap(warmMin)},"failed":$failedJson,"sf":"$sfDir"$stream}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(oneshot.map(r => r._1 -> r._3))},"warm_min":${jmap(warmMin)},"failed":$failedJson,$controlJson,"sf":"$sfDir"$stream}""")
     spark.stop()
+  }
+
+  /** Fork [[KneeFresh]] in a new JVM (same classpath and JVM flags as
+    * this fork — sbt's `run / fork` gives us real values for both) and
+    * return its KNEEJSON payload, or None if the fork failed — a missing
+    * fresh knee must degrade to the in-suite number, not kill the bench. */
+  private def kneeFreshForked(timeoutSec: Long = 900L): Option[String] = {
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.KneeFresh")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      // drain stdout on a daemon thread: readAllBytes only returns when
+      // the stream closes, so reading inline would defeat the timeout
+      val sb = new java.lang.StringBuilder
+      val reader = new Thread(() => {
+        try sb.append(new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) { proc.destroyForcibly(); return None }
+      reader.join(5000L)
+      sb.toString.linesIterator.find(_.startsWith("KNEEJSON "))
+        .map(_.stripPrefix("KNEEJSON "))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fresh-JVM knee fork failed: $e")
+        None
+    }
   }
 }

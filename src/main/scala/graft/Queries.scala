@@ -2114,9 +2114,123 @@ object Queries {
         |FROM events WHERE event_id <= 2000 GROUP BY 1""".stripMargin))
   )
 
+  // ------------------------------------------------- observability surface
+  // The reference's tenant metrics (OBSERVABILITY_METRICS.md:115-125) as
+  // queries over a sample table: histogramming is a pure aggregation, so
+  // the SAME Telemetry.histogram operator folds recorded pipeline
+  // telemetry (TelemetrySpec drives that path) and these synthetic
+  // oracle-checked sample sets. Bucket boundaries are the reference's
+  // Peep bucket lists, pinned in graft.cdc.Telemetry.
+
+  private def obsHistOracle(vExpr: String, buckets: Seq[Long]): String = {
+    val g = buckets.zipWithIndex.map { case (b, i) =>
+      s"CAST(sum(CASE WHEN v <= $b THEN 1 ELSE 0 END) AS BIGINT) AS b$i" }
+      .mkString(",\n        |  ")
+    val rows = buckets.zipWithIndex.map { case (b, i) =>
+      s"SELECT tenant, '$b' AS le, b$i AS n_le, total, sum_value FROM g" }
+      .mkString("\n        |UNION ALL ")
+    s"""WITH s AS (SELECT event_type AS tenant, $vExpr AS v FROM events),
+        |g AS (SELECT tenant, CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(v) AS BIGINT) AS sum_value,
+        |  $g
+        |  FROM s GROUP BY 1)
+        |$rows
+        |UNION ALL SELECT tenant, '+Inf', total, total, sum_value FROM g"""
+      .stripMargin
+  }
+
+  private val obsQueries: Seq[Q] = Seq(
+    // realtime_tenants_broadcast_from_database_latency_committed_at_bucket:
+    // commit→broadcast ms into the [10, 250, 5000] Peep boundaries
+    Q("obs_latency_histogram",
+      (s, d) => {
+        import graft.cdc.Telemetry
+        val samples = ev(s, d).select(col("event_type").as("tenant"),
+          (col("event_id") % 7001).as("v"))
+        Telemetry.histogram(samples, col("v"),
+          Telemetry.BroadcastLatencyBucketsMs, Seq("tenant"))
+      },
+      Some(obsHistOracle("event_id % 7001",
+        graft.cdc.Telemetry.BroadcastLatencyBucketsMs))),
+    // realtime_tenants_payload_size_bucket: frame bytes into the
+    // 11-boundary payload-size list (the reference's largest bucket set)
+    Q("obs_payload_size_histogram",
+      (s, d) => {
+        import graft.cdc.Telemetry
+        val samples = ev(s, d).select(col("event_type").as("tenant"),
+          octet_length(col("props")).cast("long").as("v"))
+        Telemetry.histogram(samples, col("v"),
+          Telemetry.PayloadSizeBuckets, Seq("tenant"))
+      },
+      Some(obsHistOracle("octet_length(encode(props))",
+        graft.cdc.Telemetry.PayloadSizeBuckets))),
+    // realtime_tenants_replay_bucket: replay latency ms into [10, 250,
+    // 5000, 15000]
+    Q("obs_replay_histogram",
+      (s, d) => {
+        import graft.cdc.Telemetry
+        val samples = ev(s, d).select(col("event_type").as("tenant"),
+          (col("event_id") % 16000).as("v"))
+        Telemetry.histogram(samples, col("v"),
+          Telemetry.ReplayBucketsMs, Seq("tenant"))
+      },
+      Some(obsHistOracle("event_id % 16000",
+        graft.cdc.Telemetry.ReplayBucketsMs))),
+    // realtime_channel_{input,output}_bytes + event counters per tenant —
+    // counter semantics are sums over the same sample stream; output
+    // models the private-delivered egress subset
+    Q("obs_tenant_counters",
+      (s, d) => ev(s, d).groupBy(col("event_type").as("tenant"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(octet_length(col("props")).cast("long")).as("input_bytes"),
+          sum(when(col("user_id") % 2 === 0,
+            octet_length(col("props")).cast("long")).otherwise(0L))
+            .as("output_bytes")),
+      Some("""SELECT event_type AS tenant, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(octet_length(encode(props))) AS BIGINT) AS input_bytes,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0
+        |    THEN octet_length(encode(props)) ELSE 0 END) AS BIGINT) AS output_bytes
+        |FROM events GROUP BY 1""".stripMargin)),
+    // Forum.Census eventually-consistent member counts (forum/census.ex:
+    // 92-104): reads on each node at each broadcast tick = exact local
+    // count + the peers' previous-tick broadcast counts — the
+    // interval-bounded-staleness merge of partial aggregates. Nodes are
+    // user_id shards, groups are event types, interval 1 h.
+    Q("a_census_counts",
+      (s, d) => graft.presence.Census.memberCounts(
+        ev(s, d).withColumn("node",
+          concat(lit("n"), (col("user_id") % 3).cast("string"))),
+        nodeCol = "node", groupCol = "event_type", tsCol = "ts",
+        intervalSec = 3600L),
+      Some("""WITH e AS (
+        |  SELECT 'n' || CAST(user_id % 3 AS VARCHAR) AS node,
+        |         event_type AS grp,
+        |         ((epoch_us(ts) + 3599999999) // 3600000000) * 3600000000 AS tick_us
+        |  FROM events),
+        |hourly AS (SELECT node, grp, tick_us, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT min(tick_us) AS t0, max(tick_us) AS t1 FROM e),
+        |ticks AS (SELECT unnest(generate_series(t0, t1, 3600000000)) AS tick_us FROM b),
+        |grid AS (SELECT node, grp, tick_us
+        |  FROM (SELECT DISTINCT node FROM e), (SELECT DISTINCT grp FROM e), ticks),
+        |cums AS (SELECT g.node, g.grp, g.tick_us,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY g.node, g.grp ORDER BY g.tick_us) AS cum
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.node = h.node AND g.grp = h.grp AND g.tick_us = h.tick_us),
+        |lagd AS (SELECT node, grp, tick_us, cum,
+        |    coalesce(lag(cum) OVER (PARTITION BY node, grp ORDER BY tick_us), 0) AS cum_prev
+        |  FROM cums),
+        |s AS (SELECT grp, tick_us, sum(cum_prev) AS s_prev FROM lagd GROUP BY 1, 2)
+        |SELECT l.node AS read_node, make_timestamp(l.tick_us) AS read_ts,
+        |  l.grp AS grp, CAST(l.cum AS BIGINT) AS n_local,
+        |  CAST(s.s_prev - l.cum_prev AS BIGINT) AS n_remote,
+        |  CAST(l.cum + s.s_prev - l.cum_prev AS BIGINT) AS n_total
+        |FROM lagd l JOIN s ON l.grp = s.grp AND l.tick_us = s.tick_us""".stripMargin))
+  )
+
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
     aggQueries ++ joinQueries ++ payloadQueries ++ error401Query ++
-    presenceQueries ++ miscQueries ++ PipelineQueries.all
+    presenceQueries ++ miscQueries ++ obsQueries ++ PipelineQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -245,4 +245,18 @@ object StreamLatency {
     }
     KneeReport(points.result(), maxSustained, failure)
   }
+
+  /** JSON for one sweep point (shared by Bench's in-suite sweep and the
+    * forked fresh-JVM knee so the two artifacts are field-identical). */
+  def sweepPointJson(p: SweepPoint): String =
+    s"""{"rate_per_sec":${p.ratePerSec},"n_sent":${p.nSent},""" +
+      s""""n_delivered":${p.nDelivered},"p50_ms":${p.steady.p50},""" +
+      s""""p95_ms":${p.steady.p95},"p99_ms":${p.steady.p99},""" +
+      s""""sustained":${p.sustained},"windows":${p.windows}}"""
+
+  /** JSON for a whole knee report. */
+  def kneeJson(kn: KneeReport): String =
+    s"""{"max_sustained_rate":${kn.maxSustainedRate},""" +
+      s""""failure_mode":"${kn.failureMode}",""" +
+      s""""points":${kn.points.map(sweepPointJson).mkString("[", ",", "]")}}"""
 }
