@@ -20,8 +20,9 @@ import org.apache.spark.sql.SparkSession
 object KneeFresh {
   /** Sweep grid: the low rates are settled by the in-suite sweep; the
     * fresh JVM spends its wall-clock where the dispute lives (160k/320k)
-    * plus one failing point above for the margin story. */
-  val Rates = Seq(40000, 160000, 320000, 640000)
+    * plus the doubling points above until one fails (the striped sample
+    * recorder — round 11 — moved the old 640k instrument-bound failure). */
+  val Rates = Seq(40000, 160000, 320000, 640000, 1280000)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -9,7 +9,7 @@ object KneeProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.cdc.StreamLatency.run(spark, 1000, 4, 100L, 2) // warm
-    val rates = Seq(80000, 160000, 320000, 640000)
+    val rates = Seq(80000, 160000, 320000, 640000, 1280000)
     (1 to 2).foreach { pass =>
       val kn = graft.cdc.StreamLatency.knee(spark, rates, seconds = 6,
         triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)

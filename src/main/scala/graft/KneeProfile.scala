@@ -1,0 +1,89 @@
+package graft
+
+import graft.cdc.{CdcStream, StreamLatency}
+import graft.model.Subscription
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Decompose the streaming knee's first failing rate: what is the
+  * binding resource at 640k changes/s?
+  *
+  * Method: run the StreamLatency harness shape (same feeder, same
+  * pipeline, same 100 ms trigger) at the last-sustained and
+  * first-failing rates, under two delivery sinks — the standard
+  * latency-stamping sink and a NO-OP sink — and read the per-batch
+  * engine stats off the bus:
+  *  - trigger occupancy (Σ batch duration / wall): 1.0 means the engine
+  *    never idles — micro-batches queue faster than they execute, the
+  *    p99_degraded signature;
+  *  - pipeline throughput (Σ rows / Σ batch duration): the per-row
+  *    processing ceiling; a rate above it cannot be sustained at ANY
+  *    trigger interval;
+  *  - the timing-vs-noop delta: how much of the per-row cost is the
+  *    sink offer path (sample-queue contention) vs the fused
+  *    match+shape+encode pipeline itself.
+  * One line per (rate, sink) for COVERAGE. */
+object KneeProfile {
+
+  private def window(spark: SparkSession, rate: Int, seconds: Int,
+      sinkName: String, sink: CdcStream.DeliverySink): Unit = {
+    import spark.implicits._
+    System.gc(); Thread.sleep(200L)
+    val input = MemoryStream[StreamLatency.Change](spark)
+    val subs = Seq(Subscription("bench", "public", "t", Nil))
+    val dataSchema = Seq.empty[StreamLatency.Change].toDS().toDF()
+      .drop("change_type", "commit_timestamp").schema
+    val bus = CdcStream.MemoryBus()
+    val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
+      pk = Seq("id"), bus = bus, triggerMs = 100L, deliverTo = Some(sink))
+    val stepMs = 50
+    val perStep = rate * stepMs / 1000
+    val steps = seconds * 1000 / stepMs
+    val t0 = System.nanoTime()
+    var step = 0
+    var sent = 0L
+    try {
+      while (step < steps) {
+        val now = System.currentTimeMillis().toString
+        input.addData((0 until perStep).map(k =>
+          StreamLatency.Change(sent + k, "INSERT", 1.0, now)))
+        sent += perStep
+        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
+        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
+        step += 1
+      }
+      val feedWallMs = (System.nanoTime() - t0) / 1000000L
+      q.processAllAvailable()
+      val drainWallMs = (System.nanoTime() - t0) / 1000000L
+      val bs = bus.batches.filter(b => b.nChanges > 0 && b.durationMs >= 0)
+      val durs = bs.map(_.durationMs).sorted
+      def pct(q: Double) = if (durs.isEmpty) -1L
+        else durs(math.min(durs.length - 1, (q * durs.length).toInt))
+      val busy = durs.sum
+      val rows = bs.map(_.nChanges).sum
+      println(f"[kneeprofile] rate=$rate sink=$sinkName batches=${bs.length}" +
+        f" dur_p50=${pct(0.5)} dur_p95=${pct(0.95)} dur_max=${durs.lastOption.getOrElse(-1L)}" +
+        f" rows_per_batch=${if (bs.isEmpty) 0L else rows / bs.length}" +
+        f" throughput_rows_per_sec=${if (busy == 0) -1L else rows * 1000L / busy}" +
+        f" occupancy_feed=${busy.toDouble / feedWallMs}%.2f" +
+        f" drain_tail_ms=${drainWallMs - feedWallMs}")
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val noop = new CdcStream.DeliverySink { def offer(d: CdcStream.Delivery): Unit = () }
+    // warm
+    window(spark, 1000, 3, "warm", noop)
+    for (rate <- Seq(320000, 640000)) {
+      window(spark, rate, 6, "timing", new StreamLatency.TimingSink("prof-" + rate))
+      window(spark, rate, 6, "noop", noop)
+    }
+    spark.stop()
+  }
+}

@@ -34,21 +34,73 @@ object StreamLatency {
   final case class Change(id: Long, change_type: String, value: Double,
       commit_timestamp: String)
 
-  /** (commitMs, latencyMs) samples for one run, in a static registry so
-    * executor-side `offer` calls and the driver share them in local mode. */
-  private val samples =
-    new ConcurrentHashMap[String, ConcurrentLinkedQueue[(Long, Long)]]()
+  /** (commitMs, latencyMs) samples for one run — recorded through
+    * per-thread striped buffers, NOT a shared concurrent queue. The
+    * KneeProfile decomposition (round 11) measured the old
+    * ConcurrentLinkedQueue recorder as the knee's binding resource: a
+    * boxed tuple allocation plus a CAS on one shared tail per frame
+    * across 32 producer threads cost ~0.5 µs/frame, capping the measured
+    * pipeline at ~570k frames/s while the pipeline with a no-op sink
+    * sustained ~775k — the 640k sweep point failed on the instrument,
+    * not the engine. Each thread now appends to its own primitive-long
+    * pair buffer (uncontended synchronized, no allocation on the hot
+    * path); the driver drains all stripes after the query stops. */
+  private final class Buf {
+    private var n = 0
+    private var commits = new Array[Long](1024)
+    private var lats = new Array[Long](1024)
+    def add(c: Long, l: Long): Unit = synchronized {
+      if (n == commits.length) {
+        commits = java.util.Arrays.copyOf(commits, n * 2)
+        lats = java.util.Arrays.copyOf(lats, n * 2)
+      }
+      commits(n) = c; lats(n) = l; n += 1
+    }
+    def snapshot(): (Array[Long], Array[Long], Int) =
+      synchronized { (commits, lats, n) }
+  }
+
+  private val registry =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[Buf]]()
+  private val perThread: ThreadLocal[java.util.HashMap[String, Buf]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Buf]())
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def queue(id: String): ConcurrentLinkedQueue[(Long, Long)] =
-    samples.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[(Long, Long)]())
+
+  private[cdc] def record(runId: String, commit: Long, latMs: Long): Unit = {
+    val m = perThread.get()
+    var b = m.get(runId)
+    if (b == null) {
+      // first sample of a new run on this thread: purge this thread's
+      // buffers for already-drained runs (runIds are never reused, so a
+      // missing registry entry means the run is over) — bounds the
+      // thread-local footprint across a long sweep
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (!registry.containsKey(it.next())) it.remove()
+      b = new Buf
+      registry.computeIfAbsent(runId,
+        _ => new ConcurrentLinkedQueue[Buf]()).add(b)
+      m.put(runId, b)
+    }
+    b.add(commit, latMs)
+  }
+
+  /** Remove and concatenate all stripes for `runId`. */
+  private def drain(runId: String): Array[(Long, Long)] = {
+    val q = registry.remove(runId)
+    if (q == null) Array.empty
+    else q.asScala.toArray.flatMap { b =>
+      val (cs, ls, n) = b.snapshot()
+      Array.tabulate(n)(i => (cs(i), ls(i)))
+    }
+  }
 
   /** Sink that clocks each frame as it leaves its partition. */
   final class TimingSink(runId: String) extends CdcStream.DeliverySink {
     def offer(d: CdcStream.Delivery): Unit = {
       val commit = parseCommitMs(d.frame)
       if (commit > 0L)
-        StreamLatency.queue(runId)
-          .add((commit, System.currentTimeMillis() - commit))
+        StreamLatency.record(runId, commit,
+          System.currentTimeMillis() - commit)
     }
   }
 
@@ -64,8 +116,8 @@ object StreamLatency {
       log.offer(d)
       val commit = parseCommitMs(d.frame)
       if (commit > 0L)
-        StreamLatency.queue(runId)
-          .add((commit, System.currentTimeMillis() - commit))
+        StreamLatency.record(runId, commit,
+          System.currentTimeMillis() - commit)
     }
   }
 
@@ -156,7 +208,7 @@ object StreamLatency {
       }
       q.processAllAvailable()
       } finally q.stop()
-    val all = queue(runId).asScala.toArray
+    val all = drain(runId)
     val steadyFloor = t0Ms + warmupSec * 1000L
     val batchP95 = percentiles(
       bus.batches.filter(_.nChanges > 0).map(_.durationMs).toArray).p95
@@ -164,7 +216,7 @@ object StreamLatency {
       overall = percentiles(all.map(_._2)),
       steady = percentiles(all.collect { case (c, l) if c >= steadyFloor => l }),
       batchDurationP95Ms = batchP95)
-    } finally samples.remove(runId) // failed runs must not leak the queue
+    } finally registry.remove(runId) // failed runs must not leak stripes
   }
 
   /** One sweep point of [[knee]]: the rate, its steady percentiles, the
