@@ -137,7 +137,12 @@ class ReplayLogBacklogSpec extends SparkSpec {
     val cap = 6000
     // 50 triggers' worth of live traffic (10k/s × 100 ms = 1k/trigger)
     val backlog = 50000
-    val t0 = System.currentTimeMillis()
+    // the backlog accrued while the consumer was DOWN: stamp it a minute
+    // old, so "stale" (≥30 s) vs "fresh" (<2 s) classification of a
+    // batch is decided by WHICH rows it admits, not by how fast a warm
+    // session happens to drain (a cold session took ~10 s, a warm one
+    // ~2 s — the scenario must not depend on that)
+    val t0 = System.currentTimeMillis() - 60000L
     (0 until 4).foreach { p =>
       (0 until backlog / 4).foreach(i => ReplayLog.append(topic, p, null,
         s"b$i".getBytes(UTF_8), timestampMs = t0))
@@ -196,16 +201,19 @@ class ReplayLogBacklogSpec extends SparkSpec {
     assert(drained == backlog + produced,
       s"no record lost under live load: $drained != ${backlog + produced}")
     assert(pts.forall(_._2 <= cap), "cap honored on every live-load batch")
-    // convergence, defined from the tail: while the backlog drains, the
-    // oldest admitted record is t0-stamped so batch age GROWS with wall
-    // time (the stale phase must exist, or the scenario was too weak);
-    // after the last stale batch every batch is < 2 s old — the consumer
-    // reached freshness and STAYED there, producer still running
-    val lastStale = pts.lastIndexWhere(_._3 >= 2000L)
+    // convergence, defined from the tail: a batch still admitting
+    // backlog rows reads ≥ 60 s old (stale); once the backlog is gone,
+    // batches carry only live rows and read < 2 s — after the last stale
+    // batch every batch must be fresh: the consumer reached freshness
+    // and STAYED there, producer still running
+    val lastStale = pts.lastIndexWhere(_._3 >= 30000L)
     assert(lastStale >= 0,
-      s"backlog never aged past 2 s — scenario too weak: ${pts.take(10)}")
+      s"no batch admitted the aged backlog — scenario broken: ${pts.take(10)}")
     assert(lastStale < pts.size - 3,
       s"never converged to a fresh tail: ${pts.takeRight(10)}")
+    pts.drop(lastStale + 1).foreach { p =>
+      assert(p._3 < 2000L, s"non-fresh batch after the backlog drained: $p")
+    }
     val convergedAtMs = pts(lastStale + 1)._1
     // caught up while the producer was still running
     assert(convergedAtMs < producerEndRel,
