@@ -2225,7 +2225,38 @@ object Queries {
         |  l.grp AS grp, CAST(l.cum AS BIGINT) AS n_local,
         |  CAST(s.s_prev - l.cum_prev AS BIGINT) AS n_remote,
         |  CAST(l.cum + s.s_prev - l.cum_prev AS BIGINT) AS n_total
-        |FROM lagd l JOIN s ON l.grp = s.grp AND l.tick_us = s.tick_us""".stripMargin))
+        |FROM lagd l JOIN s ON l.grp = s.grp AND l.tick_us = s.tick_us""".stripMargin)),
+    // Forum.Muster group-routed fan-out (forum/README.md "The router
+    // node"): per group, the occupancy node set a broadcast must reach
+    // plus the consistent-hash router node (md5 ring, 128 vnodes/node,
+    // first-clockwise-vnode with wrap) — deterministic and
+    // observer-independent, so Spark and the oracle derive identical
+    // routing tables from the membership set alone.
+    Q("j_muster_router",
+      (s, d) => graft.presence.Muster.routerAssignments(
+        ev(s, d).select(
+          concat(col("event_type"), lit("-"),
+            (col("event_id") % 500).cast("string")).as("grp"),
+          concat(lit("n"), (col("user_id") % 7).cast("string")).as("node")),
+        groupCol = "grp", nodeCol = "node"),
+      Some("""WITH m AS (
+        |  SELECT DISTINCT event_type || '-' || CAST(event_id % 500 AS VARCHAR) AS grp,
+        |         'n' || CAST(user_id % 7 AS VARCHAR) AS node
+        |  FROM events),
+        |nodes AS (SELECT DISTINCT node FROM m),
+        |ring AS (SELECT node, md5(node || ':' || CAST(i AS VARCHAR)) AS h
+        |         FROM nodes, (SELECT unnest(range(128)) AS i)),
+        |g AS (SELECT grp, md5(grp) AS gh FROM (SELECT DISTINCT grp FROM m)),
+        |sel AS (SELECT g.grp,
+        |          coalesce(min(CASE WHEN r.h >= g.gh THEN r.h END), min(r.h)) AS rh
+        |        FROM g CROSS JOIN ring r GROUP BY g.grp),
+        |router AS (SELECT sel.grp, r.node AS router
+        |           FROM sel JOIN ring r ON sel.rh = r.h),
+        |occ AS (SELECT grp,
+        |          array_to_string(list_sort(list(DISTINCT node)), ',') AS occupancy
+        |        FROM m GROUP BY grp)
+        |SELECT occ.grp AS grp, occ.occupancy, router.router
+        |FROM occ JOIN router ON occ.grp = router.grp""".stripMargin))
   )
 
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++

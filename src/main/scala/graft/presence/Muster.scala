@@ -1,0 +1,60 @@
+package graft.presence
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Forum.Muster — group-routed fan-out — as a batch query semantic: for
+  * every group, WHICH nodes hold local members (the occupancy set a
+  * broadcast must reach) and WHICH single node is the group's router.
+  *
+  * Reference (/root/reference/forum/README.md "The router node";
+  * forum/lib/forum/muster.ex): the router is chosen by consistent
+  * hashing over the cluster's member-node list (128 vnodes per node),
+  * computed independently and identically on every node — no consensus,
+  * and a node joining/leaving a cluster of size N moves only ~1/N of
+  * the groups' routers. The router owns the `{group, node}` occupancy
+  * table fed by `:occupied`/`:vacant_batch` claims.
+  *
+  * The hash ring here is md5-based (node:vnode position keys, group
+  * keyed by md5(group), router = owner of the first vnode clockwise
+  * from the group's position): same algorithm family and the same
+  * rebalance property (spec-measured: one node added to four moves
+  * ~1/5 of routers), chosen over the reference's exact `ex_hash_ring`
+  * function because md5 is portable to the SQL oracle — the routing
+  * CONTRACT (deterministic, observer-independent, minimal movement) is
+  * the semantics; the hash constant is not.
+  *
+  * Scale shape: occupancy is one distinct + one group-by over the
+  * membership set; the ring is nodes × 128 rows (metadata-sized,
+  * broadcast); router selection is groups ⨯ broadcast(ring) → one hash
+  * aggregation. No shuffle grows past the membership set itself. */
+object Muster {
+
+  /** Per-group routing table: `(grp, occupancy, router)` where
+    * `occupancy` is the sorted comma-joined node set holding members
+    * (the fan-out targets) and `router` the consistent-hash owner. */
+  def routerAssignments(members: DataFrame, groupCol: String,
+      nodeCol: String, vnodes: Int = 128): DataFrame = {
+    val m = members
+      .select(col(groupCol).as("grp"), col(nodeCol).as("node")).distinct()
+    val ring = m.select("node").distinct()
+      .select(col("node"),
+        explode(sequence(lit(0), lit(vnodes - 1))).as("i"))
+      .select(col("node"),
+        md5(concat(col("node"), lit(":"), col("i").cast("string"))).as("h"))
+    val g = m.select("grp").distinct().withColumn("gh", md5(col("grp")))
+    // first vnode clockwise from the group's position; wrap to the
+    // ring's global minimum when the group hashes past the last vnode
+    val sel = g.crossJoin(broadcast(ring))
+      .groupBy("grp", "gh")
+      .agg(min(when(col("h") >= col("gh"), col("h"))).as("above"),
+        min(col("h")).as("wrapmin"))
+      .select(col("grp"), coalesce(col("above"), col("wrapmin")).as("rh"))
+    val router = sel.join(broadcast(ring), col("rh") === col("h"))
+      .select(col("grp"), col("node").as("router"))
+    val occ = m.groupBy("grp")
+      .agg(array_join(sort_array(collect_set(col("node"))), ",")
+        .as("occupancy"))
+    occ.join(router, Seq("grp"))
+  }
+}

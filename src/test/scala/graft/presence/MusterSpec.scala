@@ -1,0 +1,66 @@
+package graft.presence
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Forum.Muster routing table: occupancy = the member node set,
+  * router = consistent-hash owner — deterministic, observer-independent,
+  * and minimal-movement under cluster membership change (the property
+  * consistent hashing exists for: forum/README.md "The router node"). */
+class MusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def routers(groups: Seq[String], nodes: Seq[String])
+      : Map[String, String] = {
+    // membership assignment is irrelevant to routing (the ring is built
+    // from the node SET); spread groups across nodes round-robin
+    val members = groups.zipWithIndex
+      .map { case (g, i) => (g, nodes(i % nodes.length)) }
+      .toDF("grp", "node")
+    Muster.routerAssignments(members, "grp", "node")
+      .select("grp", "router").as[(String, String)].collect().toMap
+  }
+
+  test("deterministic routing; occupancy is exactly the member node set; " +
+      "router is a cluster node") {
+    val members = Seq(
+      ("room1", "nA"), ("room1", "nC"), ("room1", "nA"), // dup membership
+      ("room2", "nB"), ("room3", "nC"))
+      .toDF("grp", "node")
+    val out = Muster.routerAssignments(members, "grp", "node")
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[String]("occupancy"), r.getAs[String]("router")))).toMap
+    assert(out("room1")._1 == "nA,nC")
+    assert(out("room2")._1 == "nB")
+    assert(out("room3")._1 == "nC")
+    val allNodes = Set("nA", "nB", "nC")
+    assert(out.values.forall(v => allNodes.contains(v._2)))
+    // every observer computes the same table from the same input
+    val again = Muster.routerAssignments(members, "grp", "node")
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[String]("router")).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
+
+  test("rebalance: one node added to four moves ~1/5 of routers; a node " +
+      "removed moves EXACTLY its own groups") {
+    val groups = (0 until 400).map(i => s"topic-$i")
+    val r4 = routers(groups, Seq("n0", "n1", "n2", "n3"))
+    val r5 = routers(groups, Seq("n0", "n1", "n2", "n3", "n4"))
+    // consistent hashing's removal guarantee is exact: dropping n4's
+    // vnodes only re-homes positions n4 owned — every other group keeps
+    // its router bit-for-bit
+    groups.foreach { g =>
+      if (r5(g) != "n4")
+        assert(r4(g) == r5(g), s"$g moved although its router survived")
+      else assert(r4(g) != "n4")
+    }
+    // and the addition moves ~1/5 of groups (the ~1/N property; generous
+    // band for 128-vnode variance at 400 groups)
+    val moved = groups.count(g => r4(g) != r5(g)).toDouble / groups.size
+    assert(moved > 0.05 && moved < 0.45,
+      s"expected ~0.2 of routers to move on n4 join, got $moved")
+    // the new node actually took ownership of what moved
+    assert(groups.forall(g => r4(g) == r5(g) || r5(g) == "n4"))
+  }
+}
