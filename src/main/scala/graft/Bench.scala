@@ -153,20 +153,25 @@ object Bench {
       val r = graft.cdc.StreamLatency.run(spark, ratePerSec = 1000,
         seconds = 8, triggerMs = 100L, warmupSec = 3)
       val baseOk = r.nDelivered == r.nSent && r.steady.p99 <= 1000L
-      // the 160k reference point re-run through the OUTBOUND ReplayLog
+      // the OUTBOUND transport seam point: 320k/s through the ReplayLog
       // sink (frames produced to a partitioned log instead of the bus,
-      // latency clocked after the produce) — proves the real transport
-      // seam doesn't regress the sustained-rate story. Runs BEFORE the
-      // knee sweep: a failed tail point leaves millions of queued frames
-      // whose collection would poison this window (same reason knee()
-      // quiesces the allocator per window); one retry guards the
-      // one-unlucky-GC-pause case the sweep's majority vote covers.
+      // latency clocked after the produce) — proves the durable hand-off
+      // doesn't break the sustained-rate story at knee-order rates. The
+      // ViaLogProbe decomposition (r11): the seam sustains 320k only
+      // with partitions ≈ producer threads (8 partitions fail on the
+      // per-partition produce lock, p99 1073; 32 partitions p99 640);
+      // the per-record produce cost caps the seam between 320k and
+      // 640k. Runs BEFORE the knee sweep: a failed tail point leaves
+      // millions of queued frames whose collection would poison this
+      // window (same reason knee() quiesces the allocator per window);
+      // one retry guards the one-unlucky-GC-pause case the sweep's
+      // majority vote covers.
       def vlOnce() = {
         System.gc(); Thread.sleep(200L)
         val topic = "bench-out-" + System.nanoTime()
-        val rep = graft.cdc.StreamLatency.run(spark, ratePerSec = 160000,
+        val rep = graft.cdc.StreamLatency.run(spark, ratePerSec = 320000,
           seconds = 6, triggerMs = 100L, warmupSec = 2,
-          viaLog = Some((topic, 8)))
+          viaLog = Some((topic, cpus.toInt)))
         graft.sources.ReplayLog.delete(topic)
         rep
       }
