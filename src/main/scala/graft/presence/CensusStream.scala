@@ -1,0 +1,77 @@
+package graft.presence
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The live half of [[Census]]: each node's per-group count GOSSIP as a
+  * keyed streaming state machine. [[Census.memberCounts]] is the batch
+  * read model (what any reader derives from the stamped broadcasts);
+  * this operator PRODUCES those broadcasts from the join stream — one
+  * state entry per (node, group), one broadcast row per interval tick
+  * between a key's first and latest activity, including unchanged-count
+  * gap ticks (the reference gossips on a fixed timer whether or not
+  * membership moved — forum/lib/forum/census/scope.ex
+  * `:broadcast_counts`), so a reader's freshest-snapshot table has no
+  * holes inside a key's active span; past the latest tick the last
+  * broadcast simply stays the freshest snapshot, which is what a Census
+  * reader uses anyway.
+  *
+  * Ticks come from event time (deterministic replay, like
+  * [[graft.rates.RateCounterStream]]); a join whose tick is at or
+  * before the key's last broadcast folds into the count and shows from
+  * the NEXT broadcast — exactly a gossiper's behavior for a join that
+  * lands while a sync is already in flight.
+  *
+  * Scale: one ~16-byte state entry per (node, group); keys hash-spread
+  * across executors; each micro-batch touches only keys with traffic. */
+object CensusStream {
+
+  final case class Join(node: String, grp: String, epochSec: Long)
+
+  /** One gossip broadcast: `node`'s count for `grp` as of `tickSec`. */
+  final case class Broadcast(node: String, grp: String, tickSec: Long,
+      count: Long)
+
+  /** Keyed gossip state (public: the state Encoder's generated code
+    * constructs it). */
+  final case class St(cum: Long, lastTick: Long)
+
+  def apply(joins: Dataset[Join], intervalSec: Long)(
+      implicit spark: SparkSession): Dataset[Broadcast] = {
+    import spark.implicits._
+    require(intervalSec > 0)
+    def ceilTick(s: Long): Long =
+      ((s + intervalSec - 1) / intervalSec) * intervalSec
+    joins
+      .groupByKey(j => (j.node, j.grp))
+      .flatMapGroupsWithState[St, Broadcast](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), evs: Iterator[Join], state: GroupState[St]) =>
+          val (node, grp) = key
+          var st = state.getOption.getOrElse(St(0L, Long.MinValue))
+          val out = Seq.newBuilder[Broadcast]
+          evs.toSeq.groupBy(j => ceilTick(j.epochSec)).toSeq.sortBy(_._1)
+            .foreach { case (tick, batch) =>
+              if (tick <= st.lastTick) {
+                // sync already in flight for this tick: fold into the
+                // count, visible from the next broadcast
+                st = st.copy(cum = st.cum + batch.size)
+              } else {
+                // the timer fired for every interval in between — emit
+                // the unchanged-count gossip for the gap ticks
+                if (st.lastTick != Long.MinValue) {
+                  var t = st.lastTick + intervalSec
+                  while (t < tick) {
+                    out += Broadcast(node, grp, t, st.cum)
+                    t += intervalSec
+                  }
+                }
+                st = St(st.cum + batch.size, tick)
+                out += Broadcast(node, grp, tick, st.cum)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.presence
+
+import graft.SparkSpec
+import graft.presence.CensusStream.{Broadcast, Join}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+
+/** The gossip producer: stream broadcasts must equal the batch Census
+  * cumulative table, gap ticks included, across micro-batch boundaries
+  * and across a checkpoint restart. */
+class CensusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream broadcasts == batch Census local counts, gap ticks " +
+      "filled, micro-batch boundaries invisible") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Join](spark)
+    val got = new ConcurrentHashMap[(String, String, Long), Long]()
+    val q = CensusStream(input.toDS(), intervalSec = 60L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Broadcast], _: Long) =>
+        b.collect().foreach(r =>
+          got.put((r.node, r.grp, r.tickSec), r.count))
+        ()
+      }.start()
+    try {
+      // every key has a join in the first interval, so stream coverage
+      // equals the batch grid's (which starts at the global min tick)
+      input.addData(Seq(Join("nA", "g", 10L), Join("nB", "g", 30L)))
+      q.processAllAvailable()
+      // a 3-interval gap for nB (ticks 120/180 must gossip unchanged),
+      // plus a second nA join in its own later tick
+      input.addData(Seq(Join("nA", "g", 70L), Join("nB", "g", 250L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val stream = got.asScala.toMap
+    // batch model over the same joins, n_local column
+    val events = Seq(("nA", "g", 10L), ("nB", "g", 30L),
+      ("nA", "g", 70L), ("nB", "g", 250L))
+      .toDF("node", "grp", "sec")
+      .select(col("node"), col("grp"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val batch = Census.memberCounts(events, "node", "grp", "ts", 60L)
+      .select(col("read_node"),
+        col("grp"), (unix_micros(col("read_ts")) / 1000000L).cast("long"),
+        col("n_local"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // stream covers each key's [first tick, last tick]; batch grid is
+    // dense to the global max — agreement must hold wherever both exist
+    stream.foreach { case (k, v) =>
+      assert(batch(k) == v, s"stream/batch split at $k: $v vs ${batch(k)}")
+    }
+    // the gap gossips exist and carry the unchanged count
+    assert(stream(("nB", "g", 120L)) == 1L)
+    assert(stream(("nB", "g", 180L)) == 1L)
+    assert(stream(("nB", "g", 240L)) == 1L)
+    assert(stream(("nB", "g", 300L)) == 2L)
+    assert(stream(("nA", "g", 120L)) == 2L)
+  }
+
+  test("gossip state survives a restart from checkpoint: counts continue, " +
+      "no tick re-emitted") {
+    implicit val s = spark
+    val src = Files.createTempDirectory("census-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("census-ckpt").toFile.getAbsolutePath
+    val got = new ConcurrentHashMap[(String, String, Long), Long]()
+    val emissions = new java.util.concurrent.atomic.AtomicLong(0L)
+    def write(rows: Seq[Join]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(src)
+    def attach() = CensusStream(
+        spark.readStream.schema(Seq.empty[Join].toDS().schema)
+          .parquet(src).as[Join], intervalSec = 60L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Broadcast], _: Long) =>
+        b.collect().foreach { r =>
+          got.put((r.node, r.grp, r.tickSec), r.count)
+          emissions.incrementAndGet()
+        }
+        ()
+      }.start()
+    // first life: two joins in tick 60
+    write(Seq(Join("nA", "g", 5L), Join("nA", "g", 50L)))
+    val q1 = attach()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.get(("nA", "g", 60L)) == 2L)
+    // second life: a join two intervals later — the restored state must
+    // CONTINUE from cum=2 (not restart at 0) and fill the gap tick
+    write(Seq(Join("nA", "g", 170L)))
+    val q2 = attach()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.get(("nA", "g", 120L)) == 2L,
+      "gap gossip must carry the restored count")
+    assert(got.get(("nA", "g", 180L)) == 3L,
+      "restored cum must continue, not reset")
+    assert(emissions.get() == 3L,
+      s"each tick gossiped exactly once across both lives: ${emissions.get()}")
+  }
+}
