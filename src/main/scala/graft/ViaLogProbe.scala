@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Outbound-transport-seam ceiling probe: the StreamLatency harness with
+  * every frame produced through the durable [[graft.sources
+  * .ReplayLogSink]] (latency clocked after the produce), swept over
+  * rate × partition-count. Round-11 findings this main produced: the
+  * seam sustains 320k/s p99 640 ms ONLY with partitions ≈ producer
+  * threads (8 partitions fail the same rate on the per-partition
+  * produce lock, p99 1,073); 640k fails at any partition count — the
+  * per-record produce cost (UTF-8 encode + record copy + uncontended
+  * lock) caps the seam between 320k and 640k/s. Run on a QUIET host
+  * (fresh JVM, nothing else on the box) or the numbers are host noise. */
 object ViaLogProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
