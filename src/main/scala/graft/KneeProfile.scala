@@ -26,7 +26,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 object KneeProfile {
 
   private def window(spark: SparkSession, rate: Int, seconds: Int,
-      sinkName: String, sink: CdcStream.DeliverySink): Unit = {
+      sinkName: String, sink: CdcStream.DeliverySink,
+      triggerMs: Long = 100L): Unit = {
     import spark.implicits._
     System.gc(); Thread.sleep(200L)
     val input = MemoryStream[StreamLatency.Change](spark)
@@ -35,7 +36,7 @@ object KneeProfile {
       .drop("change_type", "commit_timestamp").schema
     val bus = CdcStream.MemoryBus()
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
-      pk = Seq("id"), bus = bus, triggerMs = 100L, deliverTo = Some(sink))
+      pk = Seq("id"), bus = bus, triggerMs = triggerMs, deliverTo = Some(sink))
     val stepMs = 50
     val perStep = rate * stepMs / 1000
     val steps = seconds * 1000 / stepMs
@@ -146,6 +147,16 @@ object KneeProfile {
       window(spark, rate, 6, "timing", new StreamLatency.TimingSink("prof-" + rate))
       window(spark, rate, 6, "noop", noop)
       windowRaw(spark, rate, 6)
+    }
+    // trigger-width leg: the decomposition names per-trigger fixed cost
+    // as the binding resource, so widening the trigger should buy rate
+    // at a bounded latency price (floor ≈ trigger/2) — measure it
+    for (trig <- Seq(100L, 200L, 400L); rate <- Seq(640000, 1280000)) {
+      System.gc(); Thread.sleep(200L)
+      val r = StreamLatency.run(spark, rate, 6, trig, 2)
+      println(s"[kneeprofile] trigger=$trig rate=$rate sent=${r.nSent} " +
+        s"delivered=${r.nDelivered} p50=${r.steady.p50} p95=${r.steady.p95} " +
+        s"p99=${r.steady.p99} sustained=${r.nDelivered == r.nSent && r.steady.p99 <= 1000}")
     }
     spark.stop()
   }
