@@ -2226,6 +2226,50 @@ object Queries {
         |  CAST(s.s_prev - l.cum_prev AS BIGINT) AS n_remote,
         |  CAST(l.cum + s.s_prev - l.cum_prev AS BIGINT) AS n_total
         |FROM lagd l JOIN s ON l.grp = s.grp AND l.tick_us = s.tick_us""".stripMargin)),
+    // MetricsCleaner retention sweep (metrics_cleaner.ex:106-133): drop
+    // the metric series of tenants whose latest lifecycle event says
+    // vacant for longer than the threshold; re-occupied tenants are
+    // spared. Lifecycle = a sparse early slice of events (so the sweep
+    // has stale-vacant candidates); samples = payload sizes per tenant.
+    Q("obs_metrics_retention",
+      (s, d) => {
+        import graft.cdc.Telemetry
+        val e = ev(s, d)
+        val samples = e.select(col("event_type").as("tenant"),
+          octet_length(col("props")).cast("long").as("v"))
+        val lifecycle = e
+          .where(col("event_id") % 97 === 0 &&
+            col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+          .select(col("event_type").as("tenant"),
+            when(col("user_id") % 2 === 0, "occupied").otherwise("vacant")
+              .as("state"),
+            col("ts"))
+        Telemetry.pruneVacantTenants(samples, lifecycle,
+            java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 172800L)
+          .groupBy("tenant")
+          .agg(count(lit(1)).as("n_samples"), sum("v").as("sum_bytes"))
+      },
+      Some("""WITH lc AS (
+        |  SELECT event_type AS tenant,
+        |    CASE WHEN user_id % 2 = 0 THEN 'occupied' ELSE 'vacant' END AS state,
+        |    ts
+        |  FROM events
+        |  WHERE event_id % 97 = 0 AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |last AS (
+        |  SELECT tenant, state, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tenant
+        |                                 ORDER BY ts DESC, state DESC) AS rn
+        |    FROM lc WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1),
+        |pruned AS (
+        |  SELECT tenant FROM last
+        |  WHERE state = 'vacant'
+        |    AND ts < TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 2 DAY)
+        |SELECT event_type AS tenant, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(octet_length(encode(props))) AS BIGINT) AS sum_bytes
+        |FROM events
+        |WHERE event_type NOT IN (SELECT tenant FROM pruned)
+        |GROUP BY 1""".stripMargin)),
     // Forum.Muster group-routed fan-out (forum/README.md "The router
     // node"): per group, the occupancy node set a broadcast must reach
     // plus the consistent-hash router node (md5 ring, 128 vnodes/node,

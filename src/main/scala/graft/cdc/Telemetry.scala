@@ -124,6 +124,40 @@ object Telemetry {
       }
     }
 
+  // ---- metrics retention (MetricsCleaner) ---------------------------
+
+  /** The reference's MetricsCleaner sweep as a query: drop every metric
+    * series belonging to a tenant whose LATEST lifecycle event at sweep
+    * time says `vacant` (no websockets) or `disconnected`, and has said
+    * so for longer than the threshold (default 600 s)
+    * (/root/reference/lib/realtime/metrics_cleaner.ex:9-23,106-133 —
+    * `:ets.select` of tenants stamped before `now - threshold`, then
+    * `Peep.prune_tags` removes their series; a tenant re-occupied before
+    * the sweep had its stamp deleted and is spared).
+    *
+    * `lifecycle` rows: `(tenant, state, ts)` with `state ∈ {occupied,
+    * vacant}`; the latest row ≤ `sweepTs` per tenant decides (ties on
+    * `ts` broken by preferring the later row in `(ts, state)` order —
+    * callers with real event streams have monotone stamps). Returns the
+    * SURVIVING samples. Scale shape: the lifecycle reduction is one
+    * (tenant)-partitioned window over the lifecycle stream (tenant-
+    * dimension-sized, not sample-sized) and the prune is a broadcast
+    * anti-join against the pruned-tenant set. */
+  def pruneVacantTenants(samples: DataFrame, lifecycle: DataFrame,
+      sweepTs: java.sql.Timestamp, thresholdSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("tenant")
+      .orderBy(col("ts").desc, col("state").desc)
+    val pruned = lifecycle
+      .where(col("ts") <= lit(sweepTs))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .where(col("state") === "vacant" &&
+        col("ts") < lit(sweepTs) - expr(s"INTERVAL $thresholdSec SECOND"))
+      .select(col("tenant"))
+    samples.join(broadcast(pruned), Seq("tenant"), "left_anti")
+  }
+
   // ---- the histogram operator ---------------------------------------
 
   /** Prometheus-style cumulative histogram over a sample DataFrame: one

@@ -76,6 +76,33 @@ class TelemetrySpec extends SparkSpec {
     Telemetry.clear(registry)
   }
 
+  test("pruneVacantTenants: stale-vacant series dropped, re-occupied " +
+      "and fresh-vacant tenants spared — the MetricsCleaner sweep") {
+    import spark.implicits._
+    val sweep = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lifecycle = Seq(
+      // stale vacant (vacant since Jan 10, threshold 2 days) → pruned
+      ("t_stale", "vacant", ts("2024-01-10 00:00:00")),
+      // went vacant long ago but RE-OCCUPIED before the sweep → spared
+      ("t_back", "vacant", ts("2024-01-09 00:00:00")),
+      ("t_back", "occupied", ts("2024-01-14 00:00:00")),
+      // vacant, but inside the threshold window → spared (this sweep)
+      ("t_fresh", "vacant", ts("2024-01-14 12:00:00")),
+      // lifecycle event AFTER the sweep must not count
+      ("t_stale", "occupied", ts("2024-01-16 00:00:00")))
+      .toDF("tenant", "state", "ts")
+    val samples = Seq(
+      ("t_stale", 10.0), ("t_back", 20.0), ("t_fresh", 30.0),
+      ("t_nolifecycle", 40.0)) // tenant with no lifecycle rows → spared
+      .toDF("tenant", "value")
+    val kept = Telemetry.pruneVacantTenants(samples, lifecycle,
+        sweep, thresholdSec = 172800L)
+      .select("tenant").as[String].collect().toSet
+    assert(kept == Set("t_back", "t_fresh", "t_nolifecycle"),
+      s"got $kept")
+  }
+
   test("listener: per-trigger batch duration and row counts land in the " +
       "snapshot; histogram folds over them") {
     import spark.implicits._
