@@ -2226,6 +2226,27 @@ object Queries {
         |  CAST(s.s_prev - l.cum_prev AS BIGINT) AS n_remote,
         |  CAST(l.cum + s.s_prev - l.cum_prev AS BIGINT) AS n_total
         |FROM lagd l JOIN s ON l.grp = s.grp AND l.tick_us = s.tick_us""".stripMargin)),
+    // Realtime.Crypto (crypto.ex:9-39) on the Spark surface: the tenant
+    // credential codec (AES-128-ECB + PKCS#7 + base64) as built-in
+    // aes_encrypt/aes_decrypt. The oracle checks what SQL can check
+    // deterministically — the round-trip identity on every row and the
+    // exact ciphertext length law (PKCS#7 pads to the NEXT block, so
+    // aligned input gains a full block; base64 = 4·ceil(n/3)) — while
+    // the spec pins byte parity against a javax.crypto reference.
+    Q("f_crypto_roundtrip",
+      (s, d) => {
+        import graft.api.Crypto
+        val key = substring(md5(col("event_type")), 1, 16)
+        val ct = Crypto.encrypt(col("props"), key)
+        ev(s, d).select(
+          col("event_id"),
+          (Crypto.decrypt(ct, key) === col("props")).as("roundtrip_ok"),
+          length(ct).cast("long").as("ct_b64_len"))
+      },
+      Some("""SELECT event_id, true AS roundtrip_ok,
+        |  CAST(4 * ceil(((octet_length(encode(props)) // 16 + 1) * 16) / 3.0)
+        |       AS BIGINT) AS ct_b64_len
+        |FROM events""".stripMargin)),
     // MetricsCleaner retention sweep (metrics_cleaner.ex:106-133): drop
     // the metric series of tenants whose latest lifecycle event says
     // vacant for longer than the threshold; re-occupied tenants are
