@@ -2226,6 +2226,49 @@ object Queries {
         |  CAST(s.s_prev - l.cum_prev AS BIGINT) AS n_remote,
         |  CAST(l.cum + s.s_prev - l.cum_prev AS BIGINT) AS n_total
         |FROM lagd l JOIN s ON l.grp = s.grp AND l.tick_us = s.tick_us""".stripMargin)),
+    // launch_node's power-of-two-choices placement + the rebalance sweep
+    // (nodes.ex:117-185, operations.ex:10-28): two deterministic
+    // candidate nodes per tenant (rendezvous top-2), place on the less
+    // loaded (tie -> first), flag tenants whose current node differs.
+    Q("j8_two_choice_rebalance",
+      (s, d) => {
+        val k = col("event_id") % 499
+        val tenants = ev(s, d).select(
+          concat(col("event_type"), lit("-"), k.cast("string")).as("tenant"),
+          concat(lit("n"), (k % 7).cast("string")).as("current"))
+        val nodes = s.range(7).select(
+          concat(lit("n"), col("id").cast("string")).as("node"),
+          (col("id") * 3 % 5).cast("int").as("load"))
+        graft.presence.Muster.twoChoicePlacement(tenants, "tenant",
+          nodes, "node", "load", "current")
+      },
+      Some("""WITH t AS (
+        |  SELECT DISTINCT
+        |    event_type || '-' || CAST(event_id % 499 AS VARCHAR) AS tenant,
+        |    'n' || CAST((event_id % 499) % 7 AS VARCHAR) AS current
+        |  FROM events),
+        |n AS (SELECT 'n' || CAST(i AS VARCHAR) AS node,
+        |             CAST(i * 3 % 5 AS INT) AS load
+        |      FROM (SELECT unnest(range(7)) AS i)),
+        |ranked AS (
+        |  SELECT t.tenant, t.current, n.node, n.load,
+        |    row_number() OVER (PARTITION BY t.tenant
+        |                       ORDER BY md5(t.tenant || ':' || n.node)) AS rn
+        |  FROM t CROSS JOIN n),
+        |picks AS (
+        |  SELECT tenant, current,
+        |    min(CASE WHEN rn = 1 THEN node END) AS node1,
+        |    min(CASE WHEN rn = 1 THEN load END) AS load1,
+        |    min(CASE WHEN rn = 2 THEN node END) AS node2,
+        |    min(CASE WHEN rn = 2 THEN load END) AS load2
+        |  FROM ranked WHERE rn <= 2 GROUP BY 1, 2)
+        |SELECT tenant, node1, node2,
+        |  CASE WHEN load1 <= coalesce(load2, load1) THEN node1
+        |       ELSE node2 END AS assigned,
+        |  current,
+        |  (CASE WHEN load1 <= coalesce(load2, load1) THEN node1
+        |        ELSE node2 END) != current AS moved
+        |FROM picks""".stripMargin)),
     // Realtime.Crypto (crypto.ex:9-39) on the Spark surface: the tenant
     // credential codec (AES-128-ECB + PKCS#7 + base64) as built-in
     // aes_encrypt/aes_decrypt. The oracle checks what SQL can check

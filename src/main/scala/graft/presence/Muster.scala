@@ -57,4 +57,47 @@ object Muster {
         .as("occupancy"))
     occ.join(router, Seq("grp"))
   }
+
+  /** Power-of-two-choices tenant placement + the rebalance sweep —
+    * `Realtime.Nodes.launch_node` / `Realtime.Operations.rebalance`
+    * (/root/reference/lib/realtime/nodes.ex:117-185,
+    * lib/realtime/operations.ex:10-28): pick two deterministic
+    * pseudo-random candidate nodes per tenant, place on the less loaded
+    * (ties → the first candidate, the reference's `load1 <= load2`
+    * branch), and the sweep flags tenants whose CURRENT node differs
+    * from the placement.
+    *
+    * Candidate draws here are rendezvous-hash top-2 (the two smallest
+    * `md5(tenant:node)` ranks) rather than the reference's seeded exsss
+    * RNG — same contract (two deterministic, uniform, distinct
+    * candidates per tenant, identically computable by every observer;
+    * the Erlang RNG stream itself is not portable to any other engine,
+    * including the SQL oracle), and rendezvous ranking additionally
+    * gives the minimal-movement property on node-set change.
+    *
+    * Scale shape: tenants × broadcast(nodes) → one (tenant)-partitioned
+    * rank; the node dimension (with loads) is metadata-sized. */
+  def twoChoicePlacement(tenants: DataFrame, tenantCol: String,
+      nodes: DataFrame, nodeCol: String, loadCol: String,
+      currentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tenants.select(col(tenantCol).as("tenant"),
+      col(currentCol).as("current")).distinct()
+    val n = nodes.select(col(nodeCol).as("node"), col(loadCol).as("load"))
+    val w = Window.partitionBy("tenant")
+      .orderBy(md5(concat(col("tenant"), lit(":"), col("node"))))
+    val ranked = t.crossJoin(broadcast(n))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 2)
+    val picks = ranked.groupBy("tenant", "current").agg(
+      min(when(col("_rn") === 1, col("node"))).as("node1"),
+      min(when(col("_rn") === 1, col("load"))).as("load1"),
+      min(when(col("_rn") === 2, col("node"))).as("node2"),
+      min(when(col("_rn") === 2, col("load"))).as("load2"))
+    picks.select(col("tenant"), col("node1"), col("node2"),
+        when(col("load1") <= coalesce(col("load2"), col("load1")),
+          col("node1")).otherwise(col("node2")).as("assigned"),
+        col("current"))
+      .withColumn("moved", col("assigned") =!= col("current"))
+  }
 }

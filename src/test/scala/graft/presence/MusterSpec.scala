@@ -63,4 +63,38 @@ class MusterSpec extends SparkSpec {
     // the new node actually took ownership of what moved
     assert(groups.forall(g => r4(g) == r5(g) || r5(g) == "n4"))
   }
+
+  test("two-choice placement: less-loaded candidate wins, tie prefers " +
+      "the first draw, single-node degenerates, sweep flags movers") {
+    import org.apache.spark.sql.DataFrame
+    def place(nodes: Seq[(String, Int)], tenants: Seq[(String, String)])
+        : Map[String, (String, String, String, Boolean)] = {
+      val n: DataFrame = nodes.toDF("node", "load")
+      val t: DataFrame = tenants.toDF("tenant", "current")
+      Muster.twoChoicePlacement(t, "tenant", n, "node", "load", "current")
+        .collect().map(r => r.getAs[String]("tenant") ->
+          ((r.getAs[String]("node1"), r.getAs[String]("node2"),
+            r.getAs[String]("assigned"), r.getAs[Boolean]("moved")))).toMap
+    }
+    // many tenants over unequal loads: every assignment is the less
+    // loaded of ITS OWN two candidates, and a tie goes to node1
+    val nodes = Seq(("nA", 5), ("nB", 1), ("nC", 5), ("nD", 3))
+    val loads = nodes.toMap
+    val tenants = (0 until 100).map(i => (s"t$i", "nA"))
+    val out = place(nodes, tenants)
+    out.foreach { case (t, (n1, n2, assigned, moved)) =>
+      assert(n1 != n2, s"$t drew the same candidate twice")
+      val expect =
+        if (loads(n1) <= loads(n2)) n1 else n2
+      assert(assigned == expect, s"$t placed $assigned, expected $expect")
+      assert(moved == (assigned != "nA"))
+    }
+    // both candidates vary across tenants (the draws are per-tenant
+    // pseudo-random, not a global favourite)
+    assert(out.values.map(_._1).toSet.size >= 3)
+    // single-node region: placement degenerates to that node
+    val one = place(Seq(("only", 9)), Seq(("t", "only"), ("u", "other")))
+    assert(one("t") == (("only", null, "only", false)))
+    assert(one("u")._3 == "only" && one("u")._4)
+  }
 }
