@@ -42,7 +42,13 @@ object Muster {
         explode(sequence(lit(0), lit(vnodes - 1))).as("i"))
       .select(col("node"),
         md5(concat(col("node"), lit(":"), col("i").cast("string"))).as("h"))
-    val g = m.select("grp").distinct().withColumn("gh", md5(col("grp")))
+    // repartition the group side before fanning against the ring: AQE
+    // coalesces the small distinct to ~1 partition, which would serialize
+    // |groups|·|ring| md5 evaluations onto one task (measured: 2.1 s for
+    // 2.2M pairs at sf0.1) — at corpus scale the group side MUST spread
+    val g = m.select("grp").distinct()
+      .repartition(m.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("gh", md5(col("grp")))
     // first vnode clockwise from the group's position; wrap to the
     // ring's global minimum when the group hashes past the last vnode
     val sel = g.crossJoin(broadcast(ring))
