@@ -30,7 +30,7 @@ object Bench {
     // CPU-quota / cache), not session state, so a fresh process is not
     // enough; fresh host-minutes are. At Bench start the host is the
     // quietest this process will ever see it.
-    val kneeFresh = kneeFreshForked()
+    val kneeFresh = kneeFreshForked(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,9 +84,12 @@ object Bench {
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // control baseline: two draws before anything else, keep the min
-    // (first pays the query's own codegen)
-    controlOnce()
-    controlTicks += ((0, controlOnce()))
+    // (the first pays the query's own codegen, and either draw can catch
+    // a stray GC pause)
+    val c0a = controlOnce()
+    val c0b = controlOnce()
+    controlTicks += ((0,
+      if (c0a < 0 || c0b < 0) math.max(c0a, c0b) else math.min(c0a, c0b)))
     // pass 1: one-shot numbers (what every prior round reported — first
     // execution of each plan in this session, JIT/codegen state included)
     val oneshot = sorted.map { case (name, fn) =>
@@ -137,7 +140,12 @@ object Bench {
       else if (i == 0) 1.0
       else t._2 / baseline }
     def segDrift(atRun: Int): Double = {
-      val after = ticks.indexWhere(_._1 >= atRun)
+      // strictly-after: a run STARTING at a tick boundary belongs to the
+      // segment that FOLLOWS the boundary's control reading, so its
+      // adjudicating pair is (that tick, the next one) — with >= the
+      // suite's first query resolved to the clamped tick-0 reading twice
+      // and could never be flagged
+      val after = ticks.indexWhere(_._1 > atRun)
       val hi = if (after < 0) ticks.length - 1 else after
       val lo = math.max(0, hi - 1)
       math.max(drift(lo), drift(hi))
@@ -148,7 +156,11 @@ object Bench {
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = oneshot.map(_._3).filter(_ >= 0).sum
-    def driftJson(d: Double): String = if (d.isInfinity) "-1" else f"$d%.3f"
+    // a failed reading's infinite drift must read DEGRADED downstream
+    // (any > threshold check), never -1 — JSON has no Infinity, so a
+    // large finite sentinel carries the signal
+    def driftJson(d: Double): String =
+      if (d.isInfinity) "9999.999" else f"$d%.3f"
     val controlJson =
       s""""control":{"name":"$ControlQuery","baseline_sec":$baseline,""" +
         s""""series":${ticks.map(t => s"[${t._1},${t._2}]").mkString("[", ",", "]")},""" +
@@ -251,7 +263,8 @@ object Bench {
     * this fork — sbt's `run / fork` gives us real values for both) and
     * return its KNEEJSON payload, or None if the fork failed — a missing
     * fresh knee must degrade to the in-suite number, not kill the bench. */
-  private def kneeFreshForked(timeoutSec: Long = 900L): Option[String] = {
+  private def kneeFreshForked(cpus: String,
+      timeoutSec: Long = 900L): Option[String] = {
     try {
       val javaBin = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
@@ -260,6 +273,11 @@ object Bench {
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.KneeFresh")
       val pb = new ProcessBuilder(cmd.asJava)
+      // the fork must measure under the SAME parallelism as the rest of
+      // the artifact: pass the parent's RESOLVED cpu count (KneeFresh's
+      // own default differs, and an unset env var would silently make
+      // the headline knee incomparable to every other number)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()

@@ -2252,7 +2252,7 @@ object Queries {
         |      FROM (SELECT unnest(range(7)) AS i)),
         |ranked AS (
         |  SELECT t.tenant, t.current, n.node, n.load,
-        |    row_number() OVER (PARTITION BY t.tenant
+        |    row_number() OVER (PARTITION BY t.tenant, t.current
         |                       ORDER BY md5(t.tenant || ':' || n.node)) AS rn
         |  FROM t CROSS JOIN n),
         |picks AS (

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
 object Crypto {
 
   /** `Realtime.Crypto.encrypt!`: AES-128-ECB + PKCS#7, base64 text.
-    * Spark's `base64` MIME-chunks at 76 chars (a CRLF every line, unlike
-    * Elixir's `Base.encode64`) — the `translate` strips it so the
-    * armored text is byte-identical to the reference's. */
+    * Spark's `base64` MIME-chunks at 76 chars on THIS runtime (measured:
+    * a 108-char armored text gained a CRLF — the `chunkBase64String`
+    * legacy behavior is active in the deployed Spark 4.1.2 build; do not
+    * remove the strip on the strength of upstream default-flag docs
+    * alone, CryptoSpec's byte-parity case is the arbiter) — `translate`
+    * strips it so the armored text is byte-identical to Elixir's
+    * unchunked `Base.encode64`, and is a no-op if a future runtime stops
+    * chunking. */
   def encrypt(text: Column, key: Column): Column =
     translate(base64(aes_encrypt(text.cast("binary"), key.cast("binary"),
       lit("ECB"), lit("PKCS"))), "\r\n", "")

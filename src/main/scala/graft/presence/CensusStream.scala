@@ -53,9 +53,14 @@ object CensusStream {
           evs.toSeq.groupBy(j => ceilTick(j.epochSec)).toSeq.sortBy(_._1)
             .foreach { case (tick, batch) =>
               if (tick <= st.lastTick) {
-                // sync already in flight for this tick: fold into the
-                // count, visible from the next broadcast
-                st = st.copy(cum = st.cum + batch.size)
+                // sync already in flight for this tick: the join folds
+                // into the count and the NEXT interval's gossip carries
+                // it — emitted NOW (lastTick advances), because with no
+                // wall timer a silent fold would never surface if the
+                // key saw no further traffic, permanently under-
+                // reporting vs the timer-driven reference gossiper
+                st = St(st.cum + batch.size, st.lastTick + intervalSec)
+                out += Broadcast(node, grp, st.lastTick, st.cum)
               } else {
                 // the timer fired for every interval in between — emit
                 // the unchanged-count gossip for the gap ticks

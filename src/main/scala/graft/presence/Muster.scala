@@ -90,7 +90,12 @@ object Muster {
     val t = tenants.select(col(tenantCol).as("tenant"),
       col(currentCol).as("current")).distinct()
     val n = nodes.select(col(nodeCol).as("node"), col(loadCol).as("load"))
-    val w = Window.partitionBy("tenant")
+    // partition by (tenant, current), not tenant alone: rows are distinct
+    // on the pair, so a tenant appearing under two current nodes (a
+    // mid-extract move, dirty input) would otherwise fold both copies
+    // into ONE ranking where the duplicate md5 keys tie arbitrarily —
+    // each live placement record gets its own deterministic draw instead
+    val w = Window.partitionBy("tenant", "current")
       .orderBy(md5(concat(col("tenant"), lit(":"), col("node"))))
     val ranked = t.crossJoin(broadcast(n))
       .withColumn("_rn", row_number().over(w))

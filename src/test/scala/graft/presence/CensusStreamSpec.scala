@@ -62,6 +62,35 @@ class CensusStreamSpec extends SparkSpec {
     assert(stream(("nA", "g", 120L)) == 2L)
   }
 
+  test("a join landing at-or-before the last gossip surfaces in the NEXT " +
+      "interval's broadcast — never a silent fold") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Join](spark)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = CensusStream(input.toDS(), intervalSec = 60L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Broadcast], _: Long) =>
+        b.collect().foreach(r => got.add((r.tickSec, r.count)))
+        ()
+      }.start()
+    try {
+      input.addData(Seq(Join("nA", "g", 10L)))
+      q.processAllAvailable() // gossips (60, 1)
+      // a join for the ALREADY-GOSSIPED tick 60 arrives late: the next
+      // interval's broadcast must carry it even with no further traffic
+      input.addData(Seq(Join("nA", "g", 50L)))
+      q.processAllAvailable()
+      input.addData(Seq(Join("nA", "g", 130L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val ticks = got.asScala.toSeq
+    assert(ticks.toSet == Set((60L, 1L), (120L, 2L), (180L, 3L)),
+      s"got $ticks")
+    assert(ticks.size == 3, s"a tick gossiped twice: $ticks")
+  }
+
   test("gossip state survives a restart from checkpoint: counts continue, " +
       "no tick re-emitted") {
     implicit val s = spark
