@@ -158,6 +158,17 @@ object KneeProfile {
         s"delivered=${r.nDelivered} p50=${r.steady.p50} p95=${r.steady.p95} " +
         s"p99=${r.steady.p99} sustained=${r.nDelivered == r.nSent && r.steady.p99 <= 1000}")
     }
+    // feeder-partition leg: MemoryStream yields one partition per
+    // addData block (~2/trigger with the 1-chunk feeder), so the
+    // pipeline may be task-starved, not CPU-bound — chunked feeding
+    // models a partitioned source and measures the true parallel knee
+    for (chunks <- Seq(1, 8, 16); rate <- Seq(640000, 1280000)) {
+      System.gc(); Thread.sleep(200L)
+      val r = StreamLatency.run(spark, rate, 6, 100L, 2, feedChunks = chunks)
+      println(s"[kneeprofile] chunks=$chunks rate=$rate sent=${r.nSent} " +
+        s"delivered=${r.nDelivered} p50=${r.steady.p50} p95=${r.steady.p95} " +
+        s"p99=${r.steady.p99} sustained=${r.nDelivered == r.nSent && r.steady.p99 <= 1000}")
+    }
     spark.stop()
   }
 }

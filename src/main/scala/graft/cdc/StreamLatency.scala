@@ -158,9 +158,13 @@ object StreamLatency {
     * `viaLog` routes deliveries through the outbound ReplayLog sink
     * (topic, partitions) and clocks AFTER the produce — the caller owns
     * the topic's cleanup. */
+  /** `feedChunks` 0 = adaptive (default): split each 50 ms feed step
+    * into ~4k-row blocks, capped at 16 — low rates keep one block per
+    * step (identical to the historical feeder), high rates spread. */
   def run(spark: SparkSession, ratePerSec: Int = 1000, seconds: Int = 8,
       triggerMs: Long = 100L, warmupSec: Int = 3,
-      viaLog: Option[(String, Int)] = None): Report = {
+      viaLog: Option[(String, Int)] = None,
+      feedChunks: Int = 0): Report = {
     require(ratePerSec >= 20 && ratePerSec % 20 == 0,
       s"ratePerSec must be a positive multiple of 20 (50 ms feed steps), got $ratePerSec")
     require(seconds >= 1 && warmupSec < seconds)
@@ -191,16 +195,34 @@ object StreamLatency {
     try {
       try {
       // feed in 50 ms steps pinned to the wall clock so the offered rate
-      // stays `ratePerSec` even when addData itself stalls briefly
+      // stays `ratePerSec` even when addData itself stalls briefly.
+      // `feedChunks` splits each step into that many addData calls:
+      // MemoryStream materializes ONE partition per addData block, so a
+      // 1-chunk feeder gives every micro-batch ~2 partitions (two 50 ms
+      // steps per 100 ms trigger) and the whole match+shape+encode
+      // pipeline runs on ~2 tasks regardless of cores — a HARNESS
+      // artifact, not an engine property; a real partitioned source
+      // (the ReplayLog DSv2, a broker) spreads by construction. Chunked
+      // feeding models that spread.
       val stepMs = 50
       val perStep = ratePerSec * stepMs / 1000
       val steps = seconds * 1000 / stepMs
+      val chunks =
+        if (feedChunks > 0) feedChunks
+        else math.min(16, math.max(1, perStep / 4000))
+      val chunk = math.max(1, perStep / chunks)
       val t0 = System.nanoTime()
       var step = 0
       while (step < steps) {
         val now = System.currentTimeMillis().toString
-        input.addData((0 until perStep).map(k =>
-          Change(nSent + k, "INSERT", 1.0, now)))
+        var off = 0
+        while (off < perStep) {
+          val n = math.min(chunk, perStep - off)
+          val base = nSent + off
+          input.addData((0 until n).map(k =>
+            Change(base + k, "INSERT", 1.0, now)))
+          off += n
+        }
         nSent += perStep
         val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
         if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
