@@ -213,7 +213,8 @@ object Bench {
       // state, kept in the artifact as knee_in_suite so the delta to
       // knee_fresh documents session degradation per round
       val kn = graft.cdc.StreamLatency.knee(spark,
-        rates = Seq(2000, 10000, 40000, 160000, 320000, 640000, 1280000),
+        rates = Seq(2000, 10000, 40000, 160000, 320000, 640000, 1280000,
+          2560000),
         seconds = 6,
         triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
       val kneeInSuite =
