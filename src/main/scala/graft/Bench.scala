@@ -91,7 +91,11 @@ object Bench {
     controlTicks += ((0,
       if (c0a < 0 || c0b < 0) math.max(c0a, c0b) else math.min(c0a, c0b)))
     // pass 1: one-shot numbers (what every prior round reported — first
-    // execution of each plan in this session, JIT/codegen state included)
+    // execution of each plan in this session, JIT/codegen state
+    // included). EXCEPTION: the control query itself has already run
+    // twice as the baseline above, so its pass-1 number is pre-warmed,
+    // not first-execution — the artifact flags it as `prewarmed` so
+    // cross-round comparisons of that one query read warm-vs-warm.
     val oneshot = sorted.map { case (name, fn) =>
       (name, nTimed, time(name, fn)) }
     // pass 2: one warm re-run of everything; pass 3: a second warm run
@@ -158,14 +162,18 @@ object Bench {
     val total = oneshot.map(_._3).filter(_ >= 0).sum
     // a failed reading's infinite drift must read DEGRADED downstream
     // (any > threshold check), never -1 — JSON has no Infinity, so a
-    // large finite sentinel carries the signal
+    // large finite sentinel carries the signal. Locale.ROOT formatting:
+    // the default-locale f"" interpolator renders 1.5 as "1,5" on a
+    // comma-decimal JVM and the whole bench JSON stops parsing.
     def driftJson(d: Double): String =
-      if (d.isInfinity) "9999.999" else f"$d%.3f"
+      if (d.isInfinity) "9999.999"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val controlJson =
       s""""control":{"name":"$ControlQuery","baseline_sec":$baseline,""" +
         s""""series":${ticks.map(t => s"[${t._1},${t._2}]").mkString("[", ",", "]")},""" +
         s""""drift":${drift.map(driftJson).mkString("[", ",", "]")},""" +
         s""""max_drift":${driftJson(drift.max)}},""" +
+        s""""prewarmed":["$ControlQuery"],""" +
         s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // streaming SLO: commit→broadcast latency at the reference's implied
     // design point (1,000 changes/s, 100 ms poll) — the one number the
@@ -265,7 +273,7 @@ object Bench {
     * return its KNEEJSON payload, or None if the fork failed — a missing
     * fresh knee must degrade to the in-suite number, not kill the bench. */
   private def kneeFreshForked(cpus: String,
-      timeoutSec: Long = 900L): Option[String] = {
+      timeoutSec: Long = 1200L): Option[String] = {
     try {
       val javaBin = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString

@@ -14,8 +14,24 @@ import org.apache.spark.sql.SparkSession
   * stays in the artifact as `knee_in_suite` for the session-degradation
   * delta.
   *
+  * HOST-HEALTH CONTROL (round-12, closing the r11 adjudication gap): a
+  * fresh JVM is not a fresh HOST — the round driver generates Bench
+  * minutes after its own correctness marathon, and BENCH_r11 recorded a
+  * knee (320k, 640k at p99 13 s) that two quiet-host probes of the same
+  * binary contradicted (640k sustained p99 561/481), with nothing in the
+  * JSON saying which reading to trust. So before the sweep this main
+  * runs [[graft.cdc.StreamLatency.rawFloor]] — the knee feeder into a
+  * bare foreachBatch count, the engine floor NO pipeline change can
+  * move — and compares its busy throughput against the committed
+  * quiet-host band. A degraded control gets one cool-down retry (the
+  * post-marathon damage decays over minutes), and the final reading is
+  * stamped into the KNEEJSON as `control` + `host_health` + `suspect`,
+  * so a contended-host knee arrives pre-adjudicated instead of needing
+  * a judge re-probe.
+  *
   * Prints exactly one stdout line `KNEEJSON {…}` ([[graft.cdc
-  * .StreamLatency.kneeJson]] shape) for the parent to splice verbatim.
+  * .StreamLatency.kneeJson]] shape plus the control object) for the
+  * parent to splice verbatim.
   */
 object KneeFresh {
   /** Sweep grid: the low rates are settled by the in-suite sweep; the
@@ -25,6 +41,31 @@ object KneeFresh {
     * 640k → one quiet-host run sustaining 1.28M) — a sweep that tops out
     * sustained makes a grid-capped claim, not a knee measurement. */
   val Rates = Seq(40000, 160000, 320000, 640000, 1280000, 2560000)
+
+  /** Control window: offered rate + length for the raw-floor leg. The
+    * offered rate must exceed the raw engine's capacity, or the busy
+    * throughput just reads back the offered rate: calibration showed a
+    * 320k control barely moved under a 24-core busy-loop load (the bare
+    * count only needs a few cores), while at 2.56M offered the engine
+    * saturates (occupancy > 1) and the busy throughput measures actual
+    * host speed — quiet 1.59–1.84M rows/s, 24-core load 1.31M, 48-core
+    * load 854k. */
+  val ControlRate = 2560000
+  val ControlSeconds = 4
+  /** Committed quiet-host busy throughput of the control on THIS
+    * harness (32 cpus, fresh-JVM on an idle host — seven calibration
+    * passes read 1.59–1.84M rows/s, see COVERAGE round 12). The band is
+    * the lower edge of the quiet readings, so healthy hosts sit at
+    * health ≥ 1.0 and the 0.7 suspect line is ~2 window-noise widths
+    * below quiet. */
+  val QuietBandRowsPerSec = 1550000L
+  /** Control readings below this fraction of the band mark the knee
+    * suspect (r11's contended-host artifact would have read ~0.4). */
+  val HealthSuspect = 0.7
+  /** Cool-down before a degraded control is re-read: host-level
+    * post-marathon damage decays over minutes, not milliseconds. */
+  val CooldownMs = 45000L
+  val MaxRetries = 2
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,9 +77,45 @@ object KneeFresh {
     // one warm pass: codegen/planning paid once, like every window's
     // own warmupSec handles JIT inside the window
     graft.cdc.StreamLatency.run(spark, 1000, 4, 100L, 2)
+    // host-health control, with cool-down retries while degraded: the
+    // knee should be measured on the healthiest host state available,
+    // and when that is still degraded the artifact must say so. The
+    // committed band was calibrated at 32 cpus (the driver's bench
+    // parallelism); at any other width the control still records its
+    // reading but health/suspect are withheld (-1/false) rather than
+    // compared against a band measured under different parallelism.
+    val bandApplies = cpus == "32"
+    var ctl = graft.cdc.StreamLatency.rawFloor(spark, ControlRate,
+      ControlSeconds)
+    var retries = 0
+    while (bandApplies &&
+        ctl.rowsPerSec < HealthSuspect * QuietBandRowsPerSec &&
+        retries < MaxRetries) {
+      System.err.println(s"[kneefresh] control degraded " +
+        s"(${ctl.rowsPerSec} rows/s vs band $QuietBandRowsPerSec) — " +
+        s"cooling down ${CooldownMs / 1000} s")
+      Thread.sleep(CooldownMs)
+      retries += 1
+      val again = graft.cdc.StreamLatency.rawFloor(spark, ControlRate,
+        ControlSeconds)
+      if (again.rowsPerSec > ctl.rowsPerSec) ctl = again
+    }
+    val health =
+      if (bandApplies) ctl.rowsPerSec.toDouble / QuietBandRowsPerSec else -1.0
+    val suspect = bandApplies && health < HealthSuspect
     val kn = graft.cdc.StreamLatency.knee(spark, Rates, seconds = 6,
       triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
-    println("KNEEJSON " + graft.cdc.StreamLatency.kneeJson(kn))
+    val healthStr = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(health))
+    val controlJson =
+      s""""control":{"raw_rate_per_sec":$ControlRate,""" +
+        s""""raw_rows_per_sec":${ctl.rowsPerSec},""" +
+        s""""quiet_band_rows_per_sec":$QuietBandRowsPerSec,""" +
+        s""""band_cpus":32,"cpus":$cpus,""" +
+        s""""host_health":$healthStr,"cooldown_retries":$retries,""" +
+        s""""suspect":$suspect},"""
+    println("KNEEJSON {" + controlJson +
+      graft.cdc.StreamLatency.kneeJson(kn).stripPrefix("{"))
     spark.stop()
   }
 }

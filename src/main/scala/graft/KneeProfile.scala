@@ -71,66 +71,19 @@ object KneeProfile {
     } finally q.stop()
   }
 
-  /** Engine-floor control: the same feeder into a bare
-    * foreachBatch-accumulator query — NO match/shape/encode/fan-out —
-    * measured through [[graft.cdc.Telemetry]]'s listener. The delta to
-    * the no-op-sink pipeline window is the pipeline's own per-row cost;
-    * the raw number is the MemoryStream + micro-batch-engine floor that
-    * no pipeline optimization can pass. */
+  /** Engine-floor control: [[StreamLatency.rawFloor]] — the same feeder
+    * into a bare foreachBatch-accumulator query, NO match/shape/encode/
+    * fan-out. The delta to the no-op-sink pipeline window is the
+    * pipeline's own per-row cost; the raw number is the MemoryStream +
+    * micro-batch-engine floor that no pipeline optimization can pass
+    * (shared with [[KneeFresh]]'s host-health stamp). */
   private def windowRaw(spark: SparkSession, rate: Int, seconds: Int): Unit = {
-    import spark.implicits._
-    System.gc(); Thread.sleep(200L)
-    val registry = "kneeprofile-raw-" + System.nanoTime()
-    val l = graft.cdc.Telemetry.listener(registry, "raw")
-    spark.streams.addListener(l)
-    val input = MemoryStream[StreamLatency.Change](spark)
-    val acc = spark.sparkContext.longAccumulator("raw-rows")
-    val q = input.toDF().writeStream.outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; acc.add(n)
-        }
-        ()
-      }.start()
-    val stepMs = 50
-    val perStep = rate * stepMs / 1000
-    val steps = seconds * 1000 / stepMs
-    val t0 = System.nanoTime()
-    var step = 0
-    var sent = 0L
-    try {
-      while (step < steps) {
-        val now = System.currentTimeMillis().toString
-        input.addData((0 until perStep).map(k =>
-          StreamLatency.Change(sent + k, "INSERT", 1.0, now)))
-        sent += perStep
-        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
-        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
-        step += 1
-      }
-      val feedWallMs = (System.nanoTime() - t0) / 1000000L
-      q.processAllAvailable()
-      val drainWallMs = (System.nanoTime() - t0) / 1000000L
-      // give the async listener bus a beat to drain
-      Thread.sleep(500L)
-      val snap = graft.cdc.Telemetry.snapshot(spark, registry)
-      val durs = snap.where(org.apache.spark.sql.functions.col("metric") ===
-          "batch_duration_ms")
-        .select("value").collect().map(_.getDouble(0).toLong).sorted
-      val busy = durs.sum
-      println(f"[kneeprofile] rate=$rate sink=rawcount batches=${durs.length}" +
-        f" dur_p50=${if (durs.isEmpty) -1L else durs(durs.length / 2)}" +
-        f" dur_max=${durs.lastOption.getOrElse(-1L)}" +
-        f" rows=${acc.value}" +
-        f" throughput_rows_per_sec=${if (busy == 0) -1L else acc.value * 1000L / busy}" +
-        f" occupancy_feed=${busy.toDouble / feedWallMs}%.2f" +
-        f" drain_tail_ms=${drainWallMs - feedWallMs}")
-    } finally {
-      q.stop()
-      spark.streams.removeListener(l)
-      graft.cdc.Telemetry.clear(registry)
-    }
+    val rf = StreamLatency.rawFloor(spark, rate, seconds)
+    println(f"[kneeprofile] rate=$rate sink=rawcount batches=${rf.batches}" +
+      f" dur_p50=${rf.p50Ms} dur_max=${rf.maxMs} rows=${rf.rows}" +
+      f" throughput_rows_per_sec=${rf.rowsPerSec}" +
+      f" occupancy_feed=${rf.busyMs.toDouble / rf.feedWallMs}%.2f" +
+      f" drain_tail_ms=${rf.drainTailMs}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -145,6 +98,10 @@ object KneeProfile {
     window(spark, 1000, 3, "warm", noop)
     for (rate <- Seq(320000, 640000)) {
       window(spark, rate, 6, "timing", new StreamLatency.TimingSink("prof-" + rate))
+      // the timing window above only times; nothing reads the samples —
+      // discard the stripes (and tombstone the runId so a straggler
+      // offer can't re-register them)
+      StreamLatency.discard("prof-" + rate)
       window(spark, rate, 6, "noop", noop)
       windowRaw(spark, rate, 6)
     }

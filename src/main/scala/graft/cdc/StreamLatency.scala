@@ -62,6 +62,13 @@ object StreamLatency {
 
   private val registry =
     new ConcurrentHashMap[String, ConcurrentLinkedQueue[Buf]]()
+  // run ids whose stripes were drained/discarded: a sink thread racing
+  // past drain() must NOT re-create the registry entry via
+  // computeIfAbsent (nothing would ever remove it again — stripes for a
+  // 640k/s run are ~60 MB, retained for the JVM lifetime). RunIds are
+  // never reused and a JVM sees dozens of runs, so the tombstone set
+  // stays a handful of strings.
+  private val closed = ConcurrentHashMap.newKeySet[String]()
   private val perThread: ThreadLocal[java.util.HashMap[String, Buf]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, Buf]())
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -70,6 +77,7 @@ object StreamLatency {
     val m = perThread.get()
     var b = m.get(runId)
     if (b == null) {
+      if (closed.contains(runId)) return // run already drained: drop late samples
       // first sample of a new run on this thread: purge this thread's
       // buffers for already-drained runs (runIds are never reused, so a
       // missing registry entry means the run is over) — bounds the
@@ -84,8 +92,18 @@ object StreamLatency {
     b.add(commit, latMs)
   }
 
+  /** Drop `runId`'s stripes without reading them and tombstone the id —
+    * for callers (KneeProfile's prof-* sinks, failed runs) that time
+    * through a [[TimingSink]] but never consume the samples. */
+  private[graft] def discard(runId: String): Unit = {
+    closed.add(runId)
+    registry.remove(runId)
+    ()
+  }
+
   /** Remove and concatenate all stripes for `runId`. */
   private def drain(runId: String): Array[(Long, Long)] = {
+    closed.add(runId)
     val q = registry.remove(runId)
     if (q == null) Array.empty
     else q.asScala.toArray.flatMap { b =>
@@ -238,7 +256,86 @@ object StreamLatency {
       overall = percentiles(all.map(_._2)),
       steady = percentiles(all.collect { case (c, l) if c >= steadyFloor => l }),
       batchDurationP95Ms = batchP95)
-    } finally registry.remove(runId) // failed runs must not leak stripes
+    } finally discard(runId) // failed runs must not leak or re-grow stripes
+  }
+
+  /** One raw-engine floor window: `rows` counted through a bare
+    * foreachBatch accumulator, `busyMs` = Σ engine batch durations, and
+    * the busy throughput `rowsPerSec = rows / busy` — a host-speed
+    * number independent of the offered rate's pacing sleeps. */
+  final case class RawFloor(rate: Int, seconds: Int, batches: Int,
+      rows: Long, busyMs: Long, p50Ms: Long, maxMs: Long,
+      feedWallMs: Long, drainTailMs: Long) {
+    def rowsPerSec: Long = if (busyMs == 0) -1L else rows * 1000L / busyMs
+  }
+
+  /** The engine-floor CONTROL: the knee harness's feeder into a bare
+    * foreachBatch row count — NO match/shape/encode/fan-out — so the
+    * measured throughput is the MemoryStream + micro-batch-engine floor
+    * that no pipeline optimization can pass. Two consumers: KneeProfile's
+    * decomposition (the raw leg) and [[graft.KneeFresh]]'s host-health
+    * stamp — the same binary run on a quiet host reads a committed band,
+    * and a degraded reading marks the knee artifact suspect (the r11
+    * adjudication gap: the driver's recorded knee was taken minutes after
+    * its own correctness marathon and under-read the quiet-host truth
+    * with nothing in the JSON saying so). */
+  def rawFloor(spark: SparkSession, ratePerSec: Int, seconds: Int): RawFloor = {
+    import spark.implicits._
+    System.gc(); Thread.sleep(200L)
+    val registry = "rawfloor-" + System.nanoTime()
+    val l = graft.cdc.Telemetry.listener(registry, "raw")
+    spark.streams.addListener(l)
+    val input = MemoryStream[Change](spark)
+    val acc = spark.sparkContext.longAccumulator("raw-rows")
+    val q = input.toDF().writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; acc.add(n)
+        }
+        ()
+      }.start()
+    val stepMs = 50
+    val perStep = ratePerSec * stepMs / 1000
+    val steps = seconds * 1000 / stepMs
+    val chunks = math.min(16, math.max(1, perStep / 4000))
+    val chunk = math.max(1, perStep / chunks)
+    val t0 = System.nanoTime()
+    var step = 0
+    var sent = 0L
+    try {
+      while (step < steps) {
+        val now = System.currentTimeMillis().toString
+        var off = 0
+        while (off < perStep) {
+          val n = math.min(chunk, perStep - off)
+          val base = sent + off
+          input.addData((0 until n).map(k =>
+            Change(base + k, "INSERT", 1.0, now)))
+          off += n
+        }
+        sent += perStep
+        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
+        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
+        step += 1
+      }
+      val feedWallMs = (System.nanoTime() - t0) / 1000000L
+      q.processAllAvailable()
+      val drainWallMs = (System.nanoTime() - t0) / 1000000L
+      Thread.sleep(500L) // let the async listener bus drain
+      val snap = graft.cdc.Telemetry.snapshot(spark, registry)
+      val durs = snap.where(org.apache.spark.sql.functions.col("metric") ===
+          "batch_duration_ms")
+        .select("value").collect().map(_.getDouble(0).toLong).sorted
+      RawFloor(ratePerSec, seconds, durs.length, acc.value, durs.sum,
+        p50Ms = if (durs.isEmpty) -1L else durs(durs.length / 2),
+        maxMs = durs.lastOption.getOrElse(-1L),
+        feedWallMs = feedWallMs, drainTailMs = drainWallMs - feedWallMs)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(l)
+      graft.cdc.Telemetry.clear(registry)
+    }
   }
 
   /** One sweep point of [[knee]]: the rate, its steady percentiles, the
