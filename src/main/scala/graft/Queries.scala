@@ -2209,10 +2209,10 @@ object Queries {
         |  FROM events),
         |hourly AS (SELECT node, grp, tick_us, CAST(count(*) AS BIGINT) AS c
         |  FROM e GROUP BY 1, 2, 3),
-        |b AS (SELECT min(tick_us) AS t0, max(tick_us) AS t1 FROM e),
-        |ticks AS (SELECT unnest(generate_series(t0, t1, 3600000000)) AS tick_us FROM b),
+        |b AS (SELECT grp, min(tick_us) AS t0, max(tick_us) AS t1 FROM e GROUP BY 1),
+        |ticks AS (SELECT grp, unnest(generate_series(t0, t1, 3600000000)) AS tick_us FROM b),
         |grid AS (SELECT node, grp, tick_us
-        |  FROM (SELECT DISTINCT node FROM e), (SELECT DISTINCT grp FROM e), ticks),
+        |  FROM (SELECT DISTINCT node FROM e), ticks),
         |cums AS (SELECT g.node, g.grp, g.tick_us,
         |    sum(coalesce(h.c, 0)) OVER (PARTITION BY g.node, g.grp ORDER BY g.tick_us) AS cum
         |  FROM grid g LEFT JOIN hourly h

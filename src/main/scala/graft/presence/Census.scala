@@ -29,11 +29,13 @@ import org.apache.spark.sql.functions._
   * reads' staleness window, which [[graft.presence]]'s spec pins.
   *
   * Scale shape: ONE corpus-sized aggregation (events → per-(node, group,
-  * tick) counts); everything after runs on the dense broadcast grid —
-  * nodes × groups × ticks, metadata-sized (a cluster has hundreds of
-  * nodes and a bounded horizon, not a corpus of them) — with windows
-  * partitioned by (node, group) and the peer sum keyed by (group, tick).
-  * No global window, no driver loop.
+  * tick) counts); everything after runs on the broadcast grid — nodes ×
+  * each group's OWN active tick span (not the global horizon: groups are
+  * pubsub topics and number in the millions at scale, most touching a
+  * sliver of the horizon, so a global-span grid would materialize
+  * billions of zero rows) — with windows partitioned by (node, group)
+  * and the peer sum keyed by (group, tick). No global window, no driver
+  * loop.
   */
 object Census {
 
@@ -54,15 +56,26 @@ object Census {
         * stepUs).as("tick_us"))
     val hourly = e.groupBy("node", "grp", "tick_us")
       .agg(count(lit(1)).as("c"))
-    // dense broadcast grid: nodes × groups × every tick in the horizon —
-    // the lag(1) below is only "the previous broadcast" if no tick is
-    // missing. All three dimensions are metadata-sized; broadcast joins.
-    val bounds = e.agg(min("tick_us").as("t0"), max("tick_us").as("t1"))
-    val ticks = bounds.select(explode(
+    // dense broadcast grid, bounded to each GROUP's own active span:
+    // nodes × Σ_g [min tick of g, max tick of g] — the lag(1) below is
+    // only "the previous broadcast" if no tick inside a group's span is
+    // missing, and a group's span is exactly where its gossip exists
+    // (before its first event no node has broadcast it; after its last
+    // tick the final broadcast simply stays every reader's freshest
+    // snapshot, so later reads add no information). The r11 shape used
+    // the GLOBAL [min, max] span for every group, which at census scale
+    // — groups are pubsub topics, millions of them, most active for a
+    // sliver of the horizon — materializes nodes × groups × full-horizon
+    // ticks (≈72B rows at 1M groups × 100 nodes × 720 ticks), almost all
+    // zeros; per-group spans collapse that to rows proportional to the
+    // events' own spread. The span agg is metadata-sized (one row per
+    // group); the tick explode stays broadcastable.
+    val spans = e.groupBy("grp")
+      .agg(min("tick_us").as("t0"), max("tick_us").as("t1"))
+    val gticks = spans.select(col("grp"), explode(
       sequence(col("t0"), col("t1"), lit(stepUs))).as("tick_us"))
     val grid = e.select("node").distinct()
-      .crossJoin(broadcast(e.select("grp").distinct()))
-      .crossJoin(broadcast(ticks))
+      .crossJoin(broadcast(gticks))
     val byNode = Window.partitionBy("node", "grp").orderBy("tick_us")
     val cums = grid.join(hourly, Seq("node", "grp", "tick_us"), "left")
       .select(col("node"), col("grp"), col("tick_us"),

@@ -34,6 +34,35 @@ class CensusSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("a sparse group's grid is bounded to its OWN active span — no " +
+      "full-horizon zero rows, and reads inside the span are unchanged") {
+    import spark.implicits._
+    // interval 60 s; "hot" is active across ticks 60..660 (11 ticks),
+    // "sparse" has ONE join whose only tick is 360 — the r11 global-span
+    // grid would emit sparse rows at all 11 ticks (20 zero rows)
+    val events = Seq(("nA", "hot", 10L), ("nB", "hot", 610L),
+      ("nA", "sparse", 310L))
+      .toDF("node", "grp", "sec")
+      .select(col("node"), col("grp"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = Census.memberCounts(events, "node", "grp", "ts", 60L)
+      .select(col("read_node"), col("grp"),
+        (unix_micros(col("read_ts")) / 1000000L).cast("long"),
+        col("n_local"), col("n_remote"), col("n_total"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val sparseTicks = got.filter(_._2 == "sparse").map(_._3).distinct
+    assert(sparseTicks.toSet == Set(360L),
+      s"sparse group leaked outside its span: ${sparseTicks.toSeq}")
+    // 2 nodes × (11 hot ticks + 1 sparse tick)
+    assert(got.length == 24, s"grid size ${got.length}")
+    // reads at the sparse tick carry reference semantics: the joiner
+    // reads its exact local count, the peer's broadcast is in flight
+    val at360 = got.filter(r => r._2 == "sparse" && r._3 == 360L)
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(at360("nA") == ((1L, 0L, 1L)))
+    assert(at360("nB") == ((0L, 0L, 0L)))
+  }
+
   test("reads converge to the true total once an interval passes with " +
       "no new joins; per-tick totals never exceed the true count") {
     import spark.implicits._

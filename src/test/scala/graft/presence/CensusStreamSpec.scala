@@ -91,6 +91,40 @@ class CensusStreamSpec extends SparkSpec {
     assert(ticks.size == 3, s"a tick gossiped twice: $ticks")
   }
 
+  test("ALL late ticks of one invocation fold into ONE next-interval " +
+      "gossip — the stamp advance is bounded, not per-late-tick") {
+    implicit val s = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Join](spark)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = CensusStream(input.toDS(), intervalSec = 60L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Broadcast], _: Long) =>
+        b.collect().foreach(r => got.add((r.tickSec, r.count)))
+        ()
+      }.start()
+    try {
+      // advance the key to tick 300
+      input.addData(Seq(Join("nA", "g", 290L)))
+      q.processAllAvailable() // gossips (300, 1)
+      // FOUR distinct late ticks (60/120/180/240 ≤ lastTick 300) in one
+      // micro-batch: the old per-late-tick advance would stamp 360, 420,
+      // 480, 540 — four intervals ahead of event time; the fold must
+      // emit exactly ONE synthetic gossip at 360 carrying all four
+      input.addData(Seq(Join("nA", "g", 50L), Join("nA", "g", 110L),
+        Join("nA", "g", 170L), Join("nA", "g", 230L)))
+      q.processAllAvailable()
+      // an in-order tick afterwards continues from the bounded stamp
+      input.addData(Seq(Join("nA", "g", 410L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val ticks = got.asScala.toSeq
+    assert(ticks.toSet == Set((300L, 1L), (360L, 5L), (420L, 6L)),
+      s"got $ticks")
+    assert(ticks.size == 3, s"a tick gossiped twice: $ticks")
+  }
+
   test("gossip state survives a restart from checkpoint: counts continue, " +
       "no tick re-emitted") {
     implicit val s = spark
