@@ -56,9 +56,13 @@ object CdcStream {
   /** Executor-side delivery contract: `offer` is called on the partition
     * that produced the frame. Implementations must be serializable and
     * JVM-local-state-free (talk to an external system, or to a
-    * static registry like [[MemoryBus]]). */
+    * static registry like [[MemoryBus]]). `flush` is called once per
+    * Spark partition after its last `offer` — buffering sinks (a real
+    * producer client, the file-backed log) publish there so a batch's
+    * frames are visible to consumers when the batch completes. */
   trait DeliverySink extends Serializable {
     def offer(d: Delivery): Unit
+    def flush(): Unit = ()
   }
 
   /** In-memory delivery bus for tests / local runs; a Kafka producer or
@@ -206,6 +210,7 @@ object CdcStream {
       deliveries.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var n = 0L
         it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
+        sink.flush()
         acc.add(n)
       }
       // the counting accumulator is final once the delivery action above
@@ -339,6 +344,7 @@ object CdcStream {
     deliveries.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       var n = 0L
       it.foreach { r => sink.offer(Delivery(r.getString(0), r.getString(1))); n += 1 }
+      sink.flush()
       acc.add(n)
     }
     val stats = BatchStats(batchId, nChanges, acc.value, shed = false,

@@ -159,6 +159,11 @@ object ReplayLogOffset {
 /** `spark.readStream.format("graft-replaylog").option("topic", t)` —
   * micro-batch (and batch) reads over [[ReplayLog]]. Options:
   *  - `topic` (required);
+  *  - `root`: a directory path — read the FILE-BACKED log
+  *    ([[FileReplayLog]]) rooted there instead of the in-JVM registry,
+  *    which is what lets the producer be a different process; offsets,
+  *    planning, admission control, and recovery are identical (the
+  *    reader body is the only seam, as designed);
   *  - `maxOffsetsPerTrigger`: admission cap on total records per
   *    micro-batch, spread across partitions proportionally to their
   *    backlog (the Kafka source's contract);
@@ -189,32 +194,44 @@ private[sources] final class ReplayLogTable(options: Map[String, String])
 
 private[sources] final class ReplayLogScan(topic: String,
     options: Map[String, String]) extends Scan {
+  private val root = options.get("root")
   override def readSchema(): StructType = ReplayLog.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ReplayLogMicroBatchStream(topic, options)
   // batch read: everything currently retained (spec/oracle convenience)
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      ReplayLog.endOffsets(topic).toSeq.sortBy(_._1).map { case (p, end) =>
-        ReplayLogInputPartition(topic, p, 0L, end): InputPartition
+    override def planInputPartitions(): Array[InputPartition] = {
+      val ends = root match {
+        case Some(r) => FileReplayLog.endOffsets(r, topic)
+        case None => ReplayLog.endOffsets(topic)
+      }
+      ends.toSeq.sortBy(_._1).map { case (p, end) =>
+        ReplayLogInputPartition(topic, p, 0L, end, root): InputPartition
       }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new ReplayLogReaderFactory
   }
 }
 
 /** One Spark task per log partition per micro-batch — the unit of
-  * parallelism, exactly the Kafka source's planning. */
+  * parallelism, exactly the Kafka source's planning. `root` = the
+  * file-backed log's directory; None = the in-JVM registry. */
 private[sources] final case class ReplayLogInputPartition(topic: String,
-    partition: Int, from: Long, until: Long) extends InputPartition
+    partition: Int, from: Long, until: Long,
+    root: Option[String] = None) extends InputPartition
 
 private[sources] final class ReplayLogReaderFactory
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[ReplayLogInputPartition]
-    // test-double seam: in production this is a broker client positioned
-    // at ip.from polling until ip.until; here it's the in-JVM registry
-    val it = ReplayLog.read(ip.topic, ip.partition, ip.from, ip.until).iterator
+    // transport seam: a broker client positioned at ip.from polling until
+    // ip.until — the file-backed log IS that (bytes cross the process
+    // boundary through the filesystem); the registry is the in-JVM double
+    val it = (ip.root match {
+      case Some(r) => FileReplayLog.read(r, ip.topic, ip.partition, ip.from, ip.until)
+      case None => ReplayLog.read(ip.topic, ip.partition, ip.from, ip.until)
+    }).iterator
     new PartitionReader[InternalRow] {
       private var cur: ReplayLog.Record = _
       override def next(): Boolean =
@@ -232,6 +249,18 @@ private[sources] final class ReplayLogMicroBatchStream(topic: String,
     options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  private val root = options.get("root")
+
+  private def backendPartitions(): Seq[Int] = root match {
+    case Some(r) => FileReplayLog.partitions(r, topic)
+    case None => ReplayLog.partitions(topic)
+  }
+
+  private def backendEndOffsets(): Map[Int, Long] = root match {
+    case Some(r) => FileReplayLog.endOffsets(r, topic)
+    case None => ReplayLog.endOffsets(topic)
+  }
+
   private val maxPerTrigger: Option[Long] =
     options.get("maxoffsetspertrigger").orElse(options.get("maxOffsetsPerTrigger"))
       .map(_.toLong)
@@ -242,7 +271,7 @@ private[sources] final class ReplayLogMicroBatchStream(topic: String,
   override def initialOffset(): Offset =
     options.get("startingoffsets").orElse(options.get("startingOffsets")) match {
       case Some("earliest") | None =>
-        ReplayLogOffset(ReplayLog.partitions(topic).map(_ -> 0L).toMap)
+        ReplayLogOffset(backendPartitions().map(_ -> 0L).toMap)
       case Some(json) => ReplayLogOffset.parse(json)
     }
 
@@ -256,7 +285,7 @@ private[sources] final class ReplayLogMicroBatchStream(topic: String,
     * record when it has backlog, so no partition starves). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[ReplayLogOffset].parts
-    val end = ReplayLog.endOffsets(topic)
+    val end = backendEndOffsets()
     // partitions created after the stream started enter at 0
     val merged = end.map { case (p, e) => p -> (startMap.getOrElse(p, 0L), e) }
     limit match {
@@ -284,7 +313,8 @@ private[sources] final class ReplayLogMicroBatchStream(topic: String,
     val e = end.asInstanceOf[ReplayLogOffset].parts
     e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
       val from = s.getOrElse(p, 0L)
-      if (until > from) Some(ReplayLogInputPartition(topic, p, from, until): InputPartition)
+      if (until > from)
+        Some(ReplayLogInputPartition(topic, p, from, until, root): InputPartition)
       else None
     }.toArray
   }
