@@ -97,4 +97,40 @@ class MusterSpec extends SparkSpec {
     assert(one("t") == (("only", null, "only", false)))
     assert(one("u")._3 == "only" && one("u")._4)
   }
+
+  test("RingOwner kernel == the relational ring formula (differential): " +
+      "same owner for every group, including wrap-past-last-vnode keys; " +
+      "driver-side md5Hex has byte parity with Spark md5()") {
+    val nodes = Seq("nA", "nB", "nC", "nD", "nE")
+    val groups = (0 until 500).map(i => s"topic-$i")
+    val members = groups.zipWithIndex
+      .map { case (g, i) => (g, nodes(i % nodes.length)) }
+      .toDF("grp", "node")
+    // the kernel path (production)
+    val got = Muster.routerAssignments(members, "grp", "node")
+      .select("grp", "router").as[(String, String)].collect().toMap
+    // the relational formula it replaced, inline: groups x ring ->
+    // min(h >= gh) else global min -> owner
+    val ring = members.select("node").distinct()
+      .select(col("node"), explode(sequence(lit(0), lit(127))).as("i"))
+      .select(col("node"),
+        md5(concat(col("node"), lit(":"), col("i").cast("string"))).as("h"))
+    val sel = members.select("grp").distinct()
+      .withColumn("gh", md5(col("grp")))
+      .crossJoin(broadcast(ring))
+      .groupBy("grp", "gh")
+      .agg(min(when(col("h") >= col("gh"), col("h"))).as("above"),
+        min(col("h")).as("wrapmin"))
+      .select(col("grp"), coalesce(col("above"), col("wrapmin")).as("rh"))
+    val want = sel.join(broadcast(ring), col("rh") === col("h"))
+      .select(col("grp"), col("node")).as[(String, String)].collect().toMap
+    assert(got.size == groups.size && want.size == groups.size)
+    got.foreach { case (g, r) =>
+      assert(want(g) == r, s"kernel/formula split at $g: $r vs ${want(g)}")
+    }
+    // md5Hex parity with Spark's md5() on the ring position keys
+    val sparkMd5 = Seq("nA:0", "nA:127", "topic-7").toDF("s")
+      .select(col("s"), md5(col("s"))).as[(String, String)].collect()
+    sparkMd5.foreach { case (s, h) => assert(Muster.md5Hex(s) == h) }
+  }
 }
