@@ -139,6 +139,24 @@ object StreamLatency {
     }
   }
 
+  /** Timing sink wrapping an arbitrary transport sink: clocks each frame
+    * after the inner `offer` returns (produce-call-returned — the Kafka
+    * client-queued analog; batch-level durability happens at the inner
+    * sink's partition `flush`, which precedes the engine's batch
+    * completion) and delegates `flush`. Used to time the FILE-backed
+    * durable produce path ([[graft.FileSeamProbe]]). */
+  final class WrapTimingSink(runId: String,
+      inner: CdcStream.DeliverySink) extends CdcStream.DeliverySink {
+    def offer(d: CdcStream.Delivery): Unit = {
+      inner.offer(d)
+      val commit = parseCommitMs(d.frame)
+      if (commit > 0L)
+        StreamLatency.record(runId, commit,
+          System.currentTimeMillis() - commit)
+    }
+    override def flush(): Unit = inner.flush()
+  }
+
   /** Extract the epoch-millis commit stamp from the encoded frame without
     * a JSON parse (the hot path must not cost more than the pipeline). */
   private[cdc] def parseCommitMs(frame: String): Long = {
@@ -182,7 +200,8 @@ object StreamLatency {
   def run(spark: SparkSession, ratePerSec: Int = 1000, seconds: Int = 8,
       triggerMs: Long = 100L, warmupSec: Int = 3,
       viaLog: Option[(String, Int)] = None,
-      feedChunks: Int = 0): Report = {
+      feedChunks: Int = 0,
+      viaSink: Option[CdcStream.DeliverySink] = None): Report = {
     require(ratePerSec >= 20 && ratePerSec % 20 == 0,
       s"ratePerSec must be a positive multiple of 20 (50 ms feed steps), got $ratePerSec")
     require(seconds >= 1 && warmupSec < seconds)
@@ -201,9 +220,12 @@ object StreamLatency {
     val dataSchema = Seq.empty[Change].toDS().toDF()
       .drop("change_type", "commit_timestamp").schema
     val bus = CdcStream.MemoryBus()
-    val sink: CdcStream.DeliverySink = viaLog match {
-      case Some((topic, parts)) => new LogTimingSink(runId, topic, parts)
-      case None => new TimingSink(runId)
+    val sink: CdcStream.DeliverySink = viaSink match {
+      case Some(s) => new WrapTimingSink(runId, s)
+      case None => viaLog match {
+        case Some((topic, parts)) => new LogTimingSink(runId, topic, parts)
+        case None => new TimingSink(runId)
+      }
     }
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
       pk = Seq("id"), bus = bus, triggerMs = triggerMs,

@@ -38,7 +38,7 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object FileReplayLog {
 
-  private final class Writer(dir: File, partition: Int) {
+  private[sources] final class Writer(dir: File, partition: Int) {
     dir.mkdirs()
     private val logFile = new File(dir, s"p$partition.log")
     private val idxFile = new File(dir, s"p$partition.idx")
@@ -50,28 +50,43 @@ object FileReplayLog {
     // come from what is already on disk
     private var pos: Long = logFile.length()
     private var n: Long = idxFile.length() / 8L
+    // 8-byte idx scratch, reused under the lock — the append hot path
+    // allocates nothing inside the critical section
+    private val idxScratch = new Array[Byte](8)
 
-    def append(timestampMs: Long, key: String, value: Array[Byte]): Long =
+    /** Append one PRE-FRAMED record (built by [[frame]] outside the
+      * lock — at knee-order rates the critical section must be two
+      * buffered writes and a counter bump, nothing else). */
+    def appendFramed(record: Array[Byte]): Long = synchronized {
+      log.write(record)
+      var p = pos
+      var i = 7
+      while (i >= 0) { idxScratch(i) = (p & 0xff).toByte; p >>= 8; i -= 1 }
+      idx.write(idxScratch)
+      pos += record.length
+      val off = n
+      n += 1
+      off
+    }
+
+    /** Append `count` pre-framed records in one lock acquisition — the
+      * producer-client batching that makes the durable seam keep pace
+      * at knee-order rates (measured r12: per-record locking capped the
+      * in-JVM durable produce below 320k; 64-record chunks restore it). */
+    def appendFramedBatch(records: Array[Array[Byte]], count: Int): Unit =
       synchronized {
-        val k = if (key == null) null else key.getBytes("UTF-8")
-        val head = ByteBuffer.allocate(12)
-        head.putLong(timestampMs)
-        head.putInt(if (k == null) -1 else k.length)
-        log.write(head.array())
-        var len = 12L
-        if (k != null) { log.write(k); len += k.length }
-        val vh = ByteBuffer.allocate(4)
-        vh.putInt(if (value == null) -1 else value.length)
-        log.write(vh.array())
-        len += 4
-        if (value != null) { log.write(value); len += value.length }
-        val ib = ByteBuffer.allocate(8)
-        ib.putLong(pos)
-        idx.write(ib.array())
-        pos += len
-        val off = n
-        n += 1
-        off
+        var j = 0
+        while (j < count) {
+          val record = records(j)
+          log.write(record)
+          var p = pos
+          var i = 7
+          while (i >= 0) { idxScratch(i) = (p & 0xff).toByte; p >>= 8; i -= 1 }
+          idx.write(idxScratch)
+          pos += record.length
+          n += 1
+          j += 1
+        }
       }
 
     def publish(): Unit = synchronized {
@@ -80,12 +95,29 @@ object FileReplayLog {
     }
   }
 
+  /** Serialize one record to its on-disk framing — lock-free, called
+    * on the producing thread before [[Writer.appendFramed]]. */
+  private[sources] def frame(timestampMs: Long, key: String,
+      value: Array[Byte]): Array[Byte] = {
+    val k = if (key == null) null else key.getBytes("UTF-8")
+    val kLen = if (k == null) 0 else k.length
+    val vLen = if (value == null) 0 else value.length
+    val out = new Array[Byte](12 + kLen + 4 + vLen)
+    val bb = ByteBuffer.wrap(out)
+    bb.putLong(timestampMs)
+    bb.putInt(if (k == null) -1 else kLen)
+    if (k != null) bb.put(k)
+    bb.putInt(if (value == null) -1 else vLen)
+    if (value != null) bb.put(value)
+    out
+  }
+
   // per-process writer handles: the sink object is deserialized per Spark
   // task, so the handle must be JVM-static (one OS file handle per
   // partition, appends serialized on the writer lock)
   private val writers = new ConcurrentHashMap[String, Writer]()
 
-  private def writer(root: String, topic: String, p: Int): Writer =
+  private[sources] def writer(root: String, topic: String, p: Int): Writer =
     writers.computeIfAbsent(s"$root/$topic/$p",
       _ => new Writer(new File(root, topic), p))
 
@@ -93,7 +125,7 @@ object FileReplayLog {
     * processes only after [[publish]]. */
   def append(root: String, topic: String, partition: Int, key: String,
       value: Array[Byte], timestampMs: Long = 0L): Long =
-    writer(root, topic, partition).append(timestampMs, key, value)
+    writer(root, topic, partition).appendFramed(frame(timestampMs, key, value))
 
   /** Flush this process's buffered appends for `topic` to the
     * filesystem — the produce-side visibility barrier. */
@@ -193,13 +225,55 @@ final class FileReplayLogSink(val root: String, val topic: String,
     extends graft.cdc.CdcStream.DeliverySink {
   require(numPartitions > 0, "numPartitions must be positive")
 
-  def offer(d: graft.cdc.CdcStream.Delivery): Unit = {
-    val p = partitionBase +
-      (d.subscriptionId.hashCode & 0x7fffffff) % numPartitions
-    FileReplayLog.append(root, topic, p, d.subscriptionId,
-      d.frame.getBytes("UTF-8"), System.currentTimeMillis())
-    ()
+  // Producer-client batching, the Kafka-producer discipline: offer()
+  // frames the record lock-free and STAGES it per partition in this
+  // task's sink instance (Spark deserializes one sink copy per task, so
+  // staging needs no synchronization); a 64-record chunk — or the
+  // partition flush at micro-batch end — appends under ONE lock
+  // acquisition. Measured r12: per-record locking capped the in-JVM
+  // durable produce below 320k/s (p99 1.1–1.3 s); chunked appends
+  // sustain it. Per-subscriber order is unchanged (a subscriber's
+  // frames stage in produce order on whichever task produced them —
+  // the same interleaving contract as the unbatched path), and
+  // durability semantics are unchanged: everything is on disk at
+  // `flush`, which precedes the engine's batch completion.
+  private val ChunkSize = 64
+  @transient private lazy val handles =
+    new Array[FileReplayLog.Writer](numPartitions)
+  @transient private lazy val staged =
+    Array.fill(numPartitions)(new Array[Array[Byte]](ChunkSize))
+  @transient private lazy val stagedN = new Array[Int](numPartitions)
+
+  private def handle(i: Int): FileReplayLog.Writer = {
+    var w = handles(i)
+    if (w == null) {
+      w = FileReplayLog.writer(root, topic, partitionBase + i)
+      handles(i) = w
+    }
+    w
   }
 
-  override def flush(): Unit = FileReplayLog.publish(root, topic)
+  def offer(d: graft.cdc.CdcStream.Delivery): Unit = {
+    val i = (d.subscriptionId.hashCode & 0x7fffffff) % numPartitions
+    val buf = staged(i)
+    buf(stagedN(i)) = FileReplayLog.frame(System.currentTimeMillis(),
+      d.subscriptionId, d.frame.getBytes("UTF-8"))
+    stagedN(i) += 1
+    if (stagedN(i) == ChunkSize) {
+      handle(i).appendFramedBatch(buf, ChunkSize)
+      stagedN(i) = 0
+    }
+  }
+
+  override def flush(): Unit = {
+    var i = 0
+    while (i < numPartitions) {
+      if (stagedN(i) > 0) {
+        handle(i).appendFramedBatch(staged(i), stagedN(i))
+        stagedN(i) = 0
+      }
+      i += 1
+    }
+    FileReplayLog.publish(root, topic)
+  }
 }
