@@ -37,22 +37,13 @@ object KneeProfile {
     val bus = CdcStream.MemoryBus()
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
       pk = Seq("id"), bus = bus, triggerMs = triggerMs, deliverTo = Some(sink))
-    val stepMs = 50
-    val perStep = rate * stepMs / 1000
-    val steps = seconds * 1000 / stepMs
     val t0 = System.nanoTime()
-    var step = 0
-    var sent = 0L
     try {
-      while (step < steps) {
-        val now = System.currentTimeMillis().toString
-        input.addData((0 until perStep).map(k =>
-          StreamLatency.Change(sent + k, "INSERT", 1.0, now)))
-        sent += perStep
-        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
-        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
-        step += 1
-      }
+      // single-block feeding (feedChunks = 1): the profile's sink legs
+      // keep the HISTORICAL 2-partition feeder so their readings stay
+      // comparable to the r11 decomposition they extend; the feeder leg
+      // in main() sweeps chunk counts explicitly
+      StreamLatency.feedAdaptive(input, rate, seconds, feedChunks = 1)
       val feedWallMs = (System.nanoTime() - t0) / 1000000L
       q.processAllAvailable()
       val drainWallMs = (System.nanoTime() - t0) / 1000000L

@@ -2209,7 +2209,8 @@ object Queries {
         |  FROM events),
         |hourly AS (SELECT node, grp, tick_us, CAST(count(*) AS BIGINT) AS c
         |  FROM e GROUP BY 1, 2, 3),
-        |b AS (SELECT grp, min(tick_us) AS t0, max(tick_us) AS t1 FROM e GROUP BY 1),
+        |b AS (SELECT grp, min(tick_us) AS t0,
+        |             max(tick_us) + 3600000000 AS t1 FROM e GROUP BY 1),
         |ticks AS (SELECT grp, unnest(generate_series(t0, t1, 3600000000)) AS tick_us FROM b),
         |grid AS (SELECT node, grp, tick_us
         |  FROM (SELECT DISTINCT node FROM e), ticks),

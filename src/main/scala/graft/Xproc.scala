@@ -57,31 +57,11 @@ object XprocProducer {
     val sink = new FileReplayLogSink(root, topic, parts)
     val q = CdcStream.start(input.toDF(), subs, dataSchema, "t",
       pk = Seq("id"), bus = bus, triggerMs = 100L, deliverTo = Some(sink))
-    // the knee harness's wall-clock-pinned adaptive feeder
-    val stepMs = 50
-    val perStep = rate / parts * stepMs / 1000
-    val steps = seconds * 1000 / stepMs
-    val chunks = math.min(16, math.max(1, perStep / 4000))
-    val chunk = math.max(1, perStep / chunks)
     val t0 = System.nanoTime()
     var nSent = 0L
-    var step = 0
     try {
-      while (step < steps) {
-        val now = System.currentTimeMillis().toString
-        var off = 0
-        while (off < perStep) {
-          val n = math.min(chunk, perStep - off)
-          val base = nSent + off
-          input.addData((0 until n).map(k =>
-            StreamLatency.Change(base + k, "INSERT", 1.0, now)))
-          off += n
-        }
-        nSent += perStep
-        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
-        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
-        step += 1
-      }
+      // the knee harness's shared wall-clock-pinned adaptive feeder
+      nSent = StreamLatency.feedAdaptive(input, rate / parts, seconds)
       q.processAllAvailable()
     } finally q.stop()
     val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -153,7 +133,14 @@ object XprocConsumer {
       val end = Option(lp.sources.apply(0).endOffset).getOrElse(return false)
       ReplayLogOffset.parse(end).parts == FileReplayLog.endOffsets(root, topic)
     }
-    while (!(doneMarker.exists() && drained())) Thread.sleep(100L)
+    while (!(doneMarker.exists() && drained())) {
+      // a dead query can never drain — surface ITS exception instead of
+      // spinning until the orchestrator's generic timeout discards it
+      if (!q.isActive)
+        throw q.exception.map(e => e: Throwable).getOrElse(
+          new IllegalStateException("consumer query stopped unexpectedly"))
+      Thread.sleep(100L)
+    }
     q.stop()
     println(s"[xprocconsumer] life=$life done")
     spark.stop()
@@ -230,9 +217,20 @@ object XprocProbe {
     val ends = FileReplayLog.endOffsets(root, topic)
     assert(ends.values.sum == produced,
       s"log end offsets ${ends.values.sum} != produced $produced")
-    // ledger: life batchId partition from untilExcl count p50 p95 p99
+    // ledger: life batchId partition from untilExcl count p50 p95 p99.
+    // The SIGKILL can land mid-append and tear the final line — a torn
+    // line is uncommitted by construction (the ledger write precedes
+    // the offset commit, so its range is re-delivered and re-logged by
+    // life 2), so lines that don't parse into 9 longs are dropped, not
+    // fatal.
     val lines = Files.readAllLines(Paths.get(ledger)).asScala
-      .filter(_.nonEmpty).map(_.split(" ").map(_.toLong)).toSeq
+      .filter(_.nonEmpty)
+      .flatMap { s =>
+        val parts = s.split(" ")
+        if (parts.length != 9) None
+        else try Some(parts.map(_.toLong))
+        catch { case _: NumberFormatException => None }
+      }.toSeq
     lines.foreach { l =>
       assert(l(5) == l(4) - l(3),
         s"non-dense batch range: ${l.mkString(" ")}")

@@ -172,6 +172,49 @@ object StreamLatency {
     if (any && j < frame.length && frame.charAt(j) == '"') v else -1L
   }
 
+  /** Wall-clock-pinned adaptive feeder, shared by [[run]], [[rawFloor]]
+    * and the cross-process producer ([[graft.XprocProducer]]) so a
+    * pacing fix lands in ONE place: feeds `ratePerSec` Changes for
+    * `seconds` in 50 ms steps pinned to the wall clock (the offered
+    * rate stays `ratePerSec` even when addData itself stalls briefly).
+    * Each step splits into `feedChunks` addData blocks (0 = adaptive:
+    * ~4k-row blocks capped at 16; rates ≤ ~80k/s keep one block):
+    * MemoryStream materializes ONE partition per addData block, so a
+    * 1-block feeder gives every micro-batch ~2 partitions and the whole
+    * pipeline runs on ~2 tasks regardless of cores — a HARNESS
+    * artifact, not an engine property; a real partitioned source (the
+    * ReplayLog DSv2, a broker) spreads by construction. Chunked feeding
+    * models that spread. Returns rows sent. */
+  private[graft] def feedAdaptive(input: MemoryStream[Change],
+      ratePerSec: Int, seconds: Int, feedChunks: Int = 0): Long = {
+    val stepMs = 50
+    val perStep = ratePerSec * stepMs / 1000
+    val steps = seconds * 1000 / stepMs
+    val chunks =
+      if (feedChunks > 0) feedChunks
+      else math.min(16, math.max(1, perStep / 4000))
+    val chunk = math.max(1, perStep / chunks)
+    val t0 = System.nanoTime()
+    var step = 0
+    var nSent = 0L
+    while (step < steps) {
+      val now = System.currentTimeMillis().toString
+      var off = 0
+      while (off < perStep) {
+        val n = math.min(chunk, perStep - off)
+        val base = nSent + off
+        input.addData((0 until n).map(k =>
+          Change(base + k, "INSERT", 1.0, now)))
+        off += n
+      }
+      nSent += perStep
+      val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
+      if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
+      step += 1
+    }
+    nSent
+  }
+
   final case class Percentiles(n: Long, p50: Long, p95: Long, p99: Long,
       max: Long)
 
@@ -234,40 +277,7 @@ object StreamLatency {
     val t0Ms = System.currentTimeMillis()
     try {
       try {
-      // feed in 50 ms steps pinned to the wall clock so the offered rate
-      // stays `ratePerSec` even when addData itself stalls briefly.
-      // `feedChunks` splits each step into that many addData calls:
-      // MemoryStream materializes ONE partition per addData block, so a
-      // 1-chunk feeder gives every micro-batch ~2 partitions (two 50 ms
-      // steps per 100 ms trigger) and the whole match+shape+encode
-      // pipeline runs on ~2 tasks regardless of cores — a HARNESS
-      // artifact, not an engine property; a real partitioned source
-      // (the ReplayLog DSv2, a broker) spreads by construction. Chunked
-      // feeding models that spread.
-      val stepMs = 50
-      val perStep = ratePerSec * stepMs / 1000
-      val steps = seconds * 1000 / stepMs
-      val chunks =
-        if (feedChunks > 0) feedChunks
-        else math.min(16, math.max(1, perStep / 4000))
-      val chunk = math.max(1, perStep / chunks)
-      val t0 = System.nanoTime()
-      var step = 0
-      while (step < steps) {
-        val now = System.currentTimeMillis().toString
-        var off = 0
-        while (off < perStep) {
-          val n = math.min(chunk, perStep - off)
-          val base = nSent + off
-          input.addData((0 until n).map(k =>
-            Change(base + k, "INSERT", 1.0, now)))
-          off += n
-        }
-        nSent += perStep
-        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
-        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
-        step += 1
-      }
+      nSent = feedAdaptive(input, ratePerSec, seconds, feedChunks)
       q.processAllAvailable()
       } finally q.stop()
     val all = drain(runId)
@@ -317,30 +327,9 @@ object StreamLatency {
         }
         ()
       }.start()
-    val stepMs = 50
-    val perStep = ratePerSec * stepMs / 1000
-    val steps = seconds * 1000 / stepMs
-    val chunks = math.min(16, math.max(1, perStep / 4000))
-    val chunk = math.max(1, perStep / chunks)
     val t0 = System.nanoTime()
-    var step = 0
-    var sent = 0L
     try {
-      while (step < steps) {
-        val now = System.currentTimeMillis().toString
-        var off = 0
-        while (off < perStep) {
-          val n = math.min(chunk, perStep - off)
-          val base = sent + off
-          input.addData((0 until n).map(k =>
-            Change(base + k, "INSERT", 1.0, now)))
-          off += n
-        }
-        sent += perStep
-        val sleepNs = t0 + (step + 1).toLong * stepMs * 1000000L - System.nanoTime()
-        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L)
-        step += 1
-      }
+      feedAdaptive(input, ratePerSec, seconds)
       val feedWallMs = (System.nanoTime() - t0) / 1000000L
       q.processAllAvailable()
       val drainWallMs = (System.nanoTime() - t0) / 1000000L

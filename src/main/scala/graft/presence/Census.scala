@@ -30,12 +30,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE corpus-sized aggregation (events → per-(node, group,
   * tick) counts); everything after runs on the broadcast grid — nodes ×
-  * each group's OWN active tick span (not the global horizon: groups are
-  * pubsub topics and number in the millions at scale, most touching a
-  * sliver of the horizon, so a global-span grid would materialize
-  * billions of zero rows) — with windows partitioned by (node, group)
-  * and the peer sum keyed by (group, tick). No global window, no driver
-  * loop.
+  * each group's OWN active tick span plus one convergence tick (not the
+  * global horizon: groups are pubsub topics and number in the millions
+  * at scale, most touching a sliver of the horizon, so a global-span
+  * grid would materialize billions of zero rows) — with windows
+  * partitioned by (node, group) and the peer sum keyed by (group,
+  * tick). No global window, no driver loop.
   */
 object Census {
 
@@ -56,22 +56,26 @@ object Census {
         * stepUs).as("tick_us"))
     val hourly = e.groupBy("node", "grp", "tick_us")
       .agg(count(lit(1)).as("c"))
-    // dense broadcast grid, bounded to each GROUP's own active span:
-    // nodes × Σ_g [min tick of g, max tick of g] — the lag(1) below is
-    // only "the previous broadcast" if no tick inside a group's span is
-    // missing, and a group's span is exactly where its gossip exists
-    // (before its first event no node has broadcast it; after its last
-    // tick the final broadcast simply stays every reader's freshest
-    // snapshot, so later reads add no information). The r11 shape used
-    // the GLOBAL [min, max] span for every group, which at census scale
-    // — groups are pubsub topics, millions of them, most active for a
-    // sliver of the horizon — materializes nodes × groups × full-horizon
-    // ticks (≈72B rows at 1M groups × 100 nodes × 720 ticks), almost all
-    // zeros; per-group spans collapse that to rows proportional to the
-    // events' own spread. The span agg is metadata-sized (one row per
-    // group); the tick explode stays broadcastable.
+    // dense broadcast grid, bounded to each GROUP's own active span
+    // PLUS ONE interval: nodes × Σ_g [min tick of g, max tick of g +
+    // interval]. The lag(1) below is only "the previous broadcast" if
+    // no tick inside a group's span is missing, and a group's
+    // informative ticks are exactly its active span plus the one
+    // CONVERGENCE tick after it — at t1 the broadcasts carrying the
+    // final interval's joins are still in flight, so the t1+interval
+    // read is the first (and last) one where remote readers see them;
+    // beyond it every read repeats that converged row. The r11 shape
+    // used the GLOBAL [min, max] span for every group, which at census
+    // scale — groups are pubsub topics, millions of them, most active
+    // for a sliver of the horizon — materializes nodes × groups ×
+    // full-horizon ticks (≈72B rows at 1M groups × 100 nodes × 720
+    // ticks), almost all zeros; per-group spans collapse that to rows
+    // proportional to the events' own spread. The span agg is
+    // metadata-sized (one row per group); the tick explode stays
+    // broadcastable.
     val spans = e.groupBy("grp")
-      .agg(min("tick_us").as("t0"), max("tick_us").as("t1"))
+      .agg(min("tick_us").as("t0"),
+        (max("tick_us") + stepUs).as("t1"))
     val gticks = spans.select(col("grp"), explode(
       sequence(col("t0"), col("t1"), lit(stepUs))).as("tick_us"))
     val grid = e.select("node").distinct()

@@ -44,25 +44,40 @@ object FileReplayLog {
     private val idxFile = new File(dir, s"p$partition.idx")
     private val log = new BufferedOutputStream(
       new FileOutputStream(logFile, true), 1 << 16)
-    private val idx = new BufferedOutputStream(
-      new FileOutputStream(idxFile, true), 1 << 13)
+    private val idx = new FileOutputStream(idxFile, true)
+    // pending idx entries stay IN HEAP until publish: the idx file's
+    // length is the readers' offset truth, so no idx byte may reach the
+    // filesystem before its record's log bytes — a buffered idx stream
+    // would auto-flush mid-batch independently of the log buffer and
+    // hand readers offsets whose bytes are not on disk yet. The heap
+    // staging is bounded by one micro-batch per partition (8 bytes per
+    // record), and publish() writes it only AFTER the log flush.
+    private var idxPending = new java.io.ByteArrayOutputStream(1 << 13)
     // resume after producer restart: next offset + current log position
-    // come from what is already on disk
+    // come from what is already on disk. pos starts at the FILE length,
+    // which after a crash may include orphan bytes past the last idx
+    // entry (a flush died between log and idx) — safe by construction:
+    // new records land after the orphans and the reader addresses every
+    // record by its own idx position, never by contiguity (see read()).
     private var pos: Long = logFile.length()
-    private var n: Long = idxFile.length() / 8L
+    private var n: Long = idxFile.length / 8L
     // 8-byte idx scratch, reused under the lock — the append hot path
     // allocates nothing inside the critical section
     private val idxScratch = new Array[Byte](8)
+
+    private def stageIdx(): Unit = {
+      var p = pos
+      var i = 7
+      while (i >= 0) { idxScratch(i) = (p & 0xff).toByte; p >>= 8; i -= 1 }
+      idxPending.write(idxScratch, 0, 8)
+    }
 
     /** Append one PRE-FRAMED record (built by [[frame]] outside the
       * lock — at knee-order rates the critical section must be two
       * buffered writes and a counter bump, nothing else). */
     def appendFramed(record: Array[Byte]): Long = synchronized {
       log.write(record)
-      var p = pos
-      var i = 7
-      while (i >= 0) { idxScratch(i) = (p & 0xff).toByte; p >>= 8; i -= 1 }
-      idx.write(idxScratch)
+      stageIdx()
       pos += record.length
       val off = n
       n += 1
@@ -79,10 +94,7 @@ object FileReplayLog {
         while (j < count) {
           val record = records(j)
           log.write(record)
-          var p = pos
-          var i = 7
-          while (i >= 0) { idxScratch(i) = (p & 0xff).toByte; p >>= 8; i -= 1 }
-          idx.write(idxScratch)
+          stageIdx()
           pos += record.length
           n += 1
           j += 1
@@ -91,7 +103,18 @@ object FileReplayLog {
 
     def publish(): Unit = synchronized {
       log.flush() // .log first: idx length is the readers' offset truth
-      idx.flush()
+      if (idxPending.size > 0) {
+        idxPending.writeTo(idx)
+        idx.flush()
+        idxPending.reset()
+      }
+    }
+
+    /** Flush and release the OS file handles (topic delete / handle
+      * drop) — without this every churned topic leaks two descriptors
+      * per partition until GC. */
+    def close(): Unit = synchronized {
+      try publish() finally { log.close(); idx.close() }
     }
   }
 
@@ -152,8 +175,14 @@ object FileReplayLog {
     }.toMap
 
   /** Records of one partition in `[from, until)` — the replay read.
-    * One idx seek + one sequential log scan; safe to call while the
-    * producer appends (reads never pass the published idx length). */
+    * One bulk idx read, then every record is addressed by ITS OWN idx
+    * position (one seek each — free when the region is contiguous, and
+    * the only correct addressing when it is not: after a producer
+    * crash between the log flush and the idx write, orphan log bytes
+    * can sit between indexed records, and a contiguity-assuming scan
+    * would return them as shifted records with no error). Safe to call
+    * while the producer appends — reads never pass the published idx
+    * length, and idx bytes only reach disk after their log bytes. */
   def read(root: String, topic: String, partition: Int, from: Long,
       until: Long): Seq[ReplayLog.Record] = {
     val dir = new File(root, topic)
@@ -164,15 +193,19 @@ object FileReplayLog {
     val lo = math.max(from, 0L)
     val hi = math.min(until, published)
     if (lo >= hi) return Nil
+    val count = (hi - lo).toInt
     val idx = new RandomAccessFile(idxFile, "r")
     val log = new RandomAccessFile(logFile, "r")
     try {
       idx.seek(lo * 8L)
-      val startPos = idx.readLong()
-      log.seek(startPos)
+      val posBytes = new Array[Byte](count * 8)
+      idx.readFully(posBytes)
+      val posBuf = ByteBuffer.wrap(posBytes)
       val out = Vector.newBuilder[ReplayLog.Record]
       var o = lo
-      while (o < hi) {
+      var i = 0
+      while (i < count) {
+        log.seek(posBuf.getLong(i * 8))
         val ts = log.readLong()
         val kLen = log.readInt()
         val key = if (kLen < 0) null else {
@@ -184,6 +217,7 @@ object FileReplayLog {
         }
         out += ReplayLog.Record(topic, partition, o, ts, key, value)
         o += 1
+        i += 1
       }
       out.result()
     } finally { idx.close(); log.close() }
@@ -198,16 +232,17 @@ object FileReplayLog {
     val it = writers.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.startsWith(prefix)) { e.getValue.publish(); it.remove() }
+      if (e.getKey.startsWith(prefix)) { e.getValue.close(); it.remove() }
     }
   }
 
   /** Drop a topic directory (probe/spec hygiene) and forget this
-    * process's writer handles for it. */
+    * process's writer handles for it — handles are CLOSED first (file
+    * descriptors released; a sink still caching a closed handle fails
+    * loudly on its next append instead of writing to an unlinked
+    * inode). */
   def delete(root: String, topic: String): Unit = {
-    val prefix = s"$root/$topic/"
-    val it = writers.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    dropWriters(root, topic)
     val dir = new File(root, topic)
     Option(dir.listFiles()).getOrElse(Array.empty[File]).foreach(_.delete())
     dir.delete()

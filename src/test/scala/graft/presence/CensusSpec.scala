@@ -31,15 +31,21 @@ class CensusSpec extends SparkSpec {
     // NOT the 70 s one (inside the last interval): n_total 2, not 3
     assert(got(("nA", 120L)) == ((2L, 1L, 3L)))
     assert(got(("nB", 120L)) == ((1L, 1L, 2L)))
-    assert(got.size == 4)
+    // tick 180 — the CONVERGENCE tick, one interval past the last join:
+    // the tick-120 broadcasts have landed, every reader sees the true
+    // total 3; the grid ends here (later reads would repeat this row)
+    assert(got(("nA", 180L)) == ((2L, 1L, 3L)))
+    assert(got(("nB", 180L)) == ((1L, 2L, 3L)))
+    assert(got.size == 6)
   }
 
   test("a sparse group's grid is bounded to its OWN active span — no " +
       "full-horizon zero rows, and reads inside the span are unchanged") {
     import spark.implicits._
-    // interval 60 s; "hot" is active across ticks 60..660 (11 ticks),
-    // "sparse" has ONE join whose only tick is 360 — the r11 global-span
-    // grid would emit sparse rows at all 11 ticks (20 zero rows)
+    // interval 60 s; "hot" is active across ticks 60..660, "sparse" has
+    // ONE join whose only active tick is 360 — the r11 global-span grid
+    // would emit sparse rows across the whole horizon; the span-bounded
+    // grid emits its active tick plus the one convergence tick after it
     val events = Seq(("nA", "hot", 10L), ("nB", "hot", 610L),
       ("nA", "sparse", 310L))
       .toDF("node", "grp", "sec")
@@ -51,16 +57,23 @@ class CensusSpec extends SparkSpec {
         col("n_local"), col("n_remote"), col("n_total"))
       .as[(String, String, Long, Long, Long, Long)].collect()
     val sparseTicks = got.filter(_._2 == "sparse").map(_._3).distinct
-    assert(sparseTicks.toSet == Set(360L),
+    assert(sparseTicks.toSet == Set(360L, 420L),
       s"sparse group leaked outside its span: ${sparseTicks.toSeq}")
-    // 2 nodes × (11 hot ticks + 1 sparse tick)
-    assert(got.length == 24, s"grid size ${got.length}")
+    // 2 nodes × ((11 hot ticks + convergence) + (1 sparse + convergence))
+    assert(got.length == 28, s"grid size ${got.length}")
     // reads at the sparse tick carry reference semantics: the joiner
     // reads its exact local count, the peer's broadcast is in flight
     val at360 = got.filter(r => r._2 == "sparse" && r._3 == 360L)
       .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
     assert(at360("nA") == ((1L, 0L, 1L)))
     assert(at360("nB") == ((0L, 0L, 0L)))
+    // ... and at the convergence tick the broadcast has landed: the
+    // remote reader SEES the sparse group's member (the row the plain
+    // [min,max] span would have dropped, leaving nB blind forever)
+    val at420 = got.filter(r => r._2 == "sparse" && r._3 == 420L)
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(at420("nA") == ((1L, 0L, 1L)))
+    assert(at420("nB") == ((0L, 1L, 1L)))
   }
 
   test("reads converge to the true total once an interval passes with " +
