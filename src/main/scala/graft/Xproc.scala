@@ -101,21 +101,20 @@ object XprocConsumer {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val tNow = System.currentTimeMillis()
+        // one percentile sketch per partition (array form), not three —
+        // the consumer's own ledger bookkeeping must not become the
+        // backlog it is measuring
         val rows = b.groupBy(col("partition"))
           .agg(min("offset").as("from"), max("offset").as("max_off"),
             count(lit(1)).as("n"),
-            percentile_approx(lit(tNow) - col("timestamp_ms"), lit(0.5),
-              lit(10000)).as("p50"),
-            percentile_approx(lit(tNow) - col("timestamp_ms"), lit(0.95),
-              lit(10000)).as("p95"),
-            percentile_approx(lit(tNow) - col("timestamp_ms"), lit(0.99),
-              lit(10000)).as("p99"))
+            percentile_approx(lit(tNow) - col("timestamp_ms"),
+              array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pcts"))
           .collect()
         if (rows.nonEmpty) {
           val lines = rows.map { r =>
+            val p = r.getSeq[Long](4)
             s"$life $batchId ${r.getInt(0)} ${r.getLong(1)} " +
-              s"${r.getLong(2) + 1} ${r.getLong(3)} ${r.getLong(4)} " +
-              s"${r.getLong(5)} ${r.getLong(6)}"
+              s"${r.getLong(2) + 1} ${r.getLong(3)} ${p(0)} ${p(1)} ${p(2)}"
           }.mkString("", "\n", "\n")
           Files.write(Paths.get(ledger), lines.getBytes(UTF_8),
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
