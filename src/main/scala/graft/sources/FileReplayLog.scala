@@ -28,9 +28,11 @@ import java.util.concurrent.ConcurrentHashMap
   *
   * Write protocol: appends buffer in-process and become visible at
   * [[publish]] (the sink calls it from `DeliverySink.flush`, once per
-  * Spark partition per micro-batch). The .log buffer is flushed BEFORE
-  * the .idx buffer, so a concurrent reader's `idx.length / 8` never
-  * counts a record whose bytes are not yet fully in the .log file; a
+  * Spark partition per micro-batch). Pending idx entries stay IN HEAP
+  * until publish and reach the file only AFTER the .log flush — so a
+  * concurrent reader's `idx.length / 8` can never count a record whose
+  * bytes are not yet fully in the .log file, structurally (the .log
+  * buffer may auto-flush early, which is safe in that direction); a
   * torn 8-byte idx tail floors out of the division until complete.
   * ONE producer process per partition (the broker-side invariant Kafka
   * enforces by ownership; here by convention — the probe's sharded

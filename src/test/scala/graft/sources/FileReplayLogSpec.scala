@@ -62,6 +62,33 @@ class FileReplayLogSpec extends SparkSpec {
     assert(recs.map(r => new String(r.value, UTF_8)) == Seq("1", "2"))
   }
 
+  test("crash-orphaned log bytes are unreachable: a producer that died " +
+      "between log flush and idx write leaves garbage the reader never " +
+      "returns, and restart-resume appends cleanly after it") {
+    val root = tmp()
+    val topic = "t"
+    FileReplayLog.append(root, topic, 0, "a", "one".getBytes(UTF_8))
+    FileReplayLog.append(root, topic, 0, "b", "two".getBytes(UTF_8))
+    FileReplayLog.publish(root, topic)
+    FileReplayLog.dropWriters(root, topic)
+    // simulate the crash window: log bytes hit disk, their idx entry
+    // did not (publish flushes .log before .idx, so this is exactly
+    // what a kill between the two leaves behind)
+    val logFile = new java.io.File(new java.io.File(root, topic), "p0.log")
+    val orphan = new java.io.FileOutputStream(logFile, true)
+    orphan.write("GARBAGE-ORPHAN-RECORD-BYTES".getBytes(UTF_8))
+    orphan.close()
+    // restarted producer re-attaches from on-disk lengths and appends
+    FileReplayLog.append(root, topic, 0, "c", "three".getBytes(UTF_8))
+    FileReplayLog.publish(root, topic)
+    assert(FileReplayLog.endOffsets(root, topic) == Map(0 -> 3L))
+    val recs = FileReplayLog.read(root, topic, 0, 0L, 10L)
+    assert(recs.map(r => new String(r.value, UTF_8)) ==
+      Seq("one", "two", "three"),
+      "orphan bytes leaked into the offset space")
+    assert(recs.map(_.key) == Seq("a", "b", "c"))
+  }
+
   test("DSv2 tail over root: admission cap bounds batches, checkpoint " +
       "restart resumes at the committed offset — no loss, no re-read") {
     val root = tmp()
