@@ -133,4 +133,65 @@ class MusterSpec extends SparkSpec {
       .select(col("s"), md5(col("s"))).as[(String, String)].collect()
     sparkMd5.foreach { case (s, h) => assert(Muster.md5Hex(s) == h) }
   }
+
+  test("TwoChoicePick kernel == the crossJoin+window formula " +
+      "(differential): same node1/node2/assigned/moved for every " +
+      "tenant across node counts, null loads, load ties, and a tenant " +
+      "under two current nodes") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    // the windowed relational formula the kernel replaced (also the
+    // shape of the j8 SQL oracle), inline
+    def windowed(t: DataFrame, n: DataFrame): DataFrame = {
+      val w = Window.partitionBy("tenant", "current")
+        .orderBy(md5(concat(col("tenant"), lit(":"), col("node"))))
+      val ranked = t.distinct().crossJoin(broadcast(n))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 2)
+      ranked.groupBy("tenant", "current").agg(
+          min(when(col("_rn") === 1, col("node"))).as("node1"),
+          min(when(col("_rn") === 1, col("load"))).as("load1"),
+          min(when(col("_rn") === 2, col("node"))).as("node2"),
+          min(when(col("_rn") === 2, col("load"))).as("load2"))
+        .select(col("tenant"), col("node1"), col("node2"),
+          when(col("load1") <= coalesce(col("load2"), col("load1")),
+            col("node1")).otherwise(col("node2")).as("assigned"),
+          col("current"))
+        .withColumn("moved", col("assigned") =!= col("current"))
+    }
+    def rows(df: DataFrame): Set[(String, String, String, String, String, Any)] =
+      df.collect().map(r => (r.getAs[String]("tenant"),
+        r.getAs[String]("node1"), r.getAs[String]("node2"),
+        r.getAs[String]("assigned"), r.getAs[String]("current"),
+        r.getAs[Any]("moved"))).toSet
+    for (nNodes <- Seq(1, 2, 7, 64)) {
+      // load pattern mixes ties (i % 3) and a null load every 5th node
+      val nodes = (0 until nNodes).map(i =>
+        (s"n$i", if (i % 5 == 4) None else Some(i % 3))).toDF("node", "load")
+      val tenants = (0 until 300).map(i => (s"t$i", s"n${i % nNodes}"))
+        // one tenant under two current nodes: a draw per pair
+        .prepended(("t0", "elsewhere")).toDF("tenant", "current")
+      val got = rows(Muster.twoChoicePlacement(
+        tenants, "tenant", nodes, "node", "load", "current"))
+      val want = rows(windowed(
+        tenants.select(col("tenant"), col("current")),
+        nodes.select(col("node"), col("load"))))
+      assert(got == want,
+        s"kernel/formula split at $nNodes nodes: " +
+          s"only-kernel=${(got -- want).take(3)} only-formula=${(want -- got).take(3)}")
+    }
+    // empty node list: empty result, same schema
+    val none = Muster.twoChoicePlacement(
+      Seq(("t", "n0")).toDF("tenant", "current"), "tenant",
+      Seq.empty[(String, Int)].toDF("node", "load"), "node", "load",
+      "current")
+    assert(none.isEmpty && none.columns.toSeq ==
+      Seq("tenant", "node1", "node2", "assigned", "current", "moved"))
+    // null tenant: a null struct, not an arbitrary ranking
+    val nt = Muster.twoChoicePlacement(
+      Seq((null: String, "n0")).toDF("tenant", "current"), "tenant",
+      Seq(("n0", 1), ("n1", 2)).toDF("node", "load"), "node", "load",
+      "current").collect()
+    assert(nt.length == 1 && nt(0).getAs[String]("assigned") == null)
+  }
 }
