@@ -19,6 +19,23 @@ object Bench {
     * reading marks the segment's numbers suspect. */
   val DriftSuspect = 1.5
 
+  /** Execute a query to its FULL result set (noop sink — rows are
+    * produced and discarded, never collected). Through r12 the harness
+    * used `count()`, which lets Catalyst prune every expression the
+    * count does not need: a `PruneScan` audit found 133/191 queries
+    * lost work under count — for projection-final queries nearly ALL
+    * of it (measured warm at sf0.1/32: `s1_wal2json_decode` 0.19 s
+    * counted vs 2.03 s produced, `j_asof_pit` 0.39→3.85,
+    * `s1_debezium_decode` 0.17→1.42, `f_crypto_roundtrip` 0.22→1.34 —
+    * the AES work was entirely pruned). The DuckDB baseline
+    * materializes full results, so counted readings also flattered the
+    * baseline comparison. Numbers from r13 on are therefore
+    * full-result semantics; cross-round comparisons against r12-and-
+    * earlier artifacts must expect upward steps on the affected
+    * queries (the COVERAGE round-12 section carries the A/B table). */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,7 +76,7 @@ object Bench {
       // the sentinel exists to flag) — it must not crash the suite
       try {
         val t0 = System.nanoTime()
-        controlFn(spark, sfDir).count()
+        force(controlFn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
@@ -71,7 +88,7 @@ object Bench {
         : Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { force(fn(spark, sfDir)); true }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -24,11 +24,16 @@ object MusterScaleProbe {
         concat(lit("g"), (col("id") % nGroups).cast("string")).as("grp"),
         concat(lit("n"), (col("id") % 7).cast("string")).as("node"))
       val t0 = System.nanoTime()
-      val n = graft.presence.Muster.routerAssignments(members, "grp", "node")
-        .count()
+      // aggregate OVER router and occupancy: a bare count() lets
+      // Catalyst prune both the RingOwner projection and the
+      // collect_set, timing only the distinct of the group keys
+      val r = graft.presence.Muster.routerAssignments(members, "grp", "node")
+        .agg(count(lit(1)).as("rows"), countDistinct(col("router")),
+          sum(length(col("occupancy"))))
+        .collect()(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[musterscale] groups=$nGroups ring=896 rows=$n " +
-        f"wall_sec=$sec%.1f")
+      println(f"[musterscale] groups=$nGroups ring=896 rows=${r.getLong(0)} " +
+        f"routers=${r.getLong(1)} wall_sec=$sec%.1f")
     }
     spark.stop()
   }

@@ -21,7 +21,9 @@ object WarmBench {
       val fn = SparkEntry.queries(name)
       val times = (0 until 4).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // full-result semantics, matching Bench.force — a bare count()
+        // lets Catalyst prune projection-final work (see Bench scaladoc)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
