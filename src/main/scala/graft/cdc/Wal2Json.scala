@@ -67,8 +67,13 @@ object Wal2Json {
     StructField("content", StringType),
     StructField("transactional", BooleanType)))
 
-  /** Parse a wal2json v2 JSON string column to the typed struct. */
-  def parsed(json: Column): Column = from_json(json, Schema)
+  /** Parse a wal2json v2 JSON string column to the typed struct — fenced
+    * with [[graft.plans.EvalOnce]] so Catalyst's per-field JSON pruning
+    * cannot split the one parse into a re-parse per downstream field
+    * reference (measured 27–54 JsonToStructs per row across the
+    * mirror/SCD2 consumers before the fence; see EvalOnce scaladoc). */
+  def parsed(json: Column): Column =
+    graft.plans.EvalOnce.of(from_json(json, Schema))
 
   private def entriesToMap(entries: Column): Column =
     map_from_entries(transform(entries,

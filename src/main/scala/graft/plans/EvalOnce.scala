@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.DataType
+
+/** Optimizer fence around an expensive parse: evaluates exactly as its
+  * child, but reports `deterministic = false`, which makes every
+  * duplicating optimizer rule treat the projection conservatively —
+  * `CollapseProject` will not inline it into use sites, and
+  * `PushPredicateThroughNonJoin` will not push filters through the
+  * projection that computes it.
+  *
+  * Why (r12, measured on the wal2json decode path): predicates that
+  * consumers apply to DECODED fields (`message != 'DELETE'` and the
+  * action cascade in the mirror/SCD2 family) were pushed below the
+  * decode projection; each pushed reference was then rewritten by
+  * Catalyst's JSON pruning into its own single-field re-parse of the
+  * raw JSON string. The executed plans carried the parse 27×
+  * (`s1_wal_mirror`), 28× (`s1_wal_scd2`, `j_asof_pit`) and 54×
+  * (`s1_mirror_diff`, two legs) per row — 6–7 copies in each Filter
+  * and its scan's data-filter list, on the engine's highest-volume
+  * path (the S1 CDC ingest). Re-parsing below the projection is never
+  * a win: evaluating those predicates REQUIRES the parse, so the
+  * pushdown "optimization" multiplies the dominant cost to save a
+  * row-handoff. With the fence the filter stays above the decode and
+  * references the parsed attribute — one parse per row.
+  *
+  * Two dead ends, recorded: (1) subexpression elimination cannot fold
+  * the copies because `JsonToStructs` is CodegenFallback, which
+  * `EquivalentExpressions` skips; (2) a deterministic identity fence
+  * (hiding the parse from the JSON pruning rule only) leaves inlining
+  * and pushdown free to duplicate the now-FULL-schema parse — measured
+  * 14–45% SLOWER than the pruned duplicates it replaced.
+  *
+  * The child here IS deterministic — the flag is a planning fence, not
+  * a semantics claim, and it is only ever conservative: no rule
+  * produces wrong results by declining to move or duplicate this
+  * expression. Speculative re-execution still yields identical values.
+  * Use it only on expressions whose duplication dominates the query
+  * (a JSON/binary decode); fencing a cheap expression just blocks
+  * legitimate pushdown of predicates that mention it. */
+case class EvalOnce(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  /** The planning fence: see class scaladoc. The computation itself is
+    * as deterministic as its child. */
+  override lazy val deterministic: Boolean = false
+
+  override def eval(input: InternalRow): Any = child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "eval_once"
+}
+
+object EvalOnce {
+  def of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(EvalOnce(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}
