@@ -1,0 +1,61 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Plan audit, the general form of [[JsonParseScan]]: flag any
+  * registered query whose executed plan evaluates ≥4 semantically-equal
+  * copies of an expensive expression inside one operator. Caught (r12):
+  * `dedup_incremental` re-hashing the full document text 10× in the
+  * bloom routing filter on BOTH join sides (fixed with the EvalOnce
+  * fence — including the InferFiltersFromConstraints copy of the bloom
+  * test onto the history side, which the fence keeps as a cheap
+  * attribute test), and `dedup_simhash` carrying 15 inlined copies of
+  * the word digest (fixed by binding the hex once as its own column).
+  * Remaining hits, assessed and left: `text_langid` (6 splits feeding 6
+  * interpreted stopword HOF filters — identical codegen'd splits fold
+  * under WSCG subexpression elimination where eligible; 0.5 s warm at
+  * sf0.1) and `text_quality` (4 splits, same shape, 0.6 s). */
+object DupExprScan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // expression classes whose per-row cost is large enough that
+    // duplicate evaluation in one operator is a plan smell
+    def expensive(e: Expression): Boolean = e match {
+      case _: JsonToStructs | _: StructsToJson | _: RegExpExtractAll |
+           _: RegExpReplace | _: RegExpExtract | _: Md5 | _: Sha2 |
+           _: StringSplit | _: ArraySort | _: SortArray |
+           _: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile |
+           _: AesEncrypt | _: AesDecrypt => true
+      case _: ArrayTransform | _: ArrayFilter | _: ZipWith => true
+      case _ => false
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val hits = scala.collection.mutable.Map.empty[(String, String), Int]
+        fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+          .foreach { p =>
+            val local = scala.collection.mutable.Map.empty[Expression, Int]
+            p.expressions.foreach(_.foreach { e =>
+              if (expensive(e)) {
+                val k = local.keys.find(_.semanticEquals(e)).getOrElse(e)
+                local.update(k, local.getOrElse(k, 0) + 1)
+              }
+            })
+            local.foreach { case (e, n) => if (n >= 4)
+              hits.update((p.nodeName, e.getClass.getSimpleName),
+                math.max(hits.getOrElse((p.nodeName, e.getClass.getSimpleName), 0), n)) }
+          }
+        if (hits.nonEmpty)
+          println(s"@@@ $name: " + hits.toSeq.sortBy(-_._2)
+            .map { case ((op, cls), n) => s"$cls x$n in $op" }.mkString("; ").take(200))
+      } catch { case scala.util.control.NonFatal(_) => }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -453,11 +453,18 @@ object Dedup {
   def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(TextAnalysis.words(col(textCol))).as("w"))
+    // digest bound ONCE as its own column: inlining md5 into each of the
+    // 15 nibble terms put 15 copies of the digest in the vocab
+    // projection (DupExprScan: Md5 x15 in HashAggregate). CollapseProject
+    // keeps a non-cheap multi-referenced alias in its own projection, so
+    // the hex column evaluates once per vocabulary word.
     val hexNibbles = (0 until 15).map { j =>
-      (instr(lit("0123456789abcdef"), substring(md5(col("w")), j + 1, 1)) - 1)
+      (instr(lit("0123456789abcdef"), substring(col("hex"), j + 1, 1)) - 1)
         .cast("long") * (1L << (4 * (14 - j)))
     }.reduce(_ + _)
-    val vocab = toks.select("w").distinct().withColumn("h", hexNibbles)
+    val vocab = toks.select("w").distinct()
+      .withColumn("hex", md5(col("w")))
+      .withColumn("h", hexNibbles).drop("hex")
     val aggs = count(lit(1)).as("n_words") +:
       (0 until SimhashBits).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))

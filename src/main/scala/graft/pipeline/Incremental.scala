@@ -72,10 +72,22 @@ object Incremental {
   def newDocs(batch: DataFrame, history: DataFrame,
       textCol: String, idCol: String,
       mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    // Both digest projections are EvalOnce-fenced — md5 of the FULL
+    // document text must evaluate once per row, and two optimizer moves
+    // otherwise inline it into each of the bloom test's k×2 hash
+    // references (DupExprScan caught both as Md5 x10 in a Filter):
+    //  - batch side: the `_maybe` routing filter pushes below the
+    //    digest projection;
+    //  - history side: InferFiltersFromConstraints copies the SAME
+    //    bloom test across the anti-join's digest equality onto the
+    //    history input — a genuinely good pruning (only maybe-digests
+    //    ship to the confirm join), which the fence keeps, evaluated
+    //    over the one computed digest instead of ten re-hashes.
     val digest = md5(coalesce(col(textCol), lit("")))
-    val hist = history.select(digest.as("digest"))
+    val hist = history.select(graft.plans.EvalOnce.of(digest).as("digest"))
     val words = bloomWords(hist, "digest", mBits, k)
-    val tagged = batch.select(col(idCol), digest.as("digest"))
+    val tagged = batch
+      .select(col(idCol), graft.plans.EvalOnce.of(digest).as("digest"))
       .withColumn("_bloom", typedLit(words.toSeq))
       .withColumn("_maybe", mightContain(words, "digest", mBits, k))
     val definiteNew = tagged.where(!col("_maybe"))
