@@ -62,8 +62,13 @@ object Debezium {
       StructField("prefix", StringType),
       StructField("content", StringType))))))
 
-  /** Parse one envelope JSON string column to the typed struct. */
-  def parsed(json: Column): Column = from_json(json, Schema)
+  /** Parse one envelope JSON string column to the typed struct — fenced
+    * with [[graft.plans.EvalOnce]] like [[Wal2Json.parsed]]: a consumer
+    * filtering on a decoded field must not push its predicate below the
+    * decode and re-parse the envelope per reference (measured 27–54×
+    * on the wal2json twins; this decoder has the identical shape). */
+  def parsed(json: Column): Column =
+    graft.plans.EvalOnce.of(from_json(json, Schema))
 
   private def dropUnavailable(m: Column): Column =
     map_filter(m, (_, v) => v =!= UnavailableValue)
