@@ -14,7 +14,20 @@ import org.apache.spark.sql.catalyst.expressions._
   * Remaining hits, assessed and left: `text_langid` (6 splits feeding 6
   * interpreted stopword HOF filters — identical codegen'd splits fold
   * under WSCG subexpression elimination where eligible; 0.5 s warm at
-  * sf0.1) and `text_quality` (4 splits, same shape, 0.6 s). */
+  * sf0.1) and `text_quality` (4 splits, same shape, 0.6 s).
+  *
+  * Reading the operator column matters: duplicates located in a
+  * PROJECT or AGGREGATE of identical, codegen-capable expressions are
+  * folded at runtime by whole-stage-codegen subexpression elimination
+  * (`p6_column_projection`'s JsonStructProject ×3 via the shared
+  * `tooLarge` guard, `s1_wal_pipeline`'s JsonMapProject ×2 — benign);
+  * duplicates in a FILTER, join condition, or scan data-filter are
+  * REAL — FilterExec does not subexpression-eliminate, and
+  * CodegenFallback children (from_json, HOF lambdas) are never
+  * eligible anywhere. The r12 fixes were all Filter-located:
+  * wal2json 27–54×, bloom md5 10×, `sim_ann_ivf`'s ArgmaxDot×2 +
+  * NormalizeVec×2 (the IVF build's dominant flops, also inside every
+  * trainCentroids Lloyd iteration). */
 object DupExprScan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

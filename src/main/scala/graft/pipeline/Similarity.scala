@@ -211,9 +211,15 @@ object Similarity {
       // sentinel relies on. An un-assignable vector has no nearest
       // centroid; excluding it is the only reading that can't corrupt
       // the index.
+      // EvalOnce fence: without it the Invalid-sentinel filter pushes
+      // below this projection and re-evaluates the k·dim argmax (and its
+      // NormalizeVec child) PER ROW in the filter — the index build's
+      // dominant flops, paid twice (DupExprScan: ArgmaxDot x2 +
+      // NormalizeVec x2 in Filter and scan data-filters)
       corpusNorm.select(col(idCol), col("v"),
-        ColumnBridge.column(graft.plans.ArgmaxDot(
-          ColumnBridge.expression(col("v")), flat, ids, k, dim)).as("bucket"))
+        graft.plans.EvalOnce.of(ColumnBridge.column(graft.plans.ArgmaxDot(
+          ColumnBridge.expression(col("v")), flat, ids, k, dim)))
+          .as("bucket"))
         .where(col("bucket") =!= graft.plans.ArgmaxDot.Invalid)
     } else {
       val w = Window.partitionBy(col(idCol))

@@ -102,6 +102,23 @@ class EvalOnceSpec extends SparkSpec {
       want.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("IVF index build evaluates the centroid argmax once per vector — " +
+      "the Invalid-sentinel filter must not re-run the k·dim kernel " +
+      "(was ArgmaxDot x2 + NormalizeVec x2 in the filter)") {
+    import graft.pipeline.Similarity
+    val dim = 8
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.tabulate(dim)(j => ((i * 31 + j * 7) % 13).toDouble)))
+      .toDF("id", "vec")
+    val plan = Similarity.ivfTopK(vecs.limit(10), vecs, "vec", "id",
+      k = 3, nCentroids = 4, dim = dim).queryExecution.executedPlan
+    val kernelsByOp = countIn(plan) {
+      case _: ArgmaxDot => case _: NormalizeVec => }
+    kernelsByOp.foreach { case (op, n) =>
+      assert(op == "Project" || op == "SerializeFromObject" || n == 0,
+        s"vector kernel leaked into $op x$n (all: $kernelsByOp)") }
+  }
+
   test("simhashDF computes one word digest per vocabulary entry " +
       "(was 15 inlined copies)") {
     import graft.pipeline.Dedup
