@@ -24,10 +24,19 @@ import org.apache.spark.sql.catalyst.expressions._
   * duplicates in a FILTER, join condition, or scan data-filter are
   * REAL — FilterExec does not subexpression-eliminate, and
   * CodegenFallback children (from_json, HOF lambdas) are never
-  * eligible anywhere. The r12 fixes were all Filter-located:
-  * wal2json 27–54×, bloom md5 10×, `sim_ann_ivf`'s ArgmaxDot×2 +
-  * NormalizeVec×2 (the IVF build's dominant flops, also inside every
-  * trainCentroids Lloyd iteration). */
+  * eligible anywhere. A Filter+Scan pair WITHOUT a Project copy is a
+  * display mirror of one runtime evaluation (the curation sampling
+  * predicates). The r12 fixes were all Filter-located: wal2json
+  * 27–54×, bloom md5 10×, every `explode(words(...))` re-tokenizing
+  * in InferFiltersFromGenerate's synthesized pre-filter, and
+  * `sim_ann_ivf`'s ArgmaxDot×2 + NormalizeVec×2 (the IVF build's
+  * dominant flops, also inside every trainCentroids Lloyd iteration).
+  * Known-and-accepted residue: SubscriptionBattery ×2 (Filter +
+  * Project) on `p6_column_projection` / `p_error_rows_*` /
+  * `s1_wal_pipeline` — fencing it breaks the battery's split-method
+  * codegen (Janino forward-reference, CodegenAudit catch; the fix
+  * would be reworking SubscriptionBattery.doGenCode's parameter
+  * collection, not worth it for three sub-second compositions). */
 object DupExprScan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -50,22 +59,47 @@ object DupExprScan {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val hits = scala.collection.mutable.Map.empty[(String, String), Int]
+        // canonical expensive expr -> operator node names it appears in;
+        // one copy in a Filter AND one in the Project above is a REAL
+        // double evaluation (cross-node, so CSE can never fold it) that
+        // a per-node threshold misses
+        val nodesOf = scala.collection.mutable.Map
+          .empty[Expression, scala.collection.mutable.Set[String]]
+        var nodeIdx = 0
         fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
           .foreach { p =>
+            nodeIdx += 1
+            val tag = s"${p.nodeName}#$nodeIdx"
             val local = scala.collection.mutable.Map.empty[Expression, Int]
             p.expressions.foreach(_.foreach { e =>
-              if (expensive(e)) {
+              if (expensive(e) || e.getClass.getName.startsWith("graft.plans.")) {
                 val k = local.keys.find(_.semanticEquals(e)).getOrElse(e)
                 local.update(k, local.getOrElse(k, 0) + 1)
               }
             })
-            local.foreach { case (e, n) => if (n >= 4)
-              hits.update((p.nodeName, e.getClass.getSimpleName),
-                math.max(hits.getOrElse((p.nodeName, e.getClass.getSimpleName), 0), n)) }
+            local.foreach { case (e, n) =>
+              if (n >= 4)
+                hits.update((p.nodeName, e.getClass.getSimpleName),
+                  math.max(hits.getOrElse((p.nodeName, e.getClass.getSimpleName), 0), n))
+              val k = nodesOf.keys.find(_.semanticEquals(e)).getOrElse(e)
+              nodesOf.getOrElseUpdate(k, scala.collection.mutable.Set.empty)
+                .add(tag)
+            }
           }
+        nodesOf.foreach { case (e, nodes) =>
+          // EvalOnce-fenced copies and benign Project+Project pairs
+          // (downstream re-projection of an attribute) still share the
+          // canonical form; only flag when a Filter/Join/Scan node holds
+          // a copy alongside another node
+          val hot = nodes.exists(t => t.startsWith("Filter") ||
+            t.contains("Join") || t.startsWith("Scan"))
+          if (nodes.size >= 2 && hot)
+            hits.update(("cross:" + nodes.toSeq.sorted.mkString("+"),
+              e.getClass.getSimpleName), nodes.size)
+        }
         if (hits.nonEmpty)
           println(s"@@@ $name: " + hits.toSeq.sortBy(-_._2)
-            .map { case ((op, cls), n) => s"$cls x$n in $op" }.mkString("; ").take(200))
+            .map { case ((op, cls), n) => s"$cls x$n in $op" }.mkString("; ").take(300))
       } catch { case scala.util.control.NonFatal(_) => }
       spark.catalog.clearCache()
     }

@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   * post-marathon damage decays over minutes), and the final reading is
   * stamped into the KNEEJSON as `control` + `host_health` + `suspect`,
   * so a contended-host knee arrives pre-adjudicated instead of needing
-  * a judge re-probe.
+  * a judge re-probe. A SECOND control runs after the sweep
+  * (`host_health_end`): r12 observed the start sample on a RECOVERING
+  * host (0.852) under-reading a sweep that sustained 640k, and a 0.92
+  * start on a degrading host over-reading one that failed it — the
+  * start/end pair records the trend a single point sample cannot.
   *
   * Prints exactly one stdout line `KNEEJSON {…}` ([[graft.cdc
   * .StreamLatency.kneeJson]] shape plus the control object) for the
@@ -105,14 +109,29 @@ object KneeFresh {
     val suspect = bandApplies && health < HealthSuspect
     val kn = graft.cdc.StreamLatency.knee(spark, Rates, seconds = 6,
       triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
-    val healthStr = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(health))
+    // second control AFTER the sweep: the start reading is a point
+    // sample of a RECOVERING or DEGRADING quantity (r12 observed a
+    // 0.852-health start that sustained 640k — host trending up — and a
+    // 0.92 start that failed it — trending down). The pair turns the
+    // stamp into a trend: a knee failure with health_end >> health_start
+    // says "measured during recovery, rerun", where the single sample
+    // could not distinguish that from a genuinely degraded host.
+    val ctlEnd = graft.cdc.StreamLatency.rawFloor(spark, ControlRate,
+      ControlSeconds)
+    val healthEnd =
+      if (bandApplies) ctlEnd.rowsPerSec.toDouble / QuietBandRowsPerSec
+      else -1.0
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val controlJson =
       s""""control":{"raw_rate_per_sec":$ControlRate,""" +
         s""""raw_rows_per_sec":${ctl.rowsPerSec},""" +
+        s""""raw_rows_per_sec_end":${ctlEnd.rowsPerSec},""" +
         s""""quiet_band_rows_per_sec":$QuietBandRowsPerSec,""" +
         s""""band_cpus":32,"cpus":$cpus,""" +
-        s""""host_health":$healthStr,"cooldown_retries":$retries,""" +
+        s""""host_health":${f3(health)},""" +
+        s""""host_health_end":${f3(healthEnd)},""" +
+        s""""cooldown_retries":$retries,""" +
         s""""suspect":$suspect},"""
     println("KNEEJSON {" + controlJson +
       graft.cdc.StreamLatency.kneeJson(kn).stripPrefix("{"))

@@ -135,13 +135,18 @@ object Wal2Json {
         // carry prefix/content/transactional instead of columns — shaped
         // identically to the pgoutput decoder's tag-M record so both
         // formats feed one downstream (PgOutput.decodeIterator case 'M')
-        when(a === "M", map(
+        // record/old_record are EvalOnce-fenced like the parse itself:
+        // consumer predicates on the maps (scd2/mirror key extraction)
+        // otherwise inline the interpreted entriesToMap HOF into their
+        // Filters — evaluated twice per row, outside codegen
+        graft.plans.EvalOnce.of(when(a === "M", map(
             lit("prefix"), col("w.prefix"),
             lit("content"), col("w.content"),
             lit("transactional"),
             coalesce(col("w.transactional").cast("string"), lit("false"))))
-          .otherwise(entriesToMap(col("w.columns"))).as("record"),
-        entriesToMap(col("w.identity")).as("old_record"),
+          .otherwise(entriesToMap(col("w.columns")))).as("record"),
+        graft.plans.EvalOnce.of(entriesToMap(col("w.identity")))
+          .as("old_record"),
         array().cast("array<string>").as("unchanged_toast"))
       .as[PgOutput.WalChange]
   }

@@ -31,9 +31,13 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Exact-duplicate pairs (id_kept, id_dropped). */
+  /** Exact-duplicate pairs (id_kept, id_dropped). The digest is
+    * EvalOnce-fenced: it becomes a join key, and the inferred
+    * `isnotnull(digest)` key constraint otherwise inlines a SECOND
+    * full-document md5 into the scan filter (DupExprScan cross-node). */
   def exactPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val d = df.select(md5(col(textCol)).as("digest"), col(idCol))
+    val d = df.select(
+      graft.plans.EvalOnce.of(md5(col(textCol))).as("digest"), col(idCol))
     val kept = d.groupBy("digest").agg(min(col(idCol)).as("id_kept"))
     d.join(kept, "digest")
       .where(col(idCol) =!= col("id_kept"))

@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization (the reference corpus is space-separated). */
-  def words(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens, EvalOnce-fenced: `explode(words(...))` otherwise
+    * triggers InferFiltersFromGenerate, whose inferred
+    * `size(split(...)) > 0` pre-filter RE-TOKENIZES every document in a
+    * Filter the Generate then tokenizes again — the text family's
+    * dominant per-row cost, paid twice across eight queries (DupExprScan
+    * cross-node). The fence suppresses the inference; an `outer=false`
+    * explode of an empty array emits nothing anyway, so semantics are
+    * unchanged and the skipped pre-filter saved only a row copy. */
+  def words(text: Column): Column =
+    graft.plans.EvalOnce.of(split(trim(text), "\\s+"))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.DataType
 
 /** Optimizer fence around an expensive parse: evaluates exactly as its
@@ -53,8 +54,18 @@ case class EvalOnce(child: Expression) extends UnaryExpression {
   override def eval(input: InternalRow): Any = child.eval(input)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // declare OWN variables rather than aliasing the child's ExprCode:
+    // whole-stage codegen evaluates nondeterministic outputs eagerly and
+    // expects `ev.code` to DECLARE `ev.value` at that point — a
+    // pass-through alias left the hoisted reference undeclared (Janino:
+    // "project_value_0 is not an rvalue", caught by CodegenAudit)
     val c = child.genCode(ctx)
-    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |boolean ${ev.isNull} = ${c.isNull};
+      |$jt ${ev.value} = ${c.value};""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -79,6 +79,8 @@ object MultiTableMatch {
       else when(col(Walrus.TypeCol) === lit(ChangeType.Truncate),
         Walrus.battery(truncArms)).otherwise(
         Walrus.battery(armed, typeCol = Some(col(Walrus.TypeCol))))
+    // not fenced — same CodegenAudit-caught split-method incompatibility
+    // as Walrus.matchSubscriptions (see the comment there)
     changes.withColumn("subscription_ids", idsCol)
   }
 }

@@ -85,6 +85,19 @@ object Walrus {
       if (!hasType || armed.isEmpty) bat
       else when(col(TypeCol) === lit(graft.model.ChangeType.Truncate),
         array(starIds.map(lit): _*).cast(ArrayType(StringType))).otherwise(bat)
+    // NOT EvalOnce-fenced — attempted r12, reverted on a CodegenAudit
+    // catch: the battery's doGenCode splits its arm blocks into methods
+    // whose parameter lists assume the default projection codegen; under
+    // a nondeterministic parent the eager-evaluation path leaves a
+    // hoisted arm local undeclared in the split method (Janino
+    // "project_value_0 is not an rvalue" on j_multi_table /
+    // p_error_rows_400 — Spark would silently run those stages
+    // interpreted). Cost of living without it: consumer filters on
+    // `subscription_ids` inline a second battery evaluation in three
+    // sub-second batch compositions (DupExprScan cross-node rows,
+    // assessed there); the knee-path micro-batch plan keeps the battery
+    // single-copy regardless (its filter does not push past the
+    // counting barrier).
     changes.withColumn("subscription_ids", idsCol)
   }
 
