@@ -197,6 +197,17 @@ object Bench {
     // batch queries above can't measure — plus a rate sweep upward to
     // find the knee (max sustained rate and how the first failure fails)
     val stream = try {
+      // host-health stamp for the IN-SUITE stream block (round-13,
+      // closing the r12 round-over-round ambiguity): the knee fork
+      // self-adjudicates host state, but the steady block and in-suite
+      // sweep below run AFTER the batch marathon and regressed
+      // cosmetically in r12 on host exhaust with nothing in the
+      // artifact saying so. Same rawFloor control as KneeFresh, before
+      // and after the block; the band only applies at the calibrated
+      // 32-cpu width (same rule as the knee's control).
+      val bandApplies = KneeFresh.bandAppliesFor(cpus)
+      val ctlStart = graft.cdc.StreamLatency.rawFloor(spark,
+        KneeFresh.ControlRate, KneeFresh.ControlSeconds)
       // throwaway warm pass first: after ~10 min of batch sweeps the
       // streaming path's codegen/JIT state is cold (code-cache churn),
       // and r8 recorded a 1000/s steady block failing its own p99 SLO
@@ -259,7 +270,24 @@ object Bench {
       }
       val sweep = kn.points.map(graft.cdc.StreamLatency.sweepPointJson)
         .mkString("[", ",", "]")
-      s""","stream":{"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
+      // end-of-block control: start/end pair records the trend, the
+      // verdict folds in min(start, end) — same semantics as the knee's
+      val ctlEnd = graft.cdc.StreamLatency.rawFloor(spark,
+        KneeFresh.ControlRate, KneeFresh.ControlSeconds)
+      def health(c: graft.cdc.StreamLatency.RawFloor): Double =
+        if (bandApplies)
+          c.rowsPerSec.toDouble / KneeFresh.QuietBandRowsPerSec
+        else -1.0
+      def h3(d: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val hostJson =
+        s""""host":{"raw_rows_per_sec":${ctlStart.rowsPerSec},""" +
+          s""""raw_rows_per_sec_end":${ctlEnd.rowsPerSec},""" +
+          s""""health":${h3(health(ctlStart))},""" +
+          s""""health_end":${h3(health(ctlEnd))},""" +
+          s""""suspect":${KneeFresh.suspectVerdict(bandApplies,
+            health(ctlStart), health(ctlEnd))}},"""
+      s""","stream":{$hostJson"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
         s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
         s""""p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +
         s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +

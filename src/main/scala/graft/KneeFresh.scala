@@ -71,6 +71,29 @@ object KneeFresh {
   val CooldownMs = 45000L
   val MaxRetries = 2
 
+  /** Band comparison only applies at the calibrated width; the width is
+    * parsed numerically so " 32"/"032" cannot silently disable the
+    * adjudication, and an unparseable width withholds the band. */
+  def bandAppliesFor(cpus: String): Boolean =
+    scala.util.Try(cpus.trim.toInt).toOption.contains(32)
+
+  /** The mid-sweep-collapse retry condition (r12 driver artifact: start
+    * 1.071, end 0.282, knee 160k stamped clean): a healthy START with a
+    * collapsed END means the sweep measured the host's collapse, not the
+    * engine — worth one cool-down and re-run. A degraded start already
+    * got its own retries; a healthy end needs none. */
+  def shouldRetrySweep(bandApplies: Boolean, health: Double,
+      healthEnd: Double): Boolean =
+    bandApplies && health >= HealthSuspect && healthEnd < HealthSuspect
+
+  /** The headline verdict folds in BOTH control samples: a knee is only
+    * trustworthy if the host was in-band before AND after the sweep that
+    * produced it. (r12's boolean read only the start sample and stamped
+    * a collapsed-host 160k as clean.) */
+  def suspectVerdict(bandApplies: Boolean, health: Double,
+      healthEnd: Double): Boolean =
+    bandApplies && math.min(health, healthEnd) < HealthSuspect
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -88,9 +111,15 @@ object KneeFresh {
     // parallelism); at any other width the control still records its
     // reading but health/suspect are withheld (-1/false) rather than
     // compared against a band measured under different parallelism.
-    val bandApplies = cpus == "32"
-    var ctl = graft.cdc.StreamLatency.rawFloor(spark, ControlRate,
-      ControlSeconds)
+    // The width is compared NUMERICALLY (r12 advice): " 32"/"032" must
+    // not silently disable the adjudication the control exists for, and
+    // an unparseable width falls back to band-withheld, not band-applied.
+    val bandApplies = bandAppliesFor(cpus)
+    def readControl(): graft.cdc.StreamLatency.RawFloor =
+      graft.cdc.StreamLatency.rawFloor(spark, ControlRate, ControlSeconds)
+    def toHealth(c: graft.cdc.StreamLatency.RawFloor): Double =
+      if (bandApplies) c.rowsPerSec.toDouble / QuietBandRowsPerSec else -1.0
+    var ctl = readControl()
     var retries = 0
     while (bandApplies &&
         ctl.rowsPerSec < HealthSuspect * QuietBandRowsPerSec &&
@@ -100,38 +129,55 @@ object KneeFresh {
         s"cooling down ${CooldownMs / 1000} s")
       Thread.sleep(CooldownMs)
       retries += 1
-      val again = graft.cdc.StreamLatency.rawFloor(spark, ControlRate,
-        ControlSeconds)
+      val again = readControl()
       if (again.rowsPerSec > ctl.rowsPerSec) ctl = again
     }
-    val health =
-      if (bandApplies) ctl.rowsPerSec.toDouble / QuietBandRowsPerSec else -1.0
-    val suspect = bandApplies && health < HealthSuspect
-    val kn = graft.cdc.StreamLatency.knee(spark, Rates, seconds = 6,
+    var health = toHealth(ctl)
+    def sweep() = graft.cdc.StreamLatency.knee(spark, Rates, seconds = 6,
       triggerMs = 100L, warmupSec = 2, p99SloMs = 1000L)
+    var kn = sweep()
     // second control AFTER the sweep: the start reading is a point
     // sample of a RECOVERING or DEGRADING quantity (r12 observed a
     // 0.852-health start that sustained 640k — host trending up — and a
     // 0.92 start that failed it — trending down). The pair turns the
-    // stamp into a trend: a knee failure with health_end >> health_start
-    // says "measured during recovery, rerun", where the single sample
-    // could not distinguish that from a genuinely degraded host.
-    val ctlEnd = graft.cdc.StreamLatency.rawFloor(spark, ControlRate,
-      ControlSeconds)
-    val healthEnd =
-      if (bandApplies) ctlEnd.rowsPerSec.toDouble / QuietBandRowsPerSec
-      else -1.0
+    // stamp into a trend, and BOTH ends gate the verdict: the r12 driver
+    // artifact recorded knee 160k with a healthy START (1.071) while its
+    // own END control read 0.282 — the host collapsed mid-sweep, so the
+    // knee measured the collapse, not the engine. When that happens
+    // (start healthy, end collapsed) the sweep itself is re-run once
+    // after a cool-down; if the collapse persists the knee is stamped
+    // suspect on min(start, end), never on the start sample alone.
+    var ctlEnd = readControl()
+    var healthEnd = toHealth(ctlEnd)
+    var sweepRetries = 0
+    if (shouldRetrySweep(bandApplies, health, healthEnd)) {
+      System.err.println(s"[kneefresh] host collapsed mid-sweep " +
+        s"(health $health -> $healthEnd) — cooling down " +
+        s"${CooldownMs / 1000} s and re-running the sweep once")
+      Thread.sleep(CooldownMs)
+      sweepRetries = 1
+      ctl = readControl(); health = toHealth(ctl)
+      kn = sweep()
+      ctlEnd = readControl(); healthEnd = toHealth(ctlEnd)
+    }
+    val suspect = suspectVerdict(bandApplies, health, healthEnd)
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // keep the cpus field numeric when it parses (r12 artifact shape);
+    // an unparseable width is stamped as a string rather than breaking
+    // the JSON.
+    val cpusJson = scala.util.Try(cpus.trim.toInt).toOption
+      .map(_.toString).getOrElse("\"" + cpus + "\"")
     val controlJson =
       s""""control":{"raw_rate_per_sec":$ControlRate,""" +
         s""""raw_rows_per_sec":${ctl.rowsPerSec},""" +
         s""""raw_rows_per_sec_end":${ctlEnd.rowsPerSec},""" +
         s""""quiet_band_rows_per_sec":$QuietBandRowsPerSec,""" +
-        s""""band_cpus":32,"cpus":$cpus,""" +
+        s""""band_cpus":32,"cpus":$cpusJson,""" +
         s""""host_health":${f3(health)},""" +
         s""""host_health_end":${f3(healthEnd)},""" +
         s""""cooldown_retries":$retries,""" +
+        s""""sweep_retries":$sweepRetries,""" +
         s""""suspect":$suspect},"""
     println("KNEEJSON {" + controlJson +
       graft.cdc.StreamLatency.kneeJson(kn).stripPrefix("{"))

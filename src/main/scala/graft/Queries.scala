@@ -2365,8 +2365,121 @@ object Queries {
         |          array_to_string(list_sort(list(DISTINCT node)), ',') AS occupancy
         |        FROM m GROUP BY grp)
         |SELECT occ.grp AS grp, occ.occupancy, router.router
-        |FROM occ JOIN router ON occ.grp = router.grp""".stripMargin))
+        |FROM occ JOIN router ON occ.grp = router.grp""".stripMargin)),
+    // The occupancy register's versioned merge (scope.ex:195-236
+    // upsert_if_newer / tombstone_if_newer): claims keyed (grp, node)
+    // with per-source-unique seqs; higher seq wins, a tombstone wins an
+    // EQUAL seq (the reference's :lt present guard vs :lte tombstone
+    // guard), tombstones are kept with their created_at GC stamp and a
+    // present winner carries none. Claims shaped from events; seq is
+    // event_id/8 so within-key equal-seq collisions actually occur.
+    Q("j_muster_occupancy_merge",
+      (s, d) => graft.presence.Muster.occupancyMerge(
+        musterClaims(s, d),
+        "grp", "node", "seq", "present", "created_at"),
+      Some(musterClaimsSql +
+        """, merged AS (
+        |  SELECT grp, node, seq, present, created_at,
+        |    row_number() OVER (PARTITION BY grp, node
+        |      ORDER BY seq DESC, present ASC, created_at DESC) AS rn
+        |  FROM claims)
+        |SELECT grp, node, seq, present, created_at
+        |FROM merged WHERE rn = 1""".stripMargin)),
+    // The tombstone GC sweep over the merged register
+    // (scope.ex:1117-1127 sweep_tombstones -> :1827 reap_tombstones):
+    // tombstones older than now - window are reaped; present rows are
+    // never reaped; an in-window tombstone survives (it may still need
+    // to absorb an in-flight stale claim). now = 2024-02-01Z, window =
+    // 2 days -> cutoff 2024-01-30Z: at BOTH shipped SFs some tombstone
+    // winners are reaped and some survive (sf0.01: 482 reaped / 93
+    // kept; sf0.1: 80 / 486), so both fates are value-pinned.
+    Q("j_muster_tombstone_sweep",
+      (s, d) => graft.presence.Muster.tombstoneSweep(
+        graft.presence.Muster.occupancyMerge(
+          musterClaims(s, d),
+          "grp", "node", "seq", "present", "created_at"),
+        nowMs = 1706745600000L, windowMs = 2L * 86400000L),
+      Some(musterClaimsSql +
+        """, merged AS (
+        |  SELECT grp, node, seq, present, created_at,
+        |    row_number() OVER (PARTITION BY grp, node
+        |      ORDER BY seq DESC, present ASC, created_at DESC) AS rn
+        |  FROM claims)
+        |SELECT grp, node, seq, present, created_at
+        |FROM merged
+        |WHERE rn = 1
+        |  AND (present OR created_at >= 1706745600000 - 2 * 86400000)"""
+        .stripMargin)),
+    // The rebalance delta (scope.ex:1143-1163 member_delta /
+    // do_rebalance; :1460-1490 drop_stale_router_entries judges rows
+    // against the NEW ring): per group, the md5-ring router under the
+    // old member set vs the new one (one node removed, two added — both
+    // delta directions), flagging groups whose router moves. Consistent
+    // hashing bounds the moved fraction to ~|changed|/|new|.
+    Q("j_muster_rebalance_delta",
+      (s, d) => graft.presence.Muster.rebalanceDelta(
+        ev(s, d).select(
+          concat(col("event_type"), lit("-"),
+            (col("event_id") % 500).cast("string")).as("grp")),
+        groupCol = "grp",
+        oldNodes = (0 until 7).map(i => s"n$i"),
+        newNodes = ((0 until 7).filterNot(_ == 1) ++ Seq(7, 8))
+          .map(i => s"n$i")),
+      Some("""WITH g AS (
+        |  SELECT DISTINCT event_type || '-' || CAST(event_id % 500 AS VARCHAR) AS grp
+        |  FROM events),
+        |old_nodes AS (SELECT 'n' || CAST(i AS VARCHAR) AS node
+        |              FROM (SELECT unnest(range(7)) AS i)),
+        |new_nodes AS (SELECT 'n' || CAST(i AS VARCHAR) AS node
+        |              FROM (SELECT unnest(range(9)) AS i) WHERE i != 1),
+        |ring_old AS (SELECT node, md5(node || ':' || CAST(i AS VARCHAR)) AS h
+        |             FROM old_nodes, (SELECT unnest(range(128)) AS i)),
+        |ring_new AS (SELECT node, md5(node || ':' || CAST(i AS VARCHAR)) AS h
+        |             FROM new_nodes, (SELECT unnest(range(128)) AS i)),
+        |gh AS (SELECT grp, md5(grp) AS gh FROM g),
+        |sel_old AS (SELECT gh.grp,
+        |    coalesce(min(CASE WHEN r.h >= gh.gh THEN r.h END), min(r.h)) AS rh
+        |  FROM gh CROSS JOIN ring_old r GROUP BY gh.grp),
+        |sel_new AS (SELECT gh.grp,
+        |    coalesce(min(CASE WHEN r.h >= gh.gh THEN r.h END), min(r.h)) AS rh
+        |  FROM gh CROSS JOIN ring_new r GROUP BY gh.grp),
+        |r_old AS (SELECT sel_old.grp, r.node AS router_old
+        |          FROM sel_old JOIN ring_old r ON sel_old.rh = r.h),
+        |r_new AS (SELECT sel_new.grp, r.node AS router_new
+        |          FROM sel_new JOIN ring_new r ON sel_new.rh = r.h)
+        |SELECT r_old.grp AS grp, router_old, router_new,
+        |  router_old != router_new AS moved
+        |FROM r_old JOIN r_new ON r_old.grp = r_new.grp""".stripMargin))
   )
+
+  /** Occupancy-register claims shaped from the events table (shared by
+    * the j_muster_occupancy_* queries and their oracles): grp/node from
+    * the router family's shaping (coarser grp so keys see ~6 claims
+    * each), seq = event_id/8 so equal-seq collisions within a key occur
+    * (exercising the tombstone-wins-ties rule on real rows), a third of
+    * claims vacancies, created_at = the event's epoch millis on
+    * tombstone claims only (present claims carry none — the reference
+    * stores the :present atom in that slot). */
+  private def musterClaims(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(
+      concat(col("event_type"), lit("-"),
+        (col("event_id") % 50).cast("string")).as("grp"),
+      concat(lit("n"), (col("user_id") % 7).cast("string")).as("node"),
+      (col("event_id") / lit(8)).cast("long").as("seq"),
+      (col("user_id") % 3 =!= 0).as("present"),
+      when(col("user_id") % 3 === 0, unix_millis(col("ts")))
+        .otherwise(lit(null).cast("long")).as("created_at"))
+
+  // a def, not a val: it is referenced from a `val` Seq initializer
+  // defined ABOVE this point, which would otherwise read null
+  private def musterClaimsSql: String =
+    """WITH claims AS (
+      |  SELECT event_type || '-' || CAST(event_id % 50 AS VARCHAR) AS grp,
+      |    'n' || CAST(user_id % 7 AS VARCHAR) AS node,
+      |    CAST(event_id // 8 AS BIGINT) AS seq,
+      |    user_id % 3 != 0 AS present,
+      |    CASE WHEN user_id % 3 = 0 THEN epoch_ms(ts) END AS created_at
+      |  FROM events)""".stripMargin
 
   val all: Seq[Q] = filterOps ++ coreQueries ++ messageQueries ++
     aggQueries ++ joinQueries ++ payloadQueries ++ error401Query ++

@@ -66,7 +66,12 @@ object Debezium {
     * with [[graft.plans.EvalOnce]] like [[Wal2Json.parsed]]: a consumer
     * filtering on a decoded field must not push its predicate below the
     * decode and re-parse the envelope per reference (measured 27–54×
-    * on the wal2json twins; this decoder has the identical shape). */
+    * on the wal2json twins; this decoder has the identical shape).
+    *
+    * Compose via a BOUND column (`withColumn` first, then reference it):
+    * the fence is only whitelisted in Project/Filter/Window — raw use
+    * inside aggregates / join conditions / grouping throws at analysis
+    * time; see [[graft.plans.EvalOnce.of]]. */
   def parsed(json: Column): Column =
     graft.plans.EvalOnce.of(from_json(json, Schema))
 

@@ -71,7 +71,13 @@ object Wal2Json {
     * with [[graft.plans.EvalOnce]] so Catalyst's per-field JSON pruning
     * cannot split the one parse into a re-parse per downstream field
     * reference (measured 27–54 JsonToStructs per row across the
-    * mirror/SCD2 consumers before the fence; see EvalOnce scaladoc). */
+    * mirror/SCD2 consumers before the fence; see EvalOnce scaladoc).
+    *
+    * Compose via a BOUND column (`df.withColumn("w", parsed(...))`,
+    * then reference `w.*`): the fence is whitelisted only in
+    * Project/Filter/Window, so the raw column inside an aggregate,
+    * join condition, or grouping expression is rejected at analysis
+    * time — see [[graft.plans.EvalOnce.of]]. */
   def parsed(json: Column): Column =
     graft.plans.EvalOnce.of(from_json(json, Schema))
 

@@ -172,6 +172,69 @@ object Similarity {
     } finally norm.unpersist()
   }
 
+  /** Lloyd training with CROSS-ENGINE-EXACT centroid updates — the
+    * value-pinnable twin of [[trainCentroids]] (round-13, closing the
+    * last two rows-only gates): the per-bucket mean is the one step a
+    * float oracle cannot replay (group-sum order differs between
+    * engines), so this variant quantizes each RAW member component to a
+    * 1e-6 fixed-point LONG first — integer sums are order-free and
+    * exact, and the one double division at the end is deterministic —
+    * the same idiom [[labelCentroidDistances]] pinned in round 10.
+    * Quantized-centroid k-means is standard practice in production ANN
+    * builds (centroid stores are int8/fp16 quantized anyway); at 1e-6
+    * resolution the centroid perturbation is ~1e-7 relative, far below
+    * any bucket boundary this corpus (or any non-adversarial corpus)
+    * has.
+    *
+    * Two deliberate divergences from [[trainCentroids]], both toward
+    * exactness: (a) the mean is over RAW member vectors (magnitude-
+    * weighted spherical k-means — quantizing the raw floats is exact in
+    * both engines, while normalized components inherit each engine's
+    * norm fold), then the mean is re-normalized as usual; (b) no
+    * Bernoulli sampling — a seed-reproducible Spark sample is opaque to
+    * every other engine, so callers bound training cost by id-sliced
+    * deterministic samples instead (`where(id % m = 0)`), which any
+    * oracle replays.
+    *
+    * Scale shape: identical to [[trainCentroids]] — one broadcast-
+    * argmax assignment pass plus a (bucket, dim)-keyed LONG-sum
+    * aggregate per iteration (map-side combine on primitive longs —
+    * cheaper than the double `avg` it replaces). */
+  def trainCentroidsExact(corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, dim: Int, iters: Int = 1): DataFrame = {
+    require(dim > 0, "exact training needs the fixed-dim kernel path")
+    val prepared = normalized(
+        corpus.select(col(idCol), asDouble(col(vecCol)).as("rv")),
+        "rv", "v")
+      .select(col(idCol), col("rv"), col("v")).persist()
+    var cents = centroids(corpus, vecCol, idCol, k)
+    try {
+      for (_ <- 1 to iters) {
+        val sums = assignBuckets(prepared, cents, idCol, dim,
+            keep = Seq("rv"))
+          .select(col("bucket"), posexplode(col("rv")).as(Seq("d", "x")))
+          .select(col("bucket"), col("d"),
+            round(col("x") * lit(1e6)).cast("long").as("q"))
+          .groupBy("bucket", "d")
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        val means = sums
+          .select(col("bucket"), col("d"),
+            (col("sq").cast("double") /
+              (col("n").cast("double") * lit(1e6))).as("m"))
+          .groupBy("bucket")
+          .agg(transform(
+            array_sort(collect_list(struct(col("d"), col("m")))),
+            s => s.getField("m")).as("raw"))
+        cents = normalized(means, "raw", "centv")
+          .select(col("bucket").as("centroid_id"), col("centv"))
+        // materialize per iteration (see trainCentroids: lineage growth)
+        cents = cents.sparkSession.createDataFrame(
+          cents.collect().toList.asJava, cents.schema)
+      }
+      cents
+    } finally prepared.unpersist()
+  }
+
   /** Assign each (normalized) corpus vector to its nearest centroid —
     * ONE narrow codegen'd projection against the collected centroid
     * matrix (a model-sized reference object: k·dim doubles, ≤16 MB even
@@ -188,7 +251,8 @@ object Similarity {
     * `dim = 0` path (unknown dimension — no registered query uses it)
     * keeps the window form. */
   def assignBuckets(corpusNorm: DataFrame, cents: DataFrame,
-      idCol: String, dim: Int = 0): DataFrame = {
+      idCol: String, dim: Int = 0, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     if (dim > 0) {
       val rows = cents.orderBy(col("centroid_id")).collect()
       val k = rows.length
@@ -216,20 +280,21 @@ object Similarity {
       // NormalizeVec child) PER ROW in the filter — the index build's
       // dominant flops, paid twice (DupExprScan: ArgmaxDot x2 +
       // NormalizeVec x2 in Filter and scan data-filters)
-      corpusNorm.select(col(idCol), col("v"),
+      corpusNorm.select(col(idCol) +: col("v") +: kept :+
         graft.plans.EvalOnce.of(ColumnBridge.column(graft.plans.ArgmaxDot(
           ColumnBridge.expression(col("v")), flat, ids, k, dim)))
-          .as("bucket"))
+          .as("bucket"): _*)
         .where(col("bucket") =!= graft.plans.ArgmaxDot.Invalid)
     } else {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cos").desc, col("centroid_id").asc)
       corpusNorm
         .crossJoin(broadcast(cents))
-        .select(col(idCol), col("v"), col("centroid_id"),
-          pairDot(dim)(col("v"), col("centv")).as("cos"))
+        .select(col(idCol) +: col("v") +: kept :+ col("centroid_id") :+
+          pairDot(dim)(col("v"), col("centv")).as("cos"): _*)
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col(idCol), col("v"), col("centroid_id").as("bucket"))
+        .select(col(idCol) +: col("v") +: kept :+
+          col("centroid_id").as("bucket"): _*)
     }
   }
 

@@ -20,11 +20,16 @@ object TextAnalysis {
     * dominant per-row cost, paid twice across eight queries (DupExprScan
     * cross-node). The fence suppresses the inference; an `outer=false`
     * explode of an empty array emits nothing anyway, so semantics are
-    * unchanged and the skipped pre-filter saved only a row copy. */
+    * unchanged and the skipped pre-filter saved only a row copy.
+    *
+    * Like every fenced column, compose via a BOUND column (`withColumn`
+    * first): raw use inside aggregates / join conditions / grouping is
+    * rejected at analysis time — see [[graft.plans.EvalOnce.of]]. */
   def words(text: Column): Column =
     graft.plans.EvalOnce.of(split(trim(text), "\\s+"))
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Carries [[words]]'s fence, so the same
+    * bind-before-aggregating rule applies ([[graft.plans.EvalOnce.of]]). */
   def tokenCount(text: Column): Column = size(words(text))
 
   /** BPE-ish subword count: alpha runs, digit runs, and single punctuation

@@ -75,6 +75,24 @@ case class EvalOnce(child: Expression) extends UnaryExpression {
 }
 
 object EvalOnce {
+  /** COMPOSITION RESTRICTION (applies to every public helper returning
+    * a fenced column — [[graft.cdc.Wal2Json.parsed]],
+    * [[graft.cdc.Debezium.parsed]], [[graft.pipeline.TextAnalysis.words]]
+    * / `tokenCount`, the dedup digest columns): because the fence
+    * reports nondeterministic, Catalyst only accepts the RAW expression
+    * in its nondeterministic whitelist (Project / Filter / Window /
+    * Generate). Placing it directly inside an aggregate function, a
+    * join condition, or a grouping expression throws AnalysisException
+    * at analysis time (never a wrong result). The idiom: BIND the
+    * fenced column first, then reference the bound attribute —
+    * {{{
+    *   df.withColumn("w", Wal2Json.parsed(col("raw")))   // bind once
+    *     .groupBy(col("w.action")).agg(...)              // compose freely
+    * }}}
+    * An attribute reference to a bound fenced column is deterministic,
+    * so every downstream operator composes normally — and the bind is
+    * exactly the one-evaluation point the fence exists to create.
+    * Pinned by EvalOnceSpec ("composition restriction"). */
   def of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(EvalOnce(
       org.apache.spark.sql.graft.ColumnBridge.expression(c)))

@@ -30,6 +30,26 @@ import org.apache.spark.sql.functions._
   * aggregation. No shuffle grows past the membership set itself. */
 object Muster {
 
+  /** Bounded-metadata guard for the node-dimension collects (r12
+    * advice): the ring / load dimension is cluster membership —
+    * hundreds of nodes at a realtime deployment's scale — but nothing
+    * structural enforces that, and a dirty members table whose node
+    * column is actually high-cardinality (user ids, say) would turn a
+    * previously distributed query into a driver OOM. The collect is
+    * therefore capped three orders of magnitude above any real cluster
+    * and fails loudly instead of dying quietly, matching how the other
+    * bounded-collect paths (IVF centroids, vocab) are size-bounded. */
+  private[presence] val MaxNodes = 100000
+
+  private def boundedCollect(df: DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(MaxNodes + 1).collect()
+    require(rows.length <= MaxNodes,
+      s"$what has over $MaxNodes distinct nodes — not a " +
+        "cluster-membership dimension; refusing the driver-side collect")
+    rows
+  }
+
   /** Per-group routing table: `(grp, occupancy, router)` where
     * `occupancy` is the sorted comma-joined node set holding members
     * (the fan-out targets) and `router` the consistent-hash owner.
@@ -49,8 +69,8 @@ object Muster {
     val m = members
       .select(col(groupCol).as("grp"), col(nodeCol).as("node")).distinct()
     // cluster membership — bounded, hundreds of nodes at scale
-    val nodeList = m.select("node").distinct()
-      .collect().map(_.getString(0)).sorted
+    val nodeList = boundedCollect(m.select("node").distinct(),
+      "router ring node set").map(_.getString(0)).sorted
     val occ = m.groupBy("grp")
       .agg(array_join(sort_array(collect_set(col("node"))), ",")
         .as("occupancy"))
@@ -70,6 +90,105 @@ object Muster {
     val sb = new java.lang.StringBuilder(32)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
+  }
+
+  /** The occupancy REGISTER's merge semantics — the seq-versioned
+    * last-writer-wins table the router reads
+    * (/root/reference/forum/lib/forum/muster/scope.ex:195-236
+    * `upsert_if_newer` / `tombstone_if_newer`): rows are keyed
+    * `(group, node)`, each claim carries a per-source-unique `seq`, and
+    * the register keeps the winning claim per key under these rules:
+    *
+    *   - higher seq always wins (LWW by seq, never by arrival order);
+    *   - at EQUAL seq a tombstone (vacancy) beats a present claim — the
+    *     reference guards presents with strict `<` but tombstones with
+    *     `=<` (scope.ex:228-236), so a vacancy at the stored seq still
+    *     sticks while a re-claim needs a strictly newer seq;
+    *   - tombstones are KEPT, not deleted (they carry `created_at` for
+    *     the GC sweep): the seq high-water mark is what stops a stale,
+    *     orphaned-RPC present claim from resurrecting a vacated group.
+    *
+    * The read model (`occupancy/2`) returns only present rows — a
+    * tombstone reads as absent — so consumers filter `present`.
+    *
+    * Shape: ONE aggregation over the composite order key `(seq,
+    * is_tombstone, created_at)` via a struct max — partial map-side
+    * combine before the single (group, node) exchange, so a long claim
+    * history collapses per mapper before it shuffles. (Catalyst plans a
+    * struct max as SortAggregate — the struct buffer is immutable — so
+    * each map partition sorts by key first; claims are control-plane
+    * volume (groups × nodes × churn), and the alternative window-rank
+    * formulation pays the same sort WITHOUT the map-side collapse, so
+    * this is the cheaper shape at every scale.) Equivalent to (and
+    * oracled as) `row_number() over (partition by grp, node order by
+    * seq desc, present asc, created_at desc)` rn=1.
+    *
+    * `createdAtCol` is the tombstone GC stamp (router-local ms in the
+    * reference); present claims carry none, and a present WINNER is
+    * emitted with a null created_at — the reference stores the atom
+    * `:present` in that slot. */
+  def occupancyMerge(claims: DataFrame, grpCol: String, nodeCol: String,
+      seqCol: String, presentCol: String, createdAtCol: String)
+      : DataFrame = {
+    val winner = max(struct(
+      col(seqCol).cast("long").as("seq"),
+      (!col(presentCol)).as("vacant"),
+      when(col(presentCol), lit(null).cast("long"))
+        .otherwise(col(createdAtCol).cast("long")).as("created_at")))
+    claims
+      .groupBy(col(grpCol).as("grp"), col(nodeCol).as("node"))
+      .agg(winner.as("w"))
+      .select(col("grp"), col("node"), col("w.seq").as("seq"),
+        (!col("w.vacant")).as("present"),
+        col("w.created_at").as("created_at"))
+  }
+
+  /** The tombstone GC sweep over a merged register
+    * (scope.ex:1117-1127 `sweep_tombstones` → :1827 `reap_tombstones`):
+    * drop tombstones whose `created_at` is older than `nowMs -
+    * windowMs`; present rows are never reaped, and a tombstone inside
+    * the window survives (it may still need to absorb an in-flight
+    * stale claim — the window is a multiple of the RPC timeout, the
+    * longest an orphaned `:occupied` can still land). Correctness does
+    * not depend on sweep promptness: an over-kept tombstone is merely
+    * an absent row; the sweep only bounds register memory. */
+  def tombstoneSweep(register: DataFrame, nowMs: Long, windowMs: Long)
+      : DataFrame =
+    register.where(col("present") ||
+      col("created_at") >= lit(nowMs - windowMs))
+
+  /** The rebalance delta — which groups' routers MOVE under a
+    * membership change (scope.ex:1143-1163 `member_delta` /
+    * `do_rebalance`, and :1460-1490 `drop_stale_router_entries`, where
+    * routers judge rows against the NEW ring): per group, the
+    * consistent-hash owner under the old member set vs the new one.
+    * Consistent hashing bounds the moved fraction to ~|changed|/|new|
+    * (spec-measured on [[routerAssignments]]'s ring), which is exactly
+    * what this query exposes — the set of groups whose occupancy rows
+    * the sweep will re-judge, and the fan-out a coordinator must
+    * re-snapshot.
+    *
+    * Both rings are cluster-membership metadata (caller-supplied node
+    * lists, like the reference's `members` state); the double lookup is
+    * two [[graft.plans.RingOwner]] binary-search kernels in one narrow
+    * projection — no crossJoin fan, flat in group count. */
+  def rebalanceDelta(groups: DataFrame, groupCol: String,
+      oldNodes: Seq[String], newNodes: Seq[String], vnodes: Int = 128)
+      : DataFrame = {
+    def ring(nodes: Seq[String]) = nodes.sorted.flatMap(n =>
+      (0 until vnodes).map(i => (md5Hex(s"$n:$i"), n)))
+    val g = groups.select(col(groupCol).as("grp")).distinct()
+    val withOld =
+      if (oldNodes.isEmpty) g.withColumn("router_old", lit(null).cast("string"))
+      else g.withColumn("router_old",
+        graft.plans.RingOwner.of(md5(col("grp")), ring(oldNodes)))
+    val both =
+      if (newNodes.isEmpty)
+        withOld.withColumn("router_new", lit(null).cast("string"))
+      else withOld.withColumn("router_new",
+        graft.plans.RingOwner.of(md5(col("grp")), ring(newNodes)))
+    both.withColumn("moved",
+      !(col("router_old") <=> col("router_new")))
   }
 
   /** Power-of-two-choices tenant placement + the rebalance sweep —
@@ -111,10 +230,10 @@ object Muster {
     // cluster membership + loads — bounded, hundreds of nodes at scale.
     // Null node names (dirty metadata) are dropped; loads compare as
     // doubles (exact for any realistic integral load).
-    val nodeMeta = nodes
+    val nodeMeta = boundedCollect(nodes
       .select(col(nodeCol).cast("string").as("node"),
-        col(loadCol).cast("double").as("load"))
-      .collect().filter(!_.isNullAt(0))
+        col(loadCol).cast("double").as("load")),
+      "two-choice node/load table").filter(!_.isNullAt(0))
       .map(r => (r.getString(0),
         if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     if (nodeMeta.isEmpty)

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, BufferedReader, DataInputStream,
+  DataOutputStream, EOFException, InputStreamReader}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** A TCP leg over the file-backed replay log — the FLOW-CONTROL story
+  * of the cross-process transport (the file log is the durability
+  * story). The reference's replication transport is a socket with
+  * keepalive and periodic status updates
+  * (/root/reference/lib/realtime/tenants/replication_connection.ex:334);
+  * this relay reproduces that shape: a consumer connects, names its
+  * per-partition start cursors (the replication slot's confirmed LSN),
+  * the server streams frames from the log in per-partition offset
+  * order, and the consumer sends periodic ACK status lines back on the
+  * same connection.
+  *
+  * Backpressure is STRUCTURAL, not scheduled: the server reads at most
+  * [[Chunk]] frames per partition from disk before writing them to the
+  * socket, and the socket write BLOCKS once the (explicitly bounded)
+  * send buffer fills — so a slow consumer stalls the disk reads and
+  * the backlog stays ON DISK, never in relay heap. A dropped
+  * connection just ends the serve loop; the consumer redials with its
+  * last committed cursors and the stream resumes from there — frames
+  * past the committed cursor but received before the drop are
+  * re-delivered, the at-least-once contract of a replication-slot
+  * reconnect.
+  *
+  * Wire format (after the client's one text line `TAIL p:off,p:off,…`,
+  * empty cursor list = all partitions from 0):
+  * `[int32 partition][int64 offset][int64 timestampMs][int32 valueLen]
+  * [value bytes]`, back-channel text lines `ACK p:off,…`.
+  */
+object SocketRelay {
+
+  /** Per-cycle per-partition disk read-ahead: bounds relay heap at
+    * `partitions × Chunk` frames regardless of backlog size. */
+  val Chunk = 1024
+
+  /** Explicit socket buffer bound (send side here, receive side set by
+    * the client): keeps the in-flight window a few thousand frames so
+    * backpressure engages at consumer speed, not at kernel-default
+    * autotuned-megabytes speed. */
+  val SockBuf = 1 << 16
+
+  final class Server(root: String, topic: String, port: Int = 0) {
+    private val server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(new InetSocketAddress("127.0.0.1", port), 1)
+    def localPort: Int = server.getLocalPort
+
+    @volatile private var running = true
+    /** Total frames written to sockets across all connections —
+      * monotonic, sampled by the probe's stats thread. */
+    @volatile var sentTotal: Long = 0L
+    /** Last ACK status per partition (the consumer's flushed cursor),
+      * like the replication connection's status updates. */
+    @volatile var lastAck: Map[Int, Long] = Map.empty
+
+    private val thread = new Thread(() => acceptLoop(), "socket-relay")
+    def start(): this.type = {
+      thread.setDaemon(true); thread.start(); this
+    }
+
+    private def acceptLoop(): Unit =
+      while (running) {
+        val sock =
+          try server.accept()
+          catch { case _: Exception => return } // stop() closed us
+        try serve(sock)
+        catch { case _: Exception => () } // client dropped: await redial
+        finally { try sock.close() catch { case _: Exception => () } }
+      }
+
+    private def serve(sock: Socket): Unit = {
+      sock.setKeepAlive(true)
+      sock.setSendBufferSize(SockBuf)
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, UTF_8))
+      val start = in.readLine()
+      if (start == null || !start.startsWith("TAIL")) return
+      val cursors = scala.collection.mutable.Map.empty[Int, Long]
+      start.stripPrefix("TAIL").trim.split(",").filter(_.nonEmpty)
+        .foreach { kv =>
+          val Array(p, o) = kv.split(":")
+          cursors(p.trim.toInt) = o.trim.toLong
+        }
+      // status-update reader: drains ACK lines off the back channel so
+      // the send side never blocks on an unread input buffer
+      val acks = new Thread(() => {
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.startsWith("ACK")) {
+              val m = line.stripPrefix("ACK").trim.split(",")
+                .filter(_.nonEmpty).map { kv =>
+                  val Array(p, o) = kv.split(":")
+                  p.trim.toInt -> o.trim.toLong
+                }.toMap
+              lastAck = m
+            }
+            line = in.readLine()
+          }
+        } catch { case _: Exception => () }
+      }, "socket-relay-acks")
+      acks.setDaemon(true)
+      acks.start()
+      val out = new DataOutputStream(
+        new BufferedOutputStream(sock.getOutputStream, SockBuf))
+      while (running && !sock.isClosed) {
+        var progressed = false
+        FileReplayLog.partitions(root, topic).foreach { p =>
+          val from = cursors.getOrElse(p, 0L)
+          val recs = FileReplayLog.read(root, topic, p, from, from + Chunk)
+          if (recs.nonEmpty) {
+            progressed = true
+            recs.foreach { r =>
+              out.writeInt(p)
+              out.writeLong(r.offset)
+              out.writeLong(r.timestampMs)
+              val v = if (r.value == null) Array.emptyByteArray else r.value
+              out.writeInt(v.length)
+              out.write(v)
+              sentTotal += 1
+            }
+            cursors(p) = recs.last.offset + 1
+            out.flush() // hand the chunk to the (bounded) socket buffer
+          }
+        }
+        if (!progressed) {
+          // caught up: poll for new publishes, and send a HEARTBEAT
+          // frame (partition -1) so the consumer's blocking read always
+          // returns — the keepalive the reference's socket carries, and
+          // what lets a drained consumer run its done-check instead of
+          // blocking forever on a quiet connection
+          out.writeInt(-1)
+          out.writeLong(-1L)
+          out.writeLong(System.currentTimeMillis())
+          out.writeInt(0)
+          out.flush()
+          Thread.sleep(10L)
+        }
+      }
+    }
+
+    def stop(): Unit = {
+      running = false
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** One received frame (value bytes dropped after length accounting —
+    * the consumer-side audit needs identity and size, not payload).
+    * `partition == -1` is a heartbeat/keepalive, sent when the relay is
+    * caught up. */
+  final case class Frame(partition: Int, offset: Long, timestampMs: Long,
+      valueLen: Int) {
+    def isHeartbeat: Boolean = partition == -1
+  }
+
+  /** Blocking client: dial, send cursors, read frames one at a time.
+    * `recvBuf` is set BEFORE connect so the kernel honors it — an
+    * unbounded autotuned receive window would hide the backpressure
+    * the probe measures. */
+  final class Client(host: String, port: Int, cursors: Map[Int, Long]) {
+    private val sock = new Socket()
+    sock.setReceiveBufferSize(SockBuf)
+    sock.connect(new InetSocketAddress(host, port))
+    sock.setKeepAlive(true)
+    private val out = sock.getOutputStream
+    // buffered: per-frame readInt/readLong on a raw socket stream is a
+    // read() syscall each — measured 92k frames/s; buffering lifts the
+    // same consumer loop past the producer's sustained rate
+    private val in = new DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream, SockBuf))
+    out.write(("TAIL " + cursors.toSeq.sorted
+      .map { case (p, o) => s"$p:$o" }.mkString(",") + "\n").getBytes(UTF_8))
+    out.flush()
+
+    /** Next frame, or None on connection end. */
+    def next(): Option[Frame] =
+      try {
+        val p = in.readInt()
+        val off = in.readLong()
+        val ts = in.readLong()
+        val vLen = in.readInt()
+        in.skipNBytes(vLen.toLong)
+        Some(Frame(p, off, ts, vLen))
+      } catch { case _: EOFException => None }
+
+    /** Status update on the back channel. */
+    def ack(committed: Map[Int, Long]): Unit = {
+      out.write(("ACK " + committed.toSeq.sorted
+        .map { case (p, o) => s"$p:$o" }.mkString(",") + "\n")
+        .getBytes(UTF_8))
+      out.flush()
+    }
+
+    /** Abrupt drop — the reconnect scenario's first half. */
+    def close(): Unit = {
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+}

@@ -101,6 +101,81 @@ class SimilaritySpec extends SparkSpec {
       nearest((-1, 0)) > 0.95)
   }
 
+  test("trainCentroidsExact: converges to cluster directions like the " +
+      "float trainer, iteration 2 keeps improving past the pinned " +
+      "iteration 1, and the quantized update stays within 2e-6 of the " +
+      "float update on one step") {
+    val pts = (0 until 30).map { i =>
+      val base = i % 3 match {
+        case 0 => (1.0f, 0.02f * (i / 3))
+        case 1 => (0.02f * (i / 3), 1.0f)
+        case _ => (-1.0f, -0.02f * (i / 3))
+      }
+      (i.toLong, Array(base._1, base._2))
+    }.toDF("vec_id", "embedding")
+    def objective(cents: Array[Array[Double]]): Double = {
+      // mean max-cosine over the corpus — the spherical k-means objective
+      val vs = pts.select("embedding").as[Array[Float]].collect()
+        .map { v =>
+          val n = math.sqrt(v(0).toDouble * v(0) + v(1).toDouble * v(1))
+          Array(v(0) / n, v(1) / n)
+        }
+      vs.map(v => cents.map(c => c(0) * v(0) + c(1) * v(1)).max).sum / vs.length
+    }
+    def trained(iters: Int): Array[Array[Double]] =
+      Similarity.trainCentroidsExact(pts, "embedding", "vec_id",
+        k = 3, dim = 2, iters = iters)
+        .select("centv").as[Array[Double]].collect()
+    val it1 = trained(1)
+    val it2 = trained(2)
+    // convergence beyond the pinned iteration: the objective is
+    // non-decreasing (Lloyd monotonicity, quantization noise far below
+    // the cluster separation on this data)
+    assert(objective(it2) >= objective(it1) - 1e-9,
+      s"iteration 2 degraded: ${objective(it2)} < ${objective(it1)}")
+    // after 5 exact iterations the centroids separate the clusters,
+    // same contract as the float trainer's convergence test
+    val it5 = trained(5)
+    def nearest(cents: Array[Array[Double]], dir: (Double, Double)) =
+      cents.map(c => c(0) * dir._1 + c(1) * dir._2).max
+    assert(nearest(it5, (1, 0)) > 0.95 && nearest(it5, (0, 1)) > 0.95 &&
+      nearest(it5, (-1, 0)) > 0.95)
+    // the 1e-6 quantization: one exact step stays within 2e-6 per
+    // component of the magnitude-weighted float mean it quantizes —
+    // pinning that the variant differs by quantization, not semantics
+    import org.apache.spark.sql.functions.{avg => favg}
+    val norm = Similarity.normalized(
+      pts.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("rv")), "rv", "v")
+    val floatMeans = Similarity.assignBuckets(
+        norm.select(col("vec_id"), col("rv"), col("v")),
+        Similarity.centroids(pts, "embedding", "vec_id", 3),
+        "vec_id", dim = 2, keep = Seq("rv"))
+      .select(col("bucket"), posexplode(col("rv")).as(Seq("d", "x")))
+      .groupBy("bucket", "d").agg(favg("x").as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val exactRaw = {
+      // re-derive the pre-normalization quantized means the same way
+      val asg = Similarity.assignBuckets(
+          norm.select(col("vec_id"), col("rv"), col("v")),
+          Similarity.centroids(pts, "embedding", "vec_id", 3),
+          "vec_id", dim = 2, keep = Seq("rv"))
+        .select(col("bucket"), posexplode(col("rv")).as(Seq("d", "x")))
+        .select(col("bucket"), col("d"),
+          round(col("x") * lit(1e6)).cast("long").as("q"))
+        .groupBy("bucket", "d")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)).toMap
+      asg
+    }
+    exactRaw.foreach { case (k, m) =>
+      assert(math.abs(m - floatMeans(k)) < 2e-6,
+        s"quantized mean drifted at $k: $m vs ${floatMeans(k)}")
+    }
+  }
+
   test("trained IVF beats untrained recall on clustered data") {
     val pts = (0 until 30).map { i =>
       val base = i % 3 match {

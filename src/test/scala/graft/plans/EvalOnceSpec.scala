@@ -128,4 +128,28 @@ class EvalOnceSpec extends SparkSpec {
     m.foreach { case (op, n) =>
       assert(n <= 1, s"vocab digest duplicated: $op x$n (all: $m)") }
   }
+
+  test("composition restriction (documented on every fenced public " +
+      "API): raw fenced column inside an aggregate is rejected at " +
+      "analysis time; the bind-first idiom composes freely") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("id", "t")
+    // raw fenced column inside an aggregate: AnalysisException, never a
+    // wrong result — this is the trap the scaladoc warns about
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.agg(sum(TextAnalysis.tokenCount(col("t")))).collect()
+    }
+    // the documented idiom: bind once, then aggregate the attribute
+    val bound = docs.withColumn("n", TextAnalysis.tokenCount(col("t")))
+      .agg(sum(col("n")).as("total")).collect()
+    assert(bound.head.getLong(0) == 5L)
+    // join condition: same rule, same idiom
+    val other = Seq((3L, 1)).toDF("oid", "n")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.join(other, TextAnalysis.tokenCount(col("t")) === col("n"))
+        .collect()
+    }
+    assert(docs.withColumn("tc", TextAnalysis.tokenCount(col("t")))
+      .join(other, col("tc") === col("n")).count() == 0L)
+  }
 }

@@ -12,9 +12,31 @@ import java.util.concurrent.ConcurrentHashMap
 class CensusStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  /** PRECONDITION of every stream==batch comparison in this suite
+    * (r12 advice, made explicit): equality holds for PER-KEY IN-ORDER
+    * replays only — the CDC-replay case the stream models. Under
+    * out-of-order input the stream stays count-correct but stamps a
+    * late join one interval past the key's last broadcast, where the
+    * batch Census stamps it at its event tick (tested separately below,
+    * without a batch comparison). Feeds to an equality test must pass
+    * through this guard so nobody silently adds an out-of-order replay
+    * to an equality harness. */
+  private def assertPerKeyOrdered(feeds: Seq[Seq[Join]]): Unit = {
+    val flat = feeds.flatten
+    flat.groupBy(j => (j.node, j.grp)).foreach { case (k, js) =>
+      assert(js.map(_.epochSec) == js.map(_.epochSec).sorted,
+        s"equality-spec feed is out of order for key $k — " +
+          "stream==batch only holds for per-key ordered replays")
+    }
+  }
+
   test("stream broadcasts == batch Census local counts, gap ticks " +
       "filled, micro-batch boundaries invisible") {
     implicit val s = spark
+    val feeds = Seq(
+      Seq(Join("nA", "g", 10L), Join("nB", "g", 30L)),
+      Seq(Join("nA", "g", 70L), Join("nB", "g", 250L)))
+    assertPerKeyOrdered(feeds)
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Join](spark)
     val got = new ConcurrentHashMap[(String, String, Long), Long]()
@@ -28,18 +50,17 @@ class CensusStreamSpec extends SparkSpec {
     try {
       // every key has a join in the first interval, so stream coverage
       // equals the batch grid's (which starts at the global min tick)
-      input.addData(Seq(Join("nA", "g", 10L), Join("nB", "g", 30L)))
+      input.addData(feeds(0))
       q.processAllAvailable()
       // a 3-interval gap for nB (ticks 120/180 must gossip unchanged),
       // plus a second nA join in its own later tick
-      input.addData(Seq(Join("nA", "g", 70L), Join("nB", "g", 250L)))
+      input.addData(feeds(1))
       q.processAllAvailable()
     } finally q.stop()
     import scala.jdk.CollectionConverters._
     val stream = got.asScala.toMap
     // batch model over the same joins, n_local column
-    val events = Seq(("nA", "g", 10L), ("nB", "g", 30L),
-      ("nA", "g", 70L), ("nB", "g", 250L))
+    val events = feeds.flatten.map(j => (j.node, j.grp, j.epochSec))
       .toDF("node", "grp", "sec")
       .select(col("node"), col("grp"),
         timestamp_micros(col("sec") * 1000000L).as("ts"))

@@ -194,4 +194,111 @@ class MusterSpec extends SparkSpec {
       "current").collect()
     assert(nt.length == 1 && nt(0).getAs[String]("assigned") == null)
   }
+
+  test("occupancy register merge pins scope.ex's upsert_if_newer / " +
+      "tombstone_if_newer rules: LWW by seq, tombstone wins EQUAL seq, " +
+      "stale present cannot resurrect a vacated group, strictly-newer " +
+      "re-claim wins, tombstones keep their created_at stamp") {
+    // (grp, node, seq, present, created_at) — created_at only on
+    // tombstone claims, like the reference's meta slot
+    val claims = Seq(
+      // k1: plain LWW — present@1 then present@5: the higher seq wins
+      ("g1", "nA", 1L, true, None),
+      ("g1", "nA", 5L, true, None),
+      // k2: tombstone at EQUAL seq beats present (the :lte vs :lt
+      // guard split, scope.ex:228-236)
+      ("g2", "nA", 7L, true, None),
+      ("g2", "nA", 7L, false, Some(70L)),
+      // k3: a STALE lower-seq present (orphaned RPC landing late) must
+      // not resurrect the vacated group — the tombstone's seq guard
+      ("g3", "nA", 9L, false, Some(90L)),
+      ("g3", "nA", 4L, true, None),
+      // k4: a strictly-newer present re-claim DOES win the tombstone
+      ("g4", "nA", 3L, false, Some(30L)),
+      ("g4", "nA", 8L, true, None),
+      // k5: two tombstones, the newer (by seq) keeps ITS created_at
+      ("g5", "nA", 2L, false, Some(20L)),
+      ("g5", "nA", 6L, false, Some(60L))
+    ).map { case (g, n, s2, p, c) =>
+        (g, n, s2, p, c.map(java.lang.Long.valueOf).orNull) }
+      .toDF("grp", "node", "seq", "present", "created_at")
+    val got = Muster.occupancyMerge(claims,
+        "grp", "node", "seq", "present", "created_at")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got("g1") == ((5L, true, None)))
+    assert(got("g2") == ((7L, false, Some(70L))), "equal-seq tombstone lost")
+    assert(got("g3") == ((9L, false, Some(90L))), "stale present resurrected")
+    assert(got("g4") == ((8L, true, None)), "re-claim lost to tombstone")
+    assert(got("g5") == ((6L, false, Some(60L))))
+    // the READ model: occupancy returns only present rows
+    val visible = Muster.occupancyMerge(claims,
+        "grp", "node", "seq", "present", "created_at")
+      .where(col("present")).select("grp").as[String].collect().toSet
+    assert(visible == Set("g1", "g4"))
+  }
+
+  test("tombstone sweep reaps only out-of-window tombstones: present " +
+      "rows never reaped, in-window tombstones survive") {
+    val claims = Seq(
+      ("g1", "nA", 1L, true, null.asInstanceOf[java.lang.Long]),
+      ("g2", "nA", 1L, false, java.lang.Long.valueOf(100L)), // old
+      ("g3", "nA", 1L, false, java.lang.Long.valueOf(900L))  // young
+    ).toDF("grp", "node", "seq", "present", "created_at")
+    val reg = Muster.occupancyMerge(claims,
+      "grp", "node", "seq", "present", "created_at")
+    // now=1000, window=500 -> cutoff 500: g2's stamp 100 reaps, g3's
+    // 900 survives, g1 (present, null stamp) is untouchable
+    val swept = Muster.tombstoneSweep(reg, nowMs = 1000L, windowMs = 500L)
+      .select("grp").as[String].collect().toSet
+    assert(swept == Set("g1", "g3"))
+  }
+
+  test("rebalance delta: router recomputed under old vs new ring, " +
+      "moved fraction bounded by the consistent-hash property") {
+    val groups = spark.range(2000)
+      .selectExpr("concat('g', id) as grp")
+    val oldNodes = (0 until 4).map(i => s"n$i")
+    // one removed, two added — both delta directions at once, like
+    // recompute_members rederiving the whole set
+    val newNodes = Seq("n0", "n2", "n3", "n4", "n5")
+    val delta = Muster.rebalanceDelta(groups, "grp", oldNodes, newNodes)
+      .collect()
+    assert(delta.length == 2000)
+    // every old router is an old node; every new router a new node
+    assert(delta.forall(r => oldNodes.contains(r.getAs[String]("router_old"))))
+    assert(delta.forall(r => newNodes.contains(r.getAs[String]("router_new"))))
+    // groups routed to the removed node n1 MUST move
+    assert(delta.filter(_.getAs[String]("router_old") == "n1")
+      .forall(_.getAs[Boolean]("moved")))
+    // consistent hashing: the moved fraction is near |changed|/|new| —
+    // n1's share (~1/4) plus what n4+n5 claim (~2/5), far below a
+    // rehash-everything's ~4/5. Generous band, deterministic data.
+    val moved = delta.count(_.getAs[Boolean]("moved")).toDouble / 2000
+    assert(moved > 0.3 && moved < 0.75, s"moved fraction $moved")
+    // identity change: nothing moves
+    val same = Muster.rebalanceDelta(groups, "grp", oldNodes, oldNodes)
+    assert(same.where(col("moved")).isEmpty)
+  }
+
+  test("the node-dimension collects are capped: a high-cardinality " +
+      "node column fails loudly instead of a driver-side OOM") {
+    // a members table whose "node" column is actually per-row unique —
+    // the dirty-input shape the bounded-metadata convention can't see
+    val dirty = spark.range(Muster.MaxNodes + 1L)
+      .selectExpr("concat('g', id % 10) as grp", "concat('u', id) as node")
+    val e1 = intercept[IllegalArgumentException] {
+      Muster.routerAssignments(dirty, "grp", "node").collect()
+    }
+    assert(e1.getMessage.contains("distinct nodes"))
+    val dirtyNodes = spark.range(Muster.MaxNodes + 1L)
+      .selectExpr("concat('u', id) as node", "cast(id % 3 as int) as load")
+    val e2 = intercept[IllegalArgumentException] {
+      Muster.twoChoicePlacement(
+        Seq(("t", "n0")).toDF("tenant", "current"), "tenant",
+        dirtyNodes, "node", "load", "current").collect()
+    }
+    assert(e2.getMessage.contains("distinct nodes"))
+  }
 }

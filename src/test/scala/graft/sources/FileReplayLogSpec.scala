@@ -89,6 +89,40 @@ class FileReplayLogSpec extends SparkSpec {
     assert(recs.map(_.key) == Seq("a", "b", "c"))
   }
 
+  test("a torn 8-byte idx tail is truncated on writer restart: offsets " +
+      "stay aligned, the torn entry's record becomes an orphan") {
+    val root = tmp()
+    val topic = "t"
+    FileReplayLog.append(root, topic, 0, "a", "one".getBytes(UTF_8))
+    FileReplayLog.append(root, topic, 0, "b", "two".getBytes(UTF_8))
+    FileReplayLog.publish(root, topic)
+    FileReplayLog.dropWriters(root, topic)
+    // simulate a crash mid idxPending.writeTo: the log bytes of a third
+    // record are fully on disk (log flushes first), but only 4 of its 8
+    // idx bytes made it
+    val dir = new java.io.File(root, topic)
+    val logOut = new java.io.FileOutputStream(
+      new java.io.File(dir, "p0.log"), true)
+    logOut.write("TORN-RECORD-LOG-BYTES".getBytes(UTF_8)); logOut.close()
+    val idxOut = new java.io.FileOutputStream(
+      new java.io.File(dir, "p0.idx"), true)
+    idxOut.write(Array[Byte](0, 0, 0, 1)); idxOut.close()
+    // a concurrent reader floors the torn tail out already
+    assert(FileReplayLog.endOffsets(root, topic) == Map(0 -> 2L))
+    // a RESTARTED producer must truncate the tail before appending —
+    // without that, its 8-byte entries land after the 4 torn bytes and
+    // every subsequent offset is permanently misaligned
+    FileReplayLog.append(root, topic, 0, "c", "three".getBytes(UTF_8))
+    FileReplayLog.publish(root, topic)
+    assert(new java.io.File(dir, "p0.idx").length % 8 == 0,
+      "idx left misaligned after restart")
+    assert(FileReplayLog.endOffsets(root, topic) == Map(0 -> 3L))
+    val recs = FileReplayLog.read(root, topic, 0, 0L, 10L)
+    assert(recs.map(r => new String(r.value, UTF_8)) ==
+      Seq("one", "two", "three"),
+      "torn idx tail misaligned the offset space")
+  }
+
   test("DSv2 tail over root: admission cap bounds batches, checkpoint " +
       "restart resumes at the committed offset — no loss, no re-read") {
     val root = tmp()
