@@ -2449,7 +2449,52 @@ object Queries {
         |          FROM sel_new JOIN ring_new r ON sel_new.rh = r.h)
         |SELECT r_old.grp AS grp, router_old, router_new,
         |  router_old != router_new AS moved
-        |FROM r_old JOIN r_new ON r_old.grp = r_new.grp""".stripMargin))
+        |FROM r_old JOIN r_new ON r_old.grp = r_new.grp""".stripMargin)),
+    // The stale-router downgrade set (scope.ex:1460-1490
+    // drop_stale_router_entries): present register rows of groups whose
+    // router moved under the membership change — the rows the sweep
+    // must tombstone (never delete: the seq watermark repels late
+    // claims). Composition: occupancyMerge ⨝ rebalanceDelta(moved).
+    Q("j_muster_stale_router_drop",
+      (s, d) => graft.presence.Muster.staleRouterRows(
+        graft.presence.Muster.occupancyMerge(
+          musterClaims(s, d),
+          "grp", "node", "seq", "present", "created_at"),
+        oldNodes = (0 until 7).map(i => s"n$i"),
+        newNodes = ((0 until 7).filterNot(_ == 1) ++ Seq(7, 8))
+          .map(i => s"n$i")),
+      Some(musterClaimsSql +
+        """, merged AS (
+        |  SELECT grp, node, seq, present,
+        |    row_number() OVER (PARTITION BY grp, node
+        |      ORDER BY seq DESC, present ASC, created_at DESC) AS rn
+        |  FROM claims),
+        |reg AS (SELECT grp, node, seq FROM merged WHERE rn = 1 AND present),
+        |g AS (SELECT DISTINCT grp FROM reg),
+        |old_nodes AS (SELECT 'n' || CAST(i AS VARCHAR) AS node
+        |              FROM (SELECT unnest(range(7)) AS i)),
+        |new_nodes AS (SELECT 'n' || CAST(i AS VARCHAR) AS node
+        |              FROM (SELECT unnest(range(9)) AS i) WHERE i != 1),
+        |ring_old AS (SELECT node, md5(node || ':' || CAST(i AS VARCHAR)) AS h
+        |             FROM old_nodes, (SELECT unnest(range(128)) AS i)),
+        |ring_new AS (SELECT node, md5(node || ':' || CAST(i AS VARCHAR)) AS h
+        |             FROM new_nodes, (SELECT unnest(range(128)) AS i)),
+        |gh AS (SELECT grp, md5(grp) AS gh FROM g),
+        |sel_old AS (SELECT gh.grp,
+        |    coalesce(min(CASE WHEN r.h >= gh.gh THEN r.h END), min(r.h)) AS rh
+        |  FROM gh CROSS JOIN ring_old r GROUP BY gh.grp),
+        |sel_new AS (SELECT gh.grp,
+        |    coalesce(min(CASE WHEN r.h >= gh.gh THEN r.h END), min(r.h)) AS rh
+        |  FROM gh CROSS JOIN ring_new r GROUP BY gh.grp),
+        |r_old AS (SELECT sel_old.grp, r.node AS router_old
+        |          FROM sel_old JOIN ring_old r ON sel_old.rh = r.h),
+        |r_new AS (SELECT sel_new.grp, r.node AS router_new
+        |          FROM sel_new JOIN ring_new r ON sel_new.rh = r.h)
+        |SELECT reg.grp AS grp, reg.node, reg.seq, router_old, router_new
+        |FROM reg
+        |JOIN r_old ON reg.grp = r_old.grp
+        |JOIN r_new ON reg.grp = r_new.grp
+        |WHERE router_old != router_new""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by

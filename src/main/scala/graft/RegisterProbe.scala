@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the occupancy-register family (round-13): runs
+  * [[graft.presence.Muster.occupancyMerge]] / `tombstoneSweep` /
+  * `staleRouterRows` over a SYNTHETIC claim stream far past the shipped
+  * SFs — default 10M claims over 1M (group, node) keys with a 10%
+  * hot-key skew — and prints one line per stage for COVERAGE.
+  *
+  * Measurement rules (see PruneScan / the r12 lesson): every stage
+  * aggregates OVER its computed columns (seq/present/created_at reach
+  * the sink), never a bare count that lets Catalyst prune the merge
+  * itself out of the timed plan.
+  */
+object RegisterProbe {
+  def main(args: Array[String]): Unit = {
+    val nClaims = if (args.nonEmpty) args(0).toLong else 10000000L
+    val nGroups = if (args.length > 1) args(1).toLong else 142857L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // ~7 nodes per group -> ~1M keys at the default; 10% of claims
+    // hammer one hot group (the skew a popular channel produces)
+    def claims = spark.range(nClaims).select(
+      when(col("id") % 10 === 0, lit("g-hot"))
+        .otherwise(concat(lit("g"), (col("id") % nGroups).cast("string")))
+        .as("grp"),
+      concat(lit("n"), (col("id") % 7).cast("string")).as("node"),
+      (col("id") / 3).cast("long").as("seq"),
+      (col("id") % 3 =!= 0).as("present"),
+      when(col("id") % 3 === 0, col("id") * 2).otherwise(lit(null))
+        .cast("long").as("created_at"))
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        // consume the computed columns: checksum aggregate, not count
+        val r = df.agg(count(lit(1)), sum(col("seq")),
+          sum(when(col("present"), 1L).otherwise(0L)),
+          sum(coalesce(col("created_at"), lit(0L)))).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+          f"present=${r.getLong(2)} sec=$sec%.2f")
+      }
+    }
+    import graft.presence.Muster
+    def merged = Muster.occupancyMerge(claims,
+      "grp", "node", "seq", "present", "created_at")
+    time("merge")(merged)
+    time("sweep")(Muster.tombstoneSweep(merged,
+      nowMs = nClaims * 2, windowMs = nClaims / 2))
+    time("stale_drop")(Muster.staleRouterRows(merged,
+        oldNodes = (0 until 7).map(i => s"n$i"),
+        newNodes = ((0 until 7).filterNot(_ == 1) ++ Seq(7, 8))
+          .map(i => s"n$i"))
+      .select(col("grp"), col("node"), col("seq"),
+        lit(true).as("present"),
+        lit(null).cast("long").as("created_at")))
+    spark.stop()
+  }
+}

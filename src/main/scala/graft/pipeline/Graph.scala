@@ -47,7 +47,7 @@ object Graph {
       .join(deg, col("_src") === col("_s"))
       .select(col("_src"), col("_dst"), col("outdeg")).persist()
     var r = nodes.select(col("id"), lit(1000000L / n).as("rank_micros"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, col("_src") === col("id"))
         .select(col("_dst"),
           expr(s"(${dampMicros}L * rank_micros) div (1000000L * outdeg)")
@@ -56,6 +56,17 @@ object Graph {
       r = nodes.join(contrib, col("id") === col("_dst"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("_sum"), lit(0L))).as("rank_micros"))
+      // truncate the lineage each iteration (round-13): without this
+      // the final plan nests `iters` join rounds — Catalyst re-plans a
+      // doubling tree and the one mega-stage re-derives every earlier
+      // iteration's shuffles (text_textrank spent ~3 s of its 4.6 s
+      // warm here). localCheckpoint keeps the rank table DISTRIBUTED
+      // (unlike a driver collect, which would cap the node set at
+      // driver memory — wrong for a 100M-word vocabulary), costs one
+      // executor-storage materialization of a (id, long) table per
+      // iteration, and is skipped on the last pass so the returned
+      // frame still ends in the final join (composable lineage).
+      if (i < iters) r = r.localCheckpoint()
     }
     r
   }

@@ -34,9 +34,35 @@ object NgramLm {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n))))
 
+  /** Pre-explode spread (round-13, found by a warm probe reading 20×
+    * slower than the arithmetic): the explode amplifies each document
+    * into ~|text| gram rows INSIDE the scan's stage, and the broadcast
+    * joins keep everything there until the first aggregate shuffle —
+    * so with a small input (one parquet split; 5,000 docs at sf0.1)
+    * the entire ~1.5M-row gram pipeline ran in ONE task on one core
+    * (measured 1.7 s per leg; 0.65 s spread). One cheap shuffle of the
+    * RAW doc rows (bytes = the corpus text, paid once, before the
+    * 300× row amplification) hash-spreads the explode across the
+    * cluster; at real scale the input already has many splits and the
+    * extra exchange of narrow doc rows is noise next to the gram
+    * volume it parallelizes.
+    *
+    * The partition count is EXPLICIT, not `repartition(by)`: a
+    * column-only repartition is AQE-coalescible, and AQE sizes the
+    * exchange by its INPUT bytes (~1.5 MB here → back to one
+    * partition), blind to the amplification the Generate above it is
+    * about to do — measured: the coalescible form kept the whole
+    * 1.95 s single-task profile; the explicit form runs the leg in
+    * 0.65 s. The count is the session's configured shuffle
+    * parallelism, so deployments tune it with one knob. */
+  private def spread(df: DataFrame, by: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, by)
+
   /** Corpus frequency table `(gram, cnt)` for order `n`. */
   def train(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.select(explode(charNgrams(col(textCol), n)).as("gram"))
+    spread(df.select(col(textCol)), col(textCol))
+      .select(explode(charNgrams(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
 
   /** Score every document against the corpus-trained model:
@@ -53,8 +79,9 @@ object NgramLm {
       .select(col("gram").as("g3"), col("cnt").as("c3"))
     val bi = train(df, textCol, 2)
       .select(col("gram").as("g2"), col("cnt").as("c2"))
-    val grams = df.select(col(idCol).as("id"),
-        explode(charNgrams(col(textCol), 3)).as("g3"))
+    val grams = spread(df.select(col(idCol).as("id"), col(textCol)),
+        col(idCol))
+      .select(col("id"), explode(charNgrams(col(textCol), 3)).as("g3"))
       .withColumn("g2", col("g3").substr(1, 2))
     grams
       // n-gram count tables grow with the training corpus — no broadcast

@@ -361,7 +361,15 @@ object TextAnalysis {
   def textRank(df: DataFrame, textCol: String, minPairCount: Long,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(
+    // explicit-count pre-explode spread (see NgramLm.spread for the
+    // measured rationale): the bigram explode amplifies each doc ~|ws|×
+    // inside the scan's stage, and a small corpus is one split — the
+    // whole corpus pass ran as ONE task; a column-only repartition gets
+    // AQE-coalesced right back (sized on pre-explode bytes)
+    val base = df
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col(textCol))
+      .select(
         filter(words(col(textCol)), w => length(w) > 0).as("ws"))
       .where(size(col("ws")) >= 2)
     val bigrams = base

@@ -191,6 +191,47 @@ object Muster {
       !(col("router_old") <=> col("router_new")))
   }
 
+  /** The stale-router downgrade set — which REGISTER rows a rebalance
+    * orphans (scope.ex:1460-1490 `drop_stale_router_entries`): after a
+    * membership change, a router holds present rows for groups the NEW
+    * ring routes elsewhere; those rows must be downgraded to tombstones
+    * (never hard-deleted — the seq watermark must survive to repel
+    * late claims, see [[occupancyMerge]]; only `:present` rows are
+    * judged, a tombstone is left untouched so its GC clock keeps
+    * running). As a global read model: present rows of groups whose
+    * router MOVED between the old and new rings — the old router is
+    * where the row lives, the move is why it no longer belongs there.
+    *
+    * Shape: the TWO ring lookups run per register row in one narrow
+    * projection — NOT a join against [[rebalanceDelta]]: a DataFrame
+    * used on both sides of a join is recomputed per side (Catalyst has
+    * no common-subplan reuse), so the join form paid the register
+    * merge TWICE plus a distinct and a broadcast (measured at 10M
+    * claims / 1M keys: 22.1 s join form, 2.6 s this form). The
+    * [[graft.plans.RingOwner]] kernel is O(log ring) per row — cheaper
+    * than re-deriving its input. */
+  def staleRouterRows(register: DataFrame, oldNodes: Seq[String],
+      newNodes: Seq[String], vnodes: Int = 128): DataFrame = {
+    def ring(nodes: Seq[String]) = nodes.sorted.flatMap(n =>
+      (0 until vnodes).map(i => (md5Hex(s"$n:$i"), n)))
+    // EvalOnce fence: the moved-filter below otherwise pushes beneath
+    // this projection and re-evaluates BOTH ring kernels (and the md5)
+    // per row in the Filter — caught by DupExprScan on this query's
+    // first cut, the same pushdown-duplication family as the r12 CDC
+    // fences. Bound via withColumn, so downstream composition sees a
+    // plain attribute (no nondeterministic-whitelist trap).
+    def router(out: String, nodes: Seq[String])(df: DataFrame) =
+      if (nodes.isEmpty) df.withColumn(out, lit(null).cast("string"))
+      else df.withColumn(out, graft.plans.EvalOnce.of(
+        graft.plans.RingOwner.of(md5(col("grp")), ring(nodes))))
+    register.where(col("present"))
+      .transform(router("router_old", oldNodes))
+      .transform(router("router_new", newNodes))
+      .where(!(col("router_old") <=> col("router_new")))
+      .select(col("grp"), col("node"), col("seq"),
+        col("router_old"), col("router_new"))
+  }
+
   /** Power-of-two-choices tenant placement + the rebalance sweep —
     * `Realtime.Nodes.launch_node` / `Realtime.Operations.rebalance`
     * (/root/reference/lib/realtime/nodes.ex:117-185,

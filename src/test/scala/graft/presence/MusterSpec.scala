@@ -282,6 +282,28 @@ class MusterSpec extends SparkSpec {
     assert(same.where(col("moved")).isEmpty)
   }
 
+  test("stale-router drop judges only PRESENT rows: a tombstone of a " +
+      "moved group is left untouched (its GC clock must keep running), " +
+      "and unmoved groups' rows are never downgraded") {
+    val claims = Seq(
+      ("gA", "n0", 1L, true, null.asInstanceOf[java.lang.Long]),
+      ("gB", "n0", 2L, false, java.lang.Long.valueOf(20L)), // tombstone
+      ("gC", "n0", 3L, true, null.asInstanceOf[java.lang.Long])
+    ).toDF("grp", "node", "seq", "present", "created_at")
+    val reg = Muster.occupancyMerge(claims,
+      "grp", "node", "seq", "present", "created_at")
+    val oldNodes = (0 until 4).map(i => s"n$i")
+    // removing every node a group could route to forces ALL groups to
+    // move — so the only thing keeping gB out of the output is its
+    // tombstone state, which is exactly the rule under test
+    val dropped = Muster.staleRouterRows(reg, oldNodes, Seq("n9"))
+      .select("grp").as[String].collect().toSet
+    assert(dropped == Set("gA", "gC"),
+      s"tombstone judged or present missed: $dropped")
+    // identity membership: no group moves, nothing is downgraded
+    assert(Muster.staleRouterRows(reg, oldNodes, oldNodes).isEmpty)
+  }
+
   test("the node-dimension collects are capped: a high-cardinality " +
       "node column fails loudly instead of a driver-side OOM") {
     // a members table whose "node" column is actually per-row unique —
