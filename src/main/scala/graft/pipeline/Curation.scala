@@ -195,7 +195,7 @@ object Curation {
       benchTextCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.1): DataFrame = {
-    val docSh = docs
+    val docSh = Spread(docs, col(idCol))
       .withColumn("_ws", TextAnalysis.words(col(textCol)))
       .select(col(idCol), Dedup.shinglesOfWords(col("_ws"), shingleN).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_shingles"),

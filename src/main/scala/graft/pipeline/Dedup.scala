@@ -62,7 +62,7 @@ object Dedup {
     * join streams; nothing is ever m² in the bucket size. */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
       maxDocs: Int = 1): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
+    val lines = Spread(df, col(idCol)).select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val freq = lines.groupBy("line")
       .agg(countDistinct(col("id")).as("docfreq"))
@@ -103,7 +103,9 @@ object Dedup {
     * [[dedupLines]]. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
       spanN: Int = 10, minOccurrences: Int = 2): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    // conditional pre-explode spread (graft.AmpScan finding): the span
+    // windows amplify each doc ~|ws|x inside the scan's stage
+    val base = Spread(df, col(idCol)).select(col(idCol).as("id"),
       filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("ws"))
     val spans = base
       .select(col("id"), col("ws"),
@@ -145,7 +147,9 @@ object Dedup {
     * the frequency row is the build side. */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
       spanN: Int = 10, minOccurrences: Int = 2): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    // conditional pre-explode spread (graft.AmpScan): three legs below
+    // explode this base within the scan's stage
+    val base = Spread(df, col(idCol)).select(col(idCol).as("id"),
       filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("ws"))
     val toks = base.select(col("id"),
       posexplode(col("ws")).as(Seq("pos", "w")))
@@ -266,7 +270,7 @@ object Dedup {
   def minhashSignaturesDF(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int): DataFrame = {
-    val base = df.select(
+    val base = Spread(df, col(idCol)).select(
       col(idCol).as("id"),
       TextAnalysis.words(col(textCol)).as("ws"))
       .withColumn("sh", shinglesOfWords(col("ws"), shingleN))
@@ -307,7 +311,7 @@ object Dedup {
     // spark.catalog.clearCache() after consuming the result (Verify/Bench
     // do, per query) — the returned plan is lazy so the query itself
     // cannot unpersist
-    val base = df.select(
+    val base = Spread(df, col(idCol)).select(
       col(idCol).as("id"),
       TextAnalysis.words(col(textCol)).as("ws"))
       .withColumn("sh", shinglesOfWords(col("ws"), shingleN))
@@ -372,7 +376,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.3,
       lenBucket: Int = 50, maxShinglePostings: Int = 0): DataFrame = {
-    val base = df.select(
+    val base = Spread(df, col(idCol)).select(
       col(idCol).as("id"),
       (length(col(textCol)) / lenBucket).cast("long").as("blk"),
       TextAnalysis.words(col(textCol)).as("ws"))

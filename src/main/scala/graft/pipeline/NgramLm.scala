@@ -53,11 +53,11 @@ object NgramLm {
     * partition), blind to the amplification the Generate above it is
     * about to do — measured: the coalescible form kept the whole
     * 1.95 s single-task profile; the explicit form runs the leg in
-    * 0.65 s. The count is the session's configured shuffle
-    * parallelism, so deployments tune it with one knob. */
+    * 0.65 s. Delegates to the shared conditional [[Spread]], so an
+    * input that already has the session's parallelism (the at-scale
+    * case) pays nothing. */
   private def spread(df: DataFrame, by: Column): DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, by)
+    Spread(df, by)
 
   /** Corpus frequency table `(gram, cnt)` for order `n`. */
   def train(df: DataFrame, textCol: String, n: Int): DataFrame =

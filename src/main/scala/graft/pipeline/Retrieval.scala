@@ -33,7 +33,7 @@ object Retrieval {
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val base = Spread(df, col(idCol)).select(col(idCol).as("id"),
         filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("ws"))
       .withColumn("dl", size(col("ws")))
     val stats = base.agg(

@@ -102,7 +102,10 @@ object TextAnalysis {
     * row). */
   def repetitionFeatures(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
-    val base = df.select(col(idCol), words(col(textCol)).as("ws"))
+    // conditional pre-explode spread (graft.AmpScan): both aggs below
+    // explode the word array within the scan's stage
+    val base = Spread(df, col(idCol))
+      .select(col(idCol), words(col(textCol)).as("ws"))
     val wordAgg = base.select(col(idCol), explode(col("ws")).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
@@ -144,7 +147,8 @@ object TextAnalysis {
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val toks = Spread(df, col(idCol))
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
     val tf = toks.groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("tf"))
@@ -361,14 +365,12 @@ object TextAnalysis {
   def textRank(df: DataFrame, textCol: String, minPairCount: Long,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // explicit-count pre-explode spread (see NgramLm.spread for the
-    // measured rationale): the bigram explode amplifies each doc ~|ws|×
-    // inside the scan's stage, and a small corpus is one split — the
-    // whole corpus pass ran as ONE task; a column-only repartition gets
+    // conditional pre-explode spread (see Spread for the measured
+    // rationale): the bigram explode amplifies each doc ~|ws|× inside
+    // the scan's stage, and a small corpus is one split — the whole
+    // corpus pass ran as ONE task; a column-only repartition gets
     // AQE-coalesced right back (sized on pre-explode bytes)
-    val base = df
-      .repartition(df.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col(textCol))
+    val base = Spread(df, col(textCol))
       .select(
         filter(words(col(textCol)), w => length(w) > 0).as("ws"))
       .where(size(col("ws")) >= 2)
@@ -412,7 +414,7 @@ object TextAnalysis {
       lang: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sw = stopwords(lang)
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Spread(df, col(idCol)).select(col(idCol).as("id"),
         posexplode(filter(words(lower(col(textCol))),
           w => length(w) > 0)).as(Seq("idx", "w")))
     val ns = toks.where(!col("w").isin(sw: _*))
