@@ -12,7 +12,14 @@ object XprocRelay {
   def main(args: Array[String]): Unit = {
     val Array(root, topic, portFile, statsFile, stopMarker) = args.take(5)
     val server = new SocketRelay.Server(root, topic).start()
-    Files.writeString(Paths.get(portFile), server.localPort.toString)
+    // temp-write + ATOMIC_MOVE (r13 advice): Files.writeString is
+    // create-then-write, so a probe polling for the file's existence
+    // could read it empty between the two; the rename makes the content
+    // appear atomically
+    val tmpPort = Paths.get(portFile + ".tmp")
+    Files.writeString(tmpPort, server.localPort.toString)
+    Files.move(tmpPort, Paths.get(portFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     while (!Files.exists(Paths.get(stopMarker))) {
       Files.write(Paths.get(statsFile),
         s"${System.currentTimeMillis()} ${server.sentTotal}\n".getBytes(UTF_8),
@@ -93,8 +100,20 @@ object XprocSocketProbe {
       catch { case _: Exception => () }
       producer.destroyForcibly(); relay.destroyForcibly()
     }
-    while (!Files.exists(Paths.get(portFile))) Thread.sleep(50L)
-    val port = Files.readString(Paths.get(portFile)).trim.toInt
+    // loop until the content PARSES (r13 advice): even with the relay's
+    // atomic move, the reader must not die on a transiently unreadable
+    // file — retry until an int comes back
+    def readPort(): Int = {
+      var port = Option.empty[Int]
+      while (port.isEmpty) {
+        if (Files.exists(Paths.get(portFile)))
+          port = scala.util.Try(
+            Files.readString(Paths.get(portFile)).trim.toInt).toOption
+        if (port.isEmpty) Thread.sleep(50L)
+      }
+      port.get
+    }
+    val port = readPort()
 
     // disk-side sampler: (wallMs, publishedTotal) — the backlog half of
     // the backpressure audit
@@ -223,15 +242,41 @@ object XprocSocketProbe {
     val stats = Files.readAllLines(Paths.get(statsFile)).asScala
       .map(_.split(" ")).filter(_.length == 2)
       .map(a => (a(0).toLong, a(1).toLong)).toSeq
-    def at(samples: Seq[(Long, Long)], t: Long): Long =
-      samples.filter(_._1 <= t).map(_._2).maxOption.getOrElse(0L)
-    val sentAtSlowEnd = at(stats, slowEndMs)
-    val consumedAtSlowEnd = at(consumedSamples.toSeq, slowEndMs)
-    val publishedAtSlowEnd = at(diskSamples.asScala.toSeq, slowEndMs)
+    // SERIES ALIGNMENT (r13 advice): the relay stats tick every 100 ms
+    // and the consumer samples every ~50 ms, independently — subtracting
+    // the latest-before-t values of each lets the sent sample be up to
+    // ~100 ms staler than the consumed one, so the difference can read
+    // negative or inflated on a healthy run. Anchor both series at the
+    // SAME instant: take the relay's own last sample at/before the
+    // slow-window end as t*, read `sent` exactly there, and interpolate
+    // the (denser, monotone) consumed/disk series to t*.
+    def interp(samples: Seq[(Long, Long)], t: Long): Long = {
+      val sorted = samples.sortBy(_._1)
+      val below = sorted.takeWhile(_._1 <= t).lastOption
+      val above = sorted.find(_._1 > t)
+      (below, above) match {
+        case (Some((t0, v0)), Some((t1, v1))) if t1 > t0 =>
+          v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+        case (Some((_, v0)), _) => v0
+        case (None, Some((_, v1))) => v1
+        case _ => 0L
+      }
+    }
+    val sentSample = stats.filter(_._1 <= slowEndMs)
+      .sortBy(_._1).lastOption.getOrElse((slowEndMs, 0L))
+    val tStar = sentSample._1
+    val sentAtSlowEnd = sentSample._2
+    val consumedAtSlowEnd = interp(consumedSamples.toSeq, tStar)
+    val publishedAtSlowEnd = interp(diskSamples.asScala.toSeq, tStar)
     val inflight = sentAtSlowEnd - consumedAtSlowEnd
     val backlog = publishedAtSlowEnd - sentAtSlowEnd
-    assert(inflight >= 0 && inflight < InflightBound,
-      s"backpressure failed: in-flight $inflight frames " +
+    // the interpolation of a step-shaped counter is linear between
+    // samples, so the aligned difference still carries a small residual:
+    // at the throttled consume rate (15k/s) a 50 ms sample gap bounds it
+    // under ~1k frames — the slack below is 5× that, tiny vs the bound
+    val InterpSlack = 5000L
+    assert(inflight >= -InterpSlack && inflight < InflightBound,
+      s"backpressure failed: in-flight $inflight frames at t*=$tStar " +
         s"(bound $InflightBound) — relay buffered the backlog")
     assert(backlog > 2L * InflightBound,
       s"backpressure unproven: disk backlog $backlog at slow-window end " +

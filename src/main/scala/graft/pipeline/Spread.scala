@@ -27,7 +27,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   * it carries).
   */
 object Spread {
+  /** INPUT CONTRACT (r13 advice): `df` must be a BATCH frame whose plan
+    * reaches the leaf scan without an exchange — every call site is a
+    * pipeline source scan (`docs()` et al.). The partition-count probe
+    * below goes through `df.rdd`, which physically plans the subtree:
+    * on a leaf scan that is the same planning cost every adaptive
+    * decision pays, but under AQE a frame CONTAINING an exchange would
+    * materialize its upstream query stages eagerly at construction time
+    * (the work then repeats at execution), and a streaming frame has no
+    * `.rdd` at all — hence the loud guard instead of a silent misuse. */
   def apply(df: DataFrame, by: Column): DataFrame = {
+    require(!df.isStreaming,
+      "Spread expects a batch leaf-scan input, not a streaming DataFrame" +
+        " (a streaming plan has no partition count to probe; spread the" +
+        " source before readStream instead)")
     val target = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     // rdd.getNumPartitions plans (but never runs) the subquery — the

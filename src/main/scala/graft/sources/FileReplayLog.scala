@@ -191,6 +191,17 @@ object FileReplayLog {
       p -> new File(new File(root, topic), s"p$p.idx").length / 8L
     }.toMap
 
+  /** Bulk-read chunk bound (bytes). The bulk body read buffers a span
+    * of the .log file in heap; an UNBOUNDED span both risks the Int
+    * cast (a caller-sized range whose records span > 2 GiB would wrap
+    * negative — r13 advice) and doubles the range's heap footprint. So
+    * [[read]] slices the range into chunks of at most this many bytes
+    * (one readFully each); a single record larger than the bound falls
+    * back to the per-field path (no span buffer at all), so position
+    * arithmetic stays in Long end to end and no allocation exceeds the
+    * bound plus one record. */
+  private[sources] val ReadChunkBytes: Long = 64L << 20
+
   /** Records of one partition in `[from, until)` — the replay read.
     * One bulk idx read, then every record is addressed by ITS OWN idx
     * position (one seek each — free when the region is contiguous, and
@@ -201,7 +212,14 @@ object FileReplayLog {
     * while the producer appends — reads never pass the published idx
     * length, and idx bytes only reach disk after their log bytes. */
   def read(root: String, topic: String, partition: Int, from: Long,
-      until: Long): Seq[ReplayLog.Record] = {
+      until: Long): Seq[ReplayLog.Record] =
+    read(root, topic, partition, from, until, ReadChunkBytes)
+
+  /** [[read]] with an explicit chunk bound — the spec seam (a tiny
+    * bound forces every chunk shape: multi-record, single-record, and
+    * the oversized-record per-field fallback). */
+  private[sources] def read(root: String, topic: String, partition: Int,
+      from: Long, until: Long, chunkBytes: Long): Seq[ReplayLog.Record] = {
     val dir = new File(root, topic)
     val idxFile = new File(dir, s"p$partition.idx")
     val logFile = new File(dir, s"p$partition.log")
@@ -219,50 +237,74 @@ object FileReplayLog {
       idx.readFully(posBytes)
       val posBuf = ByteBuffer.wrap(posBytes)
       val out = Vector.newBuilder[ReplayLog.Record]
-      // BULK body read (round-13): the per-record path paid ~5 syscalls
-      // each (seek + one read per field — the single-threaded socket
-      // relay topped out at ~94k frames/s on exactly this). All records
-      // up to the second-to-last lie inside [pos(lo), pos(hi-1)) — each
-      // record's bytes start at ITS OWN idx position and end at or
-      // before the next one (crash orphans only pad the gap between
-      // them) — so one readFully covers them and the parse is in-heap
+      // BULK body read (round-13; chunk-bounded round-14): the
+      // per-record path paid ~5 syscalls each (seek + one read per
+      // field — the single-threaded socket relay topped out at ~94k
+      // frames/s on exactly this). All records up to the second-to-last
+      // lie inside [pos(lo), pos(hi-1)) — each record's bytes start at
+      // ITS OWN idx position and end at or before the next one (crash
+      // orphans only pad the gap between them) — so a readFully per
+      // ≤`chunkBytes` slice covers them and the parse is in-heap
       // slicing at absolute-position offsets, orphan-safe by the same
       // addressing as before. Only the LAST record, whose end no idx
-      // entry bounds, keeps the per-field path.
-      val base = posBuf.getLong(0)
-      val lastPos = posBuf.getLong((count - 1) * 8)
-      val span = (lastPos - base).toInt
-      val body = new Array[Byte](span)
-      if (span > 0) { log.seek(base); log.readFully(body) }
-      val bodyBuf = ByteBuffer.wrap(body)
+      // entry bounds, always takes the per-field path; a single record
+      // (plus its orphan gap) larger than the bound takes it too, so no
+      // Int cast ever sees a >`chunkBytes` span.
+      def posAt(k: Int): Long = posBuf.getLong(k * 8)
+      def readOne(position: Long, offset: Long): ReplayLog.Record = {
+        log.seek(position)
+        val ts = log.readLong()
+        val kLen = log.readInt()
+        val key = if (kLen < 0) null else {
+          val b = new Array[Byte](kLen); log.readFully(b); new String(b, "UTF-8")
+        }
+        val vLen = log.readInt()
+        val value = if (vLen < 0) null else {
+          val b = new Array[Byte](vLen); log.readFully(b); b
+        }
+        ReplayLog.Record(topic, partition, offset, ts, key, value)
+      }
+      val lastPos = posAt(count - 1)
       var o = lo
       var i = 0
       while (i < count - 1) {
-        bodyBuf.position((posBuf.getLong(i * 8) - base).toInt)
-        val ts = bodyBuf.getLong
-        val kLen = bodyBuf.getInt
-        val key = if (kLen < 0) null else {
-          val b = new Array[Byte](kLen); bodyBuf.get(b); new String(b, "UTF-8")
+        val chunkBase = posAt(i)
+        // extend the chunk while the NEXT record still ends in-bound;
+        // all arithmetic on raw Long file positions
+        var j = i + 1
+        while (j < count - 1 && posAt(j + 1) - chunkBase <= chunkBytes) j += 1
+        val span = posAt(j) - chunkBase
+        if (span > chunkBytes) {
+          // only possible at j == i + 1: one record (plus any crash-
+          // orphan gap before the next) exceeds the bound — per-field
+          // path, no span buffer
+          out += readOne(chunkBase, o)
+          o += 1
+          i = j
+        } else {
+          val body = new Array[Byte](span.toInt)
+          log.seek(chunkBase)
+          log.readFully(body)
+          val bodyBuf = ByteBuffer.wrap(body)
+          while (i < j) {
+            bodyBuf.position((posAt(i) - chunkBase).toInt)
+            val ts = bodyBuf.getLong
+            val kLen = bodyBuf.getInt
+            val key = if (kLen < 0) null else {
+              val b = new Array[Byte](kLen); bodyBuf.get(b)
+              new String(b, "UTF-8")
+            }
+            val vLen = bodyBuf.getInt
+            val value = if (vLen < 0) null else {
+              val b = new Array[Byte](vLen); bodyBuf.get(b); b
+            }
+            out += ReplayLog.Record(topic, partition, o, ts, key, value)
+            o += 1
+            i += 1
+          }
         }
-        val vLen = bodyBuf.getInt
-        val value = if (vLen < 0) null else {
-          val b = new Array[Byte](vLen); bodyBuf.get(b); b
-        }
-        out += ReplayLog.Record(topic, partition, o, ts, key, value)
-        o += 1
-        i += 1
       }
-      log.seek(lastPos)
-      val ts = log.readLong()
-      val kLen = log.readInt()
-      val key = if (kLen < 0) null else {
-        val b = new Array[Byte](kLen); log.readFully(b); new String(b, "UTF-8")
-      }
-      val vLen = log.readInt()
-      val value = if (vLen < 0) null else {
-        val b = new Array[Byte](vLen); log.readFully(b); b
-      }
-      out += ReplayLog.Record(topic, partition, o, ts, key, value)
+      out += readOne(lastPos, o)
       out.result()
     } finally { idx.close(); log.close() }
   }

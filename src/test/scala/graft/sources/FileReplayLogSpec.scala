@@ -123,6 +123,51 @@ class FileReplayLogSpec extends SparkSpec {
       "torn idx tail misaligned the offset space")
   }
 
+  test("chunk-bounded bulk read: every chunk shape (multi-record, " +
+      "single-record, oversized-record fallback) returns byte-identical " +
+      "records, orphan gaps included") {
+    val root = tmp()
+    val topic = "t"
+    // varying sizes: tiny, ~100 B, one BIG record that exceeds small
+    // chunk bounds, null key/value — plus a crash-orphan gap mid-range
+    val values = Seq("a", "b" * 100, "BIG" * 200, "c", null, "d" * 50)
+    values.zipWithIndex.foreach { case (v, i) =>
+      FileReplayLog.append(root, topic, 0,
+        if (i == 4) null else s"k$i",
+        if (v == null) null else v.getBytes(UTF_8), i.toLong)
+      if (i == 2) { // orphan bytes between records 2 and 3
+        FileReplayLog.publish(root, topic)
+        FileReplayLog.dropWriters(root, topic)
+        val logFile = new java.io.File(new java.io.File(root, topic), "p0.log")
+        val out = new java.io.FileOutputStream(logFile, true)
+        out.write("ORPHAN-GAP".getBytes(UTF_8)); out.close()
+      }
+    }
+    FileReplayLog.publish(root, topic)
+    val expected = FileReplayLog.read(root, topic, 0, 0L, 10L)
+    assert(expected.size == values.size)
+    // bounds that exercise: 1 B (every record oversized → per-field
+    // path), 40 B (mixed single/multi chunks), 200 B (multi-record
+    // chunks with the BIG record oversized), 1 MB (one chunk)
+    for (bound <- Seq(1L, 40L, 200L, 1L << 20)) {
+      val got = FileReplayLog.read(root, topic, 0, 0L, 10L, bound)
+      assert(got.map(_.offset) == expected.map(_.offset), s"bound=$bound")
+      assert(got.map(_.timestampMs) == expected.map(_.timestampMs), s"bound=$bound")
+      assert(got.map(_.key) == expected.map(_.key), s"bound=$bound")
+      assert(got.map(r => Option(r.value).map(new String(_, UTF_8))) ==
+        expected.map(r => Option(r.value).map(new String(_, UTF_8))),
+        s"bound=$bound")
+    }
+    // sub-ranges cross chunk math too (from > 0, until < end)
+    for (bound <- Seq(1L, 40L)) {
+      val got = FileReplayLog.read(root, topic, 0, 1L, 5L, bound)
+      assert(got.map(_.offset) == Seq(1L, 2L, 3L, 4L), s"bound=$bound")
+      assert(got.map(r => Option(r.value).map(new String(_, UTF_8))) ==
+        expected.slice(1, 5).map(r => Option(r.value).map(new String(_, UTF_8))),
+        s"bound=$bound")
+    }
+  }
+
   test("DSv2 tail over root: admission cap bounds batches, checkpoint " +
       "restart resumes at the committed offset — no loss, no re-read") {
     val root = tmp()
