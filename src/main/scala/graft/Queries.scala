@@ -2049,21 +2049,23 @@ object Queries {
         |                    'user_id': user_id::VARCHAR})::VARCHAR,
         |       'w3'
         |FROM events""".stripMargin)),
-    // 2.7 scalar: realtime.quote_wal2json — add-tables escaping (strip
-    // one surrounding quote pair, backslash-prefix every char) over
-    // data-derived gnarly identifiers (spaces, commas, quotes)
+    // 2.7 scalar: realtime.quote_wal2json — the LIVE add-tables escape
+    // (…20260528120000_wal2json_escape_special_chars.ex:7-33): escape
+    // ONLY \ , . and whitespace, NO quote-stripping — over data-derived
+    // gnarly identifiers (spaces, commas, dots, backslashes, quotes)
     Q("f_quote_wal2json",
       (s, d) => {
         import graft.cdc.Wal2Json
         ev(s, d).select(col("event_id"),
-          Wal2Json.quoteWal2json(lit("public"),
-            concat(lit("\""), col("event_type"), lit(" t,x\"")))
+          Wal2Json.quoteWal2json(lit("pub lic"),
+            concat(lit("\""), col("event_type"), lit(".t x,\\\"")))
             .as("quoted"))
       },
       Some("""SELECT event_id,
-        |  regexp_replace('public', '(.)', '\\\1', 'g') || '.' ||
-        |  regexp_replace(regexp_replace('"' || event_type || ' t,x"',
-        |    '^"|"$', '', 'g'), '(.)', '\\\1', 'g') AS quoted
+        |  regexp_replace('pub lic', '([\\,.[:space:]])', '\\\1', 'g')
+        |  || '.' ||
+        |  regexp_replace('"' || event_type || '.t x,\"',
+        |    '([\\,.[:space:]])', '\\\1', 'g') AS quoted
         |FROM events""".stripMargin)),
     // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
     // format + epoch-millis roundtrip + stable hash

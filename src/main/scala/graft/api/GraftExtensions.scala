@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered functions:
   *  - `quote_wal2json(schema, table)` — the reference's add-tables
   *    identifier escape ([[graft.cdc.Wal2Json.quoteWal2json]];
-  *    …create_realtime_quote_wal2json_function.ex:7-45)
+  *    …20260528120000_wal2json_escape_special_chars.ex:7-33)
   *  - `json_map_project(map[, key, …])` — project-and-serialize a
   *    `map<string,string>` to JSON in one whole-stage-codegen expression
   *    ([[graft.plans.JsonMapProject]]); with keys, only those keys
@@ -65,11 +65,10 @@ object GraftFunctions {
       require(args.length == 2, "quote_wal2json(schema, table) takes 2 arguments")
       // the catalyst twin of Wal2Json.quoteWal2json (a SQL function builder
       // must return a resolved-shape catalyst tree, not a Column wrapper);
-      // byte-parity with the column path is spec-pinned
-      def strip(e: Expression) =
-        RegExpReplace(e, Literal("^\"|\"$"), Literal(""))
+      // byte-parity with the column path is spec-pinned. Live 20260528
+      // semantics: escape only \ , . and whitespace, no quote-stripping.
       def esc(e: Expression) =
-        RegExpReplace(strip(e), Literal("(.)"), Literal("\\\\$1"))
+        RegExpReplace(e, Literal("([\\\\,.\\s])"), Literal("\\\\$1"))
       Concat(Seq(esc(args(0)), Literal("."), esc(args(1))))
     })
 

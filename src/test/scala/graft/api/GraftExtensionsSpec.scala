@@ -12,14 +12,15 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("registered functions evaluate via SQL, matching the column API") {
     GraftFunctions.register(spark)
-    // quote_wal2json: SQL path ≡ column path (quoted, comma'd identifier)
-    val sqlQ = spark.sql("""SELECT quote_wal2json('"We,ird"', 'Orders')""")
+    // quote_wal2json: SQL path ≡ column path (live 20260528 semantics:
+    // only \ , . whitespace escaped; quotes untouched)
+    val sqlQ = spark.sql("""SELECT quote_wal2json('"We,i rd"', 'Or.de\\rs')""")
       .head.getString(0)
     val colQ = spark.range(1).select(graft.cdc.Wal2Json.quoteWal2json(
-        lit("\"We,ird\""), lit("Orders")))
+        lit("\"We,i rd\""), lit("Or.de\\rs")))
       .head.getString(0)
     assert(sqlQ == colQ)
-    assert(sqlQ == "\\W\\e\\,\\i\\r\\d.\\O\\r\\d\\e\\r\\s")
+    assert(sqlQ == "\"We\\,i\\ rd\".Or\\.de\\\\rs")
 
     // json_map_project: key subset keeps map order, renders SQL NULL
     val sub = spark.sql(
@@ -74,7 +75,7 @@ class GraftExtensionsSpec extends SparkSpec {
         .getOrCreate()
       val v = ext.sql("SELECT quote_wal2json('public', 'orders')")
         .head.getString(0)
-      assert(v == "\\p\\u\\b\\l\\i\\c.\\o\\r\\d\\e\\r\\s")
+      assert(v == "public.orders") // plain names are a no-op now
       // a genuinely new session, not the suite's, received the injection
       assert(suiteSession ne ext)
     } finally {

@@ -129,17 +129,25 @@ class Wal2JsonSpec extends SparkSpec {
       "a corrupt row does not poison its batch")
   }
 
-  test("quoteWal2json escapes every char and strips one quote pair") {
+  test("quoteWal2json escapes ONLY backslash, comma, dot, whitespace — " +
+      "no quote stripping (live 20260528 semantics)") {
     def q(s: String, t: String): String = Seq(1).toDF("x")
       .select(Wal2Json.quoteWal2json(lit(s), lit(t)).as("q"))
       .as[String].head()
-    def esc(s: String): String = s.map(c => s"\\$c").mkString
-    // every char backslash-prefixed; ONE surrounding quote pair stripped
-    assert(q("public", "\"my tbl\"") == esc("public") + "." + esc("my tbl"))
-    // commas inside identifiers cannot split the add-tables list
-    assert(q("s", "a,b") == esc("s") + "." + esc("a,b"))
-    // interior quotes are escaped, not stripped
-    assert(q("s", "\"a\"b\"") == esc("s") + "." + esc("a\"b"))
+    // dots and spaces inside an identifier are escaped (the r13 verdict's
+    // canonical divergence case)
+    assert(q("public", "a.b c") == "public.a\\.b\\ c")
+    // backslashes are escaped
+    assert(q("s", "has\\slash") == "s.has\\\\slash")
+    // quotes pass through untouched — neither stripped nor escaped
+    assert(q("s", "has\"quote") == "s.has\"quote")
+    assert(q("public", "\"my tbl\"") == "public.\"my\\ tbl\"")
+    // commas cannot split the add-tables list
+    assert(q("s", "a,b") == "s.a\\,b")
+    // the plain-name no-op case
+    assert(q("public", "orders") == "public.orders")
+    // tabs/newlines are [:space:] too
+    assert(q("s", "a\tb\nc") == "s.a\\\tb\\\nc")
   }
 
   test("timestamp normalization is session-timezone independent") {
