@@ -386,7 +386,8 @@ object Queries {
         |    '{"old_record":' || coalesce(old_record, 'null') ||
         |    ',"record":' || coalesce(record, 'null') ||
         |    ',"operation":"' || operation ||
-        |    '","table":"events","schema":"public"}' AS payload
+        |    '","table":"events","schema":"public","id":"' || id || '"}'
+        |      AS payload
         |  FROM changes WHERE operation IN ('INSERT','UPDATE','DELETE')),
         |bin_msgs AS (
         |  SELECT doc_id AS id, source AS topic, 'bin_doc' AS user_event,
@@ -417,6 +418,53 @@ object Queries {
         |    'unexpected_operation' AS status
         |  FROM changes WHERE operation NOT IN ('INSERT','UPDATE','DELETE'))
         |SELECT * FROM frames UNION ALL SELECT * FROM rejected""".stripMargin)),
+    // realtime.send's id-if-absent payload splice in isolation
+    // (…20251103001201_broadcast_send_include_payload_id.ex:19-23): a
+    // mix of payloads that carry their own id (kept verbatim), carry an
+    // EXPLICIT null id (key exists — kept, the `payload ? 'id'` contract),
+    // and lack the key entirely (generated id spliced in). The generated
+    // id is a deterministic uuid shape so the oracle replays it.
+    Q("s7_send_id_splice",
+      (s, d) => {
+        import graft.messages.BroadcastChanges
+        val h = md5(concat(lit("send-id:"), col("event_id")))
+        val genId = concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12))
+        val payload =
+          when(pmod(col("event_id"), lit(3)) === 0,
+            concat(lit("{\"id\":\"client-"), col("event_id"),
+              lit("\",\"v\":"), col("user_id"), lit("}")))
+          .when(pmod(col("event_id"), lit(3)) === 1,
+            concat(lit("{\"id\":null,\"v\":"), col("user_id"), lit("}")))
+          .otherwise(concat(lit("{\"v\":"), col("user_id"), lit("}")))
+        BroadcastChanges.send(ev(s, d), payloadCol = payload,
+            eventCol = lit("msg"), topicCol = col("event_type"),
+            idCol = genId, insertedAtCol = col("ts"))
+          .select("id", "payload", "event", "topic", "inserted_at")
+      },
+      Some("""WITH shaped AS (
+        |  SELECT event_type, ts,
+        |    md5('send-id:' || event_id) AS h,
+        |    event_id % 3 AS m,
+        |    CASE WHEN event_id % 3 = 0 THEN
+        |           '{"id":"client-' || event_id || '","v":' || user_id || '}'
+        |         WHEN event_id % 3 = 1 THEN
+        |           '{"id":null,"v":' || user_id || '}'
+        |         ELSE '{"v":' || user_id || '}' END AS payload
+        |  FROM events),
+        |ids AS (
+        |  SELECT *, substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+        |    substr(h,13,4) || '-' || substr(h,17,4) || '-' ||
+        |    substr(h,21,12) AS gen_id
+        |  FROM shaped)
+        |SELECT gen_id AS id,
+        |  CASE WHEN m = 2 THEN
+        |         regexp_replace(payload, '\}$', '') ||
+        |           ',"id":"' || gen_id || '"}'
+        |       ELSE payload END AS payload,
+        |  'msg' AS event, event_type AS topic, ts AS inserted_at
+        |FROM ids""".stripMargin)),
     // The replication loop's per-tenant rate limit (`check_rate_limit`,
     // replication_connection.ex:419-421) composed into streamOut: the
     // admission verdict is a (topic, minute)-partitioned rank — the

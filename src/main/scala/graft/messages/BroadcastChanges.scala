@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *    by default (/root/reference/lib/realtime/tenants/repo/migrations/
   *    20240919163303_add_payload_to_messages.ex:18-53). An operation
   *    outside INSERT/UPDATE/DELETE raises — here that is an error row,
-  *    never a message.
+  *    never a message. Since `…20251103001201_broadcast_send_include_
+  *    payload_id.ex:19-23`, send() also splices the generated message id
+  *    into any payload lacking an `'id'` key (see [[spliceIdIfAbsent]]).
   *  - `realtime.send_binary(payload bytea, event, topic, private)` is the
   *    bytea variant writing `binary_payload`
   *    (…/20260603120000_add_send_binary_function.ex:8-31); its insert
@@ -54,6 +56,49 @@ object BroadcastChanges {
 
   private val ValidOps = Seq("INSERT", "UPDATE", "DELETE")
 
+  /** `realtime.send`'s id-if-absent payload splice
+    * (…/20251103001201_broadcast_send_include_payload_id.ex:19-23): if
+    * the payload OBJECT lacks an `'id'` key, the generated message id is
+    * spliced in (`jsonb_set(payload, '{id}', to_jsonb(generated_id))`) —
+    * the contract that lets P9's replay dedup key client payloads that
+    * never set one. Key EXISTENCE is the test (`payload ? 'id'`): an
+    * explicit `"id": null` is kept verbatim, exactly like the reference.
+    * Expects object-shaped payload text (what `realtime.send` receives);
+    * a null or non-object payload passes through untouched
+    * (`json_object_keys` yields null there, which is never `true`-armed).
+    * Divergence, by design (same note as [[changesToMessages]]): the id
+    * lands as the LAST key rather than at jsonb's storage-canonical
+    * position — key order is a storage artifact, not an API contract. */
+  def spliceIdIfAbsent(payload: Column, idCol: Column): Column = {
+    val keys = json_object_keys(payload)
+    val idJson = graft.plans.JsonQuote.quote(idCol.cast("string"))
+    when(keys.isNull || array_contains(keys, "id"), payload)
+      .when(regexp_replace(payload, "\\s", "") === "{}",
+        concat(lit("{\"id\":"), idJson, lit("}")))
+      .otherwise(concat(regexp_replace(payload, "\\}\\s*$", ""),
+        lit(",\"id\":"), idJson, lit("}")))
+  }
+
+  /** `realtime.send(payload, event, topic, private)` itself
+    * (…/20251103001201…:8-37): one messages row per input with
+    * `extension = 'broadcast'` and the id-if-absent splice applied to
+    * the payload. The reference's `gen_random_uuid()` is the
+    * caller-provided `idCol` — a deterministic id keeps the model
+    * oracle-replayable; at scale a `uuid()` column is the drop-in. */
+  def send(rows: DataFrame, payloadCol: Column, eventCol: Column,
+      topicCol: Column, idCol: Column, insertedAtCol: Column,
+      privateFlag: Boolean = true): DataFrame =
+    rows.select(
+      idCol.as("id"),
+      spliceIdIfAbsent(payloadCol, idCol).as("payload"),
+      lit(null).cast("binary").as("binary_payload"),
+      eventCol.as("event"),
+      topicCol.as("topic"),
+      lit(privateFlag).as("private"),
+      lit("broadcast").as("extension"),
+      insertedAtCol.as("inserted_at"),
+      lit(null).cast("string").as("error"))
+
   /** `realtime.broadcast_changes` + `realtime.send` over a change batch:
     * shape the payload and emit message rows. Input columns: `id`,
     * `operation`, `record` (JSON text or null), `old_record` (JSON text
@@ -77,12 +122,18 @@ object BroadcastChanges {
     def jq(c: Column): Column = graft.plans.JsonQuote.quote(c)
     changes.select(
       col("id"),
+      // the trailing "id" is realtime.send's id-if-absent splice (see
+      // [[spliceIdIfAbsent]]): broadcast_changes' jsonb_build_object
+      // never carries an 'id' key, so the send() the trigger PERFORMs
+      // always injects the generated message id — spliced inline here
+      // (statically known absent, no runtime key probe needed)
       when(opOk, concat(
         lit("{\"old_record\":"), coalesce(col("old_record"), lit("null")),
         lit(",\"record\":"), coalesce(col("record"), lit("null")),
         lit(",\"operation\":"), jq(col("operation")),
         lit(",\"table\":"), jq(col("table_name")),
         lit(",\"schema\":"), jq(col("table_schema")),
+        lit(",\"id\":"), jq(col("id").cast("string")),
         lit("}"))).as("payload"),
       lit(null).cast("binary").as("binary_payload"),
       eventCol.as("event"),

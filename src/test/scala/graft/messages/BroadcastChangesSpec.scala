@@ -94,9 +94,10 @@ class BroadcastChangesSpec extends SparkSpec {
     assert(f1.getAs[String]("tenant_topic") == "t0-private:room1")
     assert(f1.getAs[String]("user_event") == "change")
     assert(f1.getAs[String]("encoding") == "json")
-    // no-double-encoding: the record JSON appears VERBATIM in the body
+    // no-double-encoding: the record JSON appears VERBATIM in the body;
+    // the trailing id is realtime.send's id-if-absent splice
     assert(f1.getAs[String]("payload_text") ==
-      s"""{"old_record":null,"record":$recJson,"operation":"INSERT","table":"t","schema":"public"}""")
+      s"""{"old_record":null,"record":$recJson,"operation":"INSERT","table":"t","schema":"public","id":"1"}""")
     assert(byId(2L).getAs[String]("payload_text").contains(
       s""""old_record":$recJson,"record":$recJson,"operation":"UPDATE""""))
     assert(byId(3L).getAs[String]("payload_text").contains(
@@ -178,9 +179,10 @@ class BroadcastChangesSpec extends SparkSpec {
         topicCol = col("topic_name"), eventCol = lit("change"))
       .select("payload").as[String].collect().head
     // byte-exact: the escaping the reference's jsonb_build_object applies
+    // (plus send()'s generated-id splice at the tail)
     assert(payload ==
       """{"old_record":null,"record":{"k":"v"},"operation":"INSERT",""" +
-        """"table":"a\"b\\c","schema":"s\nx"}""")
+        """"table":"a\"b\\c","schema":"s\nx","id":"1"}""")
     // and it PARSES — the round-trip recovers the raw identifiers
     val parsed = spark.range(1).select(
       from_json(lit(payload), org.apache.spark.sql.types.StructType(Seq(
@@ -191,6 +193,33 @@ class BroadcastChangesSpec extends SparkSpec {
       .select("p.table", "p.schema").collect().head
     assert(parsed.getString(0) == "a\"b\\c")
     assert(parsed.getString(1) == "s\nx")
+  }
+
+  test("send: the generated id is spliced into payloads lacking an 'id' " +
+      "key; key EXISTENCE is the test (explicit null id kept verbatim)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"v":7}"""),               // no id key → spliced
+      (2L, """{"id":"mine","v":8}"""),   // client id → verbatim
+      (3L, """{"id":null,"v":9}"""),     // key EXISTS (null) → verbatim
+      (4L, "{}"),                        // empty object → spliced
+      (5L, null: String))                // null payload → untouched
+      .toDF("rid", "body")
+    val out = BroadcastChanges.send(rows, payloadCol = col("body"),
+        eventCol = lit("e"), topicCol = lit("top"),
+        idCol = concat(lit("gen-"), col("rid")),
+        insertedAtCol = lit("2024-01-01 00:00:00").cast("timestamp"))
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[String]("payload")).toMap
+    assert(out("gen-1") == """{"v":7,"id":"gen-1"}""")
+    assert(out("gen-2") == """{"id":"mine","v":8}""")
+    assert(out("gen-3") == """{"id":null,"v":9}""")
+    assert(out("gen-4") == """{"id":"gen-4"}""")
+    assert(out("gen-5") == null)
+    // the spliced payload PARSES and recovers the id
+    val parsed = spark.range(1).select(get_json_object(
+      lit(out("gen-1")), "$.id")).head.getString(0)
+    assert(parsed == "gen-1")
   }
 
   test("rate limit sits between the size check and delivered, matching " +
