@@ -31,8 +31,12 @@ import org.apache.spark.sql.execution._
   * docs()-source spread was A/B-measured REGRESSING it 1.73 → 2.93 s
   * warm (one exchange per docs() reference, +5 shuffles through its
   * BNL grid), which is why Spread is applied per-operator, not at the
-  * source. Anything NEW appearing here deserves a WarmBench probe
-  * before shipping.
+  * source. `j_muster_claim_debounce` (r14) is the same class: its ×2
+  * session explode is a cheap projection and the claim-debounce
+  * window's own (grp, node) exchange sits directly above it, so a
+  * pre-explode Spread was A/B-measured regressing 1.6 → 2.1 s warm at
+  * sf0.1 — deliberately unspread. Anything NEW appearing here deserves
+  * a WarmBench probe before shipping.
   */
 object AmpScan {
   def main(args: Array[String]): Unit = {

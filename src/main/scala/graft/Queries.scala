@@ -2544,7 +2544,77 @@ object Queries {
         |FROM reg
         |JOIN r_old ON reg.grp = r_old.grp
         |JOIN r_new ON reg.grp = r_new.grp
-        |WHERE router_old != router_new""".stripMargin))
+        |WHERE router_old != router_new""".stripMargin)),
+    // The shard claim state machine's flap suppression
+    // (forum/lib/forum/muster/shard.ex:312-334,470-505,637-651): events
+    // modeled as member sessions (join at ts, leave at ts + 1..100 min),
+    // 2 h vacancy cooldown — in-cooldown churn emits nothing, survived
+    // vacancies stamp at expiry, post-vacant re-joins re-emit occupied.
+    // The session gaps at this shaping straddle the window on both
+    // sides, so the suppressed and survived paths both carry real rows.
+    Q("j_muster_claim_debounce",
+      (s, d) => {
+        val joinMs = unix_millis(col("ts"))
+        val base = ev(s, d).select(
+          concat(col("event_type"), lit("-"),
+            (col("user_id") % 10).cast("string")).as("grp"),
+          concat(lit("n"), (col("event_id") % 3).cast("string")).as("node"),
+          col("event_id").as("tie"),
+          joinMs.as("join_ms"),
+          (joinMs + (col("event_id") % 100 + 1L) * 60000L).as("leave_ms"))
+        val claims = base.select(col("grp"), col("node"), col("tie"),
+            explode(array(
+              struct(col("join_ms").as("ts_ms"), lit(1).as("delta")),
+              struct(col("leave_ms").as("ts_ms"), lit(-1).as("delta"))))
+              .as("e"))
+          .select(col("grp"), col("node"), col("e.ts_ms").as("ts_ms"),
+            col("e.delta").as("delta"), col("tie"))
+        graft.presence.Muster.claimDebounce(claims,
+          "grp", "node", "ts_ms", "delta", "tie", cooldownMs = 7200000L)
+      },
+      Some("""WITH sess AS (
+        |  SELECT event_type || '-' || CAST(user_id % 10 AS VARCHAR) AS grp,
+        |    'n' || CAST(event_id % 3 AS VARCHAR) AS node,
+        |    event_id AS tie,
+        |    epoch_ms(ts) AS join_ms,
+        |    epoch_ms(ts) + (event_id % 100 + 1) * 60000 AS leave_ms
+        |  FROM events),
+        |cl AS (
+        |  SELECT grp, node, tie, join_ms AS ts_ms, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT grp, node, tie, leave_ms, -1 FROM sess),
+        |c AS (
+        |  SELECT *, sum(delta) OVER (PARTITION BY grp, node
+        |    ORDER BY ts_ms, delta, tie) AS cnt FROM cl),
+        |f AS (
+        |  SELECT *, (delta = 1 AND cnt = 1) AS occ_start,
+        |    (delta = -1 AND cnt = 0) AS vac_start FROM c),
+        |g AS (
+        |  SELECT *,
+        |    max(CASE WHEN vac_start THEN ts_ms END) OVER (
+        |      PARTITION BY grp, node ORDER BY ts_ms, delta, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_vac_ms,
+        |    min(CASE WHEN delta = 1 THEN ts_ms END) OVER (
+        |      PARTITION BY grp, node ORDER BY ts_ms, delta, tie
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_join_ms
+        |  FROM f)
+        |SELECT grp, node, claim, emit_ms FROM (
+        |  SELECT grp, node,
+        |    CASE WHEN occ_start AND (prev_vac_ms IS NULL
+        |             OR ts_ms - prev_vac_ms >= 7200000) THEN 'occupied'
+        |         WHEN vac_start AND (next_join_ms IS NULL
+        |             OR next_join_ms - ts_ms >= 7200000) THEN 'vacant'
+        |    END AS claim,
+        |    CASE WHEN occ_start AND (prev_vac_ms IS NULL
+        |             OR ts_ms - prev_vac_ms >= 7200000) THEN ts_ms
+        |         WHEN vac_start AND (next_join_ms IS NULL
+        |             OR next_join_ms - ts_ms >= 7200000)
+        |           THEN ts_ms + 7200000
+        |    END AS emit_ms
+        |  FROM g)
+        |WHERE claim IS NOT NULL""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by

@@ -290,4 +290,69 @@ object Muster {
         col("_pick.assigned").as("assigned"), col("current"))
       .withColumn("moved", col("assigned") =!= col("current"))
   }
+
+  /** The shard claim state machine's FLAP SUPPRESSION — which
+    * membership transitions actually reach the router
+    * (forum/lib/forum/muster/shard.ex:312-334 `enter_cooldown`,
+    * :470-505 the `:cooldown` reclaim branch, :637-651
+    * `handle_vacancy_expired`): when a group's LAST local member
+    * leaves, the shard does NOT retract the router row — it enters
+    * `:cooldown` for `vacancy_cooldown_ms` (default 30 s). A re-join
+    * inside the window cancels the timer and reclaims the group with NO
+    * router traffic ("claim churn ≠ register churn"); only a vacancy
+    * that SURVIVES the window becomes `:vacant_queued` and emits the
+    * retraction, and only a join after a survived vacancy re-emits
+    * `:occupied`. Each fresh vacancy re-arms the timer (shard.ex:312-317
+    * re-enters cooldown from `:cooldown` too).
+    *
+    * Input: membership delta events `(grp, node, tsMs, delta ∈ {+1,-1},
+    * tie)` — well-formed (every leave matches a live member), totally
+    * ordered per key by `(tsMs, delta, tie)`. Output: the router-visible
+    * claim stream `(grp, node, claim ∈ {occupied, vacant}, emit_ms)`,
+    * with a survived vacancy stamped at its timer EXPIRY
+    * (`vacancy_ms + cooldownMs` — the reference then queues it for the
+    * next periodic flush; the flush cadence is transmission batching,
+    * not claim semantics, so the expiry is the modeled emit time). A
+    * re-join exactly AT expiry counts as after it (the timer fired
+    * first): vacant emitted, occupied re-emitted.
+    *
+    * Shape: one exchange on (grp, node), then three window passes over
+    * the SAME sort order (running member count; last-preceding
+    * vacancy-start; next-following join) — Spark reuses the sort — and
+    * every row emits at most one claim, so the result is a single
+    * filtered projection: no union, no self-join, no recompute.
+    * [[ClaimStream]] is the live twin (same machine as
+    * flatMapGroupsWithState + event-time timers), stream==batch pinned
+    * in ClaimStreamSpec. */
+  def claimDebounce(events: DataFrame, grpCol: String, nodeCol: String,
+      tsMsCol: String, deltaCol: String, tieCol: String,
+      cooldownMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cooldownMs > 0, "cooldownMs must be positive")
+    val w = Window.partitionBy("grp", "node")
+      .orderBy(col("ts_ms"), col("delta"), col("tie"))
+    val counted = events.select(
+        col(grpCol).as("grp"), col(nodeCol).as("node"),
+        col(tsMsCol).cast("long").as("ts_ms"),
+        col(deltaCol).cast("int").as("delta"), col(tieCol).as("tie"))
+      .withColumn("cnt", sum(col("delta")).over(w))
+      .withColumn("occ_start", col("delta") === 1 && col("cnt") === 1)
+      .withColumn("vac_start", col("delta") === -1 && col("cnt") === 0)
+    val prevVac = max(when(col("vac_start"), col("ts_ms")))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextJoin = min(when(col("delta") === 1, col("ts_ms")))
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val emitOcc = col("occ_start") && (col("prev_vac_ms").isNull ||
+      col("ts_ms") - col("prev_vac_ms") >= cooldownMs)
+    val emitVac = col("vac_start") && (col("next_join_ms").isNull ||
+      col("next_join_ms") - col("ts_ms") >= cooldownMs)
+    counted
+      .withColumn("prev_vac_ms", prevVac)
+      .withColumn("next_join_ms", nextJoin)
+      .select(col("grp"), col("node"),
+        when(emitOcc, "occupied").when(emitVac, "vacant").as("claim"),
+        when(emitOcc, col("ts_ms"))
+          .when(emitVac, col("ts_ms") + cooldownMs).as("emit_ms"))
+      .where(col("claim").isNotNull)
+  }
 }
