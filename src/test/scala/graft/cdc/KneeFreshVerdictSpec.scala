@@ -54,6 +54,66 @@ class KneeFreshVerdictSpec extends AnyFunSuite {
     assert(!KneeFresh.shouldRetrySweep(bandApplies = false, -1.0, -1.0))
   }
 
+  test("the r13 driver artifact (320k at 0.798 -> 1.101) is DERATED, " +
+      "not clean — and triggers the marginal sweep retry") {
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 0.798, 1.101,
+      320000) == "derated")
+    assert(KneeFresh.shouldRetryMarginal(bandApplies = true, 0.798, 1.101,
+      320000))
+    assert(!KneeFresh.suspectVerdict(bandApplies = true, 0.798, 1.101))
+  }
+
+  test("a marginal host whose sweep still meets the committed knee is " +
+      "clean (a confirmation, not a derate) — no retry") {
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 0.798, 1.101,
+      KneeFresh.CommittedKneeRate) == "clean")
+    assert(!KneeFresh.shouldRetryMarginal(bandApplies = true, 0.798, 1.101,
+      KneeFresh.CommittedKneeRate))
+  }
+
+  test("a HEALTHY host reading below the committed knee is clean: a " +
+      "trustworthy measurement of a real regression must not be hidden " +
+      "behind a derated stamp") {
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 0.95, 1.1,
+      320000) == "clean")
+    assert(!KneeFresh.shouldRetryMarginal(bandApplies = true, 0.95, 1.1,
+      320000))
+  }
+
+  test("suspect beats derated: below the 0.7 line the verdict is " +
+      "suspect regardless of the reading") {
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 0.5, 1.1,
+      320000) == "suspect")
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 0.5, 1.1,
+      1280000) == "suspect")
+    assert(!KneeFresh.shouldRetryMarginal(bandApplies = true, 0.5, 1.1,
+      320000))
+  }
+
+  test("marginal band arithmetic: min(start, end) decides membership; " +
+      "0.7 is in, 0.9 is out") {
+    val S = KneeFresh.HealthSuspect; val M = KneeFresh.HealthMarginal
+    assert(KneeFresh.marginalBand(bandApplies = true, S, 2.0))
+    assert(KneeFresh.marginalBand(bandApplies = true, 2.0, S))
+    assert(!KneeFresh.marginalBand(bandApplies = true, M, 2.0))
+    assert(!KneeFresh.marginalBand(bandApplies = true, 2.0, M))
+    assert(KneeFresh.kneeVerdict(bandApplies = true, S, S,
+      320000) == "derated")
+    assert(KneeFresh.kneeVerdict(bandApplies = true, M, M,
+      320000) == "clean")
+    // one marginal sample suffices (the min folds it in), even when the
+    // other end recovered past healthy
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 1.2, 0.85,
+      320000) == "derated")
+  }
+
+  test("band withheld yields the unbanded verdict, never derated") {
+    assert(KneeFresh.kneeVerdict(bandApplies = false, -1.0, -1.0,
+      320000) == "unbanded")
+    assert(!KneeFresh.shouldRetryMarginal(bandApplies = false, -1.0, -1.0,
+      320000))
+  }
+
   test("cpus width parses numerically: equivalent spellings keep the " +
       "band, garbage withholds it") {
     assert(KneeFresh.bandAppliesFor("32"))
