@@ -427,10 +427,16 @@ object Queries {
     Q("s7_send_id_splice",
       (s, d) => {
         import graft.messages.BroadcastChanges
-        val h = md5(concat(lit("send-id:"), col("event_id")))
+        // the md5 is bound ONCE behind an EvalOnce fence: the uuid
+        // shape slices it five times and send() references the id
+        // three more (id column + the two splice arms) — unfenced,
+        // CollapseProject inlined the digest 15x per row (DupExprScan)
+        val withH = ev(s, d).withColumn("h", graft.plans.EvalOnce.of(
+          md5(concat(lit("send-id:"), col("event_id")))))
         val genId = concat_ws("-",
-          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
-          substring(h, 17, 4), substring(h, 21, 12))
+          substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12))
         val payload =
           when(pmod(col("event_id"), lit(3)) === 0,
             concat(lit("{\"id\":\"client-"), col("event_id"),
@@ -438,7 +444,7 @@ object Queries {
           .when(pmod(col("event_id"), lit(3)) === 1,
             concat(lit("{\"id\":null,\"v\":"), col("user_id"), lit("}")))
           .otherwise(concat(lit("{\"v\":"), col("user_id"), lit("}")))
-        BroadcastChanges.send(ev(s, d), payloadCol = payload,
+        BroadcastChanges.send(withH, payloadCol = payload,
             eventCol = lit("msg"), topicCol = col("event_type"),
             idCol = genId, insertedAtCol = col("ts"))
           .select("id", "payload", "event", "topic", "inserted_at")
