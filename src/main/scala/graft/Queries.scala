@@ -229,7 +229,67 @@ object Queries {
     Q("j1_walrus_200subs", walrusMatch200, Some(walrus200Oracle)),
     Q("p5_action_filter", actionFilterCounts,
       Some(s"SELECT subscription_id, count(*) AS n_changes FROM ($walrusOracle) GROUP BY 1")),
-    Q("p_truncate_routing", walrusTruncate, Some(truncateOracle))
+    Q("p_truncate_routing", walrusTruncate, Some(truncateOracle)),
+    // apply_rls's DELETE visibility arm (…20260709…ex:231-239): a DELETE
+    // carries NO new column images, so its filters evaluate the OLD
+    // (identity) values — modeled via Walrus.deleteFilterSource, with the
+    // old image deliberately DIFFERENT from the event values (value+30,
+    // upper(type), user_id+1) so the oracle can only agree if deletes
+    // really matched through the old image and everything else through
+    // the new one.
+    Q("p_delete_old_visibility",
+      (s, d) => {
+        val m = pmod(col("event_id"), lit(10))
+        val tpe = when(m < 6, "INSERT").when(m < 9, "UPDATE")
+          .otherwise("DELETE")
+        val isDel = tpe === "DELETE"
+        val changes = ev(s, d).select(
+          col("event_id"),
+          tpe.as(Walrus.TypeCol),
+          when(!isDel, col("value")).as("value"),
+          when(!isDel, col("event_type")).as("event_type"),
+          when(!isDel, col("user_id")).as("user_id"),
+          when(isDel, col("value") + 30).as("old_value"),
+          when(isDel, upper(col("event_type"))).as("old_event_type"),
+          when(isDel, col("user_id") + 1).as("old_user_id"))
+        val schema = org.apache.spark.sql.types.StructType(
+          ev(s, d).schema.fields.filter(f =>
+            Seq("value", "event_type", "user_id").contains(f.name)))
+        val src = Walrus.deleteFilterSource(changes,
+          Seq("value", "event_type", "user_id"))
+        Walrus.matchSubscriptions(src, flagshipSubs, schema, "events")
+          .select(col("event_id"), col(Walrus.TypeCol).as("change_type"),
+            explode_outer(col("subscription_ids")).as("subscription_id"))
+          .where(col("subscription_id").isNotNull)
+      },
+      Some("""WITH changes AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 < 6 THEN 'INSERT'
+        |         WHEN event_id % 10 < 9 THEN 'UPDATE'
+        |         ELSE 'DELETE' END AS change_type,
+        |    CASE WHEN event_id % 10 >= 9 THEN value + 30
+        |         ELSE value END AS value,
+        |    CASE WHEN event_id % 10 >= 9 THEN upper(event_type)
+        |         ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 10 >= 9 THEN user_id + 1
+        |         ELSE user_id END AS user_id
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, change_type, 'sub01' AS subscription_id
+        |    FROM changes
+        |    WHERE change_type = 'INSERT' AND value > 50
+        |      AND event_type = 'click'
+        |  UNION ALL SELECT event_id, change_type, 'sub02' FROM changes
+        |    WHERE user_id IN (1,2,3)
+        |  UNION ALL SELECT event_id, change_type, 'sub03' FROM changes
+        |    WHERE event_type NOT LIKE 'c%'
+        |  UNION ALL SELECT event_id, change_type, 'sub04' FROM changes
+        |    WHERE change_type = 'UPDATE' AND value <= 10
+        |  UNION ALL SELECT event_id, change_type, 'sub05' FROM changes
+        |    WHERE change_type = 'DELETE'
+        |  UNION ALL SELECT event_id, change_type, 'sub06' FROM changes
+        |    WHERE user_id >= 45 AND value < 20)
+        |SELECT event_id, change_type, subscription_id FROM m""".stripMargin))
   )
 
   // ---------------------------------------------------------------- messages

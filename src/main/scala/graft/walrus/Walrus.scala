@@ -183,4 +183,29 @@ object Walrus {
     map_concat(
       record,
       map_filter(oldRecord, (k, _) => !map_contains_key(record, k)))
+
+  /** apply_rls's DELETE visibility arm (the live definition,
+    * …/20260709120000_fix_apply_rls_filter_role_leak.ex:231-239):
+    * `is_visible_through_filters(columns, filters) OR (action = 'DELETE'
+    * AND is_visible_through_filters(old_columns, filters))`. A DELETE's
+    * WAL payload carries NO new column images (wal2json emits only
+    * `identity`), so with the fail-closed missing-column semantics the
+    * reachable truth table collapses to: filters evaluate the OLD values
+    * on DELETE rows and the NEW values otherwise (filterless
+    * subscriptions are visible either way, and UPDATEs are NEVER matched
+    * through their old image — only the first arm applies to them).
+    *
+    * This helper is that collapse as a projection: per filterable
+    * column, a DELETE row substitutes its old-image value
+    * (`<oldPrefix><col>`); feed the result to either matcher. One
+    * codegen'd CASE per column, no extra battery evaluation — the
+    * alternative (battery over new OR'd with battery over old) would
+    * double the predicate work for a truth table the substitution
+    * already covers. */
+  def deleteFilterSource(changes: DataFrame, dataCols: Seq[String],
+      oldPrefix: String = "old_"): DataFrame = {
+    val isDel = col(TypeCol) === graft.model.ChangeType.Delete
+    dataCols.foldLeft(changes)((df, c) =>
+      df.withColumn(c, when(isDel, col(oldPrefix + c)).otherwise(col(c))))
+  }
 }

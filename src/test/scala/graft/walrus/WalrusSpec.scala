@@ -55,6 +55,32 @@ class WalrusSpec extends SparkSpec {
     assert(out == 4) // only wildcard s2 matches every change
   }
 
+  test("deleteFilterSource: DELETEs match through the OLD image only; " +
+      "UPDATEs never do (apply_rls's DELETE visibility arm)") {
+    // new image absent on DELETE (the WAL carries only identity); the
+    // UPDATE's old image would pass the filter but must be ignored
+    val chg = Seq(
+      (1, "DELETE", null: java.lang.Double, java.lang.Double.valueOf(90.0)),
+      (2, "DELETE", null: java.lang.Double, java.lang.Double.valueOf(10.0)),
+      (3, "UPDATE", java.lang.Double.valueOf(10.0),
+        java.lang.Double.valueOf(90.0)),
+      (4, "INSERT", java.lang.Double.valueOf(90.0), null: java.lang.Double))
+      .toDF("id", "change_type", "value", "old_value")
+    val subs = Seq(
+      Subscription("sHi", "public", "t", f("value=gt.50")),
+      Subscription("sNone", "public", "t", Nil))
+    val src = Walrus.deleteFilterSource(chg, Seq("value"))
+    val out = Walrus.matchSubscriptions(src, subs,
+        chg.select("value").schema, "t")
+      .select($"id", $"subscription_ids")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("sHi", "sNone"), "DELETE visible via old image")
+    assert(out(2) == Seq("sNone"), "DELETE old image fails the filter")
+    assert(out(3) == Seq("sNone"),
+      "UPDATE must NOT match through its old image")
+    assert(out(4) == Seq("sHi", "sNone"))
+  }
+
   test("filter naming a missing column fails closed") {
     val subs = Seq(Subscription("s1", "public", "t", f("nope=eq.1")))
     val n = Walrus.matchedOnly(changes, subs, dataSchema, "t").count()
