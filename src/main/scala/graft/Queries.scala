@@ -1431,6 +1431,65 @@ object Queries {
         |       bool_or(change_type = 'DELETE') AS pub_delete,
         |       count(*) AS n_changes
         |FROM changes GROUP BY 1""".stripMargin)),
+    // The live list_changes OUTPUT SHAPE (…20260326120000_list_changes_
+    // with_slot_count.ex, re-affirmed by 20260528…:36-104): every visible
+    // change row carries slot_changes_count — the number of slot changes
+    // the poll CONSUMED, visible or not (the `w2j` count) — and a poll
+    // whose visible set is empty still returns exactly ONE all-null row
+    // carrying that count (the `UNION ALL … WHERE NOT EXISTS` arm), so
+    // the poller can advance its confirmed LSN even when RLS/filters
+    // blinded every row. Modeled per publication; single window pass over
+    // the matched stream (count/visible-sum/rank share one (pub) sort) —
+    // the join formulation would re-evaluate the subscription battery on
+    // both sides (no common-subplan reuse).
+    Q("j6_list_changes_shape",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val changes = ChangeFeed.fromTable(ev(s, d), "event_id", "ts", "events")
+        val subs = Seq(
+          graft.model.Subscription("s1", "public", "events",
+            graft.filters.FilterParser
+              .parse("event_type=eq.click,value=gt.50").toOption.get),
+          graft.model.Subscription("s2", "public", "events",
+            graft.filters.FilterParser
+              .parse("event_type=eq.view").toOption.get))
+        val m = Walrus.matchSubscriptions(changes, subs,
+            ev(s, d).schema, "events")
+          .withColumn("pub", col("event_type"))
+          .withColumn("vis", size(col("subscription_ids")) > 0)
+        val w = Window.partitionBy("pub")
+        m.withColumn("slot_changes_count", count(lit(1)).over(w))
+          .withColumn("n_vis",
+            sum(when(col("vis"), 1).otherwise(0)).over(w))
+          .withColumn("rn", row_number().over(w.orderBy("event_id")))
+          .where(col("vis") || (col("n_vis") === 0 && col("rn") === 1))
+          .select(col("pub"),
+            when(col("vis"), col("event_id")).as("event_id"),
+            when(col("vis"), array_join(col("subscription_ids"), ","))
+              .as("subscription_ids"),
+            col("slot_changes_count"))
+      },
+      Some(s"""$changesCte,
+        |vis AS (
+        |  SELECT event_id, event_type AS pub,
+        |    concat_ws(',',
+        |      CASE WHEN event_type = 'click' AND value > 50 THEN 's1' END,
+        |      CASE WHEN event_type = 'view' THEN 's2' END)
+        |      AS subscription_ids
+        |  FROM changes),
+        |g AS (
+        |  SELECT *, count(*) OVER (PARTITION BY pub) AS slot_changes_count,
+        |    sum(CASE WHEN subscription_ids <> '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY pub) AS n_vis,
+        |    row_number() OVER (PARTITION BY pub ORDER BY event_id) AS rn
+        |  FROM vis)
+        |SELECT pub,
+        |  CASE WHEN subscription_ids <> '' THEN event_id END AS event_id,
+        |  CASE WHEN subscription_ids <> '' THEN subscription_ids END
+        |    AS subscription_ids,
+        |  slot_changes_count
+        |FROM g
+        |WHERE subscription_ids <> '' OR (n_vis = 0 AND rn = 1)""".stripMargin)),
     // J8: node-routing — group subscriber ids per owning node (id → node map)
     Q("j8_node_routing",
       (s, d) => ev(s, d)
