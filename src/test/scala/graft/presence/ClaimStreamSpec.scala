@@ -125,6 +125,54 @@ class ClaimStreamSpec extends SparkSpec {
       canon(expected))
   }
 
+  test("a pending cooldown SURVIVES a checkpoint restart: the timer " +
+      "fires in the next life exactly once, and the post-vacant re-join " +
+      "re-emits occupied from restored state") {
+    implicit val s = spark
+    val src = java.nio.file.Files.createTempDirectory("claim-src")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("claim-ckpt")
+      .toFile.getAbsolutePath
+    val got = new ConcurrentLinkedQueue[Emit]()
+    def write(rows: Seq[Event]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(src)
+    def attach() = ClaimStream(
+        spark.readStream.schema(Seq.empty[Event].toDS().schema)
+          .parquet(src).as[Event], cooldownMs = 100L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Emit], _: Long) =>
+        b.collect().foreach(got.add); ()
+      }.start()
+    import scala.jdk.CollectionConverters._
+    def claims = got.asScala.toSeq.filterNot(_.grp == SentinelKey)
+    // life 1: join + last-leave — occupied emitted, cooldown armed @10,
+    // the timer (due 110) is STATE when the process dies
+    write(Seq(Event("room", "nA", ts(0L), 1), Event("room", "nA", ts(10L), -1)))
+    val q1 = attach()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(canon(claims) == Seq(Emit("room", "nA", "occupied", at(0L))),
+      "no claim may emit while the vacancy is still cooling down")
+    // life 2: only a watermark-advancing sentinel — the RESTORED timer
+    // must fire the survived vacancy, stamped at its original expiry
+    write(Seq(sentinel(100000L)))
+    val q2 = attach()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(canon(claims) == canon(Seq(
+      Emit("room", "nA", "occupied", at(0L)),
+      Emit("room", "nA", "vacant", at(110L)))),
+      s"restored timer mis-fired: $claims")
+    // life 3: re-join after the survived vacancy — restored state knows
+    // the router was told vacant, so occupied re-emits (exactly once)
+    write(Seq(Event("room", "nA", ts(200000L), 1)))
+    val q3 = attach()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(canon(claims) == canon(Seq(
+      Emit("room", "nA", "occupied", at(0L)),
+      Emit("room", "nA", "vacant", at(110L)),
+      Emit("room", "nA", "occupied", at(200000L)))))
+  }
+
   test("stream == batch over a seeded many-key storm under in-order " +
       "multi-batch slicing, timer leg included") {
     val rnd = new scala.util.Random(42)
