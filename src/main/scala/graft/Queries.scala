@@ -2720,9 +2720,8 @@ object Queries {
         |      PARTITION BY grp, node ORDER BY ts_ms, delta, tie
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      AS prev_vac_ms,
-        |    min(CASE WHEN delta = 1 THEN ts_ms END) OVER (
-        |      PARTITION BY grp, node ORDER BY ts_ms, delta, tie
-        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    lead(ts_ms, 1) OVER (
+        |      PARTITION BY grp, node ORDER BY ts_ms, delta, tie)
         |      AS next_join_ms
         |  FROM f)
         |SELECT grp, node, claim, emit_ms FROM (

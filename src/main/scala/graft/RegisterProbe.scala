@@ -60,6 +60,42 @@ object RegisterProbe {
       .select(col("grp"), col("node"), col("seq"),
         lit(true).as("present"),
         lit(null).cast("long").as("created_at")))
+    // claim-debounce leg (round-14): the flap suppressor over the same
+    // volume — nClaims membership deltas (nClaims/2 well-formed sessions,
+    // join+leave) across the same keyspace with the same 10% hot-key
+    // skew. The hot key concentrates ~nClaims/10 deltas in ONE window
+    // partition — windows cannot partial-aggregate, so this measures the
+    // honest per-key sort bound a popular channel's churn produces.
+    val nSessions = nClaims / 2
+    def sessions = spark.range(nSessions).select(
+      when(col("id") % 10 === 0, lit("g-hot"))
+        .otherwise(concat(lit("g"), (col("id") % nGroups).cast("string")))
+        .as("grp"),
+      concat(lit("n"), (col("id") % 7).cast("string")).as("node"),
+      col("id").as("tie"),
+      ((col("id") * 2971L) % 100000000L).as("join_ms"),
+      ((col("id") * 2971L) % 100000000L + (col("id") % 997L) * 200L + 1L)
+        .as("leave_ms"))
+    def claimEvents = sessions.select(col("grp"), col("node"), col("tie"),
+        explode(array(
+          struct(col("join_ms").as("ts_ms"), lit(1).as("delta")),
+          struct(col("leave_ms").as("ts_ms"), lit(-1).as("delta"))))
+          .as("e"))
+      .select(col("grp"), col("node"), col("e.ts_ms").as("ts_ms"),
+        col("e.delta").as("delta"), col("tie"))
+    def timeDeb(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        // consume the computed columns (emit_ms + claim), never a bare count
+        val r = df.agg(count(lit(1)), sum(col("emit_ms")),
+          sum(when(col("claim") === "vacant", 1L).otherwise(0L))).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+          f"vacant=${r.getLong(2)} sec=$sec%.2f")
+      }
+    }
+    timeDeb("claim_debounce")(Muster.claimDebounce(claimEvents,
+      "grp", "node", "ts_ms", "delta", "tie", cooldownMs = 60000L))
     spark.stop()
   }
 }

@@ -318,12 +318,20 @@ object Muster {
     *
     * Shape: one exchange on (grp, node), then three window passes over
     * the SAME sort order (running member count; last-preceding
-    * vacancy-start; next-following join) — Spark reuses the sort — and
-    * every row emits at most one claim, so the result is a single
-    * filtered projection: no union, no self-join, no recompute.
-    * [[ClaimStream]] is the live twin (same machine as
-    * flatMapGroupsWithState + event-time timers), stream==batch pinned
-    * in ClaimStreamSpec. */
+    * vacancy-start; next EVENT) — Spark reuses the sort — and every row
+    * emits at most one claim, so the result is a single filtered
+    * projection: no union, no self-join, no recompute. The
+    * vacancy-survival probe is `lead(ts, 1)` — in well-formed input the
+    * event after a vacancy-start is NECESSARILY the next join (the
+    * count is 0; another leave would be unmatched) — and the offset
+    * frame matters at scale: the equivalent `min(join ts) OVER (1
+    * FOLLOWING, UNBOUNDED FOLLOWING)` formulation is a SHRINKING frame,
+    * which Spark recomputes from scratch per row — O(rows²) per key,
+    * measured 100+ CPU-minutes stuck on a 1M-delta hot key in the 10M
+    * RegisterProbe leg, vs seconds with the offset frame. [[ClaimStream]]
+    * is the live twin (the same machine as flatMapGroupsWithState +
+    * event-time timers — and it, too, expires a pending vacancy against
+    * the NEXT EVENT's time), stream==batch pinned in ClaimStreamSpec. */
   def claimDebounce(events: DataFrame, grpCol: String, nodeCol: String,
       tsMsCol: String, deltaCol: String, tieCol: String,
       cooldownMs: Long): DataFrame = {
@@ -340,15 +348,17 @@ object Muster {
       .withColumn("vac_start", col("delta") === -1 && col("cnt") === 0)
     val prevVac = max(when(col("vac_start"), col("ts_ms")))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val nextJoin = min(when(col("delta") === 1, col("ts_ms")))
-      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    // next EVENT, not min-of-following-joins: identical on well-formed
+    // input (see scaladoc) and an incremental offset frame instead of a
+    // quadratic shrinking one
+    val nextEv = lead(col("ts_ms"), 1).over(w)
     val emitOcc = col("occ_start") && (col("prev_vac_ms").isNull ||
       col("ts_ms") - col("prev_vac_ms") >= cooldownMs)
     val emitVac = col("vac_start") && (col("next_join_ms").isNull ||
       col("next_join_ms") - col("ts_ms") >= cooldownMs)
     counted
       .withColumn("prev_vac_ms", prevVac)
-      .withColumn("next_join_ms", nextJoin)
+      .withColumn("next_join_ms", nextEv)
       .select(col("grp"), col("node"),
         when(emitOcc, "occupied").when(emitVac, "vacant").as("claim"),
         when(emitOcc, col("ts_ms"))
