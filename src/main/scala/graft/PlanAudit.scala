@@ -34,6 +34,18 @@ object PlanAudit {
   val boundedGlobalSorts: Set[String] = Set(
     "w1_replay_topk")       // ≤25-row page re-sorted to delivery order
 
+  /** Queries with an ASSESSED shrinking window frame (lower bound moves,
+    * upper bound UNBOUNDED FOLLOWING). Spark's
+    * UnboundedFollowingWindowFunctionFrame recomputes the aggregate from
+    * scratch for every row — O(rows²) PER KEY, invisible at test scale
+    * and lethal on a hot key (r14: claim debounce's min-over-following
+    * burned 100+ CPU-minutes single-threaded on a 1M-delta key in the
+    * 10M RegisterProbe; rewritten to an incremental lead(), 2.2 s).
+    * Entire-partition frames (unbounded BOTH ways) are fine — computed
+    * once per group. Empty until someone earns an entry with a measured
+    * per-key row bound. */
+  val assessedShrinkingFrames: Set[String] = Set()
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -48,9 +60,23 @@ object PlanAudit {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         var n = 0
         var sorts = 0
+        var shrink = 0
         plan.foreach {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => n += 1
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            if (w.partitionSpec.isEmpty) n += 1
+            // shrinking frame: moving lower bound + UNBOUNDED FOLLOWING
+            // upper — Spark recomputes it from scratch per row (O(rows²)
+            // per key); entire-partition frames evaluate once per group
+            import org.apache.spark.sql.catalyst.expressions.{
+              SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding,
+              WindowExpression, WindowSpecDefinition}
+            w.windowExpression.foreach(_.foreach {
+              case WindowExpression(_, WindowSpecDefinition(_, _,
+                  SpecifiedWindowFrame(_, lower, upper)))
+                if upper == UnboundedFollowing &&
+                  lower != UnboundedPreceding => shrink += 1
+              case _ => ()
+            })
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
             if w.partitionSpec.isEmpty => n += 1
           case s: org.apache.spark.sql.execution.SortExec if s.global =>
@@ -61,6 +87,11 @@ object PlanAudit {
         else if (n > 0) println(s"[audit] $name: $n bounded global window(s) (whitelisted)")
         if (sorts > 0 && !boundedGlobalSorts.contains(name)) bad ::= name
         else if (sorts > 0) println(s"[audit] $name: $sorts bounded global sort(s) (whitelisted)")
+        if (shrink > 0 && !assessedShrinkingFrames.contains(name)) {
+          bad ::= name
+          println(s"[audit] $name: $shrink SHRINKING window frame(s) — O(rows²) per key")
+        } else if (shrink > 0)
+          println(s"[audit] $name: $shrink shrinking frame(s) (assessed)")
       } catch { case scala.util.control.NonFatal(e) =>
         // a plan that fails to build must fail the audit, not skip it
         bad ::= name

@@ -88,10 +88,18 @@ object TemporalJoin {
     * same keys (outcome labeling, next-error attribution, reaction
     * joins). Mirror image of [[asOfBackward]]: same tag + union + ONE
     * keyed window shape (zero row multiplication, no join operator),
-    * with the frame flipped to [current, unbounded following] and a
-    * `first(ignoreNulls)` gather; at equal timestamps the right row is
-    * eligible (>=), so rights sort after lefts within a tick. Ties on
-    * the same right (key, ts) dedup to the MIN payload struct (the
+    * realized as the REVERSED sort with the same growing frame — order
+    * by (t DESC, side DESC) and gather `last(ignoreNulls)` over
+    * [unbounded preceding, current], which is the nearest right row at
+    * or above the left's tick. NOT the literal frame flip ([current,
+    * unbounded following] + first): that is a SHRINKING frame, which
+    * Spark recomputes from scratch per row — O(rows²) per key, the
+    * same class the r14 PlanAudit shrinking-frame gate exists for; the
+    * reversed growing frame is incremental O(rows) and plans as the
+    * identical single sort+window. At equal timestamps the right row
+    * is eligible (>=): rights sort before lefts within a tick under
+    * DESC(side), landing inside the left's frame. Ties on the same
+    * right (key, ts) dedup to the MIN payload struct (the
     * deterministic mirror of backward's latest-wins MAX).
     *
     * @param toleranceUs optional max lookahead: matches later than
@@ -114,10 +122,11 @@ object TemporalJoin {
     val rTagged = rDedup.select(
       keyCols ++ Seq(col("_t"), lit(1).as("_side"), col("_r"),
         lit(null).cast(lTagged.schema("_l").dataType).as("_l")): _*)
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
-      .withColumn("_m", first(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .where(col("_side") === 0)
     val gated = toleranceUs match {
       case Some(tol) => matched.withColumn("_m",
