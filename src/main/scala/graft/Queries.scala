@@ -1453,10 +1453,17 @@ object Queries {
           graft.model.Subscription("s2", "public", "events",
             graft.filters.FilterParser
               .parse("event_type=eq.view").toOption.get))
+        // the battery output is referenced exactly ONCE (the join to a
+        // string); `vis` derives from the string — a second direct
+        // reference inlined the battery's generated arms twice in one
+        // codegen stage and redeclared its scan locals (CodegenAudit
+        // caught the Janino redefinition; Spark would have silently run
+        // the stage interpreted)
         val m = Walrus.matchSubscriptions(changes, subs,
             ev(s, d).schema, "events")
+          .withColumn("sub_ids_str", array_join(col("subscription_ids"), ","))
           .withColumn("pub", col("event_type"))
-          .withColumn("vis", size(col("subscription_ids")) > 0)
+          .withColumn("vis", col("sub_ids_str") =!= "")
         val w = Window.partitionBy("pub")
         m.withColumn("slot_changes_count", count(lit(1)).over(w))
           .withColumn("n_vis",
@@ -1465,8 +1472,7 @@ object Queries {
           .where(col("vis") || (col("n_vis") === 0 && col("rn") === 1))
           .select(col("pub"),
             when(col("vis"), col("event_id")).as("event_id"),
-            when(col("vis"), array_join(col("subscription_ids"), ","))
-              .as("subscription_ids"),
+            when(col("vis"), col("sub_ids_str")).as("subscription_ids"),
             col("slot_changes_count"))
       },
       Some(s"""$changesCte,

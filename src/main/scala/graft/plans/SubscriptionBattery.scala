@@ -153,6 +153,19 @@ case class SubscriptionBattery(
         ords.flatMap { b =>
           val c = b.genCode(ctx) // emits any deferred load, exactly once
           inputEval ++= c.code.toString + "\n"
+          // mark the deferred load EVALUATED in the context (the same
+          // mutation CodegenSupport.evaluateRequiredVariables performs):
+          // the arm blocks below genCode the same BoundReferences, and
+          // directly above a lazy ColumnarToRow a still-pending
+          // currentVars entry would RE-EMIT the declaration inside an
+          // arm — a Janino local-redefinition that silently drops the
+          // whole stage to interpreted execution (caught by CodegenAudit
+          // on j6_list_changes_shape, the first battery applied straight
+          // onto a parquet scan with no projection in between)
+          if (ctx.currentVars != null && b.ordinal < ctx.currentVars.size &&
+              ctx.currentVars(b.ordinal) != null)
+            ctx.currentVars(b.ordinal).code =
+              org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock
           val v = c.value.toString
           val n = c.isNull.toString
           if (!isIdent(v) && !isLiteral(v)) splitSafe = false

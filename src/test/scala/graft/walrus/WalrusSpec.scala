@@ -55,6 +55,37 @@ class WalrusSpec extends SparkSpec {
     assert(out == 4) // only wildcard s2 matches every change
   }
 
+  test("battery applied STRAIGHT onto a parquet scan compiles in " +
+      "whole-stage codegen (lazy ColumnarToRow loads must not re-emit " +
+      "inside arm blocks)") {
+    // in-memory fixtures are LocalTableScan — no deferred column loads —
+    // so the regression needs a real file scan under the battery
+    val dir = java.nio.file.Files.createTempDirectory("bat-parquet")
+      .toFile.getAbsolutePath
+    changes.write.mode("overwrite").parquet(dir)
+    val scanned = spark.read.parquet(dir)
+    val subs = Seq(
+      // two arms over two DIFFERENT scan columns — each arm's first
+      // reference used to re-declare the deferred load
+      Subscription("sA", "public", "t", f("value=gt.50,category=eq.a")),
+      Subscription("sB", "public", "t", f("category=eq.b")))
+    val df = Walrus.matchSubscriptions(scanned, subs,
+      scanned.drop("change_type").schema, "t")
+    val stats = org.apache.spark.sql.execution.debug
+      .codegenStringSeq(df.queryExecution.executedPlan)
+    // compile failure surfaces as maxMethodCodeSize == -1 with generated
+    // code present (CodegenAudit's marker); subtree 0 with no codegen at
+    // all also reads -1 but carries no code
+    assert(stats.forall { case (_, code, st) =>
+      st.maxMethodCodeSize >= 0 || code.trim.isEmpty },
+      "a generated stage failed to compile — it would run interpreted")
+    // and the results are right (codegen path, not just compiling)
+    val out = df.select($"id", $"subscription_ids")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("sA") && out(2) == Seq("sB") &&
+      out(3) == Seq("sA") && out(4) == Seq("sA"))
+  }
+
   test("deleteFilterSource: DELETEs match through the OLD image only; " +
       "UPDATEs never do (apply_rls's DELETE visibility arm)") {
     // new image absent on DELETE (the WAL carries only identity); the
