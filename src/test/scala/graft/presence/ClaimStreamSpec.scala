@@ -173,6 +173,58 @@ class ClaimStreamSpec extends SparkSpec {
       Emit("room", "nA", "occupied", at(200000L)))))
   }
 
+  test("batch == a direct sequential reference fold over 200 seeded " +
+      "histories (triangulating the windowed plan against the state " +
+      "machine it claims to be)") {
+    // the reference implementation: the shard state machine as a plain
+    // per-key fold — no Spark, no windows — emitting exactly what the
+    // cooldown semantics dictate
+    def fold(evs: Seq[(Long, Int)], cooldown: Long): Seq[(String, Long)] = {
+      var cnt = 0L; var routerOcc = false
+      var pending = Option.empty[Long]
+      val out = Seq.newBuilder[(String, Long)]
+      evs.sortBy(identity).foreach { case (ts, delta) =>
+        pending.foreach { pv =>
+          if (ts - pv >= cooldown) {
+            out += (("vacant", pv + cooldown)); routerOcc = false
+            pending = None
+          }
+        }
+        cnt += delta
+        if (delta > 0 && cnt == 1L) {
+          if (pending.isDefined) pending = None
+          else if (!routerOcc) { out += (("occupied", ts)); routerOcc = true }
+        } else if (delta < 0 && cnt == 0L) pending = Some(ts)
+      }
+      pending.foreach(pv => out += (("vacant", pv + cooldown)))
+      out.result()
+    }
+    val rnd = new scala.util.Random(7)
+    val cooldown = 500L
+    // 200 keys × random well-formed session histories
+    val perKey: Map[(String, String), Seq[(Long, Int)]] = (0 until 200).map { k =>
+      val sessions = (0 until (1 + rnd.nextInt(8))).map { _ =>
+        val s = rnd.nextInt(30000).toLong
+        (s, s + 1L + rnd.nextInt(2000))
+      }
+      (s"g$k", "n") -> sessions.flatMap { case (s, e) =>
+        Seq((s, 1), (e, -1)) }.sortBy(identity)
+    }.toMap
+    val events = perKey.toSeq.flatMap { case ((g, n), evs) =>
+      evs.map { case (t, d) => Event(g, n, ts(t), d) } }
+    val batch = runBatch(events, cooldown)
+      .groupBy(e => (e.grp, e.node))
+      .view.mapValues(_.map(e => (e.claim, e.emitMs)).sortBy(identity)).toMap
+    val reference = perKey.map { case (k, evs) =>
+      k -> fold(evs, cooldown).map { case (c, t) => (c, at(t)) }
+        .sortBy(identity) }
+      .filter(_._2.nonEmpty)
+    assert(batch == reference,
+      s"windowed plan diverged from the reference fold on " +
+        s"${(batch.keySet ++ reference.keySet).find(k =>
+          batch.get(k) != reference.get(k))}")
+  }
+
   test("stream == batch over a seeded many-key storm under in-order " +
       "multi-batch slicing, timer leg included") {
     val rnd = new scala.util.Random(42)
