@@ -31,12 +31,15 @@ import org.apache.spark.sql.catalyst.expressions._
   * in InferFiltersFromGenerate's synthesized pre-filter, and
   * `sim_ann_ivf`'s ArgmaxDot×2 + NormalizeVec×2 (the IVF build's
   * dominant flops, also inside every trainCentroids Lloyd iteration).
-  * Known-and-accepted residue: SubscriptionBattery ×2 (Filter +
-  * Project) on `p6_column_projection` / `p_error_rows_*` /
-  * `s1_wal_pipeline` — fencing it breaks the battery's split-method
-  * codegen (Janino forward-reference, CodegenAudit catch; the fix
-  * would be reworking SubscriptionBattery.doGenCode's parameter
-  * collection, not worth it for three sub-second compositions). */
+  * Known-and-accepted residue: SubscriptionBattery Filter + Project
+  * on `p6_column_projection` / `p_error_rows_*` / `s1_wal_pipeline`
+  * (the p6/p_error rows read ×3 because the pushed filter ALSO shows
+  * in the scan node — the display-mirror class above, one runtime
+  * evaluation; verified unchanged against the r13 baseline) — fencing
+  * it breaks the battery's split-method codegen (Janino
+  * forward-reference, CodegenAudit catch; the fix would be reworking
+  * SubscriptionBattery.doGenCode's parameter collection, not worth it
+  * for three sub-second compositions). */
 object DupExprScan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
