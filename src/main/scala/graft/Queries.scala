@@ -2412,6 +2412,82 @@ object Queries {
     // (nodes.ex:117-185, operations.ex:10-28): two deterministic
     // candidate nodes per tenant (rendezvous top-2), place on the less
     // loaded (tie -> first), flag tenants whose current node differs.
+    // The REGION leg of tenant placement (get_node_for_tenant →
+    // platform_region_translator → launch_node, nodes.ex:12-135):
+    // platform regions translate through the default mapping, candidates
+    // restrict to the serving region's nodes, and the arms split:
+    // multi-node region → two-choice over THAT region only; single-node
+    // region → it; empty/unmapped region → the caller's default node.
+    // Region shapes in the data hit all four arms (3-node us-east-1,
+    // 2-node eu-west-2, 1-node us-west-1, node-less ap-southeast-2,
+    // unmapped xx-unknown).
+    Q("j8_region_placement",
+      (s, d) => {
+        val k = col("event_id") % 499
+        val regions = array(lit("us-east-2"), lit("eu-central-1"),
+          lit("us-west-2"), lit("ap-southeast-2"), lit("xx-unknown"))
+        val tenants = ev(s, d).select(
+          concat(col("event_type"), lit("-"), k.cast("string")).as("tenant"),
+          element_at(regions, (pmod(k, lit(5)) + 1).cast("int"))
+            .as("platform_region"))
+        val nodeRegions = array(lit("us-east-1"), lit("us-east-1"),
+          lit("us-east-1"), lit("eu-west-2"), lit("eu-west-2"),
+          lit("us-west-1"))
+        val nodes = s.range(6).select(
+          concat(lit("n"), col("id").cast("string")).as("node"),
+          (col("id") * 3 % 5).cast("int").as("load"),
+          element_at(nodeRegions, (col("id") + 1).cast("int")).as("region"))
+        graft.presence.Muster.regionPlacement(tenants, "tenant",
+          "platform_region", nodes, "node", "load", "region",
+          defaultNode = "n-local")
+      },
+      Some("""WITH t AS (
+        |  SELECT DISTINCT
+        |    event_type || '-' || CAST(event_id % 499 AS VARCHAR) AS tenant,
+        |    list_extract(['us-east-2','eu-central-1','us-west-2',
+        |                  'ap-southeast-2','xx-unknown'],
+        |                 CAST((event_id % 499) % 5 + 1 AS INT))
+        |      AS platform_region
+        |  FROM events),
+        |tr AS (
+        |  SELECT tenant, platform_region,
+        |    CASE platform_region
+        |      WHEN 'us-east-2' THEN 'us-east-1'
+        |      WHEN 'eu-central-1' THEN 'eu-west-2'
+        |      WHEN 'us-west-2' THEN 'us-west-1'
+        |      WHEN 'ap-southeast-2' THEN 'ap-southeast-2'
+        |    END AS region
+        |  FROM t),
+        |n AS (SELECT 'n' || CAST(i AS VARCHAR) AS node,
+        |             CAST(i * 3 % 5 AS INT) AS load,
+        |             list_extract(['us-east-1','us-east-1','us-east-1',
+        |                           'eu-west-2','eu-west-2','us-west-1'],
+        |                          CAST(i + 1 AS INT)) AS region
+        |      FROM (SELECT unnest(range(6)) AS i)),
+        |ranked AS (
+        |  SELECT tr.tenant, tr.platform_region, tr.region, n.node, n.load,
+        |    row_number() OVER (PARTITION BY tr.tenant, tr.region
+        |                       ORDER BY md5(tr.tenant || ':' || n.node))
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY tr.tenant, tr.region) AS n_nodes
+        |  FROM tr JOIN n ON tr.region = n.region),
+        |picks AS (
+        |  SELECT tenant, platform_region, region,
+        |    min(CASE WHEN rn = 1 THEN node END) AS c1,
+        |    min(CASE WHEN rn = 1 THEN load END) AS l1,
+        |    min(CASE WHEN rn = 2 THEN node END) AS c2,
+        |    min(CASE WHEN rn = 2 THEN load END) AS l2,
+        |    max(n_nodes) AS n_nodes
+        |  FROM ranked WHERE rn <= 2 GROUP BY 1, 2, 3)
+        |SELECT tenant, platform_region, region, c1 AS node1, c2 AS node2,
+        |  CASE WHEN n_nodes = 1 THEN c1
+        |       WHEN l1 <= coalesce(l2, l1) THEN c1 ELSE c2 END AS assigned
+        |FROM picks
+        |UNION ALL
+        |SELECT tenant, platform_region, region, NULL, NULL, 'n-local'
+        |FROM tr
+        |WHERE region IS NULL
+        |   OR region NOT IN (SELECT DISTINCT region FROM n)""".stripMargin)),
     Q("j8_two_choice_rebalance",
       (s, d) => {
         val k = col("event_id") % 499

@@ -1,6 +1,6 @@
 package graft.presence
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Forum.Muster — group-routed fan-out — as a batch query semantic: for
@@ -289,6 +289,83 @@ object Muster {
         col("_pick.node2").as("node2"),
         col("_pick.assigned").as("assigned"), col("current"))
       .withColumn("moved", col("assigned") =!= col("current"))
+  }
+
+  /** `Realtime.Nodes.default_region_mapping` (nodes.ex:40-62): platform
+    * region → closest serving region. The REGION_MAPPING env override is
+    * deployment config, not semantics; unmapped regions translate to
+    * null (the reference's `_ -> nil`). */
+  val DefaultRegionMapping: Map[String, String] = Map(
+    "ap-east-1" -> "ap-southeast-1", "ap-northeast-1" -> "ap-southeast-1",
+    "ap-northeast-2" -> "ap-southeast-1", "ap-south-1" -> "ap-southeast-1",
+    "ap-southeast-1" -> "ap-southeast-1",
+    "ap-southeast-2" -> "ap-southeast-2",
+    "ca-central-1" -> "us-east-1",
+    "eu-central-1" -> "eu-west-2", "eu-central-2" -> "eu-west-2",
+    "eu-north-1" -> "eu-west-2", "eu-west-1" -> "eu-west-2",
+    "eu-west-2" -> "eu-west-2", "eu-west-3" -> "eu-west-2",
+    "sa-east-1" -> "us-east-1", "us-east-1" -> "us-east-1",
+    "us-east-2" -> "us-east-1", "us-west-1" -> "us-west-1",
+    "us-west-2" -> "us-west-1")
+
+  /** `platform_region_translator` as a Column (one codegen'd CASE). */
+  def platformRegionTranslator(platformRegion: Column): Column =
+    DefaultRegionMapping.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast("string")) { case (acc, (from, to)) =>
+      when(platformRegion === from, to).otherwise(acc)
+    }
+
+  /** The REGION leg of tenant placement —
+    * `Realtime.Nodes.get_node_for_tenant` → `platform_region_translator`
+    * → `launch_node` (nodes.ex:12-135): the candidate set RESTRICTS to
+    * the translated region's nodes, then
+    *   - zero region nodes → the caller's DEFAULT node (the reference
+    *     logs a warning and launches locally — `launch_node`'s `[]` arm);
+    *   - exactly one → that node, no draw;
+    *   - otherwise the same two-choice pick as [[twoChoicePlacement]],
+    *     over the REGION's nodes only.
+    * An unmapped/null platform region has no region nodes by definition
+    * (`region_nodes(nil) → []`) and takes the default arm.
+    *
+    * Shape: node metadata (node, load, region) is one bounded collect;
+    * the per-region arms chain into ONE CASE over per-region
+    * [[graft.plans.TwoChoicePick]] kernels (regions are a handful), and
+    * the struct is bound once via withColumn — a narrow projection over
+    * the distinct tenant set, no joins. */
+  def regionPlacement(tenants: DataFrame, tenantCol: String,
+      platformRegionCol: String, nodes: DataFrame, nodeCol: String,
+      loadCol: String, nodeRegionCol: String, defaultNode: String)
+      : DataFrame = {
+    val t = tenants.select(col(tenantCol).as("tenant"),
+      col(platformRegionCol).as("platform_region")).distinct()
+      .withColumn("region", platformRegionTranslator(col("platform_region")))
+    val nodeMeta = boundedCollect(nodes
+      .select(col(nodeCol).cast("string").as("node"),
+        col(loadCol).cast("double").as("load"),
+        col(nodeRegionCol).cast("string").as("region")),
+      "region-placement node table").filter(!_.isNullAt(0))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    val byRegion = nodeMeta.filter(_._3 != null).groupBy(_._3)
+    def pickStruct(node1: Column, node2: Column, assigned: Column) =
+      struct(node1.cast("string").as("node1"),
+        node2.cast("string").as("node2"),
+        assigned.cast("string").as("assigned"))
+    val defaultArm = pickStruct(lit(null), lit(null), lit(defaultNode))
+    val pick = byRegion.toSeq.sortBy(_._1).foldLeft(defaultArm) {
+      case (acc, (rg, nm)) =>
+        val arm =
+          if (nm.length == 1)
+            pickStruct(lit(nm.head._1), lit(null), lit(nm.head._1))
+          else graft.plans.TwoChoicePick.of(col("tenant"),
+            nm.map(n => (n._1, n._2)).toSeq.sortBy(_._1))
+        when(col("region") === rg, arm).otherwise(acc)
+    }
+    t.withColumn("_pick", pick)
+      .select(col("tenant"), col("platform_region"), col("region"),
+        col("_pick.node1").as("node1"), col("_pick.node2").as("node2"),
+        col("_pick.assigned").as("assigned"))
   }
 
   /** The shard claim state machine's FLAP SUPPRESSION — which

@@ -323,4 +323,36 @@ class MusterSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("distinct nodes"))
   }
+
+  test("region placement: translation through the default mapping, then " +
+      "the launch_node arms — two-choice per multi-node region, the " +
+      "single node verbatim, the default for empty/unmapped regions") {
+    // mapping spot-checks against nodes.ex:40-62
+    val tr = spark.range(1).select(
+      Muster.platformRegionTranslator(lit("ca-central-1")).as("a"),
+      Muster.platformRegionTranslator(lit("eu-north-1")).as("b"),
+      Muster.platformRegionTranslator(lit("nope-0")).as("c")).head
+    assert(tr.getString(0) == "us-east-1" && tr.getString(1) == "eu-west-2"
+      && tr.isNullAt(2))
+    val tenants = Seq(
+      ("tA", "us-east-2"),       // → us-east-1 (two nodes) → two-choice
+      ("tB", "us-west-2"),       // → us-west-1 (single node)
+      ("tC", "ap-southeast-2"),  // mapped region, zero nodes → default
+      ("tD", "xx"))              // unmapped → default
+      .toDF("tenant", "platform_region")
+    val nodes = Seq(
+      ("n0", 5, "us-east-1"), ("n1", 1, "us-east-1"),
+      ("n2", 9, "us-west-1"))
+      .toDF("node", "load", "region")
+    val out = Muster.regionPlacement(tenants, "tenant", "platform_region",
+        nodes, "node", "load", "region", defaultNode = "n-local")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(3), r.getString(4), r.getString(5)))).toMap
+    // two-choice over exactly two candidates: lower load (n1) wins
+    assert(out("tA")._3 == "n1", s"got ${out("tA")}")
+    assert(Set(out("tA")._1, out("tA")._2) == Set("n0", "n1"))
+    assert(out("tB") == (("n2", null, "n2")))
+    assert(out("tC") == ((null, null, "n-local")))
+    assert(out("tD") == ((null, null, "n-local")))
+  }
 }
