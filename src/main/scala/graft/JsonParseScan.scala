@@ -10,7 +10,17 @@ import org.apache.spark.sql.SparkSession
   * per row (`s1_wal_mirror` 27, `s1_wal_scd2`/`j_asof_pit` 28,
   * `s1_mirror_diff` 54; warm cost halved when fenced). Run after
   * touching any from_json-based decoder or a consumer that filters on
-  * its output. */
+  * its output.
+  *
+  * Assessed residue (counts are DISTINCT parses, not re-parses of one
+  * input): `s1_wal_mirror`/`s1_wal_scd2` 2 and `s1_mirror_diff` 4 (two
+  * fenced legs), `j_asof_pit` 2 (two format dialects), and
+  * `p_join_config_parse` 6 — the join-payload changeset parses SIX
+  * NESTING LEVELS (payload → config → broadcast/presence → replay /
+  * postgres_changes), each level's raw text parsed exactly once and
+  * EvalOnce-fenced; the levels are different inputs, so the per-row
+  * bytes parsed ≈ payload + config subtree once each, not 6× the
+  * payload. */
 object JsonParseScan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -710,6 +710,95 @@ object Queries {
         |       WHEN b.n*s.l*1 + s.sum_ring*1 > 2*s.l THEN 'batch_too_large'
         |       ELSE 'ok' END AS status
         |FROM bat b JOIN sim s ON s.tenant = b.tenant AND s.tick = b.tick""".stripMargin)),
+    // Single-broadcast admission replay (single_broadcast.ex:64-82): the
+    // per-message HTTP endpoint's ordered gate chain — suspension first
+    // (function clause), changeset validation (content-type inclusion,
+    // payload presence, size INSIDE validation), avg >= max rate gate
+    // (>=, not batch's strict >), then the write-authz probe; only ok
+    // rows count into the ring. Oracle: per-tick recursion (no intra-tick
+    // feedback — the avg reads completed ticks only).
+    Q("s8_single_admission",
+      (s, d) => {
+        val e = ev(s, d)
+        val tn = col("user_id") % 40
+        val reqs = e.select(
+          col("event_type").as("tenant"),
+          col("ts"),
+          col("event_id").as("req_id"),
+          (col("event_type") === "error").as("suspend"),
+          when(col("user_id") % 7 === 0, "text/plain")
+            .when(col("user_id") % 2 === 0, "binary")
+            .otherwise("json").as("content_type"),
+          (col("user_id") % 13 =!= 0).as("payload_present"),
+          (length(col("props")) * (col("user_id") % 3) * 100)
+            .cast("long").as("payload_bytes"),
+          (lit(1) + length(col("event_type")) % 2).as("max_payload_kb"),
+          (col("user_id") % 2 === 0).as("private"),
+          when(col("user_id") % 3 === 0, "service")
+            .when(col("user_id") % 3 === 1, "authenticated")
+            .otherwise("anon").as("role"),
+          concat(lit("room:"), tn.cast("string")).as("topic"),
+          tn.as("tn"))
+        val topics = reqs.select("topic", "tn").distinct()
+        val policies = topics.select(lit("service").as("role"), col("topic"))
+          .unionByName(topics.where(col("tn") % 5 =!= 0)
+            .select(lit("authenticated").as("role"), col("topic")))
+        graft.messages.SingleBroadcast.admission(reqs.drop("tn"), policies,
+          limitNum = 1L, limitDen = 3600L, tickSec = 3600L,
+          windowTicks = 12)
+      },
+      Some("""WITH RECURSIVE req AS MATERIALIZED (
+        |  SELECT event_type AS tenant, event_id AS req_id,
+        |         epoch_us(ts)//1000000//3600 AS tick,
+        |         (event_type = 'error') AS suspend,
+        |         (CASE WHEN user_id%7=0 THEN 'text/plain'
+        |               WHEN user_id%2=0 THEN 'binary' ELSE 'json' END
+        |            IN ('json','binary')
+        |          AND user_id%13 != 0
+        |          AND length(props)*(user_id%3)*100
+        |                <= (1 + length(event_type)%2)*1000 + 500) AS valid,
+        |         ((user_id%2 != 0)
+        |          OR (CASE user_id%3 WHEN 0 THEN true
+        |                   WHEN 1 THEN (user_id%40)%5 != 0
+        |                   ELSE false END)) AS write_allowed
+        |  FROM events),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, n_adm,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick,
+        |          CAST(count(*) FILTER (
+        |            WHERE NOT suspend AND valid AND write_allowed)
+        |            AS BIGINT) AS n_adm
+        |        FROM req GROUP BY 1,2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick, false AS flagged,
+        |         [{'t': tick, 'c': n_adm}] AS ring
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, flag AS flagged,
+        |         list_append(list_filter(ring0, x -> x.t >= tick - 12),
+        |           {'t': tick, 'c': CASE WHEN flag THEN CAST(0 AS BIGINT)
+        |                ELSE n_adm END}) AS ring
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, t.n_adm,
+        |           s.ring AS ring0,
+        |           coalesce(list_sum(list_transform(
+        |             list_filter(s.ring, x -> x.t >= t.tick - 12
+        |                                      AND x.t < t.tick),
+        |             x -> x.c)), 0) * 3600
+        |             >= greatest(least(12, t.tick - t.first_tick), 1) * 3600
+        |             AS flag
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant
+        |                         AND t.idx = s.idx + 1))
+        |SELECT r.tenant, r.req_id,
+        |  CASE WHEN r.suspend THEN 'forbidden_suspended'
+        |       WHEN NOT r.valid THEN 'invalid'
+        |       WHEN s.flagged THEN 'rate_limited'
+        |       WHEN NOT r.write_allowed THEN 'forbidden'
+        |       ELSE 'ok' END AS status
+        |FROM req r JOIN sim s ON s.tenant = r.tenant AND s.tick = r.tick"""
+        .stripMargin)),
     // Message-rate socket shutdown replay (count-then-check with terminal
     // per-socket consequence, realtime_channel.ex:291-302): ring + dead-set
     // feedback, oracle recursion carries both as list columns.
@@ -1287,7 +1376,105 @@ object Queries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CASE WHEN write_allowed THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_rate_counted
-        |FROM a GROUP BY 1, 2, 3""".stripMargin))
+        |FROM a GROUP BY 1, 2, 3""".stripMargin)),
+    // Join-payload parse (payloads/{join,config,broadcast,presence}.ex):
+    // flexible booleans, replay/int casts, postgres_changes nil handling,
+    // presence-key generation flag, embed-shape errors. The payload JSON
+    // is constructed identically on both sides from user_id mods; the
+    // Spark side must recover the truth table by PARSING it, the oracle
+    // derives it directly from the mods (independent ground truth).
+    Q("p_join_config_parse",
+      (s, d) => {
+        val uid = col("user_id")
+        def m(n: Int) = uid % n
+        val privLit = when(m(5) === 0, "true").when(m(5) === 1, "\"True\"")
+          .when(m(5) === 2, "false").when(m(5) === 3, "\"FALSE\"")
+          .otherwise("\"yes\"")
+        val ackLit = when(m(3) === 0, "true").when(m(3) === 1, "\"false\"")
+          .otherwise("1")
+        val enLit = when(m(2) === 0, "true").otherwise("\"False\"")
+        val keyPart = when(m(7) === 0, "")
+          .when(m(7) === 1, ", \"key\": \"\"")
+          .otherwise(concat(lit(", \"key\": \"k-"), uid.cast("string"),
+            lit("\"")))
+        val replayPart = when(m(11) === 0,
+            ", \"replay\": {\"limit\": 5, \"since\": 100}")
+          .when(m(11) === 1, ", \"replay\": {\"limit\": \"7\"}")
+          .when(m(11) === 2, ", \"replay\": {\"limit\": \"abc\"}")
+          .otherwise("")
+        val pgPart = when(m(13) === 0,
+            ", \"postgres_changes\": [{\"event\": \"INSERT\", " +
+              "\"schema\": \"public\", \"table\": \"t1\"}, null]")
+          .when(m(13) === 1, ", \"postgres_changes\": null")
+          .when(m(13) === 2, ", \"postgres_changes\": \"x\"")
+          .otherwise("")
+        val cfg = concat(lit("{\"private\": "), privLit,
+          lit(", \"broadcast\": {\"ack\": "), ackLit,
+          lit(", \"self\": false"), replayPart, lit("}"),
+          lit(", \"presence\": {\"enabled\": "), enLit, keyPart,
+          lit("}"), pgPart, lit("}"))
+        val payload = when(m(17) === 0, lit("{\"access_token\": \"tok\"}"))
+          .when(m(17) === 1,
+            lit("{\"config\": \"nope\", \"access_token\": \"tok\"}"))
+          .otherwise(concat(lit("{\"config\": "), cfg,
+            lit(", \"access_token\": \"tok-"), uid.cast("string"),
+            lit("\"}")))
+        // pure narrow map over the scan: at test scale one parquet split
+        // serializes the six-level parse onto one core (2.0 s warm at
+        // sf0.1) — the conditional spread inserts one pre-parse exchange
+        // of the two raw columns, a no-op at corpus scale (split-rich
+        // scans already provide the parallelism)
+        val joins = graft.pipeline.Spread(
+          ev(s, d).select(col("event_id"), col("user_id")),
+          col("event_id"))
+          .select(col("event_id").as("join_id"), payload.as("payload"))
+        graft.api.JoinConfig.parse(joins, "payload")
+          .select("join_id", "valid", "private", "ack", "self_broadcast",
+            "replication_ready", "presence_enabled", "presence_key",
+            "presence_key_generated", "replay_limit", "replay_since",
+            "n_postgres_changes", "access_token", "user_token")
+      },
+      Some("""WITH j AS (
+        |  SELECT event_id AS join_id, user_id AS uid,
+        |    user_id % 17 AS m17,
+        |    (user_id % 17 NOT IN (0, 1)
+        |     AND user_id % 5 != 4 AND user_id % 3 != 2
+        |     AND user_id % 11 != 2 AND user_id % 13 != 2)
+        |      OR user_id % 17 = 0 AS valid
+        |  FROM events)
+        |SELECT join_id, valid,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 = 0 THEN false
+        |       ELSE uid % 5 IN (0, 1) END AS private,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 = 0 THEN false
+        |       ELSE uid % 3 = 0 END AS ack,
+        |  CASE WHEN NOT valid THEN NULL ELSE false END AS self_broadcast,
+        |  CASE WHEN NOT valid THEN NULL ELSE false END AS replication_ready,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 = 0 THEN false
+        |       ELSE uid % 2 = 0 END AS presence_enabled,
+        |  CASE WHEN NOT valid OR m17 = 0 OR uid % 7 < 2 THEN NULL
+        |       ELSE 'k-' || CAST(uid AS VARCHAR) END AS presence_key,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 = 0 THEN true
+        |       ELSE uid % 7 < 2 END AS presence_key_generated,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 = 0 THEN 10
+        |       WHEN uid % 11 = 0 THEN 5
+        |       WHEN uid % 11 = 1 THEN 7
+        |       ELSE 10 END AS replay_limit,
+        |  CAST(CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 != 0 AND uid % 11 = 0 THEN 100
+        |       ELSE 0 END AS BIGINT) AS replay_since,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 != 0 AND uid % 13 = 0 THEN 1
+        |       ELSE 0 END AS n_postgres_changes,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN m17 = 0 THEN 'tok'
+        |       ELSE 'tok-' || CAST(uid AS VARCHAR) END AS access_token,
+        |  CAST(NULL AS VARCHAR) AS user_token
+        |FROM j""".stripMargin))
   )
 
   // --------------------------------------------------------------- presence
@@ -2488,6 +2675,57 @@ object Queries {
         |FROM tr
         |WHERE region IS NULL
         |   OR region NOT IN (SELECT DISTINCT region FROM n)""".stripMargin)),
+    // Stability-gated wrong-region check (rebalancer.ex:8-31): the node
+    // snapshots are passed equal-as-SETS but differently ordered (the
+    // MapSet equality the reference gates on is order-insensitive), so
+    // the stable arm is live; null hosting regions take the ok arm and
+    // unmapped platform regions are always flagged (nil != binary).
+    Q("j8_region_rebalance",
+      (s, d) => {
+        val k = col("event_id") % 499
+        val regions = array(lit("us-east-2"), lit("eu-central-1"),
+          lit("us-west-2"), lit("ap-southeast-2"), lit("xx-unknown"))
+        val hosting = array(lit("us-east-1"), lit("eu-west-2"),
+          lit("us-west-1"))
+        val tenants = ev(s, d).select(
+          concat(col("event_type"), lit("-"), k.cast("string")).as("tenant"),
+          element_at(regions, (pmod(k, lit(5)) + 1).cast("int"))
+            .as("platform_region"),
+          when(k % 11 === 0, lit(null).cast("string"))
+            .otherwise(element_at(hosting, (pmod(k, lit(3)) + 1).cast("int")))
+            .as("current_region")).distinct()
+        graft.presence.Muster.regionRebalance(tenants, "tenant",
+          "platform_region", "current_region",
+          prevNodes = Seq("n0", "n1", "n2"),
+          curNodes = Seq("n2", "n1", "n0"))
+      },
+      Some("""WITH t AS (
+        |  SELECT DISTINCT
+        |    event_type || '-' || CAST(event_id % 499 AS VARCHAR) AS tenant,
+        |    list_extract(['us-east-2','eu-central-1','us-west-2',
+        |                  'ap-southeast-2','xx-unknown'],
+        |                 CAST((event_id % 499) % 5 + 1 AS INT))
+        |      AS platform_region,
+        |    CASE WHEN (event_id % 499) % 11 = 0 THEN NULL
+        |         ELSE list_extract(['us-east-1','eu-west-2','us-west-1'],
+        |                           CAST((event_id % 499) % 3 + 1 AS INT))
+        |    END AS current_region
+        |  FROM events),
+        |e AS (
+        |  SELECT tenant, platform_region, current_region,
+        |    CASE platform_region
+        |      WHEN 'us-east-2' THEN 'us-east-1'
+        |      WHEN 'eu-central-1' THEN 'eu-west-2'
+        |      WHEN 'us-west-2' THEN 'us-west-1'
+        |      WHEN 'ap-southeast-2' THEN 'ap-southeast-2'
+        |    END AS expected_region
+        |  FROM t)
+        |SELECT tenant, platform_region, current_region, expected_region,
+        |  CASE WHEN current_region IS NULL THEN 'ok'
+        |       WHEN current_region IS NOT DISTINCT FROM expected_region
+        |         THEN 'ok'
+        |       ELSE 'wrong_region' END AS verdict
+        |FROM e""".stripMargin)),
     Q("j8_two_choice_rebalance",
       (s, d) => {
         val k = col("event_id") % 499

@@ -126,9 +126,23 @@ object GraftFunctions {
       graft.plans.JsonQuote(args.head)
     })
 
+  private val flexibleBoolean: FunctionDescription = (
+    FunctionIdentifier("flexible_boolean"),
+    info("flexible_boolean",
+      "flexible_boolean(s) - the join-payload boolean cast (payloads/flexible_boolean.ex): case-insensitive 'true'/'false' text to boolean, anything else null (= cast error upstream)"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "flexible_boolean(s) takes 1 argument")
+      // the catalyst twin of JoinConfig.flexibleBoolean
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Lower}
+      val low = Lower(args.head)
+      CaseWhen(Seq(
+        (EqualTo(low, Literal("true")), Literal(true)),
+        (EqualTo(low, Literal("false")), Literal(false))), None)
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(quoteWal2json, jsonMapProject, jsonStructProject, misraGries,
-      jsonQuote)
+      jsonQuote, flexibleBoolean)
 
   /** Imperative twin of [[GraftExtensions]] for an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -368,6 +368,51 @@ object Muster {
         col("_pick.assigned").as("assigned"))
   }
 
+  /** The stability-gated WRONG-REGION check —
+    * `Realtime.Tenants.Rebalancer.check`
+    * (lib/realtime/tenants/rebalancer.ex:8-31): a tenant's Connect
+    * process asks, on a cadence, whether it is running in the region
+    * [[regionPlacement]] would put it in today. Three reference arms,
+    * all modeled:
+    *   - the CLUSTER-STABILITY gate: the check only fires when the node
+    *     set observed now equals the node set observed last time
+    *     (MapSet equality — membership churn means the cluster is "not
+    *     stable enough to rebalance"), so an unstable pair verdicts
+    *     every tenant `ok`;
+    *   - on a stable pair, expected region = the same
+    *     `platform_region_translator` CASE as placement; `wrong_region`
+    *     iff the hosting region differs. An UNMAPPED platform region
+    *     translates to null, and the reference compares the (binary)
+    *     hosting region against nil with plain `==` — false — so an
+    *     unmapped tenant hosted anywhere is ALWAYS flagged
+    *     (rebalancer.ex:17-22: only the app-region binding is guarded,
+    *     not the expected region). Preserved as-is, documented here
+    *     because it looks like a bug and is in fact the live behavior;
+    *   - a tenant whose hosting region is unknown (the
+    *     `Application.get_env` non-binary arm) verdicts `ok`.
+    *
+    * Shape: the node snapshots are cluster-membership dimensions (a
+    * handful of rows), taken as driver-side Seqs exactly like
+    * [[regionPlacement]]'s `defaultNode`; the verdict itself is one
+    * codegen'd CASE over the tenant projection — no joins, no shuffles
+    * beyond the caller's own tenant distinct. */
+  def regionRebalance(tenants: DataFrame, tenantCol: String,
+      platformRegionCol: String, currentRegionCol: String,
+      prevNodes: Seq[String], curNodes: Seq[String]): DataFrame = {
+    val stable = prevNodes.toSet == curNodes.toSet
+    val t = tenants.select(col(tenantCol).as("tenant"),
+      col(platformRegionCol).as("platform_region"),
+      col(currentRegionCol).cast("string").as("current_region"))
+    val verdict =
+      if (!stable) lit("ok")
+      else when(col("current_region").isNull, "ok")
+        .when(col("current_region") <=> col("expected_region"), "ok")
+        .otherwise("wrong_region")
+    t.withColumn("expected_region",
+        platformRegionTranslator(col("platform_region")))
+      .withColumn("verdict", verdict)
+  }
+
   /** The shard claim state machine's FLAP SUPPRESSION — which
     * membership transitions actually reach the router
     * (forum/lib/forum/muster/shard.ex:312-334 `enter_cooldown`,

@@ -125,6 +125,77 @@ object AdmissionStream {
       }
   }
 
+  final case class SingleAttempt(tenant: String, us: Long, tie: Long,
+      suspend: Boolean, valid: Boolean, writeAllowed: Boolean)
+
+  /** Streaming twin of [[Rates.singleAdmission]] — the LIVE
+    * single-broadcast gate chain (single_broadcast.ex:64-82) in the
+    * reference's clause order: suspension, changeset validity, the
+    * `avg >= max` rate gate (the endpoint's `>=`, not batch's `>`),
+    * write authorization, then unit counting for `ok` only. The
+    * row-local booleans arrive pre-computed exactly as in the batch
+    * replay (the policy probe and changeset are stateless projections —
+    * they belong on the ingest frame, not in keyed state); the ring is
+    * the shared [[ringView]], so twin parity is bit-identical
+    * (spec-pinned). Every request advances the counter clock; only
+    * admitted ones count.
+    *
+    * `idleTimeoutMs > 0` opts into the idle reap, with the same
+    * fresh-counter-on-recreation semantics as [[batchStream]]. */
+  def singleStream(
+      requests: Dataset[SingleAttempt],
+      limitNum: Long,
+      limitDen: Long,
+      tickSec: Long = 5L,
+      windowTicks: Int = 12,
+      idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    requests
+      .groupByKey(_.tenant)
+      .flatMapGroupsWithState[RingState, Decision](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (tenant: String, evs: Iterator[SingleAttempt],
+            state: GroupState[RingState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              RingState(Map.empty, Long.MinValue))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(r => (r.us, r.tie)).foreach { r =>
+              val tick = r.us / 1000000L / tickSec
+              val v = ringView(st.ring, st.firstTick, tick, windowTicks)
+              val l = math.max(v.len, 1L) * tickSec
+              if (r.suspend) {
+                st = RingState(v.ring, v.first)
+                out += Decision(tenant, r.tie, "forbidden_suspended")
+              } else if (!r.valid) {
+                st = RingState(v.ring, v.first)
+                out += Decision(tenant, r.tie, "invalid")
+              } else if (v.sum * limitDen >= limitNum * l) {
+                st = RingState(v.ring, v.first)
+                out += Decision(tenant, r.tie, "rate_limited")
+              } else if (!r.writeAllowed) {
+                st = RingState(v.ring, v.first)
+                out += Decision(tenant, r.tie, "forbidden")
+              } else {
+                st = RingState(
+                  v.ring.updated(tick, v.ring.getOrElse(tick, 0L) + 1L),
+                  v.first)
+                out += Decision(tenant, r.tie, "ok")
+              }
+            }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[Rates.clientWindowLimit]] — the LIVE
     * `limit_client_presence_event` anchored window
     * (presence_handler.ex:214-236). State is two scalars per key (anchor

@@ -549,6 +549,76 @@ object Rates {
       }.toDF("tenant", "event_id", "status")
   }
 
+  final case class SingleReqRow(tenant: String, us: Long, tie: Long,
+      suspend: Boolean, valid: Boolean, writeAllowed: Boolean)
+
+  /** Single-broadcast admission replay — the gate chain of
+    * `Realtime.Tenants.SingleBroadcast.broadcast`
+    * (single_broadcast.ex:64-82), the per-message HTTP endpoint's
+    * admission pipeline, in the reference's exact clause order:
+    *   1. `suspend: true` tenant  → `forbidden_suspended` (403, checked
+    *      by a FUNCTION CLAUSE before anything else — even an invalid
+    *      payload on a suspended tenant reads suspended);
+    *   2. changeset invalid       → `invalid` (422; the `validCol`
+    *      input — see [[graft.messages.SingleBroadcast.validRequest]]
+    *      for the changeset semantics. Note the payload-SIZE check
+    *      lives HERE, inside validation and therefore BEFORE the rate
+    *      gate — the channel push path checks size after authz);
+    *   3. `avg >= max`            → `rate_limited` (429; `>=`, NOT the
+    *      batch endpoint's strict `>` — single_broadcast.ex:219-227 vs
+    *      batch_broadcast.ex:170-177, a deliberate reference divergence
+    *      this replay preserves);
+    *   4. private ∧ no write policy → `forbidden` (403 Unauthorized);
+    *   5. otherwise `ok`, and ONLY then `GenCounter.add` counts ONE
+    *      event into the tenant ring (send_message_and_count) — denied
+    *      and invalid requests never count.
+    *
+    * The ring is the admission family's [[AdmissionStream.ringView]]
+    * (tick-boundary snapshot: the avg reads COMPLETED ticks only, so
+    * same-tick order cannot matter and the replay is deterministic).
+    * The replay's counter clock is anchored at the tenant's first
+    * request of ANY outcome — every request advances the view (the
+    * reference's wall-clock window ticks regardless of outcomes); only
+    * `ok` rows count into it. Same scale shape as [[batchAdmission]]:
+    * one tenant-keyed shuffle, O(windowTicks) state, streaming group
+    * iterator — suspend/valid/writeAllowed are row-local booleans the
+    * caller computes relationally (broadcast joins, never a second
+    * shuffle). */
+  def singleAdmission(requests: DataFrame, tenantCol: String,
+      tsCol: String, tieCol: String, suspendCol: String, validCol: String,
+      writeAllowedCol: String, limitNum: Long, limitDen: Long,
+      tickSec: Long = 5L, windowTicks: Int = 12): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val typed = requests.select(col(tenantCol).cast("string").as("tenant"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        col(suspendCol).cast("boolean").as("suspend"),
+        col(validCol).cast("boolean").as("valid"),
+        col(writeAllowedCol).cast("boolean").as("writeAllowed"))
+      .as[SingleReqRow]
+    typed.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        var ring = Map.empty[Long, Long]
+        var firstTick = Long.MinValue
+        it.map { r =>
+          val tick = r.us / 1000000L / tickSec
+          val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+          ring = v.ring; firstTick = v.first
+          val l = math.max(v.len, 1L) * tickSec
+          if (r.suspend) JoinDecisionRow(tenant, r.tie, "forbidden_suspended")
+          else if (!r.valid) JoinDecisionRow(tenant, r.tie, "invalid")
+          else if (v.sum * limitDen >= limitNum * l)
+            JoinDecisionRow(tenant, r.tie, "rate_limited")
+          else if (!r.writeAllowed) JoinDecisionRow(tenant, r.tie, "forbidden")
+          else {
+            ring = ring.updated(tick, ring.getOrElse(tick, 0L) + 1L)
+            JoinDecisionRow(tenant, r.tie, "ok")
+          }
+        }
+      }.toDF("tenant", "req_id", "status")
+  }
+
   final case class JoinAttemptRow(tenant: String, user: Long, us: Long,
       tie: Long)
   final case class JoinDecisionRow(tenant: String, event_id: Long,

@@ -355,4 +355,28 @@ class MusterSpec extends SparkSpec {
     assert(out("tC") == ((null, null, "n-local")))
     assert(out("tD") == ((null, null, "n-local")))
   }
+
+  test("region rebalance: set-equal snapshots gate the check; mismatch " +
+      "flags wrong_region, unmapped is ALWAYS flagged, null hosting and " +
+      "unstable pairs are ok (rebalancer.ex:8-31)") {
+    val tenants = Seq(
+      ("tA", "us-east-2", "us-east-1"),  // expected us-east-1, match → ok
+      ("tB", "us-east-2", "eu-west-2"),  // mismatch → wrong_region
+      ("tC", "xx-unknown", "us-east-1"), // unmapped: nil != binary → wrong
+      ("tD", "us-west-2", null))         // hosting unknown → ok
+      .toDF("tenant", "platform_region", "current_region")
+    // stable: same SET, different order (MapSet equality)
+    val stable = Muster.regionRebalance(tenants, "tenant",
+        "platform_region", "current_region",
+        prevNodes = Seq("a", "b"), curNodes = Seq("b", "a"))
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(stable == Map("tA" -> "ok", "tB" -> "wrong_region",
+      "tC" -> "wrong_region", "tD" -> "ok"))
+    // unstable: membership churn verdicts everything ok
+    val unstable = Muster.regionRebalance(tenants, "tenant",
+        "platform_region", "current_region",
+        prevNodes = Seq("a", "b"), curNodes = Seq("a", "b", "c"))
+      .collect().map(_.getString(4)).toSet
+    assert(unstable == Set("ok"))
+  }
 }

@@ -119,6 +119,49 @@ class AdmissionStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("single-broadcast twin: gate order and ring carry across " +
+      "micro-batches; parity with batch replay") {
+    import graft.rates.AdmissionStream.SingleAttempt
+    implicit val s = spark
+    val batches = Seq(
+      // mb 1, tick 0: admits; the suspended row advances the clock only
+      Seq(SingleAttempt("t", 0L, 1L, false, true, true),
+        SingleAttempt("t", 0L, 2L, true, true, true)),
+      // mb 2, tick 1: the mb-1 ring crossed the boundary — sum=1 >= l=1
+      // (the endpoint's >= boundary); invalid still ranks above rate
+      Seq(SingleAttempt("t", 1000000L, 3L, false, true, true),
+        SingleAttempt("t", 1000000L, 4L, false, false, true)),
+      // mb 3, tick 4: drained window — authz is the last gate
+      Seq(SingleAttempt("t", 4000000L, 5L, false, true, false),
+        SingleAttempt("t", 4000000L, 6L, false, true, true)))
+    val input = MemoryStream[SingleAttempt](spark)
+    val q = AdmissionStream.singleStream(input.toDS(),
+        limitNum = 1L, limitDen = 1L, tickSec = 1L, windowTicks = 2)
+      .writeStream.format("memory").queryName("single_adm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("single_adm_out").as[Decision].collect()
+        .map(d => d.tie -> d.status).toMap
+      assert(streamed(1L) == "ok")
+      assert(streamed(2L) == "forbidden_suspended")
+      assert(streamed(3L) == "rate_limited")
+      assert(streamed(4L) == "invalid")
+      assert(streamed(5L) == "forbidden")
+      assert(streamed(6L) == "ok")
+      val batchDf = spark.createDataFrame(batches.flatten.map(r =>
+          (new java.sql.Timestamp(r.us / 1000L), r.tenant, r.tie,
+            r.suspend, r.valid, r.writeAllowed)))
+        .toDF("ts", "tenant", "req_id", "suspend", "valid",
+          "write_allowed")
+      val replayed = Rates.singleAdmission(batchDf, "tenant", "ts",
+          "req_id", "suspend", "valid", "write_allowed", limitNum = 1L,
+          limitDen = 1L, tickSec = 1L, windowTicks = 2)
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(replayed == streamed)
+    } finally q.stop()
+  }
+
   test("client-window twin: anchor chain crosses batches; parity with batch replay") {
     implicit val s = spark
     val batches = Seq(
