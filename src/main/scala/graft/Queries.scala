@@ -341,6 +341,85 @@ object Queries {
         |    AND inserted_at >= TIMESTAMP '2024-01-05 00:00:00'
         |    AND inserted_at < TIMESTAMP '2024-01-10 12:01:00')
         |WHERE rn <= 25""".stripMargin)),
+    // Join-time replay (realtime_channel.ex:92-94,1041-1096): arm order
+    // (unauthorized before the public-channel check), non-map replay =
+    // silent empty-ok, raw-param defaults (limit || 25, since has NO
+    // default), the max(min(l,25),1) clamp, and empty-ok joins emitting
+    // one null row.
+    Q("w1_replay_on_join",
+      (s, d) => {
+        val topics = array(lit("click"), lit("error"), lit("purchase"),
+          lit("signup"), lit("view"), lit("ghost"))
+        val joins = ev(s, d).groupBy(col("user_id").as("uid"))
+          .agg(min(col("event_id")).as("join_id"))
+          .select(col("join_id"),
+            element_at(topics,
+              (pmod(col("uid"), lit(6)) + 1).cast("int")).as("topic"),
+            (col("uid") % 2 === 0).as("private"),
+            (col("uid") % 5 =!= 0).as("read_policy"),
+            (col("uid") % 3 =!= 0).as("replay_requested"),
+            (col("uid") % 7 =!= 0).as("replay_is_map"),
+            when(col("uid") % 11 === 0, lit(null).cast("string"))
+              .when(col("uid") % 11 === 1, "x")
+              .otherwise((lit(1704412800000L) +
+                (col("uid") % 4) * 86400000L).cast("string"))
+              .as("since_raw"),
+            when(col("uid") % 13 === 1, "3")
+              .when(col("uid") % 13 === 2, "0")
+              .when(col("uid") % 13 === 3, "abc")
+              .when(col("uid") % 13 === 4, "100")
+              .otherwise(lit(null).cast("string")).as("limit_raw"))
+        Messages.replayOnJoin(joins, messagesFromEvents(s, d), now)
+      },
+      Some(s"""$msgsCte,
+        |j AS (
+        |  SELECT min(event_id) AS join_id, user_id AS uid
+        |  FROM events GROUP BY user_id),
+        |jd AS (
+        |  SELECT join_id, uid,
+        |    list_extract(['click','error','purchase','signup','view',
+        |                  'ghost'], CAST(uid % 6 + 1 AS INT)) AS topic,
+        |    (uid % 2 = 0) AS private, (uid % 5 != 0) AS read_policy,
+        |    (uid % 3 != 0) AS requested, (uid % 7 != 0) AS is_map,
+        |    CASE WHEN uid % 11 = 0 THEN NULL WHEN uid % 11 = 1 THEN 'x'
+        |         ELSE CAST(1704412800000 + (uid % 4) * 86400000 AS VARCHAR)
+        |    END AS since_raw,
+        |    CASE uid % 13 WHEN 1 THEN '3' WHEN 2 THEN '0' WHEN 3 THEN 'abc'
+        |         WHEN 4 THEN '100' ELSE NULL END AS limit_raw
+        |  FROM j),
+        |st AS (
+        |  SELECT *,
+        |    CASE WHEN requested AND NOT read_policy THEN 'unauthorized'
+        |         WHEN requested AND NOT private THEN 'invalid_replay_channel'
+        |         WHEN requested AND is_map AND (since_raw IS NULL
+        |              OR NOT regexp_matches(since_raw, '^-?\\d+$$')
+        |              OR (limit_raw IS NOT NULL
+        |                  AND NOT regexp_matches(limit_raw, '^-?\\d+$$')))
+        |           THEN 'invalid_replay_params'
+        |         ELSE 'ok' END AS status
+        |  FROM jd),
+        |wants AS (
+        |  SELECT join_id, status, topic,
+        |    CAST(since_raw AS BIGINT) AS since_ms,
+        |    greatest(least(coalesce(TRY_CAST(limit_raw AS BIGINT), 25), 25),
+        |             1) AS lim
+        |  FROM st WHERE status = 'ok' AND requested AND is_map),
+        |rep AS (
+        |  SELECT w.join_id, w.status, w.lim, m.id, m.inserted_at,
+        |    row_number() OVER (PARTITION BY w.join_id
+        |                       ORDER BY m.inserted_at DESC, m.id DESC) AS rn
+        |  FROM wants w LEFT JOIN msgs m
+        |    ON m.topic = w.topic AND m.private AND m.extension = 'broadcast'
+        |   AND m.inserted_at >= epoch_ms(w.since_ms)
+        |   AND m.inserted_at < TIMESTAMP '2024-01-10 12:01:00')
+        |SELECT join_id, status, id AS message_id,
+        |       epoch_us(inserted_at) AS inserted_us FROM rep
+        |WHERE id IS NULL OR rn <= lim
+        |UNION ALL
+        |SELECT join_id, status, CAST(NULL AS BIGINT),
+        |       CAST(NULL AS BIGINT)
+        |FROM st WHERE NOT (status = 'ok' AND requested AND is_map)"""
+        .stripMargin)),
     Q("s4_message_scan",
       (s, d) => messagesFromEvents(s, d)
         .where(col("topic") === "error" &&

@@ -61,14 +61,17 @@ object Messages {
 
   /** Bounded replay for one topic (reference messages.ex:45-67): private
     * broadcast messages in `[since, now+1min)`, newest `limit` (≤25), returned
-    * in chronological order. `now` is an explicit parameter — determinism. */
+    * in chronological order. `now` is an explicit parameter — determinism.
+    * The clamp is the reference's `max(min(limit, 25), 1)`
+    * (messages.ex:24): a zero or negative limit still replays ONE
+    * message, not zero. */
   def replay(
       messages: DataFrame,
       topic: String,
       since: java.sql.Timestamp,
       now: java.sql.Timestamp,
       limit: Int = 10): DataFrame = {
-    val k = math.min(math.max(limit, 0), ReplayHardLimit)
+    val k = math.max(math.min(limit, ReplayHardLimit), 1)
     messages
       .where(col("private") === true &&
         col("extension") === "broadcast" &&
@@ -87,7 +90,7 @@ object Messages {
       since: java.sql.Timestamp,
       now: java.sql.Timestamp,
       k: Int = ReplayHardLimit): DataFrame = {
-    val kk = math.min(math.max(k, 0), ReplayHardLimit)
+    val kk = math.max(math.min(k, ReplayHardLimit), 1)
     val w = Window.partitionBy("topic")
       .orderBy(col("inserted_at").desc, col("id").desc)
     messages
@@ -104,6 +107,99 @@ object Messages {
     * replayed — a broadcast left-anti join (replayed set is ≤25×topics). */
   def dedupAgainstReplayed(live: DataFrame, replayed: DataFrame): DataFrame =
     live.join(broadcast(replayed.select("id").distinct()), Seq("id"), "left_anti")
+
+  /** JOIN-TIME replay — the admission arms and raw-param handling of
+    * `can_replay?` + `maybe_replay_messages`
+    * (realtime_channel.ex:92-94, 1041-1096), which wrap
+    * [[replay]]'s message query per joining socket. The reference reads
+    * the RAW join params here (NOT the Payloads.Join changeset — the
+    * changeset's replay defaults of 10/0 are never consulted on this
+    * path), which produces three sharp behaviors this operator pins:
+    *
+    *  1. arm order — `can_replay?` runs first: a replay request under a
+    *     `broadcast read: false` policy is `unauthorized` even on a
+    *     PUBLIC channel (the private check lives in
+    *     `maybe_replay_messages`, which runs after);
+    *  2. a replay request on a public channel is
+    *     `invalid_replay_channel`; a NON-MAP replay value on a private
+    *     channel silently falls to the catch-all — ok with an EMPTY
+    *     replay, not an error;
+    *  3. raw-param defaults: `limit || 25` (absent limit = 25, the
+    *     changeset's 10 is dead code on this path), then
+    *     `max(min(limit, 25), 1)`; `since` has NO default — an absent
+    *     or non-integer `since` (or a non-integer present `limit`)
+    *     fails `Realtime.Messages.replay`'s integer guards →
+    *     `invalid_replay_params`.
+    *
+    * Inputs: `joins` one row per joining socket with `join_id`,
+    * `topic`, `private` (bool), `read_policy` (bool — the socket's
+    * broadcast read policy), `replay_requested` (bool — the `replay`
+    * KEY present), `replay_is_map` (bool), `since_raw` / `limit_raw`
+    * (the raw param text, null = absent); `messages` the message-log
+    * table. Output: one row per replayed message
+    * `(join_id, status, message_id, inserted_us)` in ok-joins (epoch
+    * micros — a NULLABLE timestamp column trips engine-dependent
+    * datetime-unit comparison paths downstream, and the wire payload
+    * carries epoch anyway), one null-message row per empty-ok or
+    * errored join.
+    *
+    * Shape: the status projection is row-local; the replay leg joins
+    * ok-requests to the log on `topic` (messages shuffle on topic; the
+    * join dimension is sockets-sized) and ranks per join_id with each
+    * join's own clamped limit — rank ≤ a COLUMN, one window after the
+    * join. The error/empty legs union back at dimension size. */
+  def replayOnJoin(
+      joins: DataFrame,
+      messages: DataFrame,
+      now: java.sql.Timestamp): DataFrame = {
+    val intRe = "^-?\\d+$"
+    val sinceOk = col("since_raw").isNotNull && col("since_raw").rlike(intRe)
+    val limitOk = col("limit_raw").isNull || col("limit_raw").rlike(intRe)
+    val status = when(col("replay_requested") && !col("read_policy"),
+        "unauthorized")
+      .when(col("replay_requested") && !col("private"),
+        "invalid_replay_channel")
+      .when(col("replay_requested") && col("replay_is_map") &&
+        (!sinceOk || !limitOk), "invalid_replay_params")
+      .otherwise("ok")
+    val wantsMessages = col("status") === "ok" &&
+      col("replay_requested") && col("replay_is_map")
+    val decided = joins.withColumn("status", status)
+      .withColumn("_wants", wantsMessages)
+      .withColumn("_since_ms",
+        when(col("_wants"), col("since_raw").cast("long")))
+      .withColumn("_limit",
+        when(col("_wants"), greatest(least(
+          coalesce(col("limit_raw").cast("long"), lit(25L)), lit(25L)),
+          lit(1L))))
+    val nowPlus = new java.sql.Timestamp(now.getTime + 60000L)
+    // the since bound lives in the JOIN CONDITION, not a post-filter: a
+    // join whose topic matches rows but none qualify must still surface
+    // as ONE null-message row (empty replay), which only the left join's
+    // null-extension provides
+    val replayable = messages.where(col("private") === true &&
+        col("extension") === "broadcast" &&
+        col("inserted_at") < lit(nowPlus))
+      .select(col("topic").as("_mtopic"), col("id"), col("inserted_at"))
+    val wants = decided.where(col("_wants"))
+      .select(col("join_id"), col("status"), col("topic"),
+        col("_since_ms"), col("_limit"))
+    val w = Window.partitionBy("join_id")
+      .orderBy(col("inserted_at").desc, col("id").desc)
+    val replayed = wants.join(replayable,
+        wants("topic") === replayable("_mtopic") &&
+          replayable("inserted_at") >=
+            timestamp_millis(wants("_since_ms")), "left")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("id").isNull || col("_rn") <= col("_limit"))
+      .select(col("join_id"), col("status"), col("id").as("message_id"),
+        unix_micros(col("inserted_at")).as("inserted_us"))
+    val bare = decided.where(!col("_wants"))
+      .select(col("join_id"), col("status"),
+        lit(null).cast("long").as("message_id"),
+        lit(null).cast("long").as("inserted_us"))
+    replayed.unionByName(bare)
+  }
 
   /** Rows surviving 72 h retention relative to `now`. As a partitioned-table
     * maintenance job this is a partition drop (date < cutoff). */

@@ -100,6 +100,56 @@ class MessagesSpec extends SparkSpec {
     // idempotent: a second run drops nothing
     assert(Messages.dropExpired(spark, dir, t("2024-01-05 12:00:00")).isEmpty)
   }
+
+  test("replay clamp is the reference max(min(l,25),1): zero and negative " +
+      "limits still replay ONE message") {
+    val one = Messages.replay(msgs, "room1",
+      t("2024-01-01 09:30:00"), t("2024-01-01 10:30:00"), 0)
+      .select("id").as[Long].collect().toSeq
+    assert(one == Seq(2)) // the newest qualifying, exactly one
+    assert(Messages.replay(msgs, "room1",
+      t("2024-01-01 09:30:00"), t("2024-01-01 10:30:00"), -5).count() == 1)
+  }
+
+  test("replayOnJoin: arm order (unauthorized before channel check), " +
+      "non-map replay is empty-ok, raw-param defaults and clamps, " +
+      "empty-ok joins still emit one row") {
+    val joins = Seq(
+      // valid: absent limit defaults 25 (raw-path, NOT the changeset 10)
+      (1L, "room1", true, true, true, true, Some("0"), None),
+      // read=false beats everything — even the public-channel arm
+      (2L, "room1", false, false, true, true, Some("0"), None),
+      // public + replay (read ok) → invalid_replay_channel
+      (3L, "room1", false, true, true, true, Some("0"), None),
+      // non-map replay on private → silently ok with EMPTY replay
+      (4L, "room1", true, true, true, false, None, None),
+      // since absent → invalid_replay_params (no default for since)
+      (5L, "room1", true, true, true, true, None, None),
+      // limit junk → invalid_replay_params
+      (6L, "room1", true, true, true, true, Some("0"), Some("abc")),
+      // limit 0 clamps to 1 → exactly the newest message
+      (7L, "room1", true, true, true, true, Some("0"), Some("0")),
+      // no replay requested → ok empty
+      (8L, "room1", true, true, false, false, None, None),
+      // valid params, topic with no qualifying rows → ok, one null row
+      (9L, "nowhere", true, true, true, true, Some("0"), None))
+      .toDF("join_id", "topic", "private", "read_policy",
+        "replay_requested", "replay_is_map", "since_raw", "limit_raw")
+    val out = Messages.replayOnJoin(joins, msgs,
+        t("2024-01-01 10:30:00"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val byJoin = out.groupBy(_._1)
+    assert(byJoin(1L).map(_._3).toSet == Set(1L, 2L, 5L)) // all qualifying
+    assert(byJoin(2L).toSeq == Seq((2L, "unauthorized", -1L)))
+    assert(byJoin(3L).toSeq == Seq((3L, "invalid_replay_channel", -1L)))
+    assert(byJoin(4L).toSeq == Seq((4L, "ok", -1L)))
+    assert(byJoin(5L).toSeq == Seq((5L, "invalid_replay_params", -1L)))
+    assert(byJoin(6L).toSeq == Seq((6L, "invalid_replay_params", -1L)))
+    assert(byJoin(7L).map(_._3).toSeq == Seq(2L)) // clamped to newest 1
+    assert(byJoin(8L).toSeq == Seq((8L, "ok", -1L)))
+    assert(byJoin(9L).toSeq == Seq((9L, "ok", -1L)))
+  }
 }
 
 object MessagesSpec {
