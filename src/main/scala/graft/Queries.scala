@@ -2421,6 +2421,54 @@ object Queries {
         |  AND NOT (extension = 'broadcast' AND message_id % 7 = 0
         |           AND socket_id % 4 = 0)
         |GROUP BY 1, 2, 3""".stripMargin)),
+    // Self-exclusion + ack replies (broadcast_handler.ex:95-141 with the
+    // dispatcher's pid==from skip): self=false drops the SENDER'S OWN
+    // socket from the fan-out; ack=true earns the sender a reply (ok or
+    // the oversize error), ack=false swallows even the error silently;
+    // oversize pushes never reach the dispatcher at all.
+    Q("j_dispatch_self_ack",
+      (s, d) => {
+        import graft.api.Dispatcher
+        val e = ev(s, d)
+        val msgs = e.select(
+          col("event_id").as("message_id"),
+          col("event_type").as("topic"),
+          lit("broadcast").as("extension"),
+          (col("user_id") % 20).as("sender_socket_id"),
+          (col("user_id") % 3 === 0).as("self_broadcast"),
+          (col("user_id") % 2 === 0).as("ack"),
+          (length(col("props")) > lit(8)).as("oversize"))
+        val sockets = e.select(col("event_type").as("topic")).distinct()
+          .crossJoin(s.range(20).select(col("id").as("socket_id")))
+          .select(col("topic"), col("socket_id"),
+            lit(true).as("presence_read"),
+            (col("socket_id") % 4 =!= 0).as("broadcast_read"))
+        val gated = Dispatcher.gate(msgs.where(!col("oversize")), sockets,
+          None, senderExclusion = true)
+        val perMsg = gated.groupBy("message_id").agg(
+          count(lit(1)).as("n_delivered"),
+          max((col("socket_id") === col("sender_socket_id")).cast("int"))
+            .as("sender_received"))
+        Dispatcher.ackReplies(msgs)
+          .join(perMsg, Seq("message_id"), "left")
+          .select("message_id", "reply", "n_delivered", "sender_received")
+      },
+      Some("""WITH m AS (
+        |  SELECT event_id AS message_id, user_id % 20 AS sender,
+        |         (user_id % 3 = 0) AS self_b, (user_id % 2 = 0) AS ack,
+        |         (length(props) > 8) AS oversize
+        |  FROM events)
+        |SELECT message_id,
+        |  CASE WHEN ack AND oversize THEN 'error_payload_size_exceeded'
+        |       WHEN ack THEN 'ok' END AS reply,
+        |  CASE WHEN oversize THEN NULL
+        |       ELSE CAST(15 - CASE WHEN NOT self_b AND sender % 4 != 0
+        |                           THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS n_delivered,
+        |  CASE WHEN oversize THEN NULL
+        |       WHEN self_b AND sender % 4 != 0 THEN 1 ELSE 0
+        |  END AS sender_received
+        |FROM m""".stripMargin)),
     // S1 end-to-end: the FULL ingest edge under one oracle — events rows
     // wire-encoded as pgoutput Inserts, decoded through the relation
     // registry, matched by the one-pass multi-table battery, and shaped

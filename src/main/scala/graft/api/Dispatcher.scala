@@ -37,12 +37,26 @@ object Dispatcher {
     * presence_read: nullable bool, broadcast_read: bool); `replayed`
     * (optional): (socket_id, message_id) pairs already delivered via
     * replay. Returns one row per (message × allowed socket) with `status`
-    * 'deliver' or 'authorize'. */
+    * 'deliver' or 'authorize'.
+    *
+    * With `senderExclusion = true`, `messages`
+    * additionally carries `sender_socket_id` and `self_broadcast` and
+    * the gate drops the SENDER'S OWN socket from the fan-out unless the
+    * push opted into self-delivery — the reference's
+    * `pubsub_broadcast_from(self(), …)` vs `pubsub_broadcast` split on
+    * the join config's `self` flag (broadcast_handler.ex:120-141) and
+    * the dispatcher's `pid == from` skip (message_dispatcher.ex:49,93).
+    * The exclusion is one conjunct in the same codegen'd filter. */
   def gate(
       messages: DataFrame,
       sockets: DataFrame,
-      replayed: Option[DataFrame] = None): DataFrame = {
-    val joined = messages.join(sockets, "topic")
+      replayed: Option[DataFrame] = None,
+      senderExclusion: Boolean = false): DataFrame = {
+    val base0 = messages.join(sockets, "topic")
+    val joined = (if (senderExclusion)
+        base0.where(col("self_broadcast") ||
+          !(col("socket_id") <=> col("sender_socket_id")))
+      else base0)
       .withColumn("status",
         when(col("extension") === "presence_diff",
           when(col("presence_read") <=> true, "deliver")
@@ -78,4 +92,19 @@ object Dispatcher {
     gated.where(col("extension") === "presence_diff" &&
         col("status") === "deliver")
       .groupBy("topic").agg(count(lit(1)).as("n_presence_delivered"))
+
+  /** The sender-side ACK surface of a broadcast push
+    * (broadcast_handler.ex:95-118): after the size check, the handler
+    * replies to the SENDER only when the join opted into `ack` —
+    * `{:error, :payload_size_exceeded}` if the push was oversize,
+    * `:ok` otherwise. WITHOUT ack the handler is `:noreply` in every
+    * case — an oversize error is SILENTLY swallowed (the push just
+    * doesn't fan out), which is the sharp arm this helper pins. Null
+    * reply = no reply frame sent. */
+  def ackReplies(pushes: DataFrame, ackCol: String = "ack",
+      oversizeCol: String = "oversize"): DataFrame =
+    pushes.withColumn("reply",
+      when(col(ackCol) && col(oversizeCol), "error_payload_size_exceeded")
+        .when(col(ackCol), "ok")
+        .otherwise(lit(null).cast("string")))
 }

@@ -45,6 +45,34 @@ class DispatcherSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == "sFalse" && r._3 == "presence_diff"))
   }
 
+  test("sender exclusion: self=false drops only the sender's socket; " +
+      "ack replies pin the silent-oversize arm") {
+    val pushes = Seq(
+      // sender sTrue, self=false → sTrue excluded, sFalse delivers
+      ("room1", 10L, "broadcast", "sTrue", false, true, false),
+      // sender sTrue, self=true → both readable sockets deliver
+      ("room1", 11L, "broadcast", "sTrue", true, false, false),
+      // oversize + ack → error reply; oversize + no ack → silent null
+      ("room1", 12L, "broadcast", "sFalse", true, true, true),
+      ("room1", 13L, "broadcast", "sFalse", true, false, true)
+    ).toDF("topic", "message_id", "extension", "sender_socket_id",
+      "self_broadcast", "ack", "oversize")
+    val gated = Dispatcher.gate(pushes.where(!$"oversize"), sockets,
+        None, senderExclusion = true)
+      .where($"extension" === "broadcast")
+      .select("message_id", "socket_id").as[(Long, String)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // readable broadcast sockets: sTrue, sFalse (sNull read=false)
+    assert(gated(10L) == Set("sFalse"))
+    assert(gated(11L) == Set("sTrue", "sFalse"))
+    val replies = Dispatcher.ackReplies(pushes)
+      .select("message_id", "reply").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "-" else r.getString(1)))
+      .toMap
+    assert(replies == Map(10L -> "ok", 11L -> "-",
+      12L -> "error_payload_size_exceeded", 13L -> "-"))
+  }
+
   test("presence counter counts delivered diffs per topic") {
     val n = Dispatcher.presenceCounters(Dispatcher.gate(messages, sockets))
       .as[(String, Long)].collect().toMap
