@@ -1462,6 +1462,39 @@ object Queries {
     // is constructed identically on both sides from user_id mods; the
     // Spark side must recover the truth table by PARSING it, the oracle
     // derives it directly from the mods (independent ground truth).
+    // Token-refresh read revocation (realtime_channel.ex:1048-1060):
+    // a socket disconnects at the FIRST refresh where broadcast.read or
+    // presence.read flips true->false; grants never trigger; later
+    // refreshes are moot (the socket is gone).
+    Q("p_token_revoked",
+      (s, d) => {
+        val refreshes = ev(s, d).select(
+          col("user_id").as("socket_id"), col("ts"),
+          col("event_id").as("tie"),
+          (col("value") > 30).as("broadcast_read"),
+          (col("event_id") % 3 =!= 0).as("presence_read"))
+        graft.api.PolicyRefresh.readRevocations(refreshes, "socket_id",
+          "ts", "tie", "broadcast_read", "presence_read")
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id AS socket_id, ts, event_id AS tie,
+        |         (value > 30) AS b, (event_id % 3 != 0) AS p
+        |  FROM events),
+        |f AS (
+        |  SELECT socket_id, ts, tie,
+        |         coalesce(lag(b) OVER w AND NOT b, false) AS br,
+        |         coalesce(lag(p) OVER w AND NOT p, false) AS pr
+        |  FROM r WINDOW w AS (PARTITION BY socket_id ORDER BY ts, tie)),
+        |fr AS (
+        |  SELECT socket_id, tie, br, pr,
+        |         row_number() OVER (PARTITION BY socket_id
+        |                            ORDER BY ts, tie) AS rn
+        |  FROM f WHERE br OR pr)
+        |SELECT s.socket_id, fr.tie AS revoked_at_tie,
+        |       fr.br AS broadcast_revoked, fr.pr AS presence_revoked
+        |FROM (SELECT DISTINCT socket_id FROM r) s
+        |LEFT JOIN fr ON fr.socket_id = s.socket_id AND fr.rn = 1"""
+        .stripMargin)),
     Q("p_join_config_parse",
       (s, d) => {
         val uid = col("user_id")
