@@ -1495,6 +1495,33 @@ object Queries {
         |FROM (SELECT DISTINCT socket_id FROM r) s
         |LEFT JOIN fr ON fr.socket_id = s.socket_id AND fr.rn = 1"""
         .stripMargin)),
+    // Tenant-config join gates (realtime_channel.ex:84-86,1062-1068,
+    // 1097-1099): private_only tenants reject public joins (a REAL
+    // rejection, unlike the log-only payload validation); the effective
+    // presence flag is client OR tenant override.
+    Q("p_join_gates",
+      (s, d) => {
+        val joins = ev(s, d).select(
+          col("event_id").as("join_id"),
+          col("event_type").as("tenant"),
+          (col("user_id") % 2 === 0).as("private"),
+          (col("user_id") % 3 === 0).as("presence_enabled"))
+        val tenants = ev(s, d).select(col("event_type").as("tenant"))
+          .distinct()
+          .withColumn("private_only", length(col("tenant")) % 2 === 0)
+          .withColumn("tenant_presence_enabled",
+            substring(col("tenant"), 1, 1) === "c")
+        graft.api.JoinConfig.joinGates(joins, tenants)
+          .select("join_id", "tenant", "private",
+            "presence_enabled_effective", "join_status")
+      },
+      Some("""SELECT event_id AS join_id, event_type AS tenant,
+        |  (user_id % 2 = 0) AS private,
+        |  (user_id % 3 = 0) OR substring(event_type, 1, 1) = 'c'
+        |    AS presence_enabled_effective,
+        |  CASE WHEN length(event_type) % 2 = 0 AND user_id % 2 != 0
+        |       THEN 'rejected_private_only' ELSE 'ok' END AS join_status
+        |FROM events""".stripMargin)),
     Q("p_join_config_parse",
       (s, d) => {
         val uid = col("user_id")
@@ -1549,42 +1576,30 @@ object Queries {
       Some("""WITH j AS (
         |  SELECT event_id AS join_id, user_id AS uid,
         |    user_id % 17 AS m17,
+        |    (user_id % 17 NOT IN (0, 1)) AS has_cfg,
         |    (user_id % 17 NOT IN (0, 1)
         |     AND user_id % 5 != 4 AND user_id % 3 != 2
         |     AND user_id % 11 != 2 AND user_id % 13 != 2)
         |      OR user_id % 17 = 0 AS valid
         |  FROM events)
         |SELECT join_id, valid,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 = 0 THEN false
-        |       ELSE uid % 5 IN (0, 1) END AS private,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 = 0 THEN false
-        |       ELSE uid % 3 = 0 END AS ack,
-        |  CASE WHEN NOT valid THEN NULL ELSE false END AS self_broadcast,
-        |  CASE WHEN NOT valid THEN NULL ELSE false END AS replication_ready,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 = 0 THEN false
-        |       ELSE uid % 2 = 0 END AS presence_enabled,
-        |  CASE WHEN NOT valid OR m17 = 0 OR uid % 7 < 2 THEN NULL
-        |       ELSE 'k-' || CAST(uid AS VARCHAR) END AS presence_key,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 = 0 THEN true
-        |       ELSE uid % 7 < 2 END AS presence_key_generated,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 = 0 THEN 10
-        |       WHEN uid % 11 = 0 THEN 5
-        |       WHEN uid % 11 = 1 THEN 7
+        |  (has_cfg AND uid % 5 IN (0, 1)) AS private,
+        |  (has_cfg AND uid % 3 = 0) AS ack,
+        |  false AS self_broadcast,
+        |  false AS replication_ready,
+        |  (has_cfg AND uid % 2 = 0) AS presence_enabled,
+        |  CASE WHEN has_cfg AND uid % 7 >= 2
+        |       THEN 'k-' || CAST(uid AS VARCHAR) END AS presence_key,
+        |  (NOT has_cfg OR uid % 7 < 2) AS presence_key_generated,
+        |  CASE WHEN has_cfg AND uid % 11 = 0 THEN 5
+        |       WHEN has_cfg AND uid % 11 = 1 THEN 7
         |       ELSE 10 END AS replay_limit,
-        |  CAST(CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 != 0 AND uid % 11 = 0 THEN 100
+        |  CAST(CASE WHEN has_cfg AND uid % 11 = 0 THEN 100
         |       ELSE 0 END AS BIGINT) AS replay_since,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 != 0 AND uid % 13 = 0 THEN 1
+        |  CASE WHEN has_cfg AND uid % 13 = 0 THEN 1
         |       ELSE 0 END AS n_postgres_changes,
-        |  CASE WHEN NOT valid THEN NULL
-        |       WHEN m17 = 0 THEN 'tok'
-        |       ELSE 'tok-' || CAST(uid AS VARCHAR) END AS access_token,
+        |  CASE WHEN has_cfg THEN 'tok-' || CAST(uid AS VARCHAR)
+        |       ELSE 'tok' END AS access_token,
         |  CAST(NULL AS VARCHAR) AS user_token
         |FROM j""".stripMargin))
   )

@@ -96,6 +96,41 @@ object RegisterProbe {
     }
     timeDeb("claim_debounce")(Muster.claimDebounce(claimEvents,
       "grp", "node", "ts_ms", "delta", "tie", cooldownMs = 60000L))
+    // single-broadcast admission leg (round-14): the ring fold over the
+    // same volume — nClaims requests across ~nGroups/10 tenants with the
+    // 10% hot-tenant skew. The hot tenant serializes ~nClaims/10
+    // requests through ONE sorted group iterator (the reference's hot
+    // tenant hits one RateCounter the same way); the fold's state is
+    // O(windowTicks), so the bound here is the per-tenant sort, not
+    // memory. Rates chosen so the hot tenant crosses the avg >= max
+    // line mid-stream (both arms live at probe volume).
+    val nTenants = math.max(nGroups / 10, 1L)
+    def requests = spark.range(nClaims).select(
+      when(col("id") % 10 === 0, lit("t-hot"))
+        .otherwise(concat(lit("t"), (col("id") % nTenants).cast("string")))
+        .as("tenant"),
+      timestamp_micros(col("id") * 37L).as("ts"),
+      col("id").as("req_id"),
+      (col("id") % 1000 === 1).as("suspend"),
+      (col("id") % 17 =!= 0).as("valid"),
+      (col("id") % 13 =!= 0).as("write_allowed"))
+    def timeAdm(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        // consume the computed columns (status + req_id), never a count
+        val r = df.agg(count(lit(1)), sum(col("req_id")),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)),
+          sum(when(col("status") === "rate_limited", 1L).otherwise(0L)))
+          .collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+          f"ok=${r.getLong(2)} rate_limited=${r.getLong(3)} sec=$sec%.2f")
+      }
+    }
+    timeAdm("single_admission")(graft.rates.Rates.singleAdmission(
+      requests, "tenant", "ts", "req_id", "suspend", "valid",
+      "write_allowed", limitNum = 2000L, limitDen = 1L,
+      tickSec = 60L, windowTicks = 12))
     spark.stop()
   }
 }

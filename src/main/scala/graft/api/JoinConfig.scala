@@ -17,8 +17,8 @@ import org.apache.spark.sql.types._
   *    and `presence.enabled` accept real JSON booleans AND
   *    case-insensitive `"true"`/`"false"` strings; ANY other present
   *    value (numbers included — `1` is an error, not truthy) fails the
-  *    changeset and the whole join is rejected
-  *    (`invalid_join_payload`). Absent fields default to `false`.
+  *    changeset (`invalid_join_payload` in the error log). Absent
+  *    fields default to `false`.
   *  - **Replay** (broadcast/replay.ex): `limit` defaults 10, `since`
   *    defaults 0; Ecto's `:integer` cast accepts integers and
   *    integer-shaped strings, anything else errors.
@@ -36,9 +36,16 @@ import org.apache.spark.sql.types._
   *    present but not an array, fails the changeset
   *    ("unable to parse, expected a map/an array of maps").
   *
-  * An invalid join emits `valid = false` with every parsed field null
-  * (the reference rejects the join outright and never reads partial
-  * casts); a valid join emits the cast values with defaults applied.
+  * **Validation is LOG-ONLY** (realtime_channel.ex:62-71): the channel
+  * does NOT reject an invalid join payload — it logs
+  * `InvalidJoinPayload` with the changeset errors and builds the join
+  * from `apply_changes` of the INVALID changeset, so every field that
+  * did cast applies and every field that didn't falls back to its
+  * default (an uncastable `private` joins public, an uncastable replay
+  * `limit` replays 10, a non-map `config` joins with everything
+  * defaulted). This operator therefore emits the LENIENT effective
+  * values on every row, plus `valid` as the log surface — `valid =
+  * false` means the reference would have logged, not refused.
   *
   * Parse shape: the payload is parsed ONCE per nesting level with
   * all-string leaf schemas (Spark's Jackson parser returns the RAW
@@ -126,27 +133,57 @@ object JoinConfig {
         flexValid(col("_bc.replication_ready")) &&
         flexValid(col("_pr.enabled")) &&
         intValid(col("_rp.limit")) && intValid(col("_rp.since"))
+    // LENIENT per-field application (realtime_channel.ex:62-71): an
+    // invalid payload is LOG-ONLY — the channel builds the join from
+    // `apply_changes` of the invalid changeset, so every field that DID
+    // cast applies and every field that didn't falls back to its
+    // default. `valid` is the InvalidJoinPayload log surface, never a
+    // rejection. The coalesce-to-default shape below IS that semantics:
+    // an uncastable flexible boolean reads null → false, an uncastable
+    // replay int reads null → 10/0, a non-map embed parses to nulls →
+    // all its fields default, a non-array postgres_changes → [].
     def flex(raw: Column): Column = coalesce(flexibleBoolean(raw), lit(false))
-    def gated(c: Column): Column = when(col("valid"), c)
     val keyGen = col("_pr.key").isNull || col("_pr.key") === ""
     staged.withColumn("valid", valid)
-      .withColumn("private", gated(flex(col("_cfg.private"))))
-      .withColumn("ack", gated(flex(col("_bc.ack"))))
-      .withColumn("self_broadcast", gated(flex(col("_bc.self"))))
-      .withColumn("replication_ready",
-        gated(flex(col("_bc.replication_ready"))))
-      .withColumn("presence_enabled", gated(flex(col("_pr.enabled"))))
-      .withColumn("presence_key", gated(when(!keyGen, col("_pr.key"))))
-      .withColumn("presence_key_generated", gated(keyGen))
+      .withColumn("private", flex(col("_cfg.private")))
+      .withColumn("ack", flex(col("_bc.ack")))
+      .withColumn("self_broadcast", flex(col("_bc.self")))
+      .withColumn("replication_ready", flex(col("_bc.replication_ready")))
+      .withColumn("presence_enabled", flex(col("_pr.enabled")))
+      .withColumn("presence_key", when(!keyGen, col("_pr.key")))
+      .withColumn("presence_key_generated", keyGen)
       .withColumn("replay_limit",
-        gated(coalesce(col("_rp.limit").cast("int"), lit(10))))
+        coalesce(when(intValid(col("_rp.limit")),
+          col("_rp.limit").cast("int")), lit(10)))
       .withColumn("replay_since",
-        gated(coalesce(col("_rp.since").cast("long"), lit(0L))))
+        coalesce(when(intValid(col("_rp.since")),
+          col("_rp.since").cast("long")), lit(0L)))
       .withColumn("n_postgres_changes",
-        gated(when(col("_cfg.postgres_changes").isNull, lit(0))
-          .otherwise(size(filter(col("_pg"), x => x.isNotNull)))))
-      .withColumn("access_token", gated(col("_l1.access_token")))
-      .withColumn("user_token", gated(col("_l1.user_token")))
+        coalesce(size(filter(col("_pg"), x => x.isNotNull)), lit(0)))
+      .withColumn("access_token", col("_l1.access_token"))
+      .withColumn("user_token", col("_l1.user_token"))
       .drop("_l1", "_cfg", "_bc", "_pr", "_rp", "_pg")
   }
+
+  /** The two TENANT-config join gates that run right after the parse
+    * (realtime_channel.ex:84-86, 1062-1068, 1097-1099):
+    *  - `only_private?`: a tenant with `private_only` set REJECTS any
+    *    non-private join (`private_only` error — a real rejection,
+    *    unlike the payload validation above);
+    *  - `presence_enabled?`: the effective presence flag is the
+    *    client's parsed flag OR the tenant's `presence_enabled`
+    *    override — a tenant can force presence on for joins that
+    *    didn't ask.
+    * Tenant config is a broadcast dimension; both gates are one
+    * codegen'd projection on the join stream. */
+  def joinGates(joins: DataFrame, tenants: DataFrame,
+      tenantCol: String = "tenant", privateCol: String = "private",
+      presenceEnabledCol: String = "presence_enabled"): DataFrame =
+    joins.join(broadcast(tenants.select(col(tenantCol),
+        col("private_only"), col("tenant_presence_enabled"))), tenantCol)
+      .withColumn("presence_enabled_effective",
+        col(presenceEnabledCol) || col("tenant_presence_enabled"))
+      .withColumn("join_status",
+        when(col("private_only") && !col(privateCol),
+          "rejected_private_only").otherwise("ok"))
 }

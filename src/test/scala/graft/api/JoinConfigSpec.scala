@@ -23,8 +23,9 @@ class JoinConfigSpec extends SparkSpec {
       .collect().toSeq
   }
 
-  test("flexible booleans: JSON bools and case-insensitive strings cast, " +
-      "numbers and other strings reject the join") {
+  test("flexible booleans: JSON bools and case-insensitive strings cast; " +
+      "numbers and other strings LOG invalid but apply the default " +
+      "(validation is log-only, realtime_channel.ex:62-71)") {
     val rows = parse(
       """{"config": {"private": true, "broadcast": {"ack": "True"}}}""",
       """{"config": {"private": "FALSE"}}""",
@@ -33,8 +34,9 @@ class JoinConfigSpec extends SparkSpec {
     assert(rows(0).getBoolean(0) && rows(0).getBoolean(1)
       && rows(0).getBoolean(2))
     assert(rows(1).getBoolean(0) && !rows(1).getBoolean(1))
-    assert(!rows(2).getBoolean(0) && rows(2).isNullAt(1))
-    assert(!rows(3).getBoolean(0))
+    // invalid private: flagged for the log, but the join proceeds PUBLIC
+    assert(!rows(2).getBoolean(0) && !rows(2).getBoolean(1))
+    assert(!rows(3).getBoolean(0) && !rows(3).getBoolean(1))
   }
 
   test("defaults: absent config is a valid join with everything false, " +
@@ -57,24 +59,29 @@ class JoinConfigSpec extends SparkSpec {
     assert(rows(0).getBoolean(0) && rows(0).getInt(6) == 7
       && rows(0).getLong(7) == 3L)
     assert(rows(0).isNullAt(4) && rows(0).getBoolean(5))
-    assert(!rows(1).getBoolean(0))
+    // junk limit: logged invalid, the join replays the DEFAULT 10
+    assert(!rows(1).getBoolean(0) && rows(1).getInt(6) == 10)
     assert(rows(2).getString(4) == "door-1" && !rows(2).getBoolean(5)
       && rows(2).getBoolean(3))
   }
 
   test("postgres_changes: null means [], nil entries are filtered not " +
-      "errors, a non-array rejects; non-map embeds reject") {
+      "errors; non-array / non-map embeds log invalid and default") {
     val rows = parse(
       """{"config": {"postgres_changes": [{"event": "INSERT"}, null]}}""",
       """{"config": {"postgres_changes": null}}""",
       """{"config": {"postgres_changes": "x"}}""",
       """{"config": "nope"}""",
-      """{"config": {"broadcast": 5}}""")
+      """{"config": {"broadcast": 5, "private": true}}""")
     assert(rows(0).getBoolean(0) && rows(0).getInt(8) == 1)
     assert(rows(1).getBoolean(0) && rows(1).getInt(8) == 0)
-    assert(!rows(2).getBoolean(0))
-    assert(!rows(3).getBoolean(0))
-    assert(!rows(4).getBoolean(0))
+    assert(!rows(2).getBoolean(0) && rows(2).getInt(8) == 0)
+    // non-map config: the whole embed defaults — joins public, key gen
+    assert(!rows(3).getBoolean(0) && !rows(3).getBoolean(1)
+      && rows(3).getBoolean(5) && rows(3).getInt(6) == 10)
+    // non-map broadcast defaults ITS fields; sibling private still casts
+    assert(!rows(4).getBoolean(0) && !rows(4).getBoolean(2)
+      && rows(4).getBoolean(1))
   }
 
   test("flexible_boolean SQL function matches the column twin") {
