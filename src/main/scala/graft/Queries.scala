@@ -2608,6 +2608,39 @@ object Queries {
         |  regexp_replace('"' || event_type || '.t x,\"',
         |    '([\\,.[:space:]])', '\\\1', 'g') AS quoted
         |FROM events""".stripMargin)),
+    // realtime.cast (…20260218120000_fix_bytea_double_encoding_in_cast
+    // .ex:8-24): cast the text literal to the column type, render as
+    // jsonb — numbers/bools bare, strings JSON-quoted (escaped), jsonb
+    // verbatim, and the bytea FIX arm: the raw `\x…` text renders as a
+    // plain JSON string instead of being re-encoded. The type resolves
+    // at plan time (the reference interpolates the regtype at subscribe
+    // time), so each arm is a native expression.
+    Q("f_realtime_cast",
+      (s, d) => {
+        graft.api.GraftFunctions.register(s)
+        ev(s, d).select(col("event_id"),
+          call_function("realtime_cast",
+            col("user_id").cast("string"), lit("int8")).as("as_int"),
+          call_function("realtime_cast",
+            when(col("user_id") % 2 === 0, "true").otherwise("false"),
+            lit("bool")).as("as_bool"),
+          call_function("realtime_cast", col("event_type"), lit("text"))
+            .as("as_text"),
+          call_function("realtime_cast", lit("{\"a\": 1}"), lit("jsonb"))
+            .as("as_jsonb"),
+          call_function("realtime_cast",
+            concat(lit("\\x"),
+              lpad(lower(hex(col("user_id") % 256)), 2, "0")),
+            lit("bytea")).as("as_bytea"))
+      },
+      Some("""SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS as_int,
+        |  CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS as_bool,
+        |  to_json(event_type)::VARCHAR AS as_text,
+        |  '{"a": 1}' AS as_jsonb,
+        |  to_json('\x' || lpad(lower(hex(user_id % 256)), 2, '0'))::VARCHAR
+        |    AS as_bytea
+        |FROM events""".stripMargin)),
     // 2.7 scalar functions: dynamic cast + UTC ISO-8601 millis timestamp
     // format + epoch-millis roundtrip + stable hash
     Q("f_scalar_funcs",

@@ -126,6 +126,39 @@ object GraftFunctions {
       graft.plans.JsonQuote(args.head)
     })
 
+  private val realtimeCast: FunctionDescription = (
+    FunctionIdentifier("realtime_cast"),
+    info("realtime_cast",
+      "realtime_cast(val, type) - the reference's dynamic realtime.cast(val text, type_ regtype) -> jsonb: cast the text to the column type, render as JSON text; bytea passes through as a plain JSON string (no double-encoding)"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "realtime_cast(val, type) takes 2 arguments")
+      // the type is a regtype LITERAL resolved at subscribe time in the
+      // reference (build_prepared_statement_sql interpolates it), so it
+      // resolves at PLAN time here — each arm is the native expression,
+      // no per-row type dispatch. The bytea arm is the 20260218 fix:
+      // `if type_::text = 'bytea' then return to_jsonb(val)` — the raw
+      // `\x…` text renders as a JSON string instead of being cast (the
+      // cast re-encoded the already-encoded bytes). json/jsonb values
+      // are already JSON text and pass through verbatim.
+      val v = args.head
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+      litString("realtime_cast", args(1)) match {
+        case "int2" | "int4" | "int8" | "smallint" | "integer" | "bigint" =>
+          Cast(Cast(v, LongType), StringType)
+        case "float4" | "float8" | "real" | "double precision" =>
+          Cast(Cast(v, DoubleType), StringType)
+        case "bool" | "boolean" =>
+          Cast(Cast(v, BooleanType), StringType)
+        case "json" | "jsonb" => v
+        case "bytea" | "text" | "varchar" | "uuid" | "name" =>
+          graft.plans.JsonQuote(v)
+        case other => throw new IllegalArgumentException(
+          s"realtime_cast: unsupported type '$other'")
+      }
+    })
+
   private val flexibleBoolean: FunctionDescription = (
     FunctionIdentifier("flexible_boolean"),
     info("flexible_boolean",
@@ -142,7 +175,7 @@ object GraftFunctions {
 
   val all: Seq[FunctionDescription] =
     Seq(quoteWal2json, jsonMapProject, jsonStructProject, misraGries,
-      jsonQuote, flexibleBoolean)
+      jsonQuote, flexibleBoolean, realtimeCast)
 
   /** Imperative twin of [[GraftExtensions]] for an already-built session. */
   def register(spark: SparkSession): Unit =

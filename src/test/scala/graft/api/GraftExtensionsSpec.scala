@@ -50,6 +50,25 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT misra_gries(k, k) FROM VALUES (1) AS t(k)").head
     }
 
+    // realtime_cast: typed jsonb rendering — numbers/bools bare, text
+    // JSON-quoted with escapes, jsonb verbatim, and the bytea 20260218
+    // arm: the raw \x text renders as a plain (escaped) JSON string
+    // instead of being re-cast
+    val rc = spark.sql(
+        """SELECT realtime_cast('42', 'int8'),
+                  realtime_cast('true', 'bool'),
+                  realtime_cast('a"b', 'text'),
+                  realtime_cast('{"k": 1}', 'jsonb'),
+                  realtime_cast('\\x0af3', 'bytea')""").head
+    assert(rc.getString(0) == "42")
+    assert(rc.getString(1) == "true")
+    assert(rc.getString(2) == "\"a\\\"b\"")
+    assert(rc.getString(3) == """{"k": 1}""")
+    assert(rc.getString(4) == "\"\\\\x0af3\"")
+    intercept[Exception] { // unsupported regtype is a plan-time error
+      spark.sql("SELECT realtime_cast('x', 'regclass')").head
+    }
+
     // malformed calls fail analysis, not execution
     intercept[Exception] {
       spark.sql("SELECT json_struct_project('only_a_name')").head
