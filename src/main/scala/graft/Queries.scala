@@ -1607,6 +1607,54 @@ object Queries {
   // --------------------------------------------------------------- presence
 
   private val presenceQueries: Seq[Q] = Seq(
+    // Track-payload dedup replay (presence_handler.ex:122-193): repeat
+    // payloads are silent no-ops that never reach the size guard or the
+    // rate counter, untrack resets the memory, invalid/oversize tracks
+    // error without updating it. One socket-keyed window (growing
+    // frame), decision + rate_counted per event.
+    Q("a4_track_dedup",
+      (s, d) => {
+        val e = ev(s, d).select(
+          col("user_id").as("socket"), col("ts"),
+          col("event_id").as("tie"),
+          when(col("value") < 5, "untrack").otherwise("track").as("event"),
+          concat(lit("{\"v\": "), (col("value") > 50).cast("string"),
+            lit("}")).as("payload"),
+          (col("event_id") % 11 =!= 0).as("is_map"),
+          (length(col("props")) * (col("user_id") % 3) * 100)
+            .cast("long").as("bytes"))
+        graft.presence.Presence.trackDedup(e, "socket", "ts", "tie",
+            "event", "payload", "is_map", "bytes", lit(1))
+          .select("socket", "tie", "decision", "rate_counted")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id AS socket, ts, event_id AS tie,
+        |    CASE WHEN value < 5 THEN 'untrack' ELSE 'track' END AS event,
+        |    '{"v": ' || CAST(value > 50 AS VARCHAR) || '}' AS payload,
+        |    (event_id % 11 != 0) AS is_map,
+        |    length(props) * (user_id % 3) * 100 AS bytes
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event = 'untrack' THEN ' untracked'
+        |        WHEN event = 'track' AND is_map AND bytes <= 1500
+        |          THEN payload END IGNORE NULLS)
+        |      OVER (PARTITION BY socket ORDER BY ts, tie
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS mem
+        |  FROM e),
+        |dec AS (
+        |  SELECT socket, tie,
+        |    CASE WHEN event = 'untrack' THEN 'untracked'
+        |         WHEN NOT is_map THEN 'invalid_payload'
+        |         WHEN payload IS NOT DISTINCT FROM nullif(mem, ' untracked')
+        |           THEN 'no_change'
+        |         WHEN bytes > 1500 THEN 'payload_too_large'
+        |         ELSE 'tracked' END AS decision
+        |  FROM m)
+        |SELECT socket, tie, decision,
+        |       (decision = 'tracked') AS rate_counted
+        |FROM dec""".stripMargin)),
     Q("a4_presence_state",
       (s, d) => {
         val pe = ev(s, d).select(

@@ -1,7 +1,7 @@
 package graft.presence
 
 import graft.model.{PresenceDiff, PresenceEvent}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -330,5 +330,63 @@ object Presence {
             out.result().iterator
           }
       }
+  }
+
+  /** Per-socket TRACK admission replay — the `track`/`untrack` arms of
+    * `PresenceHandler.handle_presence_event` + `track` +
+    * `check_track_payload` (presence_handler.ex:122-193), the
+    * wire-visible dedup in front of the tracker:
+    *
+    *  - a track whose payload is NOT a map is `invalid_payload`
+    *    (checked FIRST — and the socket's remembered payload does NOT
+    *    update, the error return leaves assigns untouched);
+    *  - a track whose payload EQUALS the socket's last applied track
+    *    payload is `no_change` — a silent no-op that skips the size
+    *    check AND the rate counter entirely (check_track_payload runs
+    *    before both), so idempotent client re-tracks cost nothing and
+    *    produce no presence_diff churn;
+    *  - `untrack` RESETS the memory (`presence_track_payload ← nil`,
+    *    :130-134): track(p) → untrack → track(p) re-tracks, the third
+    *    event is NOT a no-op;
+    *  - an oversize payload (the shared kb·1000+500 formula) is
+    *    `payload_too_large`, checked after the dedup, before the rate;
+    *  - everything else is `tracked` — the only decision that reaches
+    *    the rate counter ([[graft.rates.Rates.presenceRateAdmission]]
+    *    models that gate; untrack never consults it).
+    *
+    * The memory is expressible as ONE window: each event's memory
+    * CONTRIBUTION is its payload for a valid in-size track (a
+    * `no_change` track contributes its payload too — it EQUALS the
+    * memory, so the fold is unaffected), a reset sentinel for untrack,
+    * and null (no update) for invalid/oversize tracks whose error
+    * return precedes the assign. `last(_, ignoreNulls)` over the
+    * growing [unbounded preceding, -1] frame replays the fold without
+    * a sequential iterator — one socket-keyed shuffle, one window
+    * pass, PlanAudit-safe (growing frame). The untrack sentinel starts
+    * with a space, which no JSON-object payload text can. */
+  def trackDedup(events: DataFrame, socketCol: String, tsCol: String,
+      tieCol: String, eventCol: String, payloadCol: String,
+      payloadIsMapCol: String, payloadBytesCol: String,
+      maxPayloadKb: Column): DataFrame = {
+    val Reset = " untracked"
+    val isTrack = col(eventCol) === "track"
+    val oversize = coalesce(col(payloadBytesCol), lit(0L)) >
+      maxPayloadKb.cast("long") * 1000L + 500L
+    // contribution of THIS event to the running memory (null = no
+    // update): invalid and oversize tracks error before the assign
+    val contrib = when(col(eventCol) === "untrack", lit(Reset))
+      .when(isTrack && col(payloadIsMapCol) && !oversize, col(payloadCol))
+    val w = Window.partitionBy(socketCol)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mem = last(contrib, ignoreNulls = true).over(w)
+    val decision =
+      when(col(eventCol) === "untrack", "untracked")
+        .when(!col(payloadIsMapCol), "invalid_payload")
+        .when(col(payloadCol) <=> nullif(mem, lit(Reset)), "no_change")
+        .when(oversize, "payload_too_large")
+        .otherwise("tracked")
+    events.withColumn("decision", decision)
+      .withColumn("rate_counted", col("decision") === "tracked")
   }
 }
