@@ -368,7 +368,7 @@ object Presence {
       tieCol: String, eventCol: String, payloadCol: String,
       payloadIsMapCol: String, payloadBytesCol: String,
       maxPayloadKb: Column): DataFrame = {
-    val Reset = " untracked"
+    val Reset = " untracked"
     val isTrack = col(eventCol) === "track"
     val oversize = coalesce(col(payloadBytesCol), lit(0L)) >
       maxPayloadKb.cast("long") * 1000L + 500L
