@@ -389,4 +389,53 @@ object Presence {
     events.withColumn("decision", decision)
       .withColumn("rate_counted", col("decision") === "tracked")
   }
+
+  final case class TrackEvent(socket: String, us: Long, tie: Long,
+      event: String, payload: String, isMap: Boolean, bytes: Long)
+  final case class TrackDecisionRow(socket: String, tie: Long,
+      decision: String, rate_counted: Boolean)
+  final case class TrackMemory(payload: Option[String])
+
+  /** Streaming twin of [[trackDedup]] — the LIVE per-socket dedup: the
+    * remembered payload is keyed state carried across micro-batches
+    * (the reference keeps it in the socket process's assigns), so an
+    * idempotent re-track in a LATER batch is still a `no_change` no-op.
+    * Decision arms and their order are the batch twin's exactly
+    * (spec-pinned parity). `idleTimeoutMs > 0` opts into the idle reap
+    * — semantically the socket process dying: the memory resets, and a
+    * re-track after the reap applies (exactly as a reconnecting client
+    * re-tracks). */
+  def trackDedupStream(events: Dataset[TrackEvent], maxPayloadKb: Int,
+      idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[TrackDecisionRow] = {
+    import spark.implicits._
+    val limit = maxPayloadKb.toLong * 1000L + 500L
+    events.groupByKey(_.socket)
+      .flatMapGroupsWithState[TrackMemory, TrackDecisionRow](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (socket: String, evs: Iterator[TrackEvent],
+            state: GroupState[TrackMemory]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var mem = state.getOption.getOrElse(TrackMemory(None)).payload
+            val out = Seq.newBuilder[TrackDecisionRow]
+            evs.toSeq.sortBy(e => (e.us, e.tie)).foreach { e =>
+              val (decision, counted) =
+                if (e.event == "untrack") { mem = None; ("untracked", false) }
+                else if (!e.isMap) ("invalid_payload", false)
+                else if (mem.contains(e.payload)) ("no_change", false)
+                else if (e.bytes > limit) ("payload_too_large", false)
+                else { mem = Some(e.payload); ("tracked", true) }
+              out += TrackDecisionRow(socket, e.tie, decision, counted)
+            }
+            state.update(TrackMemory(mem))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
 }

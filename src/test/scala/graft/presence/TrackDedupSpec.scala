@@ -56,4 +56,44 @@ class TrackDedupSpec extends SparkSpec {
     assert(got(5L) == (("payload_too_large", false)))
     assert(got(6L) == (("tracked", true)))
   }
+
+  test("streaming twin: memory carries across micro-batches; parity " +
+      "with the batch window replay") {
+    import graft.presence.Presence.{TrackDecisionRow, TrackEvent}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val s = spark
+    import s.implicits._
+    val batches = Seq(
+      Seq(TrackEvent("A", 1L, 1L, "track", "{\"v\": 1}", true, 10L)),
+      // mb 2: the memory crossed the boundary → no-op; untrack resets
+      Seq(TrackEvent("A", 2L, 2L, "track", "{\"v\": 1}", true, 10L),
+        TrackEvent("A", 3L, 3L, "untrack", "{}", true, 0L)),
+      // mb 3: post-reset re-track applies
+      Seq(TrackEvent("A", 4L, 4L, "track", "{\"v\": 1}", true, 10L),
+        TrackEvent("A", 5L, 5L, "track", "{\"v\": 9}", true, 9999L)))
+    val input = MemoryStream[TrackEvent](spark)
+    val q = Presence.trackDedupStream(input.toDS(), maxPayloadKb = 1)
+      .writeStream.format("memory").queryName("track_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("track_dedup_out").as[TrackDecisionRow]
+        .collect().map(d => d.tie -> ((d.decision, d.rate_counted))).toMap
+      assert(streamed(1L) == (("tracked", true)))
+      assert(streamed(2L) == (("no_change", false)))
+      assert(streamed(3L) == (("untracked", false)))
+      assert(streamed(4L) == (("tracked", true)))
+      assert(streamed(5L) == (("payload_too_large", false)))
+      val batchDf = spark.createDataFrame(batches.flatten.map(e =>
+          (e.socket, new Timestamp(e.us), e.tie, e.event, e.payload,
+            e.isMap, e.bytes)))
+        .toDF("socket", "ts", "tie", "event", "payload", "is_map", "bytes")
+      val replayed = Presence.trackDedup(batchDf, "socket", "ts", "tie",
+          "event", "payload", "is_map", "bytes", lit(1))
+        .collect().map(r => r.getLong(2) ->
+          ((r.getString(7), r.getBoolean(8)))).toMap
+      assert(replayed == streamed)
+    } finally q.stop()
+  }
 }
