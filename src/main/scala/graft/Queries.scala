@@ -789,6 +789,81 @@ object Queries {
         |       WHEN b.n*s.l*1 + s.sum_ring*1 > 2*s.l THEN 'batch_too_large'
         |       ELSE 'ok' END AS status
         |FROM bat b JOIN sim s ON s.tenant = b.tenant AND s.tick = b.tick""".stripMargin)),
+    // FULL batch endpoint pipeline (batch_broadcast.ex:51-95): suspend
+    // clause first, ALL-OR-NOTHING changeset (one bad message rejects
+    // the batch), rate checks on the full size but the ring counts only
+    // DELIVERED messages (public + authz-passed private) — nAuth feeds
+    // the ring, n feeds the checks.
+    Q("s8_batch_pipeline",
+      (s, d) => Rates.batchPipelineAdmission(
+        ev(s, d).groupBy(col("event_type"),
+            col("user_id"), expr("unix_micros(ts) div 1000000 div 86400"))
+          .agg(min(col("ts")).as("ts"), min(col("event_id")).as("batch_id"),
+            count(lit(1)).as("n"),
+            sum(((col("event_id") % 2 =!= 0) ||
+              ((col("event_id") % 40) % 5 =!= 0)).cast("long"))
+              .as("n_auth"),
+            max((col("event_id") % 23 === 0).cast("int")).cast("boolean")
+              .as("any_invalid"))
+          .withColumn("suspend", col("event_type") === "error"),
+        tenantCol = "event_type", tsCol = "ts", tieCol = "batch_id",
+        sizeCol = "n", authCol = "n_auth", suspendCol = "suspend",
+        anyInvalidCol = "any_invalid", limitNum = 2L, limitDen = 1L,
+        tickSec = 3600L, windowTicks = 12),
+      Some("""WITH RECURSIVE bat AS MATERIALIZED (
+        |  SELECT event_type AS tenant, min(epoch_us(ts)) AS us,
+        |         min(event_id) AS batch_id,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_id % 2 != 0
+        |                       OR (event_id % 40) % 5 != 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         max(event_id % 23 = 0) AS inv,
+        |         (event_type = 'error') AS sus,
+        |         min(epoch_us(ts))//1000000//3600 AS tick
+        |  FROM events GROUP BY event_type, user_id,
+        |                       epoch_us(ts)//1000000//86400),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, entries,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick,
+        |          list({'n': n, 'na': na, 'bad': (inv OR sus)}) AS entries
+        |        FROM bat GROUP BY 1,2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick,
+        |         CAST(0 AS BIGINT) AS sum_ring, CAST(3600 AS BIGINT) AS l,
+        |         [{'t': tick, 'c': coalesce(list_sum(list_transform(
+        |             list_filter(entries,
+        |               e -> NOT e.bad AND e.n*3600*1 <= 2*3600),
+        |             e -> e.na)), 0)}] AS ring
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, sum_ring, l,
+        |         list_append(list_filter(ring0, x -> x.t >= tick - 12),
+        |           {'t': tick,
+        |            'c': CASE WHEN sum_ring*1 > 2*l THEN CAST(0 AS BIGINT)
+        |              ELSE coalesce(list_sum(list_transform(
+        |                list_filter(entries,
+        |                  e -> NOT e.bad AND e.n*l*1 + sum_ring*1 <= 2*l),
+        |                e -> e.na)), 0) END}) AS ring
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, t.entries,
+        |           s.ring AS ring0,
+        |           coalesce(list_sum(list_transform(
+        |             list_filter(s.ring, x -> x.t >= t.tick - 12
+        |                                      AND x.t < t.tick),
+        |             x -> x.c)), 0) AS sum_ring,
+        |           greatest(least(12, t.tick - t.first_tick), 1) * 3600 AS l
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant
+        |                         AND t.idx = s.idx + 1))
+        |SELECT b.tenant, b.batch_id,
+        |  CASE WHEN b.sus THEN 'forbidden_suspended'
+        |       WHEN b.inv THEN 'invalid_batch'
+        |       WHEN s.sum_ring*1 > 2*s.l THEN 'rate_limited'
+        |       WHEN b.n*s.l*1 + s.sum_ring*1 > 2*s.l THEN 'batch_too_large'
+        |       ELSE 'ok' END AS status
+        |FROM bat b JOIN sim s ON s.tenant = b.tenant AND s.tick = b.tick"""
+        .stripMargin)),
     // Single-broadcast admission replay (single_broadcast.ex:64-82): the
     // per-message HTTP endpoint's ordered gate chain — suspension first
     // (function clause), changeset validation (content-type inclusion,

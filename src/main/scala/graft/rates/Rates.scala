@@ -549,6 +549,68 @@ object Rates {
       }.toDF("tenant", "event_id", "status")
   }
 
+  final case class BatchPipeRow(tenant: String, us: Long, tie: Long,
+      n: Long, nAuth: Long, suspend: Boolean, anyInvalid: Boolean)
+
+  /** The FULL batch-broadcast endpoint pipeline —
+    * `BatchBroadcast.broadcast` (batch_broadcast.ex:51-95) composed end
+    * to end, three semantics the isolated [[batchAdmission]] rate gate
+    * cannot show:
+    *   1. the `suspend` function clause rejects before anything else;
+    *   2. the changeset is ALL-OR-NOTHING: one message missing
+    *      topic/payload/event or oversize rejects the WHOLE batch
+    *      (`invalid_batch`, 422) — the single endpoint's per-request
+    *      leniency does not apply here;
+    *   3. the two rate checks (reference cond order, strict `>`) use
+    *      the FULL batch size `length(messages)`, but the ring counts
+    *      only the messages actually SENT — public ones plus private
+    *      ones whose per-TOPIC write probe passed
+    *      (send_message_and_count per delivered message, denied topics
+    *      silently dropped at :86-88) — so `nAuth` feeds the ring while
+    *      `n` feeds the checks. A batch of mostly-denied messages
+    *      passes rate cheaply and pressures the window only by what it
+    *      delivered.
+    * Same ring/fold shape as [[batchAdmission]]; statuses:
+    * forbidden_suspended | invalid_batch | rate_limited |
+    * batch_too_large | ok. */
+  def batchPipelineAdmission(batches: DataFrame, tenantCol: String,
+      tsCol: String, tieCol: String, sizeCol: String, authCol: String,
+      suspendCol: String, anyInvalidCol: String, limitNum: Long,
+      limitDen: Long, tickSec: Long = 5L, windowTicks: Int = 12)
+      : DataFrame = {
+    val spark = batches.sparkSession
+    import spark.implicits._
+    val typed = batches.select(col(tenantCol).cast("string").as("tenant"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        col(sizeCol).cast("long").as("n"),
+        col(authCol).cast("long").as("nAuth"),
+        col(suspendCol).cast("boolean").as("suspend"),
+        col(anyInvalidCol).cast("boolean").as("anyInvalid"))
+      .as[BatchPipeRow]
+    typed.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        var ring = Map.empty[Long, Long]
+        var firstTick = Long.MinValue
+        it.map { b =>
+          val tick = b.us / 1000000L / tickSec
+          val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+          ring = v.ring; firstTick = v.first
+          val l = math.max(v.len, 1L) * tickSec
+          if (b.suspend) JoinDecisionRow(tenant, b.tie, "forbidden_suspended")
+          else if (b.anyInvalid) JoinDecisionRow(tenant, b.tie, "invalid_batch")
+          else if (v.sum * limitDen > limitNum * l)
+            JoinDecisionRow(tenant, b.tie, "rate_limited")
+          else if (b.n * l * limitDen + v.sum * limitDen > limitNum * l)
+            JoinDecisionRow(tenant, b.tie, "batch_too_large")
+          else {
+            ring = ring.updated(tick, ring.getOrElse(tick, 0L) + b.nAuth)
+            JoinDecisionRow(tenant, b.tie, "ok")
+          }
+        }
+      }.toDF("tenant", "batch_id", "status")
+  }
+
   final case class SingleReqRow(tenant: String, us: Long, tie: Long,
       suspend: Boolean, valid: Boolean, writeAllowed: Boolean)
 
