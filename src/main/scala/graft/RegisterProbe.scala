@@ -131,6 +131,43 @@ object RegisterProbe {
       requests, "tenant", "ts", "req_id", "suspend", "valid",
       "write_allowed", limitNum = 2000L, limitDen = 1L,
       tickSec = 60L, windowTicks = 12))
+    // join-time replay leg (round-14): nClaims messages / ~nGroups
+    // topics with the 10% hot-topic skew, nClaims/100 joining sockets
+    // (10% of them on the hot topic). Without the newest-25-per-topic
+    // pre-prune this pairs every hot join against every hot message
+    // pre-rank — quadratic in the hot topic's ~nClaims/10 rows; with it
+    // the join side is ≤ 25·|topics| and the leg stays flat.
+    val nTopics = nGroups
+    def logMsgs = spark.range(nClaims).select(
+      when(col("id") % 10 === 0, lit("m-hot"))
+        .otherwise(concat(lit("m"), (col("id") % nTopics).cast("string")))
+        .as("topic"),
+      col("id"),
+      timestamp_micros(col("id") * 37L).as("inserted_at"),
+      lit(true).as("private"), lit("broadcast").as("extension"))
+    def joinReqs = spark.range(nClaims / 100).select(
+      col("id").as("join_id"),
+      when(col("id") % 10 === 0, lit("m-hot"))
+        .otherwise(concat(lit("m"), (col("id") % nTopics).cast("string")))
+        .as("topic"),
+      lit(true).as("private"), lit(true).as("read_policy"),
+      lit(true).as("replay_requested"), lit(true).as("replay_is_map"),
+      ((col("id") % 300L)).cast("string").as("since_raw"),
+      lit(null).cast("string").as("limit_raw"))
+    def timeReplay(name: String)(df: => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val r = df.agg(count(lit(1)), sum(col("message_id")),
+          sum(when(col("status") === "ok", 1L).otherwise(0L))).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+          f"ok=${r.getLong(2)} sec=$sec%.2f")
+      }
+    }
+    timeReplay("replay_on_join")(graft.messages.Messages.replayOnJoin(
+      joinReqs, logMsgs,
+      new java.sql.Timestamp(nClaims * 37L / 1000L)))
     spark.stop()
   }
 }

@@ -173,6 +173,18 @@ object Messages {
           coalesce(col("limit_raw").cast("long"), lit(25L)), lit(25L)),
           lit(1L))))
     val nowPlus = new java.sql.Timestamp(now.getTime + 60000L)
+    // Pre-prune the log to the newest ReplayHardLimit per topic BEFORE
+    // the join. This is exact, not approximate: every per-join limit is
+    // capped at 25 and the since filter is a ts LOWER bound, so the k
+    // newest messages ≥ since_j are always among the k newest overall
+    // (if y qualified for some join's top-25 but sat outside the global
+    // top-25, the >25 globally-newer messages are all ≥ y ≥ since_j and
+    // would displace it). Without the prune a hot topic pairs EVERY
+    // join against EVERY qualifying message pre-rank — quadratic in the
+    // hot topic's volume; with it the join side is ≤ 25·|topics| rows
+    // and the probe-scale hot key is flat.
+    val wTopic = Window.partitionBy("_mtopic")
+      .orderBy(col("inserted_at").desc, col("id").desc)
     // the since bound lives in the JOIN CONDITION, not a post-filter: a
     // join whose topic matches rows but none qualify must still surface
     // as ONE null-message row (empty replay), which only the left join's
@@ -181,6 +193,9 @@ object Messages {
         col("extension") === "broadcast" &&
         col("inserted_at") < lit(nowPlus))
       .select(col("topic").as("_mtopic"), col("id"), col("inserted_at"))
+      .withColumn("_trn", row_number().over(wTopic))
+      .where(col("_trn") <= ReplayHardLimit)
+      .drop("_trn")
     val wants = decided.where(col("_wants"))
       .select(col("join_id"), col("status"), col("topic"),
         col("_since_ms"), col("_limit"))
