@@ -30,7 +30,17 @@ import org.apache.spark.sql.types._
   *    (`UUID.uuid1()`). The generated value is nondeterministic, so
   *    this engine emits `presence_key_generated = true` with a null
   *    key instead of minting one — the caller owns uuid minting at the
-  *    socket boundary.
+  *    socket boundary. A NUMBER key is legal in the reference
+  *    (join_test.exs "presence key can be number") and is carried here
+  *    as its JSON text — the key's only use is identity, which text
+  *    form preserves.
+  *
+  * Known scalar-coercion proxy: the all-string parse renders JSON
+  * scalars as their text, so a non-string `access_token`/`user_token`
+  * (JSON `true`, a number) reads as that text where Ecto's `:string`
+  * cast would error it to nil — token fields are strings in every
+  * real client; the flexible-boolean and integer fields are unaffected
+  * (their accept-sets are checked on the text).
   *  - **embed shape errors**: a `config`/`broadcast`/`presence`/
   *    `replay` that is present but not a map, or `postgres_changes`
   *    present but not an array, fails the changeset
