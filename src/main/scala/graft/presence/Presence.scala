@@ -354,6 +354,12 @@ object Presence {
     *    the rate counter ([[graft.rates.Rates.presenceRateAdmission]]
     *    models that gate; untrack never consults it).
     *
+    * Composition boundary: the rate gate sits BETWEEN the size check
+    * and the tracker apply, and a rate-DENIED track does not update
+    * the memory either — this replay assumes the gate admits, so when
+    * composing with the ring, filter rate-limited tracks out upstream
+    * (they are invisible to the dedup, exactly like oversize ones).
+    *
     * The memory is expressible as ONE window: each event's memory
     * CONTRIBUTION is its payload for a valid in-size track (a
     * `no_change` track contributes its payload too — it EQUALS the
