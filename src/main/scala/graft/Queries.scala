@@ -1730,6 +1730,73 @@ object Queries {
         |SELECT socket, tie, decision,
         |       (decision = 'tracked') AS rate_counted
         |FROM dec""".stripMargin)),
+    // The per-socket presence pipeline (handle() -> track arms): the
+    // anchored client window is consumed by EVERY presence message —
+    // untracks and no-op re-tracks included — and a window-denied
+    // message never reaches the dedup (memory unchanged). Oracle:
+    // per-socket lockstep recursion carrying (reset_at, counter, mem).
+    Q("a4_track_pipeline",
+      (s, d) => {
+        val e = ev(s, d).select(
+          col("user_id").as("socket"), col("ts"),
+          col("event_id").as("tie"),
+          when(col("value") < 5, "untrack").otherwise("track").as("event"),
+          concat(lit("{\"v\": "), (col("value") > 50).cast("string"),
+            lit("}")).as("payload"),
+          (col("event_id") % 11 =!= 0).as("is_map"),
+          (length(col("props")) * (col("user_id") % 3) * 100)
+            .cast("long").as("bytes"))
+        graft.presence.Presence.trackPipeline(e, "socket", "ts", "tie",
+          "event", "payload", "is_map", "bytes", maxPayloadKb = 1,
+          maxCalls = 5, windowMs = 604800000L)
+      },
+      Some("""WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT CAST(user_id AS VARCHAR) AS socket, epoch_us(ts) AS us,
+        |    event_id AS tie,
+        |    CASE WHEN value < 5 THEN 'untrack' ELSE 'track' END AS event,
+        |    '{"v": ' || CAST(value > 50 AS VARCHAR) || '}' AS payload,
+        |    (event_id % 11 != 0) AS is_map,
+        |    length(props) * (user_id % 3) * 100 AS bytes,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |sim AS (
+        |  SELECT socket, rn, tie,
+        |    CASE WHEN event = 'untrack' THEN 'untracked'
+        |         WHEN NOT is_map THEN 'invalid_payload'
+        |         WHEN bytes > 1500 THEN 'payload_too_large'
+        |         ELSE 'tracked' END AS decision,
+        |    us + 604800000000 AS reset_at,
+        |    CAST(1 AS BIGINT) AS counter,
+        |    CASE WHEN event = 'untrack' OR NOT is_map OR bytes > 1500
+        |         THEN CAST(NULL AS VARCHAR) ELSE payload END AS mem
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT socket, rn, tie,
+        |    CASE WHEN denied THEN 'client_rate_limited'
+        |         WHEN event = 'untrack' THEN 'untracked'
+        |         WHEN NOT is_map THEN 'invalid_payload'
+        |         WHEN payload IS NOT DISTINCT FROM m0 THEN 'no_change'
+        |         WHEN bytes > 1500 THEN 'payload_too_large'
+        |         ELSE 'tracked' END AS decision,
+        |    CASE WHEN denied THEN r0
+        |         WHEN fresh THEN us + 604800000000 ELSE r0 END AS reset_at,
+        |    CASE WHEN denied THEN c0
+        |         WHEN fresh THEN 1 ELSE c0 + 1 END AS counter,
+        |    CASE WHEN denied OR (event = 'track' AND NOT is_map)
+        |           OR (event = 'track'
+        |               AND payload IS NOT DISTINCT FROM m0)
+        |           OR (event = 'track' AND bytes > 1500) THEN m0
+        |         WHEN event = 'untrack' THEN CAST(NULL AS VARCHAR)
+        |         ELSE payload END AS mem
+        |  FROM (
+        |    SELECT n.socket, n.rn, n.tie, n.us, n.event, n.payload,
+        |           n.is_map, n.bytes, s.reset_at AS r0, s.counter AS c0,
+        |           s.mem AS m0, (n.us > s.reset_at) AS fresh,
+        |           (n.us <= s.reset_at AND s.counter >= 5) AS denied
+        |    FROM sim s JOIN e n ON n.socket = s.socket
+        |                       AND n.rn = s.rn + 1))
+        |SELECT socket, tie, decision FROM sim""".stripMargin)),
     Q("a4_presence_state",
       (s, d) => {
         val pe = ev(s, d).select(

@@ -396,6 +396,74 @@ object Presence {
       .withColumn("rate_counted", col("decision") === "tracked")
   }
 
+  final case class TrackPipeRow(socket: String, us: Long, tie: Long,
+      event: String, payload: String, isMap: Boolean, bytes: Long)
+  final case class TrackPipeOut(socket: String, tie: Long,
+      decision: String)
+
+  /** The per-SOCKET presence message pipeline — `PresenceHandler
+    * .handle` composed with its track arms (presence_handler.ex:69-78 +
+    * 122-193): `limit_client_presence_event` runs FIRST on EVERY client
+    * presence message, so the anchored window is consumed by untracks
+    * and by would-be no-op re-tracks alike (a client idempotently
+    * re-tracking still burns its 5-per-30s budget — the sharp
+    * cross-operator arm this composition exists to pin), and a
+    * window-denied message never reaches the dedup: the remembered
+    * payload does NOT change under `client_rate_limited`.
+    *
+    * Window semantics are [[graft.rates.Rates.clientWindowLimit]]'s
+    * exactly (anchor at first call or first call strictly past expiry;
+    * calls 2..maxCalls pass; beyond denied WITHOUT consuming; expiry
+    * resets on contact); dedup arms are [[trackDedup]]'s exactly. The
+    * memory here is a plain nullable value — initial nil and
+    * untrack-nil coincide, as in the reference's assigns. The
+    * tenant-level ring (`limit_presence_event`, between the size check
+    * and the apply) composes separately ([[graft.rates.Rates
+    * .presenceRateAdmission]]); a `tracked` decision here means the
+    * message REACHED that gate.
+    *
+    * One socket-keyed shuffle, O(1) state (anchor, counter, memory),
+    * streaming group iterator. */
+  def trackPipeline(events: DataFrame, socketCol: String, tsCol: String,
+      tieCol: String, eventCol: String, payloadCol: String,
+      isMapCol: String, bytesCol: String, maxPayloadKb: Int,
+      maxCalls: Int, windowMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val limit = maxPayloadKb.toLong * 1000L + 500L
+    val windowUs = windowMs * 1000L
+    val typed = events.select(col(socketCol).cast("string").as("socket"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        col(eventCol).cast("string").as("event"),
+        col(payloadCol).cast("string").as("payload"),
+        col(isMapCol).cast("boolean").as("isMap"),
+        col(bytesCol).cast("long").as("bytes"))
+      .as[TrackPipeRow]
+    typed.groupByKey(_.socket)
+      .flatMapSortedGroups($"us", $"tie") { (socket, it) =>
+        var resetAt = Long.MinValue
+        var counter = 0L
+        var mem: Option[String] = None
+        it.map { e =>
+          val decision =
+            if (resetAt != Long.MinValue && e.us <= resetAt &&
+                counter >= maxCalls) "client_rate_limited"
+            else {
+              if (resetAt == Long.MinValue || e.us > resetAt) {
+                counter = 1L; resetAt = e.us + windowUs
+              } else counter += 1L
+              if (e.event == "untrack") { mem = None; "untracked" }
+              else if (!e.isMap) "invalid_payload"
+              else if (mem.contains(e.payload)) "no_change"
+              else if (e.bytes > limit) "payload_too_large"
+              else { mem = Some(e.payload); "tracked" }
+            }
+          TrackPipeOut(socket, e.tie, decision)
+        }
+      }.toDF("socket", "tie", "decision")
+  }
+
   final case class TrackEvent(socket: String, us: Long, tie: Long,
       event: String, payload: String, isMap: Boolean, bytes: Long)
   final case class TrackDecisionRow(socket: String, tie: Long,

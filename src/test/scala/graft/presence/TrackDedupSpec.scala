@@ -57,6 +57,41 @@ class TrackDedupSpec extends SparkSpec {
     assert(got(6L) == (("tracked", true)))
   }
 
+  test("pipeline: the client window is consumed by no-op re-tracks and " +
+      "untracks; a denied message neither consumes nor touches memory") {
+    // maxCalls 2, window 10 s (us scale): every client presence message
+    // runs the window first (presence_handler.ex:69-78)
+    def run(rows: Seq[(String, Timestamp, Long, String, String, Boolean,
+        Long)]): Map[Long, String] = {
+      val df = spark.createDataFrame(rows)
+        .toDF("socket", "ts", "tie", "event", "payload", "is_map", "bytes")
+      Presence.trackPipeline(df, "socket", "ts", "tie", "event",
+          "payload", "is_map", "bytes", maxPayloadKb = 1, maxCalls = 2,
+          windowMs = 10000L)
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    }
+    val got = run(Seq(
+      ("A", t(1), 1L, "track", "{\"v\": 1}", true, 10L),   // tracked (1/2)
+      // the no-op re-track still burns the second window slot
+      ("A", t(2), 2L, "track", "{\"v\": 1}", true, 10L),   // no_change (2/2)
+      // window full: a NEW payload is denied — and must NOT become the
+      // memory
+      ("A", t(3), 3L, "track", "{\"v\": 2}", true, 10L),
+      // window expired (anchor t1 + 10 s): the same new payload tracks —
+      // proof the denied attempt never updated the memory
+      ("A", t(12), 4L, "track", "{\"v\": 2}", true, 10L),
+      // untrack consumes a slot too (2/2 of the new window)...
+      ("A", t(13), 5L, "untrack", "{}", true, 0L),
+      // ...so this in-window track is denied
+      ("A", t(14), 6L, "track", "{\"v\": 3}", true, 10L)))
+    assert(got(1L) == "tracked")
+    assert(got(2L) == "no_change")
+    assert(got(3L) == "client_rate_limited")
+    assert(got(4L) == "tracked")
+    assert(got(5L) == "untracked")
+    assert(got(6L) == "client_rate_limited")
+  }
+
   test("streaming twin: memory carries across micro-batches; parity " +
       "with the batch window replay") {
     import graft.presence.Presence.{TrackDecisionRow, TrackEvent}
