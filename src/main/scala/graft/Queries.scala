@@ -789,6 +789,59 @@ object Queries {
         |       WHEN b.n*s.l*1 + s.sum_ring*1 > 2*s.l THEN 'batch_too_large'
         |       ELSE 'ok' END AS status
         |FROM bat b JOIN sim s ON s.tenant = b.tenant AND s.tick = b.tick""".stripMargin)),
+    // CDC poller load shed (replication_poller.ex:404-421): a triggered
+    // tenant counter drops the poll's real rows WHOLESALE; delivered
+    // changes count into the ring weighted by their FAN-OUT
+    // (GenCounter.add(|subscription_ids|)); the triggered flag is the
+    // RateCounter's >= on the tick-snapshot avg.
+    Q("s1_poll_shed",
+      (s, d) => Rates.pollShed(
+        ev(s, d).groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 600"))
+          .agg(min(col("ts")).as("ts"), min(col("event_id")).as("poll_id"),
+            count(lit(1)).as("n"),
+            sum(lit(1) + col("user_id") % 7).as("weight")),
+        tenantCol = "event_type", tsCol = "ts", tieCol = "poll_id",
+        nCol = "n", weightCol = "weight", limitNum = 10L,
+        limitDen = 3600L, tickSec = 3600L, windowTicks = 12),
+      Some("""WITH RECURSIVE pol AS MATERIALIZED (
+        |  SELECT event_type AS tenant, min(epoch_us(ts)) AS us,
+        |         min(event_id) AS poll_id,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(1 + user_id % 7) AS BIGINT) AS w,
+        |         min(epoch_us(ts))//1000000//3600 AS tick
+        |  FROM events GROUP BY event_type, epoch_us(ts)//1000000//600),
+        |tix AS MATERIALIZED (
+        |  SELECT tenant, tick, wsum,
+        |         row_number() OVER (PARTITION BY tenant ORDER BY tick) AS idx,
+        |         min(tick) OVER (PARTITION BY tenant) AS first_tick
+        |  FROM (SELECT tenant, tick, CAST(sum(w) AS BIGINT) AS wsum
+        |        FROM pol GROUP BY 1,2)),
+        |sim AS (
+        |  SELECT tenant, idx, tick, first_tick, false AS flagged,
+        |         [{'t': tick, 'c': wsum}] AS ring
+        |  FROM tix WHERE idx = 1
+        |  UNION ALL
+        |  SELECT tenant, idx, tick, first_tick, flag AS flagged,
+        |         list_append(list_filter(ring0, x -> x.t >= tick - 12),
+        |           {'t': tick, 'c': CASE WHEN flag THEN CAST(0 AS BIGINT)
+        |                ELSE wsum END}) AS ring
+        |  FROM (
+        |    SELECT t.tenant, t.idx, t.tick, t.first_tick, t.wsum,
+        |           s.ring AS ring0,
+        |           coalesce(list_sum(list_transform(
+        |             list_filter(s.ring, x -> x.t >= t.tick - 12
+        |                                      AND x.t < t.tick),
+        |             x -> x.c)), 0) * 3600
+        |             >= 10 * greatest(least(12, t.tick - t.first_tick), 1)
+        |                * 3600 AS flag
+        |    FROM sim s JOIN tix t ON t.tenant = s.tenant
+        |                         AND t.idx = s.idx + 1))
+        |SELECT p.tenant, p.poll_id,
+        |  CASE WHEN s.flagged AND p.n > 0 THEN 'shed' ELSE 'ok' END
+        |    AS status
+        |FROM pol p JOIN sim s ON s.tenant = p.tenant AND s.tick = p.tick"""
+        .stripMargin)),
     // FULL batch endpoint pipeline (batch_broadcast.ex:51-95): suspend
     // clause first, ALL-OR-NOTHING changeset (one bad message rejects
     // the batch), rate checks on the full size but the ring counts only

@@ -549,6 +549,62 @@ object Rates {
       }.toDF("tenant", "event_id", "status")
   }
 
+  final case class PollRow(tenant: String, us: Long, tie: Long,
+      n: Long, weight: Long)
+
+  /** The CDC poller's rate-triggered LOAD SHED — the
+    * `handle_list_changes_result` gate
+    * (replication_poller.ex:404-421): when the tenant's events counter
+    * is TRIGGERED, the poll's real rows are dropped WHOLESALE (a
+    * per-poll all-or-nothing shed, surfaced as skip telemetry with the
+    * dropped count) — and when it is not, every delivered change
+    * counts into the ring WEIGHTED BY ITS FAN-OUT
+    * (`GenCounter.add(MapSet.size(change.subscription_ids))`,
+    * :421): a change matching 50 subscriptions adds 50, so a few
+    * hot-channel changes can trigger the shed as fast as many quiet
+    * ones. The triggered flag is the RateCounter's `measurement >=
+    * value` on the tick-snapshot avg (`maybe_trigger_limit`,
+    * rate_counter.ex:271-273 — `>=`, the flag's arithmetic, not the
+    * batch endpoint's strict `>`).
+    *
+    * Input: one row per POLL with its real-row count `n` and its
+    * summed fan-out `weight`. Output status `ok` (delivered; weight
+    * counted) or `shed` (n > 0 dropped under a triggered flag; nothing
+    * counted — an empty poll under a triggered flag is `ok`, the
+    * reference skips the telemetry for it too). Same ring/fold shape
+    * as the admission family. */
+  def pollShed(polls: DataFrame, tenantCol: String, tsCol: String,
+      tieCol: String, nCol: String, weightCol: String, limitNum: Long,
+      limitDen: Long, tickSec: Long = 5L, windowTicks: Int = 12)
+      : DataFrame = {
+    val spark = polls.sparkSession
+    import spark.implicits._
+    val typed = polls.select(col(tenantCol).cast("string").as("tenant"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        col(nCol).cast("long").as("n"),
+        col(weightCol).cast("long").as("weight"))
+      .as[PollRow]
+    typed.groupByKey(_.tenant)
+      .flatMapSortedGroups($"us", $"tie") { (tenant, it) =>
+        var ring = Map.empty[Long, Long]
+        var firstTick = Long.MinValue
+        it.map { p =>
+          val tick = p.us / 1000000L / tickSec
+          val v = AdmissionStream.ringView(ring, firstTick, tick, windowTicks)
+          ring = v.ring; firstTick = v.first
+          val l = math.max(v.len, 1L) * tickSec
+          if (v.sum * limitDen >= limitNum * l) {
+            if (p.n > 0) JoinDecisionRow(tenant, p.tie, "shed")
+            else JoinDecisionRow(tenant, p.tie, "ok")
+          } else {
+            ring = ring.updated(tick, ring.getOrElse(tick, 0L) + p.weight)
+            JoinDecisionRow(tenant, p.tie, "ok")
+          }
+        }
+      }.toDF("tenant", "poll_id", "status")
+  }
+
   final case class BatchPipeRow(tenant: String, us: Long, tie: Long,
       n: Long, nAuth: Long, suspend: Boolean, anyInvalid: Boolean)
 
