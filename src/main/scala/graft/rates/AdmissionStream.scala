@@ -125,6 +125,61 @@ object AdmissionStream {
       }
   }
 
+  final case class PollAttempt(tenant: String, us: Long, tie: Long,
+      n: Long, weight: Long)
+
+  /** Streaming twin of [[Rates.pollShed]] — the LIVE poller shed:
+    * whole-poll drop under the triggered flag (`>=` on the
+    * tick-snapshot avg), fan-out-WEIGHTED counting of delivered polls,
+    * empty polls never shed; the ring carries across micro-batches so
+    * a heavy poll in one batch sheds the next batch's polls. Arithmetic
+    * is the batch twin's exactly (spec-pinned parity). */
+  def pollShedStream(
+      polls: Dataset[PollAttempt],
+      limitNum: Long,
+      limitDen: Long,
+      tickSec: Long = 5L,
+      windowTicks: Int = 12,
+      idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    polls
+      .groupByKey(_.tenant)
+      .flatMapGroupsWithState[RingState, Decision](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (tenant: String, evs: Iterator[PollAttempt],
+            state: GroupState[RingState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              RingState(Map.empty, Long.MinValue))
+            val out = Seq.newBuilder[Decision]
+            evs.toSeq.sortBy(p => (p.us, p.tie)).foreach { p =>
+              val tick = p.us / 1000000L / tickSec
+              val v = ringView(st.ring, st.firstTick, tick, windowTicks)
+              val l = math.max(v.len, 1L) * tickSec
+              if (v.sum * limitDen >= limitNum * l) {
+                st = RingState(v.ring, v.first)
+                out += Decision(tenant, p.tie,
+                  if (p.n > 0) "shed" else "ok")
+              } else {
+                st = RingState(
+                  v.ring.updated(tick, v.ring.getOrElse(tick, 0L) + p.weight),
+                  v.first)
+                out += Decision(tenant, p.tie, "ok")
+              }
+            }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SingleAttempt(tenant: String, us: Long, tie: Long,
       suspend: Boolean, valid: Boolean, writeAllowed: Boolean)
 

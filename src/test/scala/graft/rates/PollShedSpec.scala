@@ -39,4 +39,41 @@ class PollShedSpec extends SparkSpec {
     assert(got(3L) == "ok")
     assert(got(4L) == "ok")
   }
+
+  test("streaming twin: the ring crosses micro-batches; parity with " +
+      "the batch replay") {
+    import graft.rates.AdmissionStream.{Decision, PollAttempt}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val s = spark
+    import s.implicits._
+    val batches = Seq(
+      // mb 1, tick 0: one heavy poll counts its fan-out weight
+      Seq(PollAttempt("t", 0L, 1L, 1L, 6L)),
+      // mb 2, tick 1: the mb-1 weight crossed the boundary → shed;
+      // the empty poll stays ok; tick 3: drained → ok
+      Seq(PollAttempt("t", 1000000L, 2L, 3L, 9L),
+        PollAttempt("t", 1000000L, 3L, 0L, 0L),
+        PollAttempt("t", 3000000L, 4L, 2L, 4L)))
+    val input = MemoryStream[PollAttempt](spark)
+    val q = AdmissionStream.pollShedStream(input.toDS(),
+        limitNum = 5L, limitDen = 1L, tickSec = 1L, windowTicks = 2)
+      .writeStream.format("memory").queryName("poll_shed_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("poll_shed_out").as[Decision].collect()
+        .map(d => d.tie -> d.status).toMap
+      assert(streamed == Map(1L -> "ok", 2L -> "shed", 3L -> "ok",
+        4L -> "ok"))
+      val batchDf = spark.createDataFrame(batches.flatten.map(p =>
+          (new Timestamp(p.us / 1000L), p.tenant, p.tie, p.n, p.weight)))
+        .toDF("ts", "tenant", "poll_id", "n", "weight")
+      val replayed = Rates.pollShed(batchDf, "tenant", "ts", "poll_id",
+          "n", "weight", limitNum = 5L, limitDen = 1L, tickSec = 1L,
+          windowTicks = 2)
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(replayed == streamed)
+    } finally q.stop()
+  }
 }
