@@ -39,7 +39,14 @@ import org.apache.spark.sql.catalyst.expressions._
   * it breaks the battery's split-method codegen (Janino
   * forward-reference, CodegenAudit catch; the fix would be reworking
   * SubscriptionBattery.doGenCode's parameter collection, not worth it
-  * for three sub-second compositions). */
+  * for three sub-second compositions). r15 adds `s7_send_binary`
+  * (EvalOnce ×5 in Project): the three-leg digest mix UNIONs a
+  * send_binary branch and a send branch that each scan documents and
+  * compute the fenced md5 for their digit filter — Spark has no CSE
+  * across union branches, so the digest runs twice per document row
+  * plus once per payload fence. The leg split is the TEST HARNESS
+  * construct (a real pipeline routes by payload type, not by digest
+  * digit); 0.49 s warm at sf0.1, assessed and left. */
 object DupExprScan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -128,28 +128,53 @@ object KneeFresh {
     marginalBand(bandApplies, health, healthEnd) &&
       maxSustained < CommittedKneeRate
 
-  /** The three-state (plus band-withheld) headline verdict a reader
+  /** The unified low-reading retry (r14 verdict task 1, generalizing the
+    * r13 marginal retry to the healthy band): ANY in-band host
+    * (min(health) ≥ 0.7) whose sweep read below the committed quiet-host
+    * knee gets ONE cool-down and a sweep re-run before any verdict.
+    * BENCH_r14 proved the healthy band needs this too: its `knee_fresh`
+    * recorded 320k `clean` at health 1.135–1.203 (the 640k point blew
+    * out transiently at p95 17.9 s) while four runs on the same harness
+    * — three builder runs plus the judge's post-round bench — read 640k
+    * clean. A one-off blowout on a healthy-stamped host is still a
+    * one-off; the committed knee is the evidence bar a low reading must
+    * beat twice before it may claim a capability loss. */
+  def shouldRetryLow(bandApplies: Boolean, health: Double,
+      healthEnd: Double, maxSustained: Int): Boolean =
+    bandApplies && math.min(health, healthEnd) >= HealthSuspect &&
+      maxSustained < CommittedKneeRate
+
+  /** The four-state (plus band-withheld) headline verdict a reader
     * should trust without re-probing:
-    *  - `"suspect"`  — min(health) < 0.7: the sweep measured the host,
+    *  - `"suspect"`    — min(health) < 0.7: the sweep measured the host,
     *    not the engine;
-    *  - `"derated"`  — min(health) in [0.7, 0.9) AND the sweep read
+    *  - `"derated"`    — min(health) in [0.7, 0.9) AND the sweep read
     *    below the committed quiet-host knee: every boolean is healthy
     *    but the number is known-low — NOT clean (the r13 gap: 320k at
     *    0.798 stamped clean while quiet hosts read 640k);
-    *  - `"clean"`    — in-band host, or a marginal host whose sweep
-    *    still met the committed knee (a confirmation, not a derate). A
-    *    HEALTHY host reading below the committed knee is also clean:
-    *    that is a trustworthy measurement of a real regression, and
-    *    calling it derated would hide it;
-    *  - `"unbanded"` — non-calibrated width: no band comparison exists.
-    */
+    *  - `"regression"` — a HEALTHY host (min(health) ≥ 0.9) whose sweep
+    *    read below the committed knee AFTER the one cool-down re-run:
+    *    a trustworthy, twice-confirmed measurement of a real capability
+    *    loss, stamped distinctly so it is never mistaken for either a
+    *    host derate or a clean confirmation (r14 verdict: the bare
+    *    `clean` stamp on a healthy-low one-off was this logic's first
+    *    false-low — a transient blowout halved the committed knee with
+    *    nothing in the JSON saying to distrust it);
+    *  - `"clean"`      — an in-band host whose sweep met the committed
+    *    knee (marginal-band included: meeting the bar is a confirmation,
+    *    not a derate);
+    *  - `"unbanded"`   — non-calibrated width: no band comparison
+    *    exists.
+    * Callers retry BEFORE reading this verdict ([[shouldRetryLow]]), so
+    * `derated`/`regression` always mean "confirmed low on the second
+    * sweep", with both sweeps on record in the artifact. */
   def kneeVerdict(bandApplies: Boolean, health: Double, healthEnd: Double,
       maxSustained: Int): String =
     if (!bandApplies) "unbanded"
     else if (suspectVerdict(bandApplies, health, healthEnd)) "suspect"
-    else if (shouldRetryMarginal(bandApplies, health, healthEnd,
-      maxSustained)) "derated"
-    else "clean"
+    else if (maxSustained >= CommittedKneeRate) "clean"
+    else if (marginalBand(bandApplies, health, healthEnd)) "derated"
+    else "regression"
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -217,18 +242,25 @@ object KneeFresh {
       kn = sweep()
       ctlEnd = readControl(); healthEnd = toHealth(ctlEnd)
     }
-    // marginal-band retry (r13 verdict): a [0.7, 0.9)-health host whose
-    // sweep read below the committed quiet-host knee gets ONE more
-    // cool-down + re-run — post-marathon derate decays over minutes; if
-    // the pair persists the verdict below stamps `derated`, never clean
-    if (shouldRetryMarginal(bandApplies, health, healthEnd,
+    // low-reading retry (r13 verdict for the marginal band, r14 verdict
+    // extending it to healthy hosts): ANY in-band host whose sweep read
+    // below the committed quiet-host knee gets ONE more cool-down +
+    // re-run — a transient blowout (GC storm, co-tenant burst) on an
+    // otherwise healthy host is the r14 false-low signature. The FIRST
+    // sweep is kept on record (`first_sweep` in the artifact): if the
+    // re-run still reads low the verdict below stamps `derated`
+    // (marginal) or `regression` (healthy) with both sweeps visible,
+    // never a bare clean.
+    var firstSweep: Option[graft.cdc.StreamLatency.KneeReport] = None
+    if (shouldRetryLow(bandApplies, health, healthEnd,
       kn.maxSustainedRate)) {
-      System.err.println(s"[kneefresh] marginal host (health $health -> " +
+      System.err.println(s"[kneefresh] in-band host (health $health -> " +
         s"$healthEnd) read knee ${kn.maxSustainedRate} below the " +
         s"committed $CommittedKneeRate — cooling down " +
         s"${CooldownMs / 1000} s and re-running the sweep once")
       Thread.sleep(CooldownMs)
       sweepRetries += 1
+      firstSweep = Some(kn)
       ctl = readControl(); health = toHealth(ctl)
       kn = sweep()
       ctlEnd = readControl(); healthEnd = toHealth(ctlEnd)
@@ -254,7 +286,9 @@ object KneeFresh {
         s""""cooldown_retries":$retries,""" +
         s""""sweep_retries":$sweepRetries,""" +
         s""""committed_knee_rate":$CommittedKneeRate,""" +
-        s""""suspect":$suspect,"verdict":"$verdict"},"""
+        s""""suspect":$suspect,"verdict":"$verdict"""" +
+        firstSweep.map(fs => s""","first_sweep":""" +
+          graft.cdc.StreamLatency.kneeJson(fs)).getOrElse("") + "},"
     println("KNEEJSON {" + controlJson +
       graft.cdc.StreamLatency.kneeJson(kn).stripPrefix("{"))
     spark.stop()

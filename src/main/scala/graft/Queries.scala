@@ -610,6 +610,161 @@ object Queries {
         |       ELSE payload END AS payload,
         |  'msg' AS event, event_type AS topic, ts AS inserted_at
         |FROM ids""".stripMargin)),
+    // The binary-payload broadcast END-TO-END (r14 verdict task 2):
+    // bytea payloads through `realtime.send_binary` semantics
+    // (…/20260603120000_add_send_binary_function.ex:8-31 — binary_payload
+    // set, payload null, extension 'broadcast') → message-log scan → the
+    // replication loop's payload pick (binary over json,
+    // replication_connection.ex:515-517) → V2 `user_broadcast` binary
+    // frame bytes (v2_serializer.ex:19-44: op=4, three one-byte sizes +
+    // enc byte, metadata = json of %{"id" => id},
+    // replication_connection.ex:425-431). Three legs keyed on the first
+    // hex digit of the row's digest:
+    //  0-3  binary only (send_binary — raw md5 bytes, NOT valid UTF-8);
+    //  4-7  binary AND a shadow json payload both set — pick_payload must
+    //       choose binary (frame bytes identical to the binary-only leg);
+    //  8-f  json only (realtime.send, id-if-absent splice applied) —
+    //       enc byte 1, payload = the spliced JSON text's UTF-8 bytes.
+    // The Spark side drives the REAL codec (encodeUserBroadcast then a
+    // decode round-trip); the oracle pins every frame byte arithmetically.
+    Q("s7_send_binary",
+      (s, d) => {
+        import s.implicits._
+        import graft.messages.BroadcastChanges
+        import graft.api.V2Frames
+        val tsLit = lit("2024-01-01 00:00:00").cast("timestamp")
+        val withH = ChangeFeed.table(s, d, "documents")
+          .withColumn("h", graft.plans.EvalOnce.of(
+            md5(concat(lit("bin:"), col("doc_id")))))
+        val genId = concat_ws("-",
+          substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12))
+        val digit = substring(col("h"), 1, 1)
+        val binDigits = Seq("0", "1", "2", "3", "4", "5", "6", "7")
+        val binLeg = BroadcastChanges.sendBinary(
+            withH.where(digit.isin(binDigits: _*)),
+            payloadCol = unhex(col("h")), eventCol = lit("bin_doc"),
+            topicCol = col("source"), idCol = genId,
+            insertedAtCol = tsLit)
+          // the both-set precedence rows: a shadow json payload the
+          // pick MUST ignore in favor of binary_payload
+          .withColumn("payload",
+            when(substring(col("id"), 1, 1).isin("4", "5", "6", "7"),
+              lit("""{"shadow":true}""")))
+        // the payload is referenced 4x inside send()'s id-if-absent
+        // splice and again by streamOut's size/status chains — fenced so
+        // CollapseProject can't inline the concat at every reference
+        // (unfenced, the fused projection's generated method read
+        // 8218 B, over the 8 kB JIT ceiling — CodegenAudit)
+        val jsonLeg = BroadcastChanges.send(
+          withH.where(!digit.isin(binDigits: _*)),
+          payloadCol = graft.plans.EvalOnce.of(
+            concat(lit("{\"v\":"), col("doc_id"), lit("}"))),
+          eventCol = lit("bin_doc"), topicCol = col("source"),
+          idCol = genId, insertedAtCol = tsLit)
+        val out = BroadcastChanges.streamOut(
+            binLeg.unionByName(jsonLeg), tenantId = "t0", maxPayloadKb = 1L)
+          .where(col("status") === "delivered")
+          .select(col("tenant_topic"), col("user_event"), col("encoding"),
+            coalesce(col("payload_binary"),
+              to_binary(col("payload_text"), lit("utf-8"))).as("body"),
+            col("metadata_id"))
+          .as[(String, String, String, Array[Byte], String)]
+        out.map { case (tt, ue, enc, body, mid) =>
+          val bytes = V2Frames.encodeUserBroadcast(tt, ue,
+            Some(s"""{"id":"$mid"}"""), payloadIsJson = enc == "json", body)
+          val f = V2Frames.decode(bytes)
+          (mid, f.topic, f.event, f.metadata, f.payload_is_json,
+            V2Frames.hexUpper(f.payload), V2Frames.hexUpper(bytes))
+        }.toDF("id", "topic", "user_event", "metadata", "payload_is_json",
+          "payload_hex", "frame_hex")
+      },
+      Some("""WITH ids AS (
+        |  SELECT doc_id, source, h,
+        |    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+        |      || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS gen_id
+        |  FROM (SELECT doc_id, source, md5('bin:' || doc_id) AS h
+        |        FROM documents)),
+        |msgs AS (
+        |  SELECT gen_id AS id, source, substr(h,1,1) >= '8' AS is_json,
+        |    CASE WHEN substr(h,1,1) >= '8'
+        |         THEN hex(encode('{"v":' || doc_id || ',"id":"' || gen_id
+        |                         || '"}'))
+        |         ELSE upper(h) END AS payload_hex
+        |  FROM ids),
+        |f AS (
+        |  SELECT id, 't0-private:' || source AS tt,
+        |    'bin_doc' AS ue, '{"id":"' || id || '"}' AS md,
+        |    is_json, payload_hex
+        |  FROM msgs)
+        |SELECT id, tt AS topic, ue AS user_event, md AS metadata,
+        |  is_json AS payload_is_json, payload_hex,
+        |  '04' || lpad(hex(octet_length(encode(tt))), 2, '0')
+        |       || lpad(hex(octet_length(encode(ue))), 2, '0')
+        |       || lpad(hex(octet_length(encode(md))), 2, '0')
+        |       || CASE WHEN is_json THEN '01' ELSE '00' END
+        |       || hex(encode(tt)) || hex(encode(ue)) || hex(encode(md))
+        |       || payload_hex AS frame_hex
+        |FROM f""".stripMargin)),
+    // realtime.send's swallow-to-WARNING arm (r14 verdict task 3,
+    // …/20260605120000_rename_broadcast_send_warning.ex): the INSERT is
+    // wrapped in `BEGIN … EXCEPTION WHEN OTHERS THEN RAISE WARNING
+    // 'WarnSendingBroadcastMessage: %', SQLERRM END` — a failed send
+    // DROPS the message and logs; the caller NEVER sees an error (the
+    // function returns void either way, hence caller_result = 'ok' on
+    // every row). Poisoned mix: ~1/7 of rows fail as an RLS denial,
+    // a further slice as the partition-create race
+    // (…/20241030150047_messages_partitioning.ex:96-128's CREATE TABLE
+    // arm) — both become WARNING side-output rows with a null payload
+    // (the insert never happened); the inserted set is `error IS NULL`
+    // with the id-if-absent splice applied as usual.
+    Q("s7_send_warning",
+      (s, d) => {
+        import graft.messages.BroadcastChanges
+        val withH = ev(s, d).withColumn("h", graft.plans.EvalOnce.of(
+          md5(concat(lit("warn:"), col("event_id")))))
+        val genId = concat_ws("-",
+          substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12))
+        val sqlerrm =
+          when(pmod(col("event_id"), lit(7)) === 0,
+            lit("new row violates row-level security policy for table " +
+              "\"messages\""))
+          .when(pmod(col("event_id"), lit(11)) === 3,
+            lit("relation \"messages_2024_01_01\" already exists"))
+        BroadcastChanges.send(withH,
+            payloadCol = concat(lit("{\"n\":"), col("user_id"), lit("}")),
+            eventCol = lit("msg"), topicCol = col("event_type"),
+            idCol = genId, insertedAtCol = col("ts"),
+            insertErrorCol = sqlerrm)
+          .select(col("id"), col("topic"), col("payload"),
+            col("error").isNull.as("inserted"), col("error"),
+            lit("ok").as("caller_result"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_id, user_id, event_type,
+        |    md5('warn:' || event_id) AS h,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |           'new row violates row-level security policy for table "messages"'
+        |         WHEN event_id % 11 = 3 THEN
+        |           'relation "messages_2024_01_01" already exists'
+        |    END AS sqlerrm
+        |  FROM events),
+        |ids AS (
+        |  SELECT *, substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+        |    substr(h,13,4) || '-' || substr(h,17,4) || '-' ||
+        |    substr(h,21,12) AS gen_id
+        |  FROM g)
+        |SELECT gen_id AS id, event_type AS topic,
+        |  CASE WHEN sqlerrm IS NULL THEN
+        |    '{"n":' || user_id || ',"id":"' || gen_id || '"}' END AS payload,
+        |  (sqlerrm IS NULL) AS inserted,
+        |  CASE WHEN sqlerrm IS NOT NULL THEN
+        |    'WarnSendingBroadcastMessage: ' || sqlerrm END AS error,
+        |  'ok' AS caller_result
+        |FROM ids""".stripMargin)),
     // The replication loop's per-tenant rate limit (`check_rate_limit`,
     // replication_connection.ex:419-421) composed into streamOut: the
     // admission verdict is a (topic, minute)-partitioned rank — the

@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
   * aggregates OVER its computed columns (seq/present/created_at reach
   * the sink), never a bare count that lets Catalyst prune the merge
   * itself out of the timed plan.
-  */
+  *
+  * ARTIFACT (r14 verdict task 6): besides the per-stage stdout lines,
+  * the probe emits ONE `PROBEJSON {…}` line carrying every stage's
+  * (rows, sec) plus the same start/end host-health control stamp the
+  * knee artifact carries ([[KneeFresh]]'s raw-floor band, calibrated at
+  * 32 cpus) — so a committed probe run is self-adjudicating: a reader
+  * sees whether the host was in-band while the numbers were taken
+  * instead of trusting COVERAGE prose. Committed runs live next to the
+  * bench artifacts (`PROBE_register_*.json`). */
 object RegisterProbe {
   def main(args: Array[String]): Unit = {
     val nClaims = if (args.nonEmpty) args(0).toLong else 10000000L
@@ -24,6 +32,16 @@ object RegisterProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val bandApplies = KneeFresh.bandAppliesFor(cpus)
+    def readHealth(): (Long, Double) = {
+      val c = graft.cdc.StreamLatency.rawFloor(spark,
+        KneeFresh.ControlRate, KneeFresh.ControlSeconds)
+      (c.rowsPerSec,
+        if (bandApplies) c.rowsPerSec.toDouble / KneeFresh.QuietBandRowsPerSec
+        else -1.0)
+    }
+    val (ctlRows, health) = readHealth()
     // ~7 nodes per group -> ~1M keys at the default; 10% of claims
     // hammer one hot group (the skew a popular channel produces)
     def claims = spark.range(nClaims).select(
@@ -43,8 +61,11 @@ object RegisterProbe {
           sum(when(col("present"), 1L).otherwise(0L)),
           sum(coalesce(col("created_at"), lit(0L)))).collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
-        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
-          f"present=${r.getLong(2)} sec=$sec%.2f")
+        if (i == 2) {
+          println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+            f"present=${r.getLong(2)} sec=$sec%.2f")
+          stages += ((name, r.getLong(0), sec))
+        }
       }
     }
     import graft.presence.Muster
@@ -90,8 +111,11 @@ object RegisterProbe {
         val r = df.agg(count(lit(1)), sum(col("emit_ms")),
           sum(when(col("claim") === "vacant", 1L).otherwise(0L))).collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
-        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
-          f"vacant=${r.getLong(2)} sec=$sec%.2f")
+        if (i == 2) {
+          println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+            f"vacant=${r.getLong(2)} sec=$sec%.2f")
+          stages += ((name, r.getLong(0), sec))
+        }
       }
     }
     timeDeb("claim_debounce")(Muster.claimDebounce(claimEvents,
@@ -123,8 +147,11 @@ object RegisterProbe {
           sum(when(col("status") === "rate_limited", 1L).otherwise(0L)))
           .collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
-        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
-          f"ok=${r.getLong(2)} rate_limited=${r.getLong(3)} sec=$sec%.2f")
+        if (i == 2) {
+          println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+            f"ok=${r.getLong(2)} rate_limited=${r.getLong(3)} sec=$sec%.2f")
+          stages += ((name, r.getLong(0), sec))
+        }
       }
     }
     timeAdm("single_admission")(graft.rates.Rates.singleAdmission(
@@ -161,13 +188,42 @@ object RegisterProbe {
         val r = df.agg(count(lit(1)), sum(col("message_id")),
           sum(when(col("status") === "ok", 1L).otherwise(0L))).collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
-        if (i == 2) println(f"[registerprobe] $name rows=${r.getLong(0)} " +
-          f"ok=${r.getLong(2)} sec=$sec%.2f")
+        if (i == 2) {
+          println(f"[registerprobe] $name rows=${r.getLong(0)} " +
+            f"ok=${r.getLong(2)} sec=$sec%.2f")
+          stages += ((name, r.getLong(0), sec))
+        }
       }
     }
     timeReplay("replay_on_join")(graft.messages.Messages.replayOnJoin(
       joinReqs, logMsgs,
       new java.sql.Timestamp(nClaims * 37L / 1000L)))
+    // end-of-run control + the one-line artifact (see scaladoc): same
+    // verdict semantics as the knee's suspect check — both control
+    // samples must be in-band for "clean", no committed-throughput
+    // comparison (the probe's stages have no single committed number;
+    // the stage table IS the claim, the stamp says whether to trust it)
+    val (ctlEndRows, healthEnd) = readHealth()
+    val verdict =
+      if (!bandApplies) "unbanded"
+      else if (math.min(health, healthEnd) < KneeFresh.HealthSuspect)
+        "suspect"
+      else "clean"
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val stageJson = stages.map { case (n, rows, sec) =>
+      s"""{"name":"$n","rows":$rows,"sec":${f3(sec)}}"""
+    }.mkString("[", ",", "]")
+    println("PROBEJSON {" +
+      s""""probe":"register","n_claims":$nClaims,"n_groups":$nGroups,""" +
+      s""""cpus":"$cpus","control":{""" +
+      s""""raw_rows_per_sec":$ctlRows,""" +
+      s""""raw_rows_per_sec_end":$ctlEndRows,""" +
+      s""""quiet_band_rows_per_sec":${KneeFresh.QuietBandRowsPerSec},""" +
+      s""""host_health":${f3(health)},""" +
+      s""""host_health_end":${f3(healthEnd)},""" +
+      s""""verdict":"$verdict"},""" +
+      s""""stages":$stageJson}""")
     spark.stop()
   }
 }

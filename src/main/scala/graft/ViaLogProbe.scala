@@ -57,7 +57,13 @@ object ViaLogProbe {
       if (again > h0) h0 = again
     }
     println(f"[vialog] host_health_start=$h0%.3f cooldown_retries=$retries")
-    for (rate <- Seq(320000, 640000, 1280000, 2560000); parts <- Seq(8, 32)) {
+    // default grid refined r15 (verdict task 4): the r14 claim read
+    // "ceiling between 640k and 1.28M" — the 768k/896k/1M points turn
+    // the range into a number. Arg override: pass explicit rates.
+    val rates =
+      if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(320000, 640000, 768000, 896000, 1000000, 1280000)
+    for (rate <- rates; parts <- Seq(8, 32)) {
       System.gc(); Thread.sleep(200L)
       val topic = s"vl-$rate-$parts-" + System.nanoTime()
       val r = graft.cdc.StreamLatency.run(spark, rate, 6, 100L, 2,

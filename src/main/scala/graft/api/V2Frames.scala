@@ -55,6 +55,17 @@ object V2Frames {
       payload_is_json: Boolean,
       payload: Array[Byte])
 
+  /** Uppercase hex of a byte array — frame-byte pinning for oracles
+    * (matches both Spark's and DuckDB's `hex()` casing). */
+  def hexUpper(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach { x =>
+      sb.append(java.lang.Character.forDigit((x >> 4) & 0xf, 16).toUpper)
+      sb.append(java.lang.Character.forDigit(x & 0xf, 16).toUpper)
+    }
+    sb.toString
+  }
+
   private def sized(s: String, kind: String): Array[Byte] = {
     if (s == null) Array.emptyByteArray
     else {

@@ -79,25 +79,47 @@ object BroadcastChanges {
         lit(",\"id\":"), idJson, lit("}")))
   }
 
+  /** The swallow-to-WARNING prefix of realtime.send/send_binary's error
+    * rows (…/20260605120000_rename_broadcast_send_warning.ex: `RAISE
+    * WARNING 'WarnSendingBroadcastMessage: %', SQLERRM`). */
+  val SendWarningPrefix = "WarnSendingBroadcastMessage: "
+
   /** `realtime.send(payload, event, topic, private)` itself
     * (…/20251103001201…:8-37): one messages row per input with
     * `extension = 'broadcast'` and the id-if-absent splice applied to
     * the payload. The reference's `gen_random_uuid()` is the
     * caller-provided `idCol` — a deterministic id keeps the model
-    * oracle-replayable; at scale a `uuid()` column is the drop-in. */
+    * oracle-replayable; at scale a `uuid()` column is the drop-in.
+    *
+    * Swallow-to-WARNING arm
+    * (…/20260605120000_rename_broadcast_send_warning.ex): the reference
+    * wraps the INSERT in `BEGIN … EXCEPTION WHEN OTHERS THEN RAISE
+    * WARNING 'WarnSendingBroadcastMessage: %', SQLERRM END` — a failed
+    * insert DROPS the message and logs; the caller (a trigger, a user
+    * statement) never sees an error. `insertErrorCol` is the modeled
+    * SQLERRM (an RLS denial, a constraint, a partition race — whatever
+    * the deployment's insert can throw): where non-null the row becomes
+    * a WARNING side-output row (`error = 'WarnSendingBroadcastMessage:
+    * <sqlerrm>'`, null payload — the insert never happened), and the
+    * inserted set is `error IS NULL` — the same in-band error-channel
+    * pattern as [[graft.pipeline.Multimodal]]'s extractFeaturesSafe. */
   def send(rows: DataFrame, payloadCol: Column, eventCol: Column,
       topicCol: Column, idCol: Column, insertedAtCol: Column,
-      privateFlag: Boolean = true): DataFrame =
+      privateFlag: Boolean = true,
+      insertErrorCol: Column = lit(null).cast("string")): DataFrame = {
+    val failed = insertErrorCol.isNotNull
     rows.select(
       idCol.as("id"),
-      spliceIdIfAbsent(payloadCol, idCol).as("payload"),
+      when(!failed, spliceIdIfAbsent(payloadCol, idCol)).as("payload"),
       lit(null).cast("binary").as("binary_payload"),
       eventCol.as("event"),
       topicCol.as("topic"),
       lit(privateFlag).as("private"),
       lit("broadcast").as("extension"),
       insertedAtCol.as("inserted_at"),
-      lit(null).cast("string").as("error"))
+      when(failed, concat(lit(SendWarningPrefix), insertErrorCol))
+        .as("error"))
+  }
 
   /** `realtime.broadcast_changes` + `realtime.send` over a change batch:
     * shape the payload and emit message rows. Input columns: `id`,
@@ -144,23 +166,31 @@ object BroadcastChanges {
       when(!opOk, lit("unexpected_operation")).as("error"))
   }
 
-  /** `realtime.send_binary`: bytea payload into messages rows. A null
-    * payload is the reference's swallowed-warning case — the row is
-    * DROPPED (filter), matching "RAISE WARNING … END" never inserting. */
+  /** `realtime.send_binary`: bytea payload into messages rows
+    * (…/20260603120000_add_send_binary_function.ex:8-31). A null payload
+    * is the modeled swallowed-warning case — the row is DROPPED (filter),
+    * matching "RAISE WARNING … END" never inserting; `insertErrorCol`
+    * models any OTHER insert failure the same way (see [[send]]'s
+    * swallow-to-WARNING contract — same `BEGIN … EXCEPTION` wrapper in
+    * the reference's bytea variant). */
   def sendBinary(rows: DataFrame, payloadCol: Column, eventCol: Column,
       topicCol: Column, idCol: Column, insertedAtCol: Column,
-      privateFlag: Boolean = true): DataFrame =
+      privateFlag: Boolean = true,
+      insertErrorCol: Column = lit(null).cast("string")): DataFrame = {
+    val failed = insertErrorCol.isNotNull
     rows.select(
       idCol.as("id"),
       lit(null).cast("string").as("payload"),
-      payloadCol.as("binary_payload"),
+      when(!failed, payloadCol).as("binary_payload"),
       eventCol.as("event"),
       topicCol.as("topic"),
       lit(privateFlag).as("private"),
       lit("broadcast").as("extension"),
       insertedAtCol.as("inserted_at"),
-      lit(null).cast("string").as("error"))
-      .where(col("binary_payload").isNotNull)
+      when(failed, concat(lit(SendWarningPrefix), insertErrorCol))
+        .as("error"))
+      .where(col("binary_payload").isNotNull || col("error").isNotNull)
+  }
 
   /** The replication-connection outbound loop over messages rows →
     * broadcast frames: `(tenant_topic, user_event, encoding,

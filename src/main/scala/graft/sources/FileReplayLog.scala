@@ -191,6 +191,55 @@ object FileReplayLog {
       p -> new File(new File(root, topic), s"p$p.idx").length / 8L
     }.toMap
 
+  private def trimFile(dir: File, p: Int) = new File(dir, s"p$p.trim")
+
+  /** Oldest RETAINED offset of a partition — 0 until retention has
+    * trimmed. The marker is an 8-byte big-endian sidecar
+    * (`p<N>.trim`): offsets below it are unreachable through [[read]]
+    * even though their bytes still sit in the single-file .log (at
+    * scale the log would be segment files and the pre-trim segments
+    * would be unlinked — the single-file layout keeps the bytes but
+    * the ADDRESSING contract is identical). */
+  def beginningOffset(root: String, topic: String, partition: Int): Long = {
+    val f = trimFile(new File(root, topic), partition)
+    if (!f.exists() || f.length < 8L) 0L
+    else {
+      val raf = new RandomAccessFile(f, "r")
+      try raf.readLong() finally raf.close()
+    }
+  }
+
+  /** Oldest retained offset per partition. */
+  def beginningOffsets(root: String, topic: String): Map[Int, Long] =
+    partitions(root, topic)
+      .map(p => p -> beginningOffset(root, topic, p)).toMap
+
+  /** The slot-overflow watchdog — the `max_slot_wal_keep_size` analog
+    * (the reference's WAL-bloat integration,
+    * test/integration/rt_channel/wal_bloat_test.exs:22-33,78-160: a
+    * 32 MB slot cap under a 1 GB WAL burst invalidates the slot and the
+    * replication connection redials past the gap). Advances each
+    * partition's beginning so at most `maxRecords` PUBLISHED records
+    * stay retained, REGARDLESS of any consumer's cursor — retention is
+    * the broker/database's decision, exactly what makes the contract
+    * at-most-once once a consumer stalls past it. Returns the new
+    * beginnings; a consumer whose committed cursor fell below its
+    * partition's beginning resumes at the beginning with the gap
+    * COUNTED (see [[SocketRelay.Server.lostTotal]]). */
+  def enforceRetention(root: String, topic: String,
+      maxRecords: Long): Map[Int, Long] = {
+    val dir = new File(root, topic)
+    endOffsets(root, topic).map { case (p, end) =>
+      val begin = beginningOffset(root, topic, p)
+      val target = math.max(begin, end - maxRecords)
+      if (target > begin) {
+        val raf = new RandomAccessFile(trimFile(dir, p), "rw")
+        try { raf.seek(0L); raf.writeLong(target) } finally raf.close()
+      }
+      p -> target
+    }
+  }
+
   /** Bulk-read chunk bound (bytes). The bulk body read buffers a span
     * of the .log file in heap; an UNBOUNDED span both risks the Int
     * cast (a caller-sized range whose records span > 2 GiB would wrap
@@ -225,7 +274,10 @@ object FileReplayLog {
     val logFile = new File(dir, s"p$partition.log")
     if (!idxFile.exists()) return Nil
     val published = idxFile.length / 8L
-    val lo = math.max(from, 0L)
+    // retention clamp: offsets below the trim marker are gone (the
+    // slot-overflow contract — see enforceRetention); callers that need
+    // to DETECT the clamp compare against beginningOffset first
+    val lo = math.max(from, beginningOffset(root, topic, partition))
     val hi = math.min(until, published)
     if (lo >= hi) return Nil
     val count = (hi - lo).toInt

@@ -57,6 +57,20 @@ object SocketRelay {
     /** Last ACK status per partition (the consumer's flushed cursor),
       * like the replication connection's status updates. */
     @volatile var lastAck: Map[Int, Long] = Map.empty
+    /** Slot-overflow loss telemetry (the at-most-once contract made
+      * VISIBLE): total records that retention removed below a
+      * consumer's COMMITTED cursor — counted once per reconnect, at
+      * TAIL time, from the cursor the client named (the slot's
+      * confirmed-LSN analog, the durable truth). A mid-serve trim
+      * overrun still emits the GAP frame (the live stream must jump,
+      * and the consumer sees the jump), but only the redial's committed
+      * cursor is counted here: the in-flight serve cursor is send
+      * progress, not a commitment, and counting it would double-book
+      * the same records when the consumer redials. Monotonic across
+      * connections. */
+    @volatile var lostTotal: Long = 0L
+    /** Per-partition breakdown of [[lostTotal]]. */
+    @volatile var lostByPartition: Map[Int, Long] = Map.empty
 
     private val thread = new Thread(() => acceptLoop(), "socket-relay")
     def start(): this.type = {
@@ -108,10 +122,43 @@ object SocketRelay {
       acks.start()
       val out = new DataOutputStream(
         new BufferedOutputStream(sock.getOutputStream, SockBuf))
+      // partitions whose TAIL-time slot-overflow check already ran on
+      // this connection (see the telemetry note in the serve loop)
+      val gapChecked = scala.collection.mutable.Set.empty[Int]
       while (running && !sock.isClosed) {
         var progressed = false
         FileReplayLog.partitions(root, topic).foreach { p =>
-          val from = cursors.getOrElse(p, 0L)
+          var from = cursors.getOrElse(p, 0L)
+          // slot overflow (the WAL-bloat reconnect,
+          // wal_bloat_test.exs:78-160): the cursor fell below the
+          // oldest RETAINED offset — the records in the gap are GONE
+          // (retention is the broker's decision, not the consumer's).
+          // Resume at the oldest retained cursor and tell the consumer
+          // with a GAP control frame — silent resumption would let an
+          // at-most-once loss masquerade as a complete stream. The loss
+          // TELEMETRY counts only the TAIL-time check (this
+          // connection's first look at p): that cursor is the client's
+          // committed position; a later mid-serve overrun is measured
+          // against in-flight send progress, which the consumer never
+          // committed — it re-reports through its own redial.
+          val begin = FileReplayLog.beginningOffset(root, topic, p)
+          if (from < begin) {
+            val lost = begin - from
+            if (!gapChecked.contains(p)) {
+              lostTotal += lost
+              lostByPartition = lostByPartition
+                .updated(p, lostByPartition.getOrElse(p, 0L) + lost)
+            }
+            out.writeInt(-2 - p) // GAP marker for partition p
+            out.writeLong(begin) // resume cursor (oldest retained)
+            out.writeLong(lost)  // counted gap
+            out.writeInt(0)
+            out.flush()
+            from = begin
+            cursors(p) = begin
+            progressed = true
+          }
+          gapChecked += p
           val recs = FileReplayLog.read(root, topic, p, from, from + Chunk)
           if (recs.nonEmpty) {
             progressed = true
@@ -153,10 +200,22 @@ object SocketRelay {
   /** One received frame (value bytes dropped after length accounting —
     * the consumer-side audit needs identity and size, not payload).
     * `partition == -1` is a heartbeat/keepalive, sent when the relay is
-    * caught up. */
+    * caught up. `partition <= -2` is a slot-overflow GAP control frame
+    * for partition `-partition - 2`: `offset` is the resume cursor (the
+    * oldest retained offset) and `timestampMs` carries the COUNTED gap
+    * (records lost to retention while the consumer was stalled — the
+    * at-most-once contract of a replication-slot reconnect past
+    * `max_slot_wal_keep_size`, wal_bloat_test.exs:78-160). */
   final case class Frame(partition: Int, offset: Long, timestampMs: Long,
       valueLen: Int) {
     def isHeartbeat: Boolean = partition == -1
+    def isGap: Boolean = partition <= -2
+    /** The data partition a GAP frame applies to. */
+    def gapPartition: Int = -partition - 2
+    /** A GAP frame's resume cursor — the oldest retained offset. */
+    def resumeOffset: Long = offset
+    /** A GAP frame's counted loss. */
+    def lostCount: Long = timestampMs
   }
 
   /** Blocking client: dial, send cursors, read frames one at a time.

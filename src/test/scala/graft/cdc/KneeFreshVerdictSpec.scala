@@ -71,12 +71,46 @@ class KneeFreshVerdictSpec extends AnyFunSuite {
       KneeFresh.CommittedKneeRate))
   }
 
-  test("a HEALTHY host reading below the committed knee is clean: a " +
-      "trustworthy measurement of a real regression must not be hidden " +
-      "behind a derated stamp") {
+  test("the r14 driver artifact (320k at 1.203 -> 1.135, healthy) " +
+      "triggers the low-reading retry — a healthy-host low is a " +
+      "transient until confirmed twice") {
+    assert(KneeFresh.shouldRetryLow(bandApplies = true, 1.203, 1.135,
+      320000))
+    // the old marginal-only predicate correctly does NOT fire here —
+    // the unified one subsumes it
+    assert(!KneeFresh.shouldRetryMarginal(bandApplies = true, 1.203, 1.135,
+      320000))
+  }
+
+  test("healthy-low-retry-confirms: the re-run meeting the committed " +
+      "knee stamps clean (the first low was the transient)") {
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 1.1, 1.05,
+      KneeFresh.CommittedKneeRate) == "clean")
+    assert(!KneeFresh.shouldRetryLow(bandApplies = true, 1.1, 1.05,
+      KneeFresh.CommittedKneeRate))
+  }
+
+  test("healthy-low-persists: a healthy host confirmed low on the " +
+      "second sweep stamps regression — a real capability loss, " +
+      "distinct from both derated and clean") {
     assert(KneeFresh.kneeVerdict(bandApplies = true, 0.95, 1.1,
-      320000) == "clean")
-    assert(!KneeFresh.shouldRetryMarginal(bandApplies = true, 0.95, 1.1,
+      320000) == "regression")
+    assert(KneeFresh.kneeVerdict(bandApplies = true, 1.203, 1.135,
+      320000) == "regression")
+  }
+
+  test("the marginal band still retries under the unified predicate") {
+    assert(KneeFresh.shouldRetryLow(bandApplies = true, 0.798, 1.101,
+      320000))
+    assert(!KneeFresh.shouldRetryLow(bandApplies = true, 0.798, 1.101,
+      KneeFresh.CommittedKneeRate))
+  }
+
+  test("suspect hosts never take the low-reading retry (their start " +
+      "path already spent the cool-down budget)") {
+    assert(!KneeFresh.shouldRetryLow(bandApplies = true, 0.5, 1.1,
+      320000))
+    assert(!KneeFresh.shouldRetryLow(bandApplies = false, -1.0, -1.0,
       320000))
   }
 
@@ -99,8 +133,10 @@ class KneeFreshVerdictSpec extends AnyFunSuite {
     assert(!KneeFresh.marginalBand(bandApplies = true, 2.0, M))
     assert(KneeFresh.kneeVerdict(bandApplies = true, S, S,
       320000) == "derated")
+    // at exactly the marginal edge the host counts as healthy, so a
+    // confirmed-low reading is a regression, not a derate
     assert(KneeFresh.kneeVerdict(bandApplies = true, M, M,
-      320000) == "clean")
+      320000) == "regression")
     // one marginal sample suffices (the min folds it in), even when the
     // other end recovered past healthy
     assert(KneeFresh.kneeVerdict(bandApplies = true, 1.2, 0.85,

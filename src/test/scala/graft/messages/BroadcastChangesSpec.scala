@@ -135,6 +135,69 @@ class BroadcastChangesSpec extends SparkSpec {
     ReplayLog.delete(topic)
   }
 
+  test("send: swallow-to-WARNING arm (…20260605120000_rename_broadcast_" +
+      "send_warning.ex) — a failed insert becomes a WARNING side row, " +
+      "the caller never sees an error") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"a":1}""", "roomW", null: String),
+      (2L, """{"a":2}""", "roomW",
+        "new row violates row-level security policy"),
+      (3L, """{"a":3}""", "roomW", null: String))
+      .toDF("rid", "body", "chan", "sqlerrm")
+    val out = BroadcastChanges.send(rows,
+      payloadCol = col("body"), eventCol = lit("msg"),
+      topicCol = col("chan"), idCol = col("rid").cast("string"),
+      insertedAtCol = lit("2024-01-01 00:00:00").cast("timestamp"),
+      insertErrorCol = col("sqlerrm")).collect().sortBy(_.getString(0))
+    // void return: every input produced exactly one row — no throw
+    assert(out.length == 3, "the caller sees every send complete")
+    val warned = out(1)
+    assert(warned.getAs[String]("error") ==
+      BroadcastChanges.SendWarningPrefix +
+        "new row violates row-level security policy")
+    assert(warned.getAs[String]("payload") == null,
+      "the insert never happened — no payload on the warning row")
+    // the inserted set is error IS NULL, splice applied as usual
+    val inserted = out.filter(_.getAs[String]("error") == null)
+    assert(inserted.length == 2)
+    assert(inserted.forall(r =>
+      r.getAs[String]("payload").endsWith(s""","id":"${r.getString(0)}"}""")))
+  }
+
+  test("binary_payload wins over payload (pick_payload, replication_" +
+      "connection.ex:515-517) and frames as V2 user_broadcast with " +
+      "enc byte 0") {
+    import spark.implicits._
+    import graft.api.V2Frames
+    val bin = Array[Byte](0, -1, 127, -128, 42) // not valid UTF-8
+    val both = Seq((7L, """{"shadow":true}""", "roomB"))
+      .toDF("id", "payload", "topic")
+      .select(col("id"), col("payload"),
+        lit(bin).as("binary_payload"), lit("ev").as("event"),
+        col("topic"), lit(true).as("private"),
+        lit("broadcast").as("extension"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("inserted_at"))
+    val f = BroadcastChanges.streamOut(both, "t0", 1L).collect().head
+    assert(f.getAs[String]("status") == "delivered")
+    assert(f.getAs[String]("encoding") == "binary",
+      "both set → binary wins")
+    assert(f.getAs[String]("payload_text") == null,
+      "the json payload is NOT what travels")
+    assert(f.getAs[Array[Byte]]("payload_binary").toSeq == bin.toSeq)
+    // the frame the serializer would emit: enc byte 0, payload verbatim
+    val frame = V2Frames.encodeUserBroadcast(
+      f.getAs[String]("tenant_topic"), f.getAs[String]("user_event"),
+      Some(s"""{"id":"${f.getAs[Long]("metadata_id")}"}"""),
+      payloadIsJson = false, f.getAs[Array[Byte]]("payload_binary"))
+    assert(frame(0) == 4, "opcode user_broadcast")
+    assert(frame(4) == 0, "enc byte 0 = raw binary")
+    val dec = V2Frames.decode(frame)
+    assert(!dec.payload_is_json)
+    assert(dec.payload.toSeq == bin.toSeq)
+    assert(dec.topic == "t0-private:roomB")
+  }
+
   test("loop requires id/topic/event/private/inserted_at: first missing " +
       "field names the error, reference check order") {
     import spark.implicits._

@@ -99,6 +99,89 @@ class SocketRelaySpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("slot overflow: a stalled consumer whose producer outran " +
+      "retention redials into a GAP frame — resume at the oldest " +
+      "RETAINED cursor, loss counted, at-most-once made visible " +
+      "(wal_bloat_test.exs:78-160 analog)") {
+    val root = tmp(); val topic = "t"
+    fill(root, topic, parts = 1, perPart = 50)
+    val server = new SocketRelay.Server(root, topic).start()
+    try {
+      var client = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map.empty)
+      // consume 30, commit at 30, stall (abrupt drop — the reference's
+      // replication process dying under WAL bloat)
+      var seen = 0L
+      while (seen < 30) {
+        val f = client.next().get
+        if (!f.isHeartbeat) { assert(f.offset == seen); seen += 1 }
+      }
+      client.close()
+      // producer outruns retention during the stall: 150 more records,
+      // then the max_slot_wal_keep_size watchdog retains only the last
+      // 80 — the oldest retained offset (120) is PAST the committed
+      // cursor (30)
+      (50 until 200).foreach(i => FileReplayLog.append(root, topic, 0,
+        s"k0-$i", s"v0-$i".getBytes(UTF_8), i.toLong))
+      FileReplayLog.publish(root, topic)
+      val begins = FileReplayLog.enforceRetention(root, topic, 80L)
+      assert(begins == Map(0 -> 120L))
+      assert(FileReplayLog.beginningOffsets(root, topic) == Map(0 -> 120L))
+      // end offsets are untouched — retention trims the HEAD only
+      assert(FileReplayLog.endOffsets(root, topic) == Map(0 -> 200L))
+      // a direct read below the beginning clamps to the retained suffix
+      val clamped = FileReplayLog.read(root, topic, 0, 30L, 125L)
+      assert(clamped.map(_.offset) == (120L until 125L))
+      // redial with the committed cursor: FIRST frame is the GAP
+      // control frame naming the resume cursor and the counted loss
+      client = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> 30L))
+      val gap = Iterator.continually(client.next().get)
+        .dropWhile(_.isHeartbeat).next()
+      assert(gap.isGap, s"expected a GAP frame, got $gap")
+      assert(gap.gapPartition == 0)
+      assert(gap.resumeOffset == 120L)
+      assert(gap.lostCount == 90L, "records 30..119 are gone: 90 lost")
+      // the stream then resumes at the oldest retained offset, in order
+      var expect = 120L
+      while (expect < 200L) {
+        val f = client.next().get
+        if (!f.isHeartbeat) {
+          assert(!f.isGap, "exactly one GAP per overflow")
+          assert(f.offset == expect)
+          expect += 1
+        }
+      }
+      client.close()
+      // server-side loss telemetry carries the same count
+      assert(server.lostTotal == 90L)
+      assert(server.lostByPartition == Map(0 -> 90L))
+    } finally {
+      server.stop()
+      FileReplayLog.delete(root, topic)
+    }
+  }
+
+  test("retention never trims below an already-trimmed beginning and " +
+      "is a no-op when the retained window is under the cap") {
+    val root = tmp(); val topic = "t"
+    fill(root, topic, parts = 2, perPart = 10)
+    try {
+      // under the cap: no trim marker written
+      assert(FileReplayLog.enforceRetention(root, topic, 100L) ==
+        Map(0 -> 0L, 1 -> 0L))
+      assert(FileReplayLog.beginningOffsets(root, topic) ==
+        Map(0 -> 0L, 1 -> 0L))
+      // trim to last 4, then a LOOSER cap must not move the marker back
+      assert(FileReplayLog.enforceRetention(root, topic, 4L) ==
+        Map(0 -> 6L, 1 -> 6L))
+      assert(FileReplayLog.enforceRetention(root, topic, 8L) ==
+        Map(0 -> 6L, 1 -> 6L))
+      assert(FileReplayLog.read(root, topic, 0, 0L, 100L).map(_.offset)
+        == (6L until 10L))
+    } finally FileReplayLog.delete(root, topic)
+  }
+
   test("ACK status lines reach the server; heartbeats flow when caught " +
       "up; late publishes resume the stream on the same connection") {
     val root = tmp(); val topic = "t"
