@@ -8,22 +8,29 @@ import org.apache.spark.sql.SparkSession
   * and band as [[KneeFresh]], with cooldown retries — r14: an unstamped
   * grid on a 0.67-health box read half the seam with nothing saying so).
   *
-  * Current findings (r14, superseding the r11 scaladoc's "320k only,
-  * 640k fails at any partition count on per-record produce cost" —
-  * that mechanism was removed by the r12 chunked produce staging +
-  * r13 bulk body read):
-  *  - 640k/s SUSTAINS at 32 partitions on an in-band host (r14 run at
-  *    health 0.975→1.126: p99 999 ms; the r13 judge's quiet-host probe:
-  *    640k at BOTH 8 and 32 partitions, p99 907/931) and is
-  *    boundary-marginal at 8 partitions (r14: p99 1,193) — the 640k
-  *    point flips on host state within a ~20% band, exactly like the
-  *    in-memory knee's 1.28M point.
-  *  - the grid TOPS OUT at real failures, not a cap: 1.28M reads p99
-  *    5.5–24 s and 2.56M p99 18–46 s — while delivered == sent at
-  *    every point, so the durable seam in this range is LATENCY-
-  *    bounded (micro-batches queueing behind the produce), never
-  *    throughput-bounded/lossy; the SLO ceiling sits between 640k and
-  *    1.28M.
+  * CURRENT FINDING — the measured SLO ceiling (r15, refined grid
+  * 320k/640k/768k/896k/1M/1.28M × {8, 32} on an in-band host, health
+  * 1.046 → 1.276, committed as `PROBE_vialog_r15.json`): **768k/s at
+  * 32 partitions** (p99 988 ms, inside the 1 s SLO; 640k reads p99
+  * 780/801 at 32/8). The first FAILING point is 896k (p99 1,329 at 32
+  * parts, 1,291 at 8); 1M reads 1,291/1,385 and 1.28M 2,921/2,289 —
+  * and `delivered == sent` at EVERY point through 1.28M, so the
+  * durable seam is LATENCY-bounded (micro-batches queueing behind the
+  * produce), never throughput-bounded or lossy. Partition width
+  * matters only at the boundary: 768k sustains at 32 partitions and
+  * fails at 8 (p99 1,583) — below 768k the two widths read within
+  * noise of each other. This supersedes the r14 claim "ceiling
+  * between 640k and 1.28M".
+  *
+  * History: r11's "320k only" ceiling was the per-record produce cost,
+  * removed by the r12 chunked produce staging + r13 bulk body read
+  * (640k then sustained, r13-r14). Grid-artifact caveat the r15 run
+  * exposed: the points run ASCENDING, and an unwarmed via-log path
+  * taxed the first rows (320k read p99 1,094/1,195 "unsustained" while
+  * the same session's warm in-suite via_log point read 320k p99 516
+  * sustained) — the warmup block now exercises the durable sink before
+  * the grid.
+  *
   * Run on a QUIET host (fresh JVM, nothing else on the box) — and
   * trust the printed health stamps over the assumption. */
 object ViaLogProbe {
@@ -35,6 +42,16 @@ object ViaLogProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.cdc.StreamLatency.run(spark, 1000, 3, 100L, 1) // warm
+    // warm the VIA-LOG path too (r15): the grid runs ascending, so an
+    // unwarmed durable-produce path taxes the first points — the r15
+    // grid's 320k rows read p99 1094/1195 (unsustained) while the SAME
+    // session's warm in-suite via_log point read 320k p99 516 sustained
+    locally {
+      val wt = "vl-warm-" + System.nanoTime()
+      graft.cdc.StreamLatency.run(spark, 1000, 3, 100L, 1,
+        viaLog = Some((wt, 8)))
+      graft.sources.ReplayLog.delete(wt)
+    }
     // host-health control (same band as [[KneeFresh]]): the seam grid is
     // only meaningful on a quiet host, and "quiet" must be attested, not
     // assumed — r13's driver grid read half the quiet-host seam on a
