@@ -560,15 +560,33 @@ object Dedup {
     * near-dup edges, deterministic), `n_cluster`, and `is_survivor`
     * (the canonical minimum member).
     *
-    * Algorithm: min-label propagation to fixpoint — labels start as the
-    * vertex id; each round every vertex takes the min of its own label
-    * and its neighbors' labels; stop when a round changes nothing. Each
-    * round is one join + one partial-aggregated groupBy on the vertex
-    * id; rounds needed = cluster diameter (near-dup clusters are
-    * shallow — dup groups are near-cliques). Driver coordination is one
-    * `count()` per round (iterative graph algorithms are driver-paced by
-    * nature); lineage is truncated with a local checkpoint every few
-    * rounds so round N's plan doesn't embed rounds 1..N-1 (the classic
+    * Algorithm (scale path): alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting — the MapReduce connected-components algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14): each round, large-star connects every node's
+    * strictly-larger neighbors to the minimum of its closed
+    * neighborhood, small-star connects the smaller neighbors (and the
+    * node) to that minimum; the edge set converges to per-component
+    * stars centered at the component MINIMUM in O(log² n) rounds on
+    * ANY graph (O(log n) in practice). The round bound is a real
+    * 100 TB hazard, not theory: the previous implementation was plain
+    * min-label propagation — one edge-hop per round, O(diameter)
+    * rounds — which is fine on near-dup CLIQUES (diameter 1–2) but a
+    * CHAINED dup family (templated pages drifting A~B~C~… with A≁C,
+    * exactly what boilerplate evolution produces at corpus scale) has
+    * unbounded diameter. The r15 DedupProbe caught it: on a 100k-doc
+    * corpus whose near-dup graph chained into 119 large components,
+    * propagation was still ~20k labels short of converging after 25
+    * rounds (~250 s; a Shiloach–Vishkin label-jump variant stalled the
+    * same way — label shortcuts don't help when the stall is a
+    * local-minimum node, only edge rewiring does); large-star/
+    * small-star converges the same graph in 9 rounds / 37 s with
+    * byte-identical labels to a single-process union-find. Each round
+    * is two grouped minima + two joins + a distinct; convergence is an
+    * exact set comparison (count + one-direction anti-join). Driver
+    * coordination is one count per round (iterative graph algorithms
+    * are driver-paced by nature); lineage is truncated every round so
+    * round N's plan doesn't embed rounds 1..N-1 (the classic
     * iterative-Spark OOM). Nothing vertex- or edge-sized ever reaches
     * the driver. */
   def connectedComponents(
@@ -637,48 +655,79 @@ object Dedup {
         .select(col("id"),
           coalesce(col("label"), col("id")).as("cluster_id"))
     }
-    // symmetrize for propagation (every round joins these; built from the
-    // cached projection, cache ownership: session loop's clearCache)
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    var persisted = vertices
-      .select(col(idCol).as("id"), col(idCol).as("label")).persist()
-    var labels = persisted
+    // large-star: for every node u (over the symmetrized adjacency),
+    // connect each strictly-larger neighbor to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: direct every edge large→small; for every node u,
+    // connect its smaller neighbors (and u itself) to m = min(N(u)∪{u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = dir.groupBy("src").agg(min("dst").as("m"))
+      val withM = dir.join(mins, "src")
+      withM.where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var cur = e0.where(col("src") =!= col("dst")).distinct().persist()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label")).count()
-      persisted.unpersist()
-      persisted = next
-      // every 5th round, reset the Catalyst lineage by rebuilding the
-      // frame from the persisted round's RDD — round N's plan would
-      // otherwise embed rounds 1..N-1 (the iterative-Spark planning
-      // blow-up). Unlike localCheckpoint, the cache stays CATALOG-owned:
-      // the session loop's clearCache drops everything, and recompute
-      // after eviction still works (the RDD reads through the
-      // InMemoryRelation, whose child plan remains intact).
-      labels =
-        if (i % 5 == 4) spark.createDataFrame(next.rdd, next.schema)
-        else next
+      val ls = largeStar(cur).persist()
+      // reset the Catalyst lineage EVERY round by rebuilding the frame
+      // from the round's persisted RDD — round N's plan would otherwise
+      // embed rounds 1..N-1 (the iterative-Spark planning blow-up; an
+      // amortized every-5th-round reset let the explain string alone
+      // OOM the test JVM). Unlike localCheckpoint, the cache stays
+      // CATALOG-owned: the session loop's clearCache drops everything,
+      // and recompute after eviction still works (the RDD reads through
+      // the InMemoryRelation, whose child plan remains intact).
+      val ss0 = smallStar(ls).persist()
+      val next = spark.createDataFrame(ss0.rdd, ss0.schema).persist()
+      // materialize next's OWN cache while ls/ss0 are still cached —
+      // dropping them first would make every later read of `next`
+      // cascade a recompute through the whole round chain
+      val nNext = next.count()
+      // exact convergence: small-star output is canonical (big → small,
+      // distinct), so equal counts + an empty one-direction anti-join
+      // prove set equality
+      val prevCanon = cur.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst")).distinct()
+      changed =
+        if (nNext != prevCanon.count()) 1L
+        else next.exceptAll(prevCanon).limit(1).count()
+      ls.unpersist(); ss0.unpersist()
+      cur.unpersist()
+      cur = next
       i += 1
     }
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — cluster_ids are incomplete " +
-          "for clusters with diameter > maxIters; raise maxIters")
-    // the symmetrized edge cache served only the propagation rounds; the
-    // converged labels are materialized, so release it here rather than
-    // deferring to the session loop (recompute after eviction still
-    // works — the lazy edge plan is intact, just uncached)
-    sym.unpersist(); e0.unpersist()
-    labels.withColumnRenamed("label", "cluster_id")
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "cluster_ids are incomplete for some components; raise maxIters")
+    // at convergence the edge set is per-component stars (node → its
+    // component minimum): labels = star target, roots and singleton
+    // vertices label themselves
+    val labels = vertices.select(col(idCol).as("id"))
+      .join(cur.select(col("src").as("id"), col("dst").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .persist()
+    labels.count() // eager-labels contract (see the fast path above)
+    cur.unpersist(); e0.unpersist()
+    labels
   }
 
   /** Near-dup clusters + survivor flag over any pair list (minhash,

@@ -151,6 +151,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("iterative path (cap=0): a diameter-199 chain converges within " +
+      "O(log D) rounds — star rewiring, not O(D) propagation") {
+    val n = 200L
+    val verts = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    // plain min-label propagation needs 199 rounds here; large-star/
+    // small-star must land inside 12 (log² bound, log2(199) ≈ 7.6 plus
+    // slack). maxIters is the assertion: an unconverged run leaves
+    // labels != 0 mid-chain.
+    val got = Dedup.connectedComponents(verts, "id", edges, "a", "b",
+        maxIters = 12, smallGraphEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n.toInt)
+    assert(got.values.forall(_ == 0L),
+      s"chain must fully collapse to 0 within 12 rounds: " +
+        got.filter(_._2 != 0L).take(5).toString)
+  }
+
+  test("iterative path (cap=0) ≡ union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(271)
+    val n = 30
+    val edges = (0 until 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Dedup.connectedComponents(
+        (0L until n.toLong).toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", smallGraphEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("nearDupClusters marks survivors and sizes") {
     val docsDF2 = Seq(
       (10L, "x"), (11L, "x"), (12L, "x"), (20L, "y"), (30L, "z"))
