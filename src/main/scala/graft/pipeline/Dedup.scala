@@ -787,6 +787,13 @@ object Dedup {
       .join(blocks.select(col("blk").as("bi"), col("vecs").as("va")), Seq("bi"))
       .join(blocks.select(col("blk").as("bj"), col("vecs").as("vb")), Seq("bj"))
       .select(col("bi"), col("bj"), col("va"), col("vb"))
+      // spread cells across tasks: the join leaves the output partitioned
+      // by its key (bj), so all of a column's cells run SERIALLY in one
+      // task — b tasks for b(b+1)/2 cells, half the cluster idle and the
+      // quadratic kernel bottlenecked on the largest column (SimProbe
+      // catch, r15 — same class in semanticNearDups/knnGraphIvf). One
+      // cell-sized exchange buys per-cell parallelism.
+      .repartition(col("bi"), col("bj"))
       .as[(Int, Int, Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
     val pairs = cells.flatMap { case (bi, bj, va0, vb0) =>
       // sort by id so the diagonal's i<j sharding and the emitted
@@ -866,6 +873,12 @@ object Dedup {
         col("vecs").as("vb")), Seq("bucket"))
       .where(col("bi") <= col("bj"))
       .select(col("bucket"), col("bi"), col("bj"), col("va"), col("vb"))
+      // spread cells across tasks: the join leaves the output
+      // partitioned by BUCKET, so every cell of a hot bucket runs
+      // SERIALLY in one task and the block grid buys nothing (SimProbe
+      // catch, r15). One cell-sized exchange restores the b²
+      // parallelism the grid exists for.
+      .repartition(col("bucket"), col("bi"), col("bj"))
       .as[(Long, Int, Int,
         Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
     cells.flatMap { case (bucket, bi, bj, va0, vb0) =>

@@ -98,13 +98,27 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
-  /** Deterministic centroid set: the corpus rows with the `nCentroids`
-    * smallest ids (a k-means stand-in that both engines reproduce exactly;
-    * swap in trained centroids in production). Vectors come out normalized.
+  /** Deterministic centroid set: the `nCentroids` corpus rows with the
+    * smallest `(md5(id), id)` — a content-independent uniform sample
+    * that both engines reproduce exactly (identical lowercase-hex md5
+    * of the decimal id string; swap in trained centroids in
+    * production). Vectors come out normalized.
+    *
+    * Why hash-ordered and not lowest-id (the original stand-in,
+    * replaced in round 15 after SimProbe measured the failure): real
+    * corpora have CONTENT-CORRELATED ids — crawl order groups a site's
+    * near-identical template pages into one contiguous id run — so
+    * "the k lowest ids" can land every centroid inside ONE true
+    * cluster. Every other vector is then near-orthogonal to all
+    * centroids, the argmax degenerates to jitter, and downstream
+    * bucket² work (knn graph, semantic dedup) approaches n² in one
+    * bucket: an index-collapse scale-killer that no blocking guard can
+    * save (splitting an n-sized bucket still pays n² dots). Ranking by
+    * md5 makes the pick content-independent for ANY id distribution.
     *
     * The id pick runs as its OWN root query (collect of ≤nCentroids ids,
     * bounded like the PQ codebook collect), then filters the corpus by
-    * the id list. A mid-plan `orderBy(id).limit(n)` reads the same but
+    * the id list. A mid-plan `orderBy(…).limit(n)` reads the same but
     * physical-plans as a RANGE-PARTITIONED GLOBAL SORT of the whole
     * corpus (Spark only rewrites root-level sort+limit to the
     * distributed TakeOrdered heap) — found by the plan-fingerprint
@@ -114,7 +128,8 @@ object Similarity {
   def centroids(corpus: DataFrame, vecCol: String, idCol: String,
       nCentroids: Int): DataFrame = {
     val ids = corpus.select(col(idCol))
-      .orderBy(col(idCol)).limit(nCentroids)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids)
       .collect().map(_.get(0))
     normalized(corpus.where(col(idCol).isin(ids: _*)), vecCol, "centv")
       .select(col(idCol).as("centroid_id"), col("centv"))
@@ -305,7 +320,7 @@ object Similarity {
     * the asymmetric sum of per-subvector distances to the CODEBOOK entry
     * the code names, so the scan never touches the original floats.
     *
-    * Codebooks are the deterministic lowest-id sample set (the
+    * Codebooks are the deterministic md5-spread sample set (the
     * [[centroids]] k-means stand-in both engines reproduce exactly; swap
     * in k-means-trained codebooks in production — the plan shape is
     * unchanged). Distances are squared-L2 computed as left-associated
@@ -328,11 +343,16 @@ object Similarity {
       m: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, "dim must split into m equal subvectors")
     val subDim = dim / m
-    // deterministic sampled codebook: the codebookSize lowest-id vectors,
-    // k = rank by id. Collected rows index (sample k)(subvector m) —
-    // transpose so cb(mm)(kk) is subvector mm of sample kk
+    // deterministic sampled codebook: the codebookSize vectors with the
+    // smallest (md5(id), id) — the same content-independent spread pick
+    // as [[centroids]] (a lowest-id sample collapses when ids are
+    // crawl-ordered: 16 template pages → 16 identical codebook entries
+    // → every ADC distance degenerates). k = rank by (md5, id).
+    // Collected rows index (sample k)(subvector m) — transpose so
+    // cb(mm)(kk) is subvector mm of sample kk
     val samples: Array[Array[Array[Double]]] = corpus
-      .orderBy(col(idCol)).limit(codebookSize)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(codebookSize)
       .select(asDouble(col(vecCol)).as("v"))
       .collect()
       .map(_.getSeq[Double](0).toArray.grouped(subDim).toArray)
@@ -638,8 +658,23 @@ object Similarity {
         var s = 0.0
         var m = 0
         while (m < xs.length) { s += xs(m) * ys(m); m += 1 }
-        top.add((s, dst))
-        if (top.size > k) top.poll()
+        // peek-first admission: once the heap is full, a candidate that
+        // would not displace the current worst is rejected on primitive
+        // comparisons alone — no tuple allocation. The naive
+        // add-then-poll form allocated one (Double, Long) per CANDIDATE
+        // (bucket² of them — 4×10⁸ tuples / ~6 GB of garbage on a 20k
+        // hot bucket; SimProbe measured the kernel GC-bound at ~30 s
+        // where the dot flops alone are ~2 s). Admission order is
+        // exactly the worstFirst comparator, so results are unchanged
+        // (differential specs: grid ≡ single-task, kernel ≡ join+rank).
+        if (top.size < k) top.add((s, dst))
+        else {
+          val w = top.peek()
+          if (s > w._1 || (s == w._1 && dst < w._2)) {
+            top.poll()
+            top.add((s, dst))
+          }
+        }
       }
       j += 1
     }
@@ -654,16 +689,33 @@ object Similarity {
     arr
   }
 
+  /** `nBlocks` semantics (round 15): `0` (the default) is AUTO — a
+    * sampled bucket-size estimate (`autoSampleFraction` of the corpus
+    * through the same argmax assignment, ~1% of the build flops) finds
+    * buckets whose estimated size exceeds `autoTargetBlock`, and ONLY
+    * those hot buckets take the block grid (sized so each block is
+    * ~`autoTargetBlock` vectors); every other bucket keeps the exact
+    * single-task kernel plan. With no hot bucket detected the returned
+    * plan is IDENTICAL to the explicit `nBlocks = 1` plan (no filter,
+    * no union — the shipped small-SF fingerprints hold). `1` forces the
+    * single-task path; `≥ 2` forces the grid over the whole corpus
+    * (the pre-r15 guard, kept for the differential spec). The split
+    * cannot change results — the grid's partial-top-k merge is
+    * row-identical to the full kernel (spec-asserted), so the sampled
+    * DECISION only moves work, never answers. */
   def knnGraphIvf(corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, nCentroids: Int, dim: Int = 0, nBlocks: Int = 1): DataFrame = {
+      k: Int, nCentroids: Int, dim: Int = 0, nBlocks: Int = 0,
+      autoTargetBlock: Int = 4096,
+      autoSampleFraction: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = centroids(corpus, vecCol, idCol, nCentroids)
     val norm = normalized(corpus, vecCol, "v").select(col(idCol), col("v"))
     val asg = assignBuckets(norm, cents, idCol, dim)
-    if (nBlocks <= 1) {
-      // one task per bucket: full bucket² in a single kernel pass
-      val ds = asg.select(col("bucket").cast("long").as("bucket"),
+
+    // one task per bucket: full bucket² in a single kernel pass
+    def singleTask(part: DataFrame): DataFrame = {
+      val ds = part.select(col("bucket").cast("long").as("bucket"),
           col(idCol).cast("long").as("id"), col("v"))
         .as[(Long, Long, Array[Double])]
       ds.groupByKey(_._1).flatMapGroups { (_, it) =>
@@ -682,19 +734,20 @@ object Similarity {
         }
         out.iterator
       }.toDF("src_id", "dst_id", "rank")
-    } else {
-      // HOT-BUCKET GUARD: block grid WITHIN the bucket. A skewed
-      // assignment (one centroid owning a large slice of the corpus)
-      // would serialize that bucket's quadratic work into one task;
-      // splitting each bucket into nBlocks id-hash blocks makes the
-      // unit of work one (bucket, bi, bj) cell — nBlocks² cells per
-      // bucket, each bounded by (bucket/nBlocks)² — with a per-cell
-      // PARTIAL top-k (the same bounded heap) and a (src)-keyed merge
-      // whose input is k·nBlocks rows per source, never bucket-sized.
-      // Scores are the same sequential dots, so the merged graph is
-      // row-identical to the single-task path (spec-asserted).
-      val b = nBlocks
-      val blocks = asg
+    }
+
+    // HOT-BUCKET GUARD: block grid WITHIN the bucket. A skewed
+    // assignment (one centroid owning a large slice of the corpus)
+    // would serialize that bucket's quadratic work into one task;
+    // splitting each bucket into b id-hash blocks makes the unit of
+    // work one (bucket, bi, bj) cell — b² cells per bucket, each
+    // bounded by (bucket/b)² — with a per-cell PARTIAL top-k (the same
+    // bounded heap) and a (src)-keyed merge whose input is k·b rows
+    // per source, never bucket-sized. Scores are the same sequential
+    // dots, so the merged graph is row-identical to the single-task
+    // path (spec-asserted).
+    def blockGrid(part: DataFrame, b: Int): DataFrame = {
+      val blocks = part
         .select(col("bucket").cast("long").as("bucket"),
           pmod(col(idCol).cast("long"), lit(b)).cast("int").as("blk"),
           col(idCol).cast("long").as("id"), col("v"))
@@ -705,6 +758,14 @@ object Similarity {
         .select(col("bucket"), col("blk").as("bi"), col("vecs").as("va"))
         .join(blocks.select(col("bucket"), col("blk").as("bj"),
           col("vecs").as("vb")), Seq("bucket"))
+        .select(col("bucket"), col("bi"), col("bj"), col("va"), col("vb"))
+        // spread cells across tasks: the join leaves the output
+        // partitioned by BUCKET, so every cell of a hot bucket runs
+        // SERIALLY in one task and the grid split buys no parallelism
+        // at all (SimProbe catch, r15: guarded == unguarded wall time
+        // until this exchange). One cell-sized shuffle restores the b²
+        // fan-out the guard exists for.
+        .repartition(col("bucket"), col("bi"), col("bj"))
         .select(col("bi"), col("bj"), col("va"), col("vb"))
         .as[(Int, Int,
           Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
@@ -723,6 +784,44 @@ object Similarity {
       partial.withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select(col("src_id"), col("dst_id"), col("rank"))
+    }
+
+    if (nBlocks >= 2) blockGrid(asg, nBlocks)
+    else if (nBlocks == 1) singleTask(asg)
+    else {
+      // AUTO: estimate per-bucket sizes from a seeded corpus sample run
+      // through the same assignment (the sample is taken BEFORE the
+      // argmax projection, so the stats pass pays autoSampleFraction of
+      // the build flops, not all of them). The estimate only picks the
+      // EXECUTION shape; rows are identical on either side of it.
+      val est = assignBuckets(
+          norm.sample(withReplacement = false, autoSampleFraction, 42L),
+          cents, idCol, dim)
+        .groupBy("bucket").count()
+        .collect()
+        .map(r => r.getAs[Number]("bucket").longValue ->
+          (r.getAs[Long]("count") / autoSampleFraction))
+      val hot = est.filter(_._2 > autoTargetBlock).map(_._1)
+      if (hot.isEmpty) singleTask(asg)
+      else {
+        val maxEst = est.map(_._2).max
+        val b = math.max(2,
+          math.ceil(maxEst / autoTargetBlock).toInt)
+        // persist the assignment so the two branches share ONE argmax
+        // pass (n·√n·dim flops — the build's dominant compute; without
+        // the cache each union branch recomputes it, measured +75% on
+        // the whole build at probe volume). This is the deployment
+        // shape anyway — the assignment IS the IVF index, persisted at
+        // ingest (ivfTopKFromIndex). Dropped by the per-query
+        // clearCache the Verify/Bench session loop already does; the
+        // no-skew path above stays cache-free and plan-identical to
+        // the explicit nBlocks = 1 form.
+        val cached = asg.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hotCol = col("bucket").cast("long").isin(hot: _*)
+        blockGrid(cached.where(hotCol), b)
+          .unionByName(singleTask(cached.where(!hotCol)))
+      }
     }
   }
 
