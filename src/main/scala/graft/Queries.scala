@@ -3664,7 +3664,119 @@ object Queries {
         |           THEN ts_ms + 7200000
         |    END AS emit_ms
         |  FROM g)
-        |WHERE claim IS NOT NULL""".stripMargin))
+        |WHERE claim IS NOT NULL""".stripMargin)),
+    // Billable-events rollup — the tenant billing view the reference's
+    // integration suite pins (test/integration/rt_channel/
+    // billable_events_test.exs:86-141) over the four per-tenant billing
+    // counters (lib/realtime/tenants.ex:196-341) and their increment
+    // sites: count(socket) per handled client send/push
+    // (lib/realtime_web/channels/realtime_channel.ex:292,342,619,780)
+    // and count-per-DELIVERY in the dispatcher with the pid==from
+    // self-skip (message_dispatcher.ex:46-110). Per tenant:
+    // joins = sockets joined; events = broadcast sends + gated
+    // broadcast DELIVERIES (the test's "5 sent + 5×2 received = 15"
+    // multiplication); presence_events = presence sends + DELIVERED
+    // presence_diffs ('deliver' only — 'authorize' rows route to the
+    // channel and bill at actual delivery, withheld rows never bill);
+    // db_events = delivered changes per matched subscriber (no
+    // send-side count — WAL changes are not client sends). Postgres
+    // rows opt out of sender exclusion (a WAL change has no sender
+    // socket). Scale shape: one broadcast hash join on topic (the
+    // Dispatcher.gate fan-out) plus three map-side-combined aggregates
+    // joined on the 5-row tenant key.
+    Q("obs_billable_rollup",
+      (s, d) => {
+        import graft.api.Dispatcher
+        val topics = array(lit("click"), lit("view"), lit("error"),
+          lit("purchase"), lit("signup"))
+        val sockets = ChangeFeed.table(s, d, "customer")
+          .where(col("c_custkey") < 100)
+          .select(col("c_custkey").cast("long").as("socket_id"),
+            element_at(topics, (pmod(col("c_custkey"), lit(5)) + 1).cast("int"))
+              .as("topic"),
+            when(pmod(col("c_custkey"), lit(3)) === 0, lit(true))
+              .when(pmod(col("c_custkey"), lit(3)) === 1, lit(false))
+              .as("presence_read"),
+            (pmod(col("c_custkey"), lit(2)) === 0).as("broadcast_read"))
+        val msgs = ev(s, d).select(
+          col("event_type").as("topic"),
+          col("event_id").as("message_id"),
+          element_at(array(lit("presence_diff"), lit("broadcast"),
+            lit("postgres_changes")),
+            (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("extension"),
+          pmod(col("user_id"), lit(100)).cast("long")
+            .as("sender_socket_id"),
+          (pmod(col("user_id"), lit(3)) === 2 ||
+            pmod(col("event_id"), lit(4)) =!= 0).as("self_broadcast"))
+        val delivered = Dispatcher
+          .gate(msgs, sockets, None, senderExclusion = true)
+          .where(col("status") === "deliver")
+          .groupBy(col("topic").as("tenant"))
+          .agg(
+            sum(when(col("extension") === "broadcast", 1L).otherwise(0L))
+              .as("d_bcast"),
+            sum(when(col("extension") === "presence_diff", 1L).otherwise(0L))
+              .as("d_pres"),
+            sum(when(col("extension") === "postgres_changes", 1L)
+              .otherwise(0L)).as("db_events"))
+        val sends = msgs.groupBy(col("topic").as("tenant"))
+          .agg(
+            sum(when(col("extension") === "broadcast", 1L).otherwise(0L))
+              .as("s_bcast"),
+            sum(when(col("extension") === "presence_diff", 1L).otherwise(0L))
+              .as("s_pres"))
+        val joins = sockets.groupBy(col("topic").as("tenant"))
+          .agg(count(lit(1)).as("joins"))
+        joins.join(sends, "tenant").join(delivered, "tenant")
+          .select(col("tenant"), col("joins"),
+            (col("s_bcast") + col("d_bcast")).as("events"),
+            col("db_events"),
+            (col("s_pres") + col("d_pres")).as("presence_events"))
+      },
+      Some("""WITH sockets AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS socket_id,
+        |         list_extract(['click','view','error','purchase','signup'],
+        |                      CAST(c_custkey % 5 + 1 AS INT)) AS topic,
+        |         CASE WHEN c_custkey % 3 = 0 THEN true
+        |              WHEN c_custkey % 3 = 1 THEN false END AS presence_read,
+        |         (c_custkey % 2 = 0) AS broadcast_read
+        |  FROM customer WHERE c_custkey < 100),
+        |msgs AS (
+        |  SELECT event_type AS topic, event_id AS message_id,
+        |         list_extract(['presence_diff','broadcast','postgres_changes'],
+        |                      CAST(user_id % 3 + 1 AS INT)) AS extension,
+        |         CAST(user_id % 100 AS BIGINT) AS sender_socket_id,
+        |         (user_id % 3 = 2 OR event_id % 4 != 0) AS self_broadcast
+        |  FROM events),
+        |g AS (
+        |  SELECT m.topic, s.socket_id, m.extension,
+        |         CASE WHEN m.extension = 'presence_diff' THEN
+        |                CASE WHEN s.presence_read THEN 'deliver'
+        |                     WHEN s.presence_read IS NULL THEN 'authorize'
+        |                     ELSE 'withhold' END
+        |              ELSE CASE WHEN s.broadcast_read THEN 'deliver'
+        |                        ELSE 'withhold' END END AS status
+        |  FROM msgs m JOIN sockets s ON m.topic = s.topic
+        |  WHERE m.self_broadcast OR s.socket_id != m.sender_socket_id),
+        |d AS (SELECT topic AS tenant,
+        |        CAST(sum(CASE WHEN extension = 'broadcast' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS d_bcast,
+        |        CAST(sum(CASE WHEN extension = 'presence_diff' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS d_pres,
+        |        CAST(sum(CASE WHEN extension = 'postgres_changes' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS db_events
+        |      FROM g WHERE status = 'deliver' GROUP BY 1),
+        |sd AS (SELECT topic AS tenant,
+        |        CAST(sum(CASE WHEN extension = 'broadcast' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS s_bcast,
+        |        CAST(sum(CASE WHEN extension = 'presence_diff' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS s_pres
+        |       FROM msgs GROUP BY 1),
+        |j AS (SELECT topic AS tenant, CAST(count(*) AS BIGINT) AS joins
+        |      FROM sockets GROUP BY 1)
+        |SELECT j.tenant, j.joins, sd.s_bcast + d.d_bcast AS events,
+        |       d.db_events, sd.s_pres + d.d_pres AS presence_events
+        |FROM j JOIN sd USING (tenant) JOIN d USING (tenant)""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by
