@@ -53,7 +53,11 @@ object SimProbe {
   def main(args: Array[String]): Unit = {
     val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
     val dim = 32
-    val hotN = math.max(20000L, nVecs / 20)
+    // 5% hot, floored (small runs still see a real slab) and capped
+    // (the slab's bucket² work is quadratic by construction; 100k keeps
+    // the GUARDED pass bounded at headroom volumes — in a real pipeline
+    // exact dedup runs before ANN precisely so this slab cannot exist)
+    val hotN = math.min(100000L, math.max(20000L, nVecs / 20))
     val hotStart = nVecs / 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -103,7 +107,11 @@ object SimProbe {
                 .cast("double") / 100.0 * jitterScale)
           .as("embedding"))
     }
-    def queries = vecs.where(pmod(col("vec_id"), lit(4096L)) === 0L)
+    // ~250 queries at ANY volume: the brute/hamming baselines are
+    // |Q|·n scans, so a query set proportional to n would make the
+    // probe itself quadratic
+    val qStride = math.max(4096L, nVecs / 250)
+    def queries = vecs.where(pmod(col("vec_id"), lit(qStride)) === 0L)
 
     def time(name: String, clear: Boolean = true)(
         df: => org.apache.spark.sql.DataFrame,
@@ -215,10 +223,17 @@ object SimProbe {
       Similarity.knnGraphIvf(vecs, "embedding", "vec_id", k = 8,
         nCentroids = k, dim = dim),
       col("dst_id") + col("rank"))
-    time("knn_graph_unguarded")(
-      Similarity.knnGraphIvf(vecs, "embedding", "vec_id", k = 8,
-        nCentroids = k, dim = dim, nBlocks = 1),
-      col("dst_id") + col("rank"))
+    // the unguarded control is itself the hazard (hotN² dots serialize
+    // into ONE task — ~1 min per run already at the 100k cap, ×2 warm
+    // runs): the guarded/unguarded delta is established at the default
+    // band, so the headroom legs only need the guarded number
+    if (nVecs <= 2000000L)
+      time("knn_graph_unguarded")(
+        Similarity.knnGraphIvf(vecs, "embedding", "vec_id", k = 8,
+          nCentroids = k, dim = dim, nBlocks = 1),
+        col("dst_id") + col("rank"))
+    else println(s"[simprobe] knn_graph_unguarded SKIPPED (hotN=$hotN " +
+      "serializes hotN^2 dots in one task; delta established at 1M)")
 
     // tier 6: PQ — encode-once corpus scan, ADC-scored queries
     time("pq_topk")(

@@ -359,14 +359,6 @@ object Similarity {
     require(samples.length == codebookSize,
       s"corpus has fewer than $codebookSize vectors")
     val cb = Array.tabulate(m, codebookSize)((mm, kk) => samples(kk)(mm))
-    // squared-L2 of x[off+1..off+subDim] against a runtime-selected
-    // codebook entry (array<double>) — flat left-associated arithmetic,
-    // no HOFs, stays in codegen (m·subDim terms: small, unlike the encode)
-    def d2Entry(x: Column, off: Int, entry: Column): Column =
-      (1 to subDim).map { i =>
-        val dlt = element_at(x, off + i) - element_at(entry, i)
-        dlt * dlt
-      }.reduce(_ + _)
     // ENCODE: per subvector, argmin over the codebook by (distance, k) —
     // a native loop kernel (plans.PqEncode), NOT the unrolled
     // array_min(array(struct…)) battery: at m·K·subDim unrolled terms the
@@ -387,13 +379,21 @@ object Similarity {
       .select(col("neighbor_id"), col("codes"))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    // ADC: codebook-per-subvector as a literal lookup table the stored
-    // code indexes into; contributions summed in fixed subvector order
-    val cbLit = (0 until m).map(mm => typedLit(cb(mm).map(_.toSeq).toSeq))
-    val adist = (0 until m).map { mm =>
-      d2Entry(col("qv"), mm * subDim,
-        element_at(cbLit(mm), element_at(col("codes"), mm + 1) + 1))
-    }.reduce(_ + _)
+    // ADC: the scored pass is a native loop kernel (plans.PqAdc) over
+    // the same flat codebook — the original unrolled form re-derived
+    // each codebook element through a nested
+    // element_at(element_at(literal, code+1), i) chain per TERM
+    // (m·subDim literal traversals per scored row; SimProbe measured
+    // the PQ scan as the slowest ANN query stage at 1M with the
+    // arithmetic worth a fraction of it). Bit-identical doubles and
+    // null semantics (PqAdcSpec differential rows).
+    val adist = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.plans.PqAdc(
+        ColumnBridge.expression(col("qv")),
+        ColumnBridge.expression(col("codes")),
+        cbFlat, m, codebookSize, subDim))
+    }
     val scored = enc.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
