@@ -3681,9 +3681,13 @@ object Queries {
     // db_events = delivered changes per matched subscriber (no
     // send-side count — WAL changes are not client sends). Postgres
     // rows opt out of sender exclusion (a WAL change has no sender
-    // socket). Scale shape: one broadcast hash join on topic (the
-    // Dispatcher.gate fan-out) plus three map-side-combined aggregates
-    // joined on the 5-row tenant key.
+    // socket). REPLAYED broadcasts (the join-time replay push,
+    // realtime_channel.ex:280-289) are delivered WITHOUT count(socket)
+    // — visible to the client, never billed: they are excluded from
+    // both the send and delivery sums and surfaced as their own
+    // `replayed_deliveries` column. Scale shape: one broadcast hash
+    // join on topic (the Dispatcher.gate fan-out) plus three
+    // map-side-combined aggregates joined on the 5-row tenant key.
     Q("obs_billable_rollup",
       (s, d) => {
         import graft.api.Dispatcher
@@ -3707,22 +3711,26 @@ object Queries {
           pmod(col("user_id"), lit(100)).cast("long")
             .as("sender_socket_id"),
           (pmod(col("user_id"), lit(3)) === 2 ||
-            pmod(col("event_id"), lit(4)) =!= 0).as("self_broadcast"))
+            pmod(col("event_id"), lit(4)) =!= 0).as("self_broadcast"),
+          (pmod(col("user_id"), lit(3)) === 1 &&
+            pmod(col("event_id"), lit(9)) === 0).as("replayed"))
         val delivered = Dispatcher
           .gate(msgs, sockets, None, senderExclusion = true)
           .where(col("status") === "deliver")
           .groupBy(col("topic").as("tenant"))
           .agg(
-            sum(when(col("extension") === "broadcast", 1L).otherwise(0L))
-              .as("d_bcast"),
+            sum(when(col("extension") === "broadcast" && !col("replayed"),
+              1L).otherwise(0L)).as("d_bcast"),
+            sum(when(col("extension") === "broadcast" && col("replayed"),
+              1L).otherwise(0L)).as("replayed_deliveries"),
             sum(when(col("extension") === "presence_diff", 1L).otherwise(0L))
               .as("d_pres"),
             sum(when(col("extension") === "postgres_changes", 1L)
               .otherwise(0L)).as("db_events"))
         val sends = msgs.groupBy(col("topic").as("tenant"))
           .agg(
-            sum(when(col("extension") === "broadcast", 1L).otherwise(0L))
-              .as("s_bcast"),
+            sum(when(col("extension") === "broadcast" && !col("replayed"),
+              1L).otherwise(0L)).as("s_bcast"),
             sum(when(col("extension") === "presence_diff", 1L).otherwise(0L))
               .as("s_pres"))
         val joins = sockets.groupBy(col("topic").as("tenant"))
@@ -3731,7 +3739,8 @@ object Queries {
           .select(col("tenant"), col("joins"),
             (col("s_bcast") + col("d_bcast")).as("events"),
             col("db_events"),
-            (col("s_pres") + col("d_pres")).as("presence_events"))
+            (col("s_pres") + col("d_pres")).as("presence_events"),
+            col("replayed_deliveries"))
       },
       Some("""WITH sockets AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS socket_id,
@@ -3746,10 +3755,11 @@ object Queries {
         |         list_extract(['presence_diff','broadcast','postgres_changes'],
         |                      CAST(user_id % 3 + 1 AS INT)) AS extension,
         |         CAST(user_id % 100 AS BIGINT) AS sender_socket_id,
-        |         (user_id % 3 = 2 OR event_id % 4 != 0) AS self_broadcast
+        |         (user_id % 3 = 2 OR event_id % 4 != 0) AS self_broadcast,
+        |         (user_id % 3 = 1 AND event_id % 9 = 0) AS replayed
         |  FROM events),
         |g AS (
-        |  SELECT m.topic, s.socket_id, m.extension,
+        |  SELECT m.topic, s.socket_id, m.extension, m.replayed,
         |         CASE WHEN m.extension = 'presence_diff' THEN
         |                CASE WHEN s.presence_read THEN 'deliver'
         |                     WHEN s.presence_read IS NULL THEN 'authorize'
@@ -3759,23 +3769,26 @@ object Queries {
         |  FROM msgs m JOIN sockets s ON m.topic = s.topic
         |  WHERE m.self_broadcast OR s.socket_id != m.sender_socket_id),
         |d AS (SELECT topic AS tenant,
-        |        CAST(sum(CASE WHEN extension = 'broadcast' THEN 1 ELSE 0 END)
-        |          AS BIGINT) AS d_bcast,
+        |        CAST(sum(CASE WHEN extension = 'broadcast' AND NOT replayed
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS d_bcast,
+        |        CAST(sum(CASE WHEN extension = 'broadcast' AND replayed
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS replayed_deliveries,
         |        CAST(sum(CASE WHEN extension = 'presence_diff' THEN 1 ELSE 0 END)
         |          AS BIGINT) AS d_pres,
         |        CAST(sum(CASE WHEN extension = 'postgres_changes' THEN 1 ELSE 0 END)
         |          AS BIGINT) AS db_events
         |      FROM g WHERE status = 'deliver' GROUP BY 1),
         |sd AS (SELECT topic AS tenant,
-        |        CAST(sum(CASE WHEN extension = 'broadcast' THEN 1 ELSE 0 END)
-        |          AS BIGINT) AS s_bcast,
+        |        CAST(sum(CASE WHEN extension = 'broadcast' AND NOT replayed
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS s_bcast,
         |        CAST(sum(CASE WHEN extension = 'presence_diff' THEN 1 ELSE 0 END)
         |          AS BIGINT) AS s_pres
         |       FROM msgs GROUP BY 1),
         |j AS (SELECT topic AS tenant, CAST(count(*) AS BIGINT) AS joins
         |      FROM sockets GROUP BY 1)
         |SELECT j.tenant, j.joins, sd.s_bcast + d.d_bcast AS events,
-        |       d.db_events, sd.s_pres + d.d_pres AS presence_events
+        |       d.db_events, sd.s_pres + d.d_pres AS presence_events,
+        |       d.replayed_deliveries
         |FROM j JOIN sd USING (tenant) JOIN d USING (tenant)""".stripMargin))
   )
 
