@@ -3678,16 +3678,26 @@ object Queries {
     // multiplication); presence_events = presence sends + DELIVERED
     // presence_diffs ('deliver' only — 'authorize' rows route to the
     // channel and bill at actual delivery, withheld rows never bill);
-    // db_events = delivered changes per matched subscriber (no
-    // send-side count — WAL changes are not client sends). Postgres
-    // rows opt out of sender exclusion (a WAL change has no sender
-    // socket). REPLAYED broadcasts (the join-time replay push,
-    // realtime_channel.ex:280-289) are delivered WITHOUT count(socket)
-    // — visible to the client, never billed: they are excluded from
-    // both the send and delivery sums and surfaced as their own
-    // `replayed_deliveries` column. Scale shape: one broadcast hash
-    // join on topic (the Dispatcher.gate fan-out) plus three
-    // map-side-combined aggregates joined on the 5-row tenant key.
+    // db_events = delivered changes per matched subscriber
+    // UNCONDITIONALLY (replication_poller.ex:421 bills
+    // MapSet.size(subscription_ids) — the CDC path never consults
+    // broadcast_read; the channel dispatcher's withhold arm is
+    // `broadcast? and broadcast_read? != true` and broadcast? is false
+    // for postgres_changes — see Dispatcher.gate's non-gated arm).
+    // Postgres rows opt out of sender exclusion (a WAL change has no
+    // sender socket). REPLAY exclusion is per-(socket, message), the
+    // reference's already_replayed?(message_id, replayed_message_ids)
+    // contract (message_dispatcher.ex:49): only sockets that received
+    // the join-time replay push (the cohort — socket_id % 4 = 0 here,
+    // restricted to read-authorized sockets: the replay arm runs after
+    // join-time authz, realtime_channel.ex:280-289) skip the live
+    // delivery; every OTHER subscriber still gets a billed delivery of
+    // the same message. The join-time pushes themselves are delivered
+    // WITHOUT count(socket) — visible, never billed — and surface as
+    // `replayed_deliveries`. Scale shape: one broadcast hash join on
+    // topic (the Dispatcher.gate fan-out) with the replay pairs
+    // broadcast into the gate's anti-probe, plus three map-side-combined
+    // aggregates joined on the 5-row tenant key.
     Q("obs_billable_rollup",
       (s, d) => {
         import graft.api.Dispatcher
@@ -3714,33 +3724,48 @@ object Queries {
             pmod(col("event_id"), lit(4)) =!= 0).as("self_broadcast"),
           (pmod(col("user_id"), lit(3)) === 1 &&
             pmod(col("event_id"), lit(9)) === 0).as("replayed"))
+        // the join-time replay cohort: (socket, message) pairs the replay
+        // push already delivered — read-authorized subscribers only (the
+        // replay arm runs after join-time authz)
+        val replayPairs = msgs.where(col("replayed"))
+          .select(col("topic"), col("message_id"))
+          .join(sockets.where(pmod(col("socket_id"), lit(4)) === 0 &&
+            col("broadcast_read")), "topic")
+          .select(col("topic"), col("socket_id"), col("message_id"))
         val delivered = Dispatcher
-          .gate(msgs, sockets, None, senderExclusion = true)
+          .gate(msgs, sockets,
+            Some(replayPairs.select("socket_id", "message_id")),
+            senderExclusion = true)
           .where(col("status") === "deliver")
           .groupBy(col("topic").as("tenant"))
           .agg(
-            sum(when(col("extension") === "broadcast" && !col("replayed"),
-              1L).otherwise(0L)).as("d_bcast"),
-            sum(when(col("extension") === "broadcast" && col("replayed"),
-              1L).otherwise(0L)).as("replayed_deliveries"),
+            sum(when(col("extension") === "broadcast", 1L).otherwise(0L))
+              .as("d_bcast"),
             sum(when(col("extension") === "presence_diff", 1L).otherwise(0L))
               .as("d_pres"),
             sum(when(col("extension") === "postgres_changes", 1L)
               .otherwise(0L)).as("db_events"))
+        val replays = replayPairs.groupBy(col("topic").as("tenant"))
+          .agg(count(lit(1)).as("replayed_deliveries"))
         val sends = msgs.groupBy(col("topic").as("tenant"))
           .agg(
-            sum(when(col("extension") === "broadcast" && !col("replayed"),
-              1L).otherwise(0L)).as("s_bcast"),
+            sum(when(col("extension") === "broadcast", 1L).otherwise(0L))
+              .as("s_bcast"),
             sum(when(col("extension") === "presence_diff", 1L).otherwise(0L))
               .as("s_pres"))
         val joins = sockets.groupBy(col("topic").as("tenant"))
           .agg(count(lit(1)).as("joins"))
         joins.join(sends, "tenant").join(delivered, "tenant")
+          // explicit: a 5-row aggregate, but the planner has no stats
+          // for it (AQE can rescue at runtime; the hint makes the plan
+          // right without AQE too)
+          .join(broadcast(replays), Seq("tenant"), "left")
           .select(col("tenant"), col("joins"),
             (col("s_bcast") + col("d_bcast")).as("events"),
             col("db_events"),
             (col("s_pres") + col("d_pres")).as("presence_events"),
-            col("replayed_deliveries"))
+            coalesce(col("replayed_deliveries"), lit(0L))
+              .as("replayed_deliveries"))
       },
       Some("""WITH sockets AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS socket_id,
@@ -3758,28 +3783,37 @@ object Queries {
         |         (user_id % 3 = 2 OR event_id % 4 != 0) AS self_broadcast,
         |         (user_id % 3 = 1 AND event_id % 9 = 0) AS replayed
         |  FROM events),
+        |rp AS (
+        |  SELECT m.topic, s.socket_id, m.message_id
+        |  FROM msgs m JOIN sockets s ON m.topic = s.topic
+        |  WHERE m.replayed AND s.socket_id % 4 = 0 AND s.broadcast_read),
         |g AS (
-        |  SELECT m.topic, s.socket_id, m.extension, m.replayed,
+        |  SELECT m.topic, s.socket_id, m.extension,
         |         CASE WHEN m.extension = 'presence_diff' THEN
         |                CASE WHEN s.presence_read THEN 'deliver'
         |                     WHEN s.presence_read IS NULL THEN 'authorize'
         |                     ELSE 'withhold' END
-        |              ELSE CASE WHEN s.broadcast_read THEN 'deliver'
-        |                        ELSE 'withhold' END END AS status
+        |              WHEN m.extension = 'broadcast' THEN
+        |                CASE WHEN s.broadcast_read THEN 'deliver'
+        |                     ELSE 'withhold' END
+        |              ELSE 'deliver' END AS status
         |  FROM msgs m JOIN sockets s ON m.topic = s.topic
-        |  WHERE m.self_broadcast OR s.socket_id != m.sender_socket_id),
+        |  WHERE (m.self_broadcast OR s.socket_id != m.sender_socket_id)
+        |    AND NOT (m.extension = 'broadcast' AND m.replayed
+        |             AND s.socket_id % 4 = 0 AND s.broadcast_read)),
         |d AS (SELECT topic AS tenant,
-        |        CAST(sum(CASE WHEN extension = 'broadcast' AND NOT replayed
+        |        CAST(sum(CASE WHEN extension = 'broadcast'
         |          THEN 1 ELSE 0 END) AS BIGINT) AS d_bcast,
-        |        CAST(sum(CASE WHEN extension = 'broadcast' AND replayed
-        |          THEN 1 ELSE 0 END) AS BIGINT) AS replayed_deliveries,
         |        CAST(sum(CASE WHEN extension = 'presence_diff' THEN 1 ELSE 0 END)
         |          AS BIGINT) AS d_pres,
         |        CAST(sum(CASE WHEN extension = 'postgres_changes' THEN 1 ELSE 0 END)
         |          AS BIGINT) AS db_events
         |      FROM g WHERE status = 'deliver' GROUP BY 1),
+        |r AS (SELECT topic AS tenant, CAST(count(*) AS BIGINT)
+        |        AS replayed_deliveries
+        |      FROM rp GROUP BY 1),
         |sd AS (SELECT topic AS tenant,
-        |        CAST(sum(CASE WHEN extension = 'broadcast' AND NOT replayed
+        |        CAST(sum(CASE WHEN extension = 'broadcast'
         |          THEN 1 ELSE 0 END) AS BIGINT) AS s_bcast,
         |        CAST(sum(CASE WHEN extension = 'presence_diff' THEN 1 ELSE 0 END)
         |          AS BIGINT) AS s_pres
@@ -3788,8 +3822,10 @@ object Queries {
         |      FROM sockets GROUP BY 1)
         |SELECT j.tenant, j.joins, sd.s_bcast + d.d_bcast AS events,
         |       d.db_events, sd.s_pres + d.d_pres AS presence_events,
-        |       d.replayed_deliveries
-        |FROM j JOIN sd USING (tenant) JOIN d USING (tenant)""".stripMargin))
+        |       COALESCE(r.replayed_deliveries, CAST(0 AS BIGINT))
+        |         AS replayed_deliveries
+        |FROM j JOIN sd USING (tenant) JOIN d USING (tenant)
+        |  LEFT JOIN r USING (tenant)""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by

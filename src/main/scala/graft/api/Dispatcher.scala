@@ -33,11 +33,19 @@ import org.apache.spark.sql.functions._
 object Dispatcher {
 
   /** Gate messages per socket. `messages`: (topic, message_id, extension ∈
-    * 'presence_diff'|'broadcast', …); `sockets`: (socket_id, topic,
-    * presence_read: nullable bool, broadcast_read: bool); `replayed`
-    * (optional): (socket_id, message_id) pairs already delivered via
-    * replay. Returns one row per (message × allowed socket) with `status`
-    * 'deliver' or 'authorize'.
+    * 'presence_diff'|'broadcast'|'postgres_changes', …); `sockets`:
+    * (socket_id, topic, presence_read: nullable bool, broadcast_read:
+    * bool); `replayed` (optional): (socket_id, message_id) pairs already
+    * delivered via replay. Returns one row per (message × allowed socket)
+    * with `status` 'deliver' or 'authorize'.
+    *
+    * Only `presence_diff` and `broadcast` frames are read-gated: the
+    * dispatcher's withhold arm is `broadcast? and broadcast_read? !=
+    * true` (message_dispatcher.ex:93) and `broadcast?` is true only for
+    * Broadcast/UserBroadcast structs (:113-118) — a `postgres_changes`
+    * row reaching a matched subscriber is delivered (and billed,
+    * replication_poller.ex:421) UNCONDITIONALLY, regardless of the
+    * socket's broadcast_read policy.
     *
     * With `senderExclusion = true`, `messages`
     * additionally carries `sender_socket_id` and `self_broadcast` and
@@ -62,9 +70,12 @@ object Dispatcher {
           when(col("presence_read") <=> true, "deliver")
             .when(col("presence_read").isNull, "authorize")
             .otherwise("withhold"))
-        .otherwise(
+        .when(col("extension") === "broadcast",
           when(col("broadcast_read") <=> true, "deliver")
-            .otherwise("withhold")))
+            .otherwise("withhold"))
+        // postgres_changes (and any other non-gated extension): the
+        // dispatcher's broadcast? guard is false, so no read gate applies
+        .otherwise("deliver"))
       .where(col("status") =!= "withhold")
     val unreplayed = replayed match {
       case Some(r) =>

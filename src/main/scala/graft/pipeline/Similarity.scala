@@ -20,6 +20,25 @@ import scala.jdk.CollectionConverters._
   */
 object Similarity {
 
+  /** Caches acquired by plan builders whose returned frame REFERENCES the
+    * cached relation (knnGraphIvf's AUTO hot-bucket branch persists the
+    * bucket assignment so its two union arms share one argmax pass — it
+    * cannot unpersist before the caller consumes the result). The
+    * Verify/Bench loop's per-query `spark.catalog.clearCache()` already
+    * drops these; a long-lived session that does NOT clear the catalog
+    * owns the lifecycle instead: call [[releaseCaches]] after each
+    * returned frame is consumed, or cached assignments accumulate. */
+  private val acquiredCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist (non-blocking) every cache acquired by builders in this
+    * object since the last call. Safe to call at any point after the
+    * returned frames have been consumed. */
+  def releaseCaches(): Unit = {
+    var d = acquiredCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = acquiredCaches.poll() }
+  }
+
   /** Dot product of two double arrays — a sequential left fold, so the
     * result is deterministic and engine-reproducible. */
   def dot(x: Column, y: Column): Column =
@@ -666,13 +685,21 @@ object Similarity {
         // hot bucket; SimProbe measured the kernel GC-bound at ~30 s
         // where the dot flops alone are ~2 s). Admission order is
         // exactly the worstFirst comparator, so results are unchanged
-        // (differential specs: grid ≡ single-task, kernel ≡ join+rank).
-        if (top.size < k) top.add((s, dst))
-        else {
-          val w = top.peek()
-          if (s > w._1 || (s == w._1 && dst < w._2)) {
-            top.poll()
-            top.add((s, dst))
+        // for finite scores (differential specs: grid ≡ single-task,
+        // kernel ≡ join+rank). NaN scores (a zero-norm vector
+        // normalizes to NaN under the non-kernel fallback; the naive
+        // form's Double.compare ranked NaN BEST and kept it) are never
+        // admitted — a meaningless similarity must not displace a real
+        // neighbor, and rejecting uniformly keeps the heap-full and
+        // heap-filling arms consistent.
+        if (!java.lang.Double.isNaN(s)) {
+          if (top.size < k) top.add((s, dst))
+          else {
+            val w = top.peek()
+            if (s > w._1 || (s == w._1 && dst < w._2)) {
+              top.poll()
+              top.add((s, dst))
+            }
           }
         }
       }
@@ -818,6 +845,7 @@ object Similarity {
         // the explicit nBlocks = 1 form.
         val cached = asg.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        acquiredCaches.add(cached)
         val hotCol = col("bucket").cast("long").isin(hot: _*)
         blockGrid(cached.where(hotCol), b)
           .unionByName(singleTask(cached.where(!hotCol)))
