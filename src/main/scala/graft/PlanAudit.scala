@@ -17,6 +17,7 @@ object PlanAudit {
     "a_chisq",              // R×C category grid marginals
     "a_skew_keys",          // rank over limit(topK)
     "curation_source_mix",  // per-source shares, |sources| rows
+    "obs_janitor_sweep",    // chunk assignment over |tenants| (config-sized)
     "text_bm25",            // rank over limit(k)
     "text_keyphrases",      // rank over limit(k)
     "text_ndcg",            // ideal/actual ranks over limit(k)

@@ -2811,6 +2811,202 @@ object Queries {
         |  (event_id % 2 != 0) AS payload_is_json,
         |  props AS payload_text
         |FROM events""".stripMargin)),
+    // The CLIENT binary push end-to-end (r15 verdict task 2) — the
+    // inbound twin of s7_send_binary: a V2 `user_broadcast_push` frame
+    // (opcode 3, v2_serializer.ex:179-213 decode arm) arrives from the
+    // client, is decoded by the REAL codec (encode → decode(inbound)
+    // round-trip — a codec bug breaks the oracle match), and its TUPLE
+    // payload `{user_event, encoding, payload, metadata}` routes through
+    // the broadcast handler's admission (broadcast_handler.ex:25-151):
+    // write-authz (private channels only — public skips the probe;
+    // denied pushes drop SILENTLY, even with ack), the modeled
+    // rate-counter arm (the counter increments post-authz,
+    // realtime_channel.ex:291-303 kills the channel when over limit —
+    // modeled as a per-push verdict like s8's admission, reply null),
+    // the payload-size guard (ack ⇒ error reply, else swallowed), then
+    // UserBroadcast wrap (:146-149) into the gated fan-out
+    // (broadcast_read + self-broadcast sender exclusion) and out as V2
+    // `user_broadcast` frames (opcode 4) whose bytes the oracle pins
+    // arithmetically. Outbound metadata is ZERO-LENGTH — build_broadcast
+    // drops the inbound metadata ("not using the metadata for anything
+    // just yet") and a 0-size metadata field decodes as '{}' — while the
+    // 'sent' admission rows pin the INBOUND frame bytes and decoded
+    // fields (including the ml=0 ⇒ '{}' arm on doc_id%4=0). Legs keyed
+    // on the digest's first hex digit: <'8' raw binary payload (md5
+    // bytes, enc=0), >='8' JSON text (enc=1, with an oversize arm).
+    // Scale shape: two narrow typed codec maps, one broadcast hash join
+    // on topic (the fan-out), zero extra shuffles.
+    Q("s9_push_e2e",
+      (s, d) => {
+        import s.implicits._
+        import graft.api.{Dispatcher, V2Frames}
+        val withH = ChangeFeed.table(s, d, "documents")
+          .withColumn("h", graft.plans.EvalOnce.of(
+            md5(concat(lit("push:"), col("doc_id")))))
+        val isJson = substring(col("h"), 1, 1) >= "8"
+        val jsonText = when(pmod(col("doc_id"), lit(11)) === 5,
+            concat(lit("{\"pad\":\""), repeat(lit("x"), 1600), lit("\"}")))
+          .otherwise(concat(lit("{\"v\":"), col("doc_id"), lit("}")))
+        val inbound = withH.select(
+          col("doc_id").cast("string").as("ref"),
+          lit("7").as("jr"),
+          col("source").as("topic"),
+          concat(lit("ev"), pmod(col("doc_id"), lit(3))).as("ue"),
+          when(pmod(col("doc_id"), lit(4)) =!= 0,
+            concat(lit("{\"k\":"), pmod(col("doc_id"), lit(10)), lit("}")))
+            .as("md"),
+          isJson.as("is_json"),
+          when(isJson, to_binary(jsonText, lit("utf-8")))
+            .otherwise(unhex(col("h"))).as("payload"))
+          .as[(String, String, String, String, String, Boolean, Array[Byte])]
+        // leg 1: the wire round-trip — REAL encode of the client frame,
+        // REAL inbound decode; everything downstream uses DECODED fields
+        val decoded = inbound.map { case (ref, jr, topic, ue, md, enc, pay) =>
+          val bytes = V2Frames.encodeUserBroadcastPush(jr, ref, topic, ue,
+            Option(md), payloadIsJson = enc, pay)
+          val f = V2Frames.decode(bytes, inbound = true)
+          (f.ref, f.topic, f.event, f.metadata, f.payload_is_json,
+            f.payload, V2Frames.hexUpper(bytes))
+        }.toDF("ref", "topic", "ue", "md", "is_json", "payload",
+          "frame_in_hex")
+        // leg 2: admission — flags derived from the decoded ref (the
+        // socket assigns: private?, self_broadcast, ack_broadcast)
+        val docId = col("ref").cast("long")
+        val adm = decoded
+          .withColumn("doc_id", docId)
+          .withColumn("private", pmod(col("doc_id"), lit(5)) =!= 0)
+          .withColumn("self_broadcast", pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("ack", pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("sender_socket_id",
+            pmod(col("doc_id"), lit(100)).cast("long"))
+          .withColumn("write_allowed",
+            !col("private") || pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("over_rate", pmod(col("doc_id"), lit(13)) === 4)
+          .withColumn("oversize", octet_length(col("payload")) > 1500)
+          .withColumn("status",
+            when(!col("write_allowed"), "rls_denied")
+              .when(col("over_rate"), "rate_limited")
+              .when(col("oversize"), "payload_size_exceeded")
+              .otherwise("sent"))
+          .withColumn("reply",
+            when(col("write_allowed") && !col("over_rate") && col("ack"),
+              when(col("oversize"), "error_payload_size_exceeded")
+                .otherwise("ok")))
+        val pushRows = adm.select(
+          col("ref"), lit(null).cast("long").as("socket_id"),
+          col("status"), col("reply"), col("topic"), col("ue").as("user_event"),
+          col("md").as("metadata"), col("is_json").as("payload_is_json"),
+          hex(col("payload")).as("payload_hex"),
+          col("frame_in_hex").as("frame_hex"))
+        // leg 3: UserBroadcast wrap + gated dispatch + outbound frames
+        val msgs = adm.where(col("status") === "sent").select(
+          col("topic"), col("doc_id").as("message_id"),
+          lit("broadcast").as("extension"),
+          col("sender_socket_id"), col("self_broadcast"),
+          col("ref"), col("ue"), col("is_json"), col("payload"),
+          when(col("private"), concat(lit("t0-private:"), col("topic")))
+            .otherwise(concat(lit("t0:"), col("topic"))).as("tt"))
+        val sockets = ChangeFeed.table(s, d, "customer")
+          .where(col("c_custkey") < 100)
+          .select(col("c_custkey").cast("long").as("socket_id"),
+            concat(lit("src"), pmod(col("c_custkey"), lit(20))).as("topic"),
+            lit(true).as("presence_read"),
+            (pmod(col("c_custkey"), lit(2)) === 0).as("broadcast_read"))
+        val gated = Dispatcher.gate(msgs, sockets, None,
+            senderExclusion = true)
+          .where(col("status") === "deliver")
+          .select(col("ref"), col("socket_id"), col("tt"), col("ue"),
+            col("is_json"), col("payload"))
+          .as[(String, Long, String, String, Boolean, Array[Byte])]
+        val deliveries = gated.map { case (ref, sock, tt, ue, enc, pay) =>
+          val bytes = V2Frames.encodeUserBroadcast(tt, ue, None,
+            payloadIsJson = enc, pay)
+          val f = V2Frames.decode(bytes)
+          (ref, sock, f.topic, f.event, f.metadata, f.payload_is_json,
+            V2Frames.hexUpper(f.payload), V2Frames.hexUpper(bytes))
+        }.toDF("ref", "socket_id", "topic", "user_event", "metadata",
+          "payload_is_json", "payload_hex", "frame_hex")
+          .select(col("ref"), col("socket_id"),
+            lit("delivered").as("status"),
+            lit(null).cast("string").as("reply"),
+            col("topic"), col("user_event"), col("metadata"),
+            col("payload_is_json"), col("payload_hex"), col("frame_hex"))
+        pushRows.unionByName(deliveries)
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, source, md5('push:' || doc_id) AS h FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS ref,
+        |    'ev' || CAST(doc_id % 3 AS VARCHAR) AS ue,
+        |    CASE WHEN doc_id % 4 != 0 THEN
+        |      '{"k":' || CAST(doc_id % 10 AS VARCHAR) || '}' END AS md_raw,
+        |    substr(h,1,1) >= '8' AS is_json,
+        |    CASE WHEN substr(h,1,1) >= '8' THEN
+        |      CASE WHEN doc_id % 11 = 5 THEN
+        |             hex(encode('{"pad":"' || repeat('x', 1600) || '"}'))
+        |           ELSE hex(encode('{"v":' || doc_id || '}')) END
+        |      ELSE upper(h) END AS payload_hex,
+        |    (doc_id % 5 != 0) AS private,
+        |    (doc_id % 2 = 0) AS self_broadcast,
+        |    (doc_id % 3 = 0) AS ack,
+        |    doc_id % 100 AS sender_socket_id
+        |  FROM p),
+        |adm AS (
+        |  SELECT *,
+        |    (NOT private OR doc_id % 7 != 0) AS write_allowed,
+        |    (doc_id % 13 = 4) AS over_rate,
+        |    (length(payload_hex) > 3000) AS oversize
+        |  FROM sh),
+        |st AS (
+        |  SELECT *,
+        |    CASE WHEN NOT write_allowed THEN 'rls_denied'
+        |         WHEN over_rate THEN 'rate_limited'
+        |         WHEN oversize THEN 'payload_size_exceeded'
+        |         ELSE 'sent' END AS status,
+        |    CASE WHEN write_allowed AND NOT over_rate AND ack THEN
+        |      CASE WHEN oversize THEN 'error_payload_size_exceeded'
+        |           ELSE 'ok' END END AS reply
+        |  FROM adm),
+        |pushrows AS (
+        |  SELECT ref, CAST(NULL AS BIGINT) AS socket_id, status, reply,
+        |    source AS topic, ue AS user_event,
+        |    COALESCE(md_raw, '{}') AS metadata, is_json AS payload_is_json,
+        |    payload_hex,
+        |    '03' || lpad(hex(octet_length(encode('7'))), 2, '0')
+        |         || lpad(hex(octet_length(encode(ref))), 2, '0')
+        |         || lpad(hex(octet_length(encode(source))), 2, '0')
+        |         || lpad(hex(octet_length(encode(ue))), 2, '0')
+        |         || lpad(hex(octet_length(encode(COALESCE(md_raw, '')))), 2, '0')
+        |         || CASE WHEN is_json THEN '01' ELSE '00' END
+        |         || hex(encode('7')) || hex(encode(ref))
+        |         || hex(encode(source)) || hex(encode(ue))
+        |         || hex(encode(COALESCE(md_raw, ''))) || payload_hex
+        |      AS frame_hex
+        |  FROM st),
+        |sockets AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS socket_id,
+        |         'src' || CAST(c_custkey % 20 AS VARCHAR) AS topic,
+        |         (c_custkey % 2 = 0) AS broadcast_read
+        |  FROM customer WHERE c_custkey < 100),
+        |del AS (
+        |  SELECT a.ref, s.socket_id,
+        |    CASE WHEN a.private THEN 't0-private:' || a.source
+        |         ELSE 't0:' || a.source END AS tt,
+        |    a.ue, a.is_json, a.payload_hex
+        |  FROM st a JOIN sockets s ON a.source = s.topic
+        |  WHERE a.status = 'sent' AND s.broadcast_read
+        |    AND (a.self_broadcast OR s.socket_id != a.sender_socket_id)),
+        |delrows AS (
+        |  SELECT ref, socket_id, 'delivered' AS status,
+        |    CAST(NULL AS VARCHAR) AS reply, tt AS topic, ue AS user_event,
+        |    '{}' AS metadata, is_json AS payload_is_json, payload_hex,
+        |    '04' || lpad(hex(octet_length(encode(tt))), 2, '0')
+        |         || lpad(hex(octet_length(encode(ue))), 2, '0')
+        |         || '00' || CASE WHEN is_json THEN '01' ELSE '00' END
+        |         || hex(encode(tt)) || hex(encode(ue)) || payload_hex
+        |      AS frame_hex
+        |  FROM del)
+        |SELECT * FROM pushrows UNION ALL SELECT * FROM delrows""".stripMargin)),
     // Per-socket read-gating of presence/broadcast fan-out: presence
     // diffs gated on presence_read (NULL → channel-time authorize),
     // broadcasts on broadcast_read + not-already-replayed.
@@ -3825,7 +4021,95 @@ object Queries {
         |       COALESCE(r.replayed_deliveries, CAST(0 AS BIGINT))
         |         AS replayed_deliveries
         |FROM j JOIN sd USING (tenant) JOIN d USING (tenant)
-        |  LEFT JOIN r USING (tenant)""".stripMargin))
+        |  LEFT JOIN r USING (tenant)""".stripMargin)),
+    // The Janitor's chunked maintenance sweep (r15 verdict task 5 —
+    // lib/realtime/tenants/janitor.ex:58-129 + janitor/
+    // maintenance_task.ex): the sweep set is the UNION of tenants the
+    // node tracked in the Connect table and tenants currently CONNECTED
+    // on this node (the syn-registry select with node == self) —
+    // disconnected, never-tracked tenants are NOT swept. The set is
+    // chunked (`janitor_chunk_size`) into supervised tasks; the
+    // randomized schedule offset (timer + rand minutes) affects WHEN,
+    // never WHAT, so the result set uses the deterministic key order.
+    // Per swept tenant, MaintenanceTask.run does two things whose
+    // effects this query pins: delete_old_messages drops the message
+    // PARTITIONS older than (now - 72h)::date (messages.ex:72-113 —
+    // day-granular, a partition drop, not a row delete), and
+    // create_messages_partitions creates the day partitions
+    // yesterday..today+3 (tenants.ex:116-135, names
+    // messages_YYYY_MM_DD). `now` is a literal so the oracle replays
+    // the date arithmetic. Scale shape: the tenants dimension is
+    // config-sized — the chunk-assignment window is |tenants| rows
+    // (PlanAudit-whitelisted like curation_source_mix), and the message
+    // counts are one map-side-combined aggregate broadcast-joined to it.
+    Q("obs_janitor_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nowTs = lit("2024-01-20 12:00:00").cast("timestamp")
+        val cutoff = to_date(nowTs - expr("INTERVAL 72 HOURS"))
+        val today = to_date(nowTs)
+        val t = ChangeFeed.table(s, d, "nation").select(
+          col("n_nationkey").cast("long").as("tkey"),
+          col("n_name").as("tenant"),
+          (pmod(col("n_nationkey"), lit(2)) === 0).as("tracked"),
+          (pmod(col("n_nationkey"), lit(3)) === 0).as("connected_here"))
+        val sw = t.where(col("tracked") || col("connected_here"))
+          .withColumn("chunk_id",
+            floor((row_number().over(Window.orderBy("tkey")) - 1) / lit(4))
+              .cast("long"))
+        val m = ev(s, d).select(
+          pmod(col("event_id"), lit(25)).cast("long").as("tkey"),
+          to_date(col("ts")).as("day"))
+        val agg = m.groupBy("tkey").agg(
+          sum(when(col("day") < cutoff, 1L).otherwise(0L))
+            .as("n_messages_deleted"),
+          count_distinct(when(col("day") < cutoff, col("day")))
+            .as("n_partitions_dropped"))
+        sw.join(broadcast(agg), Seq("tkey"), "left")
+          .select(col("tenant"), col("chunk_id"),
+            coalesce(col("n_messages_deleted"), lit(0L))
+              .as("n_messages_deleted"),
+            coalesce(col("n_partitions_dropped"), lit(0L))
+              .as("n_partitions_dropped"),
+            date_format(date_add(today, -1), "'messages_'yyyy_MM_dd")
+              .as("first_partition_created"),
+            date_format(date_add(today, 3), "'messages_'yyyy_MM_dd")
+              .as("last_partition_created"))
+      },
+      Some("""WITH t AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS tkey, n_name AS tenant,
+        |         (n_nationkey % 2 = 0) AS tracked,
+        |         (n_nationkey % 3 = 0) AS connected_here
+        |  FROM nation),
+        |sw AS (
+        |  SELECT tkey, tenant,
+        |         CAST((row_number() OVER (ORDER BY tkey) - 1) // 4
+        |           AS BIGINT) AS chunk_id
+        |  FROM t WHERE tracked OR connected_here),
+        |m AS (
+        |  SELECT CAST(event_id % 25 AS BIGINT) AS tkey,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events),
+        |agg AS (
+        |  SELECT tkey,
+        |    CAST(sum(CASE WHEN day < CAST(TIMESTAMP '2024-01-20 12:00:00'
+        |        - INTERVAL 72 HOUR AS DATE) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_messages_deleted,
+        |    CAST(count(DISTINCT CASE WHEN day <
+        |        CAST(TIMESTAMP '2024-01-20 12:00:00' - INTERVAL 72 HOUR
+        |          AS DATE) THEN day END) AS BIGINT)
+        |      AS n_partitions_dropped
+        |  FROM m GROUP BY 1)
+        |SELECT s.tenant, s.chunk_id,
+        |       COALESCE(a.n_messages_deleted, CAST(0 AS BIGINT))
+        |         AS n_messages_deleted,
+        |       COALESCE(a.n_partitions_dropped, CAST(0 AS BIGINT))
+        |         AS n_partitions_dropped,
+        |       strftime(CAST(TIMESTAMP '2024-01-20 12:00:00' AS DATE) - 1,
+        |         'messages_%Y_%m_%d') AS first_partition_created,
+        |       strftime(CAST(TIMESTAMP '2024-01-20 12:00:00' AS DATE) + 3,
+        |         'messages_%Y_%m_%d') AS last_partition_created
+        |FROM sw s LEFT JOIN agg a ON s.tkey = a.tkey""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by

@@ -88,6 +88,19 @@ class V2FramesSpec extends AnyFunSuite {
       f.payload.sameElements(payload))
   }
 
+  test("user_broadcast_push enc=0 carries raw non-UTF8 bytes verbatim") {
+    // the binary arm of the client push (s9_push_e2e's <'8' leg): enc
+    // byte 0, payload bytes opaque — invalid UTF-8 must survive intact
+    val raw = Array[Byte](0, -1, -2, 127, -128)
+    val fix = bytes(3, 1, 1, 1, 2, 0, 0, "7", "9", "t", "ev", raw)
+    assert(V2Frames.encodeUserBroadcastPush("7", "9", "t", "ev", None,
+      payloadIsJson = false, raw).sameElements(fix))
+    val f = V2Frames.decode(fix)
+    assert(f.opcode == 3 && f.join_ref == "7" && f.ref == "9" &&
+      f.topic == "t" && f.event == "ev" && !f.payload_is_json &&
+      f.metadata == "{}" && f.payload.sameElements(raw))
+  }
+
   // ------------------------------------------------------- metadata semantics
 
   test("zero-length metadata decodes to {} (reference %{}, :196-201)") {
