@@ -27,10 +27,23 @@ import java.nio.charset.StandardCharsets.UTF_8
   * re-delivered, the at-least-once contract of a replication-slot
   * reconnect.
   *
-  * Wire format (after the client's one text line `TAIL p:off,p:off,…`,
-  * empty cursor list = all partitions from 0):
+  * Wire format (after the client's one text line
+  * `TAIL [group=g] [epoch=N] p:off,p:off,…`, empty cursor list = all
+  * partitions from 0):
   * `[int32 partition][int64 offset][int64 timestampMs][int32 valueLen]
   * [value bytes]`, back-channel text lines `ACK p:off,…`.
+  *
+  * SLOT TAKEOVER (the second half of the WAL-bloat fault,
+  * wal_bloat_test.exs:78-160): a `group=` TAIL claims single-writer
+  * cursor ownership under a fencing epoch. A strictly higher epoch
+  * takes the slot over — the previous holder's socket is closed under
+  * the group monitor BEFORE the new holder is served (no frame is ever
+  * written to both across the handover), the group's committed cursors
+  * (the active holder's last ACK; zombie ACKs ignored) survive, and a
+  * `-1` cursor resumes exactly there. A TAIL naming a stale-or-equal
+  * epoch gets one FENCED control frame and nothing else — the
+  * fenced consumer's contract is fail fast, discard uncommitted input,
+  * redial with a bumped epoch.
   */
 object SocketRelay {
 
@@ -44,16 +57,40 @@ object SocketRelay {
     * autotuned-megabytes speed. */
   val SockBuf = 1 << 16
 
+  /** Partition marker of a FENCED control frame (see [[Frame.isFenced]]):
+    * distinct from the heartbeat (-1) and the GAP encoding (-2 - p). */
+  val FencedMarker: Int = Int.MinValue
+
+  /** Per-consumer-group fencing state: the slot's single-writer cursor
+    * ownership (the replication-slot takeover of
+    * wal_bloat_test.exs:78-160 — a second consumer claims the slot, the
+    * first must fail fast and redial). Guarded by the Server's `groups`
+    * monitor. */
+  private final class GroupState {
+    /** Highest epoch that ever claimed this group. */
+    var epoch: Long = Long.MinValue
+    /** The active holder's socket — closed on takeover. */
+    var holderSock: Socket = null
+    /** The group's committed cursors (last ACK from the active holder;
+      * zombie ACKs from fenced connections are ignored). */
+    var committed: Map[Int, Long] = Map.empty
+  }
+
   final class Server(root: String, topic: String, port: Int = 0) {
     private val server = new ServerSocket()
     server.setReuseAddress(true)
-    server.bind(new InetSocketAddress("127.0.0.1", port), 1)
+    server.bind(new InetSocketAddress("127.0.0.1", port), 8)
     def localPort: Int = server.getLocalPort
+
+    private val groups = scala.collection.mutable.Map.empty[String, GroupState]
 
     @volatile private var running = true
     /** Total frames written to sockets across all connections —
-      * monotonic, sampled by the probe's stats thread. */
-    @volatile var sentTotal: Long = 0L
+      * monotonic, sampled by the probe's stats thread. (Atomic: serve
+      * runs one thread per connection since the takeover fence — a
+      * fencing TAIL must be admitted WHILE the old holder is served.) */
+    private val sent = new java.util.concurrent.atomic.AtomicLong(0L)
+    def sentTotal: Long = sent.get
     /** Last ACK status per partition (the consumer's flushed cursor),
       * like the replication connection's status updates. */
     @volatile var lastAck: Map[Int, Long] = Map.empty
@@ -71,20 +108,29 @@ object SocketRelay {
     @volatile var lostTotal: Long = 0L
     /** Per-partition breakdown of [[lostTotal]]. */
     @volatile var lostByPartition: Map[Int, Long] = Map.empty
+    /** Monitor for the loss counters (serve threads are concurrent). */
+    private val statsLock = new Object
 
     private val thread = new Thread(() => acceptLoop(), "socket-relay")
     def start(): this.type = {
       thread.setDaemon(true); thread.start(); this
     }
 
+    // one serve thread per connection: a takeover TAIL must be admitted
+    // (and fence the old holder) WHILE that holder's serve loop is live —
+    // the serial serve of rounds ≤15 could never see the second dial
     private def acceptLoop(): Unit =
       while (running) {
         val sock =
           try server.accept()
           catch { case _: Exception => return } // stop() closed us
-        try serve(sock)
-        catch { case _: Exception => () } // client dropped: await redial
-        finally { try sock.close() catch { case _: Exception => () } }
+        val t = new Thread(() => {
+          try serve(sock)
+          catch { case _: Exception => () } // client dropped/fenced: redial
+          finally { try sock.close() catch { case _: Exception => () } }
+        }, "socket-relay-conn")
+        t.setDaemon(true)
+        t.start()
       }
 
     private def serve(sock: Socket): Unit = {
@@ -94,12 +140,64 @@ object SocketRelay {
         new InputStreamReader(sock.getInputStream, UTF_8))
       val start = in.readLine()
       if (start == null || !start.startsWith("TAIL")) return
+      // `TAIL [group=g] [epoch=N] [p:off,p:off,…]` — group/epoch are the
+      // fencing extension (absent = the ungrouped, unfenced legacy tail);
+      // a named offset of -1 resolves to the GROUP's committed cursor
+      // (the slot's confirmed LSN — "exact resume" across a takeover)
+      var group: String = null
+      var epoch = 0L
       val cursors = scala.collection.mutable.Map.empty[Int, Long]
-      start.stripPrefix("TAIL").trim.split(",").filter(_.nonEmpty)
-        .foreach { kv =>
-          val Array(p, o) = kv.split(":")
-          cursors(p.trim.toInt) = o.trim.toLong
+      start.stripPrefix("TAIL").trim.split("\\s+").filter(_.nonEmpty)
+        .foreach {
+          case t if t.startsWith("group=") => group = t.stripPrefix("group=")
+          case t if t.startsWith("epoch=") =>
+            epoch = t.stripPrefix("epoch=").toLong
+          case t => t.split(",").filter(_.nonEmpty).foreach { kv =>
+            val Array(p, o) = kv.split(":")
+            cursors(p.trim.toInt) = o.trim.toLong
+          }
         }
+      // single-writer admission (the slot-takeover fence,
+      // wal_bloat_test.exs:78-160): a TAIL must name a STRICTLY higher
+      // epoch than the group has seen to claim the slot — stale and
+      // replayed epochs get a FENCED control frame and nothing else
+      // (the fenced consumer fails fast and redials with a bumped
+      // epoch). On takeover the PREVIOUS holder's socket is closed
+      // UNDER THE GROUPS MONITOR, before this connection can be served
+      // a single frame — no frame is ever written to the old connection
+      // after the handover, so the uncommitted window is delivered to
+      // at most one live consumer (bytes already in the old consumer's
+      // kernel buffer are its own to discard: a fenced consumer must
+      // drop uncommitted input, the same contract as a killed
+      // walsender's in-flight TCP data).
+      var committedStart: Map[Int, Long] = Map.empty
+      if (group != null) {
+        val fencedBy = groups.synchronized {
+          val g = groups.getOrElseUpdate(group, new GroupState)
+          if (epoch <= g.epoch) Some(g.epoch)
+          else {
+            if (g.holderSock != null && !g.holderSock.isClosed)
+              try g.holderSock.close() catch { case _: Exception => () }
+            g.epoch = epoch
+            g.holderSock = sock
+            committedStart = g.committed
+            None
+          }
+        }
+        fencedBy match {
+          case Some(winner) =>
+            val out = new DataOutputStream(sock.getOutputStream)
+            out.writeInt(FencedMarker)
+            out.writeLong(winner) // the epoch that holds the slot
+            out.writeLong(epoch)  // the epoch this TAIL named
+            out.writeInt(0)
+            out.flush()
+            return
+          case None => ()
+        }
+        cursors.mapValuesInPlace((p, o) =>
+          if (o == -1L) committedStart.getOrElse(p, 0L) else o)
+      }
       // status-update reader: drains ACK lines off the back channel so
       // the send side never blocks on an unread input buffer
       val acks = new Thread(() => {
@@ -112,6 +210,17 @@ object SocketRelay {
                   val Array(p, o) = kv.split(":")
                   p.trim.toInt -> o.trim.toLong
                 }.toMap
+              // group commit FIRST, then the observable lastAck: only the
+              // ACTIVE holder advances the slot's committed cursor — a
+              // fenced zombie's late ACK is ignored (it could rewind or
+              // advance past what the new holder saw). Publishing lastAck
+              // last means anyone who OBSERVED the ack can rely on the
+              // group cursor already being committed.
+              if (group != null) groups.synchronized {
+                groups.get(group).foreach { g =>
+                  if (g.holderSock eq sock) g.committed = m
+                }
+              }
               lastAck = m
             }
             line = in.readLine()
@@ -125,7 +234,13 @@ object SocketRelay {
       // partitions whose TAIL-time slot-overflow check already ran on
       // this connection (see the telemetry note in the serve loop)
       val gapChecked = scala.collection.mutable.Set.empty[Int]
-      while (running && !sock.isClosed) {
+      // belt-and-braces holder check: takeover CLOSES this socket (the
+      // hard fence — any in-flight write throws), this predicate just
+      // exits the loop promptly on the quiet path
+      def stillHolder: Boolean = group == null || groups.synchronized {
+        groups.get(group).exists(_.holderSock eq sock)
+      }
+      while (running && !sock.isClosed && stillHolder) {
         var progressed = false
         FileReplayLog.partitions(root, topic).foreach { p =>
           var from = cursors.getOrElse(p, 0L)
@@ -144,7 +259,7 @@ object SocketRelay {
           val begin = FileReplayLog.beginningOffset(root, topic, p)
           if (from < begin) {
             val lost = begin - from
-            if (!gapChecked.contains(p)) {
+            if (!gapChecked.contains(p)) statsLock.synchronized {
               lostTotal += lost
               lostByPartition = lostByPartition
                 .updated(p, lostByPartition.getOrElse(p, 0L) + lost)
@@ -169,7 +284,7 @@ object SocketRelay {
               val v = if (r.value == null) Array.emptyByteArray else r.value
               out.writeInt(v.length)
               out.write(v)
-              sentTotal += 1
+              sent.incrementAndGet()
             }
             cursors(p) = recs.last.offset + 1
             out.flush() // hand the chunk to the (bounded) socket buffer
@@ -209,7 +324,16 @@ object SocketRelay {
   final case class Frame(partition: Int, offset: Long, timestampMs: Long,
       valueLen: Int) {
     def isHeartbeat: Boolean = partition == -1
-    def isGap: Boolean = partition <= -2
+    /** A slot-takeover FENCE: this connection's epoch lost the group's
+      * single-writer claim ([[FencedMarker]]). `offset` carries the
+      * WINNING epoch, `timestampMs` the epoch this consumer named —
+      * fail fast, discard uncommitted input, redial with a higher
+      * epoch (the reference's slot-takeover reconnect,
+      * wal_bloat_test.exs:78-160). */
+    def isFenced: Boolean = partition == FencedMarker
+    /** The epoch that holds the slot (FENCED frames). */
+    def winningEpoch: Long = offset
+    def isGap: Boolean = partition <= -2 && !isFenced
     /** The data partition a GAP frame applies to. */
     def gapPartition: Int = -partition - 2
     /** A GAP frame's resume cursor — the oldest retained offset. */
@@ -221,8 +345,12 @@ object SocketRelay {
   /** Blocking client: dial, send cursors, read frames one at a time.
     * `recvBuf` is set BEFORE connect so the kernel honors it — an
     * unbounded autotuned receive window would hide the backpressure
-    * the probe measures. */
-  final class Client(host: String, port: Int, cursors: Map[Int, Long]) {
+    * the probe measures. `slot` names a consumer group and fencing
+    * epoch (single-writer cursor ownership — see [[GroupState]]); a
+    * cursor offset of -1 under a slot resolves server-side to the
+    * group's committed cursor. */
+  final class Client(host: String, port: Int, cursors: Map[Int, Long],
+      slot: Option[(String, Long)] = None) {
     private val sock = new Socket()
     sock.setReceiveBufferSize(SockBuf)
     sock.connect(new InetSocketAddress(host, port))
@@ -233,8 +361,10 @@ object SocketRelay {
     // same consumer loop past the producer's sustained rate
     private val in = new DataInputStream(
       new java.io.BufferedInputStream(sock.getInputStream, SockBuf))
-    out.write(("TAIL " + cursors.toSeq.sorted
-      .map { case (p, o) => s"$p:$o" }.mkString(",") + "\n").getBytes(UTF_8))
+    out.write(("TAIL " +
+      slot.map { case (g, e) => s"group=$g epoch=$e " }.getOrElse("") +
+      cursors.toSeq.sorted
+        .map { case (p, o) => s"$p:$o" }.mkString(",") + "\n").getBytes(UTF_8))
     out.flush()
 
     /** Next frame, or None on connection end. */

@@ -215,4 +215,110 @@ class SocketRelaySpec extends AnyFunSuite {
       client.close()
     } finally server.stop()
   }
+
+  // ----------------------------------------------------- slot takeover rows
+
+  /** Drain until `server.lastAck` shows `want` (ACKs are async). */
+  private def awaitAck(server: SocketRelay.Server,
+      want: Map[Int, Long]): Unit = {
+    val deadline = System.currentTimeMillis() + 5000
+    while (server.lastAck != want &&
+      System.currentTimeMillis() < deadline) Thread.sleep(5L)
+    assert(server.lastAck == want, "status update lost")
+  }
+
+  test("slot takeover: a higher epoch fences the live holder; the new " +
+      "holder resumes exactly at the committed cursor, once") {
+    val root = tmp(); val topic = "t"
+    fill(root, topic, parts = 1, perPart = 100)
+    val server = new SocketRelay.Server(root, topic).start()
+    try {
+      val c1 = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> 0L), slot = Some(("slot", 1L)))
+      var seen = 0
+      while (seen < 30) { if (!c1.next().get.isHeartbeat) seen += 1 }
+      c1.ack(Map(0 -> 30L))
+      awaitAck(server, Map(0 -> 30L))
+      // takeover: epoch 2, cursor -1 = "the group's committed cursor"
+      val c2 = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> -1L), slot = Some(("slot", 2L)))
+      // exact resume: first data frame is offset 30, then 31..99 each
+      // exactly once — never a duplicate of the committed prefix, never
+      // a skip (the uncommitted window [30,100) reaches ONE live holder)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (got.size < 70) {
+        val f = c2.next().get
+        assert(!f.isFenced, "the WINNING epoch must never be fenced")
+        if (!f.isHeartbeat) got += f.offset
+      }
+      assert(got.toSeq == (30L until 100L).toSeq)
+      // the old holder fails fast: its socket was closed at handover —
+      // it may still drain frames already buffered (its own to discard,
+      // like a killed walsender's in-flight TCP data), then hard EOF
+      var c1Frames = 0
+      var f1 = c1.next()
+      while (f1.isDefined) {
+        if (!f1.get.isHeartbeat && !f1.get.isFenced) c1Frames += 1
+        f1 = c1.next()
+      }
+      assert(c1Frames <= 100, "old holder saw frames that never existed")
+      c1.close(); c2.close()
+    } finally server.stop()
+  }
+
+  test("a stale-epoch TAIL gets one FENCED control frame naming the " +
+      "winning epoch, and no data") {
+    val root = tmp(); val topic = "t"
+    fill(root, topic, parts = 1, perPart = 10)
+    val server = new SocketRelay.Server(root, topic).start()
+    try {
+      val c2 = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> 0L), slot = Some(("slot", 5L)))
+      var seen = 0
+      while (seen < 10) { if (!c2.next().get.isHeartbeat) seen += 1 }
+      // the fenced redial (the first consumer coming back with its old
+      // epoch — and an EQUAL epoch is a zombie replay, fenced too)
+      Seq(3L, 5L).foreach { stale =>
+        val z = new SocketRelay.Client("127.0.0.1", server.localPort,
+          Map(0 -> 0L), slot = Some(("slot", stale)))
+        val f = z.next().get
+        assert(f.isFenced && f.winningEpoch == 5L,
+          s"epoch $stale must be fenced by 5")
+        assert(z.next().isEmpty, "nothing after the fence")
+        z.close()
+      }
+      c2.close()
+    } finally server.stop()
+  }
+
+  test("committed cursors survive holder churn: each successor resumes " +
+      "where the last ACTIVE holder acked") {
+    val root = tmp(); val topic = "t"
+    fill(root, topic, parts = 1, perPart = 60)
+    val server = new SocketRelay.Server(root, topic).start()
+    try {
+      val c1 = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> 0L), slot = Some(("slot", 1L)))
+      var seen = 0
+      while (seen < 20) { if (!c1.next().get.isHeartbeat) seen += 1 }
+      c1.ack(Map(0 -> 20L))
+      awaitAck(server, Map(0 -> 20L))
+      c1.close() // clean drop, no takeover yet
+      val c2 = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> -1L), slot = Some(("slot", 2L)))
+      val first = Iterator.continually(c2.next().get)
+        .find(f => !f.isHeartbeat).get
+      assert(first.offset == 20L, "resume must be the committed cursor")
+      var got = 1
+      while (got < 20) { if (!c2.next().get.isHeartbeat) got += 1 }
+      c2.ack(Map(0 -> 40L))
+      awaitAck(server, Map(0 -> 40L))
+      val c3 = new SocketRelay.Client("127.0.0.1", server.localPort,
+        Map(0 -> -1L), slot = Some(("slot", 3L)))
+      val f3 = Iterator.continually(c3.next().get)
+        .find(f => !f.isHeartbeat).get
+      assert(f3.offset == 40L, "successor must see the NEW holder's ack")
+      c2.close(); c3.close()
+    } finally server.stop()
+  }
 }
