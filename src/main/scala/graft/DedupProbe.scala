@@ -100,6 +100,13 @@ object DedupProbe {
           stages += ((name, r.getLong(0), sec))
         }
         spark.catalog.clearCache() // operator-internal persists
+        // release the finished run's SHUFFLE files before the next one:
+        // the ContextCleaner only deletes a shuffle once the driver GC
+        // proves its dependency unreachable — without the nudge, run 1's
+        // and run 2's files coexist on disk, and at 10M the minhash
+        // verification join's exchanges alone are ~40 GB per run (the
+        // first 10M attempt died ENOSPC at 76 GB of coexisting spill)
+        System.gc(); Thread.sleep(2000L)
       }
     }
 
@@ -136,6 +143,8 @@ object DedupProbe {
           maxIters = 60, smallGraphEdgeCap = 0L)
         .withColumn("n_cluster", col("cluster_id"))
     }, col("n_cluster"))
+    // rounds of the last cc_path run — the measured O(log² n) bound
+    val ccRounds = Dedup.lastIterRounds
 
     val (ctlEndRows, healthEnd) = readHealth()
     val verdict =
@@ -150,6 +159,7 @@ object DedupProbe {
     }.mkString("[", ",", "]")
     println("PROBEJSON {" +
       s""""probe":"dedup","n_docs":$nDocs,"hot_docs":$hotDocs,""" +
+      s""""cc_path_rounds":$ccRounds,""" +
       s""""cpus":"$cpus","control":{""" +
       s""""raw_rows_per_sec":$ctlRows,""" +
       s""""raw_rows_per_sec_end":$ctlEndRows,""" +

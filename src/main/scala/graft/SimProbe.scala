@@ -124,7 +124,13 @@ object SimProbe {
           println(f"[simprobe] $name rows=${r.getLong(0)} sec=$sec%.2f")
           stages += ((name, r.getLong(0), sec))
         }
-        if (clear) spark.catalog.clearCache()
+        if (clear) {
+          spark.catalog.clearCache()
+          // let the ContextCleaner reclaim the finished run's shuffle
+          // files before the next one starts (see DedupProbe.time —
+          // coexisting per-run spill is what ENOSPC'd the first 10M run)
+          System.gc(); Thread.sleep(2000L)
+        }
       }
     }
 

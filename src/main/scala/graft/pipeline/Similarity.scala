@@ -720,8 +720,11 @@ object Similarity {
     * sampled bucket-size estimate (`autoSampleFraction` of the corpus
     * through the same argmax assignment, ~1% of the build flops) finds
     * buckets whose estimated size exceeds `autoTargetBlock`, and ONLY
-    * those hot buckets take the block grid (sized so each block is
-    * ~`autoTargetBlock` vectors); every other bucket keeps the exact
+    * those hot buckets take the block grid, each at its OWN width
+    * b_i = ceil(est_i / autoTargetBlock) (r16: a global width sized by
+    * the largest bucket multiplied every average hot bucket's exchange
+    * by maxEst/est_i — ~70 GB of spill at 10M; see blockGrid); every
+    * other bucket keeps the exact
     * single-task kernel plan. With no hot bucket detected the returned
     * plan is IDENTICAL to the explicit `nBlocks = 1` plan (no filter,
     * no union — the shipped small-SF fingerprints hold). `1` forces the
@@ -773,10 +776,23 @@ object Similarity {
     // per source, never bucket-sized. Scores are the same sequential
     // dots, so the merged graph is row-identical to the single-task
     // path (spec-asserted).
-    def blockGrid(part: DataFrame, b: Int): DataFrame = {
+    // `part` must carry a per-bucket block count `_b` (int ≥ 2). PER
+    // BUCKET, not global (SimProbe catch, r16, at 10M): a single grid
+    // width sized by the LARGEST bucket (the 100k boilerplate slab →
+    // b=25) is paid by EVERY grid bucket — each block's vector list is
+    // replicated b× in the cell join and every source's merge input is
+    // b·k rows, so when the average bucket also crosses the hot
+    // threshold (avg √n = 3163 at 10M, with cluster granularity pushing
+    // many buckets past 4096) the exchange+sort spilled ~70 GB and
+    // ENOSPC'd the host. With b_i = ceil(est_i / autoTargetBlock) a
+    // 5k bucket pays a 2×2 grid while the slab alone pays 25×25; the
+    // scores are the same sequential dots under ANY b, so the merged
+    // graph stays row-identical (spec-asserted).
+    def blockGrid(part: DataFrame): DataFrame = {
       val blocks = part
         .select(col("bucket").cast("long").as("bucket"),
-          pmod(col(idCol).cast("long"), lit(b)).cast("int").as("blk"),
+          pmod(col(idCol).cast("long"), col("_b").cast("long"))
+            .cast("int").as("blk"),
           col(idCol).cast("long").as("id"), col("v"))
         .groupBy("bucket", "blk")
         .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2")))
@@ -813,7 +829,7 @@ object Similarity {
         .select(col("src_id"), col("dst_id"), col("rank"))
     }
 
-    if (nBlocks >= 2) blockGrid(asg, nBlocks)
+    if (nBlocks >= 2) blockGrid(asg.withColumn("_b", lit(nBlocks)))
     else if (nBlocks == 1) singleTask(asg)
     else {
       // AUTO: estimate per-bucket sizes from a seeded corpus sample run
@@ -828,12 +844,16 @@ object Similarity {
         .collect()
         .map(r => r.getAs[Number]("bucket").longValue ->
           (r.getAs[Long]("count") / autoSampleFraction))
-      val hot = est.filter(_._2 > autoTargetBlock).map(_._1)
-      if (hot.isEmpty) singleTask(asg)
+      // per-bucket width: b_i = ceil(est_i / target), floored at 2 —
+      // sizing every grid bucket by the largest one multiplies the
+      // average hot bucket's exchange by maxEst/est_i (see blockGrid)
+      val hotB = est.filter(_._2 > autoTargetBlock).map { case (bkt, e) =>
+        (bkt, math.max(2, math.ceil(e.toDouble / autoTargetBlock).toInt))
+      }
+      if (hotB.isEmpty) singleTask(asg)
       else {
-        val maxEst = est.map(_._2).max
-        val b = math.max(2,
-          math.ceil(maxEst / autoTargetBlock).toInt)
+        val hot = hotB.map(_._1)
+        val bDf = spark.createDataFrame(hotB.toSeq).toDF("bucket", "_b")
         // persist the assignment so the two branches share ONE argmax
         // pass (n·√n·dim flops — the build's dominant compute; without
         // the cache each union branch recomputes it, measured +75% on
@@ -847,7 +867,9 @@ object Similarity {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         acquiredCaches.add(cached)
         val hotCol = col("bucket").cast("long").isin(hot: _*)
-        blockGrid(cached.where(hotCol), b)
+        blockGrid(cached.where(hotCol)
+            .withColumn("bucket", col("bucket").cast("long"))
+            .join(broadcast(bDf), "bucket"))
           .unionByName(singleTask(cached.where(!hotCol)))
       }
     }
