@@ -4,7 +4,7 @@ import graft.cdc.ChangeFeed
 import graft.filters.{FilterCompiler, FilterParser}
 import graft.messages.Messages
 import graft.model.Subscription
-import graft.presence.Presence
+import graft.presence.{Fanout, Presence}
 import graft.rates.Rates
 import graft.walrus.{Payload, Walrus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3567,6 +3567,146 @@ object Queries {
         |  (CASE WHEN load1 <= coalesce(load2, load1) THEN node1
         |        ELSE node2 END) != current AS moved
         |FROM picks""".stripMargin)),
+    // GenRpcPubSub's two-tier region fan-out (gen_rpc/pub_sub.ex:47-94,
+    // tenant_broadcaster.ex:38-75) as a delivery-plan rollup: 10 nodes
+    // in 3 regions (node n sits in region n % 3), sender = the user, its
+    // origin node = user_id % 10, cast pool of 5 channels. Per (node,
+    // region, hop, channel): how many messages arrive via local / ftl /
+    // ftr / ftl_relay, from how many senders. Exactly-once per node is
+    // the oracle equality itself (every message contributes one row per
+    // node); the gateway and channel picks are the documented md5
+    // rendezvous substitution for phash2 (see graft.presence.Fanout).
+    // Plan: explode over a literal node array + codegen'd CASE/least
+    // chains — the final groupBy (≤ 200 groups) is the only shuffle.
+    Q("j8_fanout_hops",
+      (s, d) => {
+        val msgs = ev(s, d).select(col("event_id").as("msg_id"),
+          col("user_id").as("sender"), (col("user_id") % 10).as("origin"))
+        Fanout.hopPlan(msgs, "sender", "origin",
+            (0 until 10).map(n => (n, n % 3)), 5)
+          .groupBy("node", "region", "hop", "channel")
+          .agg(count(lit(1)).as("n_msgs"),
+            countDistinct(col("sender")).as("n_senders"),
+            sum(col("msg_id")).as("msg_checksum"))
+      },
+      Some("""WITH msgs AS (
+        |  SELECT event_id AS msg_id, user_id AS sender,
+        |         user_id % 10 AS origin
+        |  FROM events),
+        |nodes AS (SELECT CAST(n AS INT) AS node, CAST(n % 3 AS INT) AS region
+        |          FROM (SELECT unnest(range(10)) AS n)),
+        |grid AS (
+        |  SELECT m.msg_id, m.sender, m.origin, m.origin % 3 AS origin_region,
+        |         n.node, n.region,
+        |         md5(m.sender || ':' || n.node) AS h
+        |  FROM msgs m CROSS JOIN nodes n),
+        |g2 AS (SELECT *, min(h) OVER (PARTITION BY sender, region)
+        |                   AS region_min
+        |       FROM grid),
+        |senders AS (SELECT DISTINCT sender FROM msgs),
+        |chan AS (
+        |  SELECT sender, CAST(c AS INT) AS channel FROM (
+        |    SELECT s.sender, c.c,
+        |           row_number() OVER (PARTITION BY s.sender
+        |                              ORDER BY md5(s.sender || '#' || c.c),
+        |                                       c.c)
+        |             AS rn
+        |    FROM senders s
+        |    CROSS JOIN (SELECT unnest(range(1, 6)) AS c) c)
+        |  WHERE rn = 1)
+        |SELECT g.node, g.region,
+        |  CASE WHEN g.node = g.origin THEN 'local'
+        |       WHEN g.region = g.origin_region THEN 'ftl'
+        |       WHEN g.h = g.region_min THEN 'ftr'
+        |       ELSE 'ftl_relay' END AS hop,
+        |  ch.channel,
+        |  CAST(count(*) AS BIGINT) AS n_msgs,
+        |  CAST(count(DISTINCT g.sender) AS BIGINT) AS n_senders,
+        |  CAST(sum(g.msg_id) AS BIGINT) AS msg_checksum
+        |FROM g2 g JOIN chan ch USING (sender)
+        |GROUP BY 1, 2, 3, 4""".stripMargin)),
+    // measure_broadcast_fanout's node-delivery telemetry
+    // (tenant_broadcaster.ex:85-100, pub_sub.ex:105-118): each node
+    // records, PER DELIVERY of a tenant-TAGGED message, how many local
+    // members of that tenant it holds (Forum.Census.local_member_count)
+    // and whether that count is > 0 — aggregating hit=false counts the
+    // node deliveries the mesh could have avoided. Only broadcast-type
+    // messages through MessageDispatcher are tagged (`tag_tenant`,
+    // :76-77 — presence/postgres_changes stay untagged and unmeasured):
+    // modeled as event_type = 'click'. The telemetry fires once per
+    // node per tagged message — on the origin inside pubsub_broadcast,
+    // on every remote inside the worker's ftl/ftr arms — so the
+    // measured set IS the hop plan's delivery grid, relay legs
+    // included. Census membership: socket = event (node event_id % 10),
+    // member users counted distinct per (node, tenant), 'connected' =
+    // value > 30. Plan: members is a ≤200-row aggregate broadcast onto
+    // the exploded grid; two shuffles total (members agg + final
+    // per-tenant rollup).
+    Q("obs_fanout_hits",
+      (s, d) => {
+        val msgs = ev(s, d).where(col("event_type") === "click")
+          .select(col("event_id").as("msg_id"),
+            col("user_id").as("sender"),
+            (col("user_id") % 10).as("origin"),
+            (col("user_id") % 20).as("tenant"))
+        val members = ev(s, d).where(col("value") > 30)
+          .select((col("event_id") % 10).cast("int").as("node"),
+            (col("user_id") % 20).as("tenant"), col("user_id"))
+          .groupBy("node", "tenant")
+          .agg(countDistinct(col("user_id")).as("local_users"))
+        Fanout.hopPlan(msgs, "sender", "origin",
+            (0 until 10).map(n => (n, n % 3)), 1)
+          .join(broadcast(members), Seq("node", "tenant"), "left")
+          .withColumn("local_users", coalesce(col("local_users"), lit(0L)))
+          .groupBy("tenant")
+          .agg(countDistinct(col("msg_id")).as("n_msgs"),
+            count(lit(1)).as("node_deliveries"),
+            sum((col("hop") === "ftl_relay").cast("long"))
+              .as("relay_deliveries"),
+            sum((col("local_users") > 0).cast("long")).as("hit_deliveries"),
+            sum((col("local_users") === 0).cast("long"))
+              .as("miss_deliveries"),
+            sum(col("local_users")).as("sum_local_users"))
+      },
+      Some("""WITH msgs AS (
+        |  SELECT event_id AS msg_id, user_id AS sender,
+        |         user_id % 10 AS origin, user_id % 20 AS tenant
+        |  FROM events WHERE event_type = 'click'),
+        |nodes AS (SELECT CAST(n AS INT) AS node, CAST(n % 3 AS INT) AS region
+        |          FROM (SELECT unnest(range(10)) AS n)),
+        |mem AS (
+        |  SELECT CAST(event_id % 10 AS INT) AS node, user_id % 20 AS tenant,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS local_users
+        |  FROM events WHERE value > 30 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT m.msg_id, m.sender, m.tenant,
+        |         m.origin, m.origin % 3 AS origin_region,
+        |         n.node, n.region,
+        |         md5(m.sender || ':' || n.node) AS h
+        |  FROM msgs m CROSS JOIN nodes n),
+        |g2 AS (SELECT *, min(h) OVER (PARTITION BY sender, region)
+        |                   AS region_min
+        |       FROM grid),
+        |del AS (
+        |  SELECT g.tenant, g.msg_id,
+        |    CASE WHEN g.node = g.origin THEN 'local'
+        |         WHEN g.region = g.origin_region THEN 'ftl'
+        |         WHEN g.h = g.region_min THEN 'ftr'
+        |         ELSE 'ftl_relay' END AS hop,
+        |    coalesce(mm.local_users, 0) AS local_users
+        |  FROM g2 g
+        |  LEFT JOIN mem mm ON g.node = mm.node AND g.tenant = mm.tenant)
+        |SELECT tenant,
+        |  CAST(count(DISTINCT msg_id) AS BIGINT) AS n_msgs,
+        |  CAST(count(*) AS BIGINT) AS node_deliveries,
+        |  CAST(sum(CASE WHEN hop = 'ftl_relay' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS relay_deliveries,
+        |  CAST(sum(CASE WHEN local_users > 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS hit_deliveries,
+        |  CAST(sum(CASE WHEN local_users = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS miss_deliveries,
+        |  CAST(sum(local_users) AS BIGINT) AS sum_local_users
+        |FROM del GROUP BY 1""".stripMargin)),
     // Realtime.Crypto (crypto.ex:9-39) on the Spark surface: the tenant
     // credential codec (AES-128-ECB + PKCS#7 + base64) as built-in
     // aes_encrypt/aes_decrypt. The oracle checks what SQL can check
