@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the graph-iteration family ([[graft.pipeline.Graph]]
+  * pageRank — textRank shares the same loop): the [[DedupProbe]] /
+  * [[SimProbe]] sibling for the one operator family whose cost is
+  * per-ITERATION shuffles rather than one pass. Runs the fixed-point
+  * loop over synthetic power-skewed edge lists at 1M and 10M edges in
+  * ONE session (the 1M→10M ratio ships inside a single artifact) and
+  * A/Bs the `prePartition` build flag:
+  *
+  *  - `pagerank_<v>`: the shipped default — edge table cached with
+  *    whatever partitioning the outdeg join leaves. When that join
+  *    BROADCASTS the deg side (Spark's choice at small deg
+  *    cardinality), the cache inherits scan partitioning and every
+  *    iteration re-shuffles the FULL edge table.
+  *  - `pagerank_pp_<v>`: edge table cached hash-partitioned on `_src`
+  *    (one build-time exchange) — each iteration's rank join then
+  *    satisfies its required distribution from the cache and only the
+  *    rank side moves. The delta is the per-iteration edge shuffle,
+  *    ×`iters`.
+  *
+  * Graph shape (deterministic hash arithmetic, no RNG): nodes = v/10,
+  * src uniform, dst uniform EXCEPT every 10th edge lands on node 0 —
+  * a 10% mega-hub, the web-graph in-degree skew. The hub stresses the
+  * contribution aggregate's map-side combine (a straight groupBy(dst)
+  * sum — partial aggregation absorbs the hub before the exchange,
+  * which the probe verifies by completing at all).
+  *
+  * Measurement rules (PruneScan): the sink aggregates OVER rank_micros
+  * (sum + count), never a bare count; ranks are bit-identical across
+  * both arms (integer micros — asserted per volume, not just timed).
+  * One timed run per arm — the 10-iteration loop warms its own JIT
+  * (iterations 2+ run hot code paths; a second full run would double a
+  * ~10-minute probe for one cold-start's noise).
+  *
+  * ARTIFACT: `PROBEJSON {…}` with the [[KneeFresh]] raw-floor host
+  * stamp — same self-adjudication contract as the siblings. */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val volumes: Seq[Long] =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(1000000L, 10000000L)
+    val iters = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val bandApplies = KneeFresh.bandAppliesFor(cpus)
+    def readHealth(): (Long, Double) = {
+      val c = graft.cdc.StreamLatency.rawFloor(spark,
+        KneeFresh.ControlRate, KneeFresh.ControlSeconds)
+      (c.rowsPerSec,
+        if (bandApplies) c.rowsPerSec.toDouble / KneeFresh.QuietBandRowsPerSec
+        else -1.0)
+    }
+    val (ctlRows, health) = readHealth()
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val extras = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+    // untimed warmup: JIT both arms' code paths BEFORE any timed run —
+    // without it the first arm absorbs compilation and the A/B reads
+    // backwards (measured 6.9 vs 3.7 s at 100k with identical plans)
+    Seq(false, true).foreach { pp =>
+      graft.pipeline.Graph.pageRank(
+        spark.range(50000L).select(
+          pmod(hash(col("id"), lit(1)), lit(5000L)).cast("long").as("src"),
+          pmod(hash(col("id"), lit(2)), lit(5000L)).cast("long").as("dst")),
+        "src", "dst", iters = 3, prePartition = pp)
+        .agg(count(lit(1))).collect()
+      spark.catalog.clearCache()
+    }
+
+    volumes.foreach { v =>
+      val nNodes = math.max(1000L, v / 10)
+      def edges = spark.range(v).select(
+        pmod(hash(col("id"), lit(1)), lit(nNodes)).cast("long").as("src"),
+        when(pmod(col("id"), lit(10)) === 0L, lit(0L))
+          .otherwise(pmod(hash(col("id"), lit(2)), lit(nNodes))
+            .cast("long")).as("dst"))
+      var checksum = Map.empty[Boolean, (Long, Long)]
+      Seq(false, true).foreach { pp =>
+        val name = s"pagerank${if (pp) "_pp" else ""}_$v"
+        val t0 = System.nanoTime()
+        val r = graft.pipeline.Graph
+          .pageRank(edges, "src", "dst", iters = iters,
+            prePartition = pp)
+          .agg(count(lit(1)), sum(col("rank_micros"))).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[graphprobe] $name rows=${r.getLong(0)} sec=$sec%.2f")
+        stages += ((name, r.getLong(0), sec))
+        checksum += pp -> ((r.getLong(0), r.getLong(1)))
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(2000L)
+      }
+      // integer micros ⇒ the arms must agree bit-for-bit
+      require(checksum(false) == checksum(true),
+        s"prePartition changed the answer at $v: $checksum")
+      // mass conservation in per-node micro units: floor loss only —
+      // the probe's first run read rank_sum = 0 at 10M under the old
+      // total-mass units (base floored to zero past 150k nodes)
+      val (nNodesOut, rankSum) = checksum(true)
+      require(rankSum > 0L && rankSum <= nNodesOut * 1000000L,
+        s"rank mass out of band at $v: sum=$rankSum nodes=$nNodesOut")
+      extras += ((s"rank_sum_$v", rankSum))
+    }
+
+    val (ctlEndRows, healthEnd) = readHealth()
+    val verdict =
+      if (!bandApplies) "unbanded"
+      else if (math.min(health, healthEnd) < KneeFresh.HealthSuspect)
+        "suspect"
+      else "clean"
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val stageJson = stages.map { case (n, rows, sec) =>
+      s"""{"name":"$n","rows":$rows,"sec":${f3(sec)}}"""
+    }.mkString("[", ",", "]")
+    val extraJson = extras.map { case (n, vv) => s""""$n":$vv""" }
+      .mkString(",")
+    println("PROBEJSON {" +
+      s""""probe":"graph","iters":$iters,""" +
+      (if (extras.nonEmpty) extraJson + "," else "") +
+      s""""cpus":"$cpus","control":{""" +
+      s""""raw_rows_per_sec":$ctlRows,""" +
+      s""""raw_rows_per_sec_end":$ctlEndRows,""" +
+      s""""quiet_band_rows_per_sec":${KneeFresh.QuietBandRowsPerSec},""" +
+      s""""host_health":${f3(health)},""" +
+      s""""host_health_end":${f3(healthEnd)},""" +
+      s""""verdict":"$verdict"},""" +
+      s""""stages":$stageJson}""")
+    spark.stop()
+  }
+}

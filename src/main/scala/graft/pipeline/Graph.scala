@@ -15,12 +15,30 @@ object Graph {
 
   /** PageRank with a fixed iteration count over a directed edge list.
     *
-    * r_0(v) = 10^6 div N;
-    * r_{t+1}(v) = (10^6 − damp) div N +
-    *              Σ_{u→v} (damp · r_t(u)) div (10^6 · outdeg(u)).
+    * Ranks are PER-NODE micros — the stationary mass scaled by N·10^6,
+    * so the uniform rank is 10^6 regardless of graph size:
     *
-    * Floor division loses ≤1 micro per term — the standard price for
-    * derandomized integer PageRank; dangling mass is dropped (nodes
+    * r_0(v) = 10^6;
+    * r_{t+1}(v) = (10^6 − damp) +
+    *              Σ_{u→v} floor₂(damp · r_t(u) / (10^6 · outdeg(u))),
+    * where floor₂ is the overflow-safe two-term evaluation below.
+    *
+    * Why per-node units (GraphProbe, r16): the earlier TOTAL-mass law
+    * (`r_0 = 10^6 div N`, base `(10^6 − damp) div N`) floors the base
+    * term to ZERO for N > 150 000 and the initial rank to zero for
+    * N > 10^6 — at 10M edges every rank collapsed to 0 (the probe's
+    * `rank_sum` checksum caught it). Per-node units keep full micro
+    * resolution at ANY graph size; relative order and ratios are the
+    * same mathematical PageRank (the measure is scale-invariant).
+    *
+    * Overflow bound: the per-edge contribution is evaluated as
+    * `damp·(r div (10^6·outdeg)) + (damp·((r mod (10^6·outdeg)) div
+    * outdeg)) div 10^6` — every intermediate stays under damp·N·10^6 ≈
+    * 8.5×10^5·N, safe in a signed 64-bit long to N ≈ 10^13 nodes
+    * (the naive `damp·r` product overflows as soon as one node holds
+    * ~10^7 average nodes' worth of mass). Floor composition loses ≤2
+    * micros per term vs ≤1 for the naive order — the same
+    * derandomization price class; dangling mass is dropped (nodes
     * here always have out-edges when fed a kNN edge list).
     *
     * Scale shape: the classic Pregel loop as relational ops — per
@@ -31,7 +49,8 @@ object Graph {
     * linear in `iters` — for iteration counts beyond ~20, checkpoint
     * every few rounds to cut lineage. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampMicros: Long = 850000L): DataFrame = {
+      iters: Int, dampMicros: Long = 850000L,
+      prePartition: Boolean = true): DataFrame = {
     require(iters >= 1 && dampMicros >= 0L && dampMicros <= 1000000L)
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct().persist()
@@ -40,17 +59,32 @@ object Graph {
     // an empty (id, rank_micros) frame, not a divide-by-zero
     if (n == 0L)
       return nodes.select(col("id"), lit(0L).as("rank_micros"))
-    val base = (1000000L - dampMicros) / n
+    val base = 1000000L - dampMicros
     val deg = edges.groupBy(col(srcCol).as("_s"))
       .agg(count(lit(1)).as("outdeg"))
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    // prePartition: cache the edge table HASH-PARTITIONED on _src so
+    // every iteration's rank join satisfies its distribution from the
+    // cache and only the (smaller) rank side shuffles. When the
+    // deg join runs as SMJ the output is already _src-partitioned and
+    // the explicit exchange is redundant — but when deg BROADCASTS
+    // (small graphs, or a cluster raising the broadcast threshold) the
+    // cached table inherits the scan's partitioning and every
+    // iteration re-shuffles ALL EDGES; one build-time exchange pins
+    // the invariant either way. Default ON — GraphProbe A/B: 12.5 →
+    // 8.2 s at 1M edges ×10 iters, 18.6 → 15.4 s at 10M (the delta is
+    // the per-iteration edge shuffle the cache partitioning elides).
+    val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .join(deg, col("_src") === col("_s"))
-      .select(col("_src"), col("_dst"), col("outdeg")).persist()
-    var r = nodes.select(col("id"), lit(1000000L / n).as("rank_micros"))
+      .select(col("_src"), col("_dst"), col("outdeg"))
+    val e = (if (prePartition) e0.repartition(col("_src")) else e0)
+      .persist()
+    var r = nodes.select(col("id"), lit(1000000L).as("rank_micros"))
     for (i <- 1 to iters) {
       val contrib = e.join(r, col("_src") === col("id"))
         .select(col("_dst"),
-          expr(s"(${dampMicros}L * rank_micros) div (1000000L * outdeg)")
+          expr(s"${dampMicros}L * (rank_micros div (1000000L * outdeg))" +
+            s" + (${dampMicros}L * ((rank_micros % (1000000L * outdeg))" +
+            " div outdeg)) div 1000000L")
             .as("_c"))
         .groupBy(col("_dst")).agg(sum(col("_c")).as("_sum"))
       r = nodes.join(contrib, col("id") === col("_dst"), "left")

@@ -16,9 +16,10 @@ class GraphSpec extends SparkSpec {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "t")
     val got = Graph.pageRank(edges, "s", "t", iters = 5)
       .as[(String, Long)].collect().toMap
-    // r0 = 10^6 div 3 = 333333; every node receives
-    // 50000 + (850000·333333) div 10^6 = 50000 + 283333 = 333333 again
-    assert(got == Map("a" -> 333333L, "b" -> 333333L, "c" -> 333333L))
+    // per-node micros: r0 = 10^6; every node receives
+    // 150000 + 850000·(10^6 div 10^6) = 10^6 again — the uniform
+    // fixed point holds EXACTLY (no per-N floor loss in this law)
+    assert(got == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
   }
 
   test("pageRank: star graph, hand-computed two iterations") {
@@ -26,14 +27,16 @@ class GraphSpec extends SparkSpec {
       .toDF("s", "t")
     val got = Graph.pageRank(edges, "s", "t", iters = 2)
       .as[(String, Long)].collect().toMap
-    // N=3, base=50000, r0=333333 each.
-    // iter1: a→{b,c}: (850000·333333) div 2e6 = 141666 each;
-    //        b→a, c→a: 283333 each
-    //   r1(a)=50000+2·283333=616666, r1(b)=r1(c)=191666
-    // iter2: a's contrib (850000·616666) div 2e6 = 262083;
-    //        b/c's contrib (850000·191666) div 1e6 = 162916
-    //   r2(a)=50000+2·162916=375832, r2(b)=r2(c)=312083
-    assert(got == Map("a" -> 375832L, "b" -> 312083L, "c" -> 312083L))
+    // per-node micros, base=150000, r0=10^6 each; contribution =
+    // 850000·(r div (10^6·outdeg)) + (850000·((r mod (10^6·outdeg))
+    // div outdeg)) div 10^6.
+    // iter1: a→{b,c} (outdeg 2): q=0, p=500000 → 425000 each;
+    //        b→a, c→a (outdeg 1): q=1, p=0 → 850000 each
+    //   r1(a)=150000+2·850000=1850000, r1(b)=r1(c)=575000
+    // iter2: a's contrib: q=0, p=925000 → 786250;
+    //        b/c's contrib: q=0, p=575000 → 488750
+    //   r2(a)=150000+2·488750=1127500, r2(b)=r2(c)=936250
+    assert(got == Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L))
   }
 
   test("pageRank: bit-identical under repartitioning") {
@@ -45,7 +48,9 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRank(edges.repartition(13), "s", "t", iters = 4)
       .as[(Long, Long)].collect().toMap
     assert(a == b, "integer micros ranks must not depend on layout")
-    assert(a.values.sum <= 1000000L,
+    assert(a.values.sum <= 1000000L * a.size,
       "floor division only ever loses mass, never creates it")
+    assert(a.values.forall(_ > 0L),
+      "per-node micro units must not underflow at any graph size")
   }
 }
