@@ -1884,7 +1884,69 @@ object Queries {
         |  CASE WHEN has_cfg THEN 'tok-' || CAST(uid AS VARCHAR)
         |       ELSE 'tok' END AS access_token,
         |  CAST(NULL AS VARCHAR) AS user_token
-        |FROM j""".stripMargin))
+        |FROM j""".stripMargin)),
+    // Replication-ready notification (realtime_channel.ex:103,139-144,
+    // 312-331): an opted-in join (config.broadcast.replication_ready)
+    // polls Connect.replication_status at join time and every 500 ms;
+    // the FIRST ready poll pushes ONE system message ("Replication
+    // connection established") and sets the notified flag (at-most-once
+    // — the :312 guard clause); a poll that finds the tenant NOT ready
+    // at or past join+timeout shuts the channel down ("… was not
+    // established in time"). The cond ORDER matters: ready is checked
+    // BEFORE the deadline, so a poll landing exactly on the deadline
+    // tick with replication up still notifies. Poll ticks are
+    // join + 500k, so notify_at = join + 500·ceil(delay/500) and the
+    // shutdown tick is join + 500·ceil(timeout/500) — both engines
+    // reproduce the law in integer ms. Opted-out joins schedule
+    // nothing. Plan: one codegen'd projection over the scan.
+    Q("p_replication_ready",
+      (s, d) => {
+        val uid = col("user_id")
+        val joinT = (col("event_id") % 1000).as("join_ms")
+        val optIn = (uid % 3 =!= 0).as("opted_in")
+        // ready delay: uid%5==0 → replication never comes up
+        val delay = when(uid % 5 === 0, lit(null).cast("long"))
+          .otherwise((col("event_id") * 7) % 4000)
+        val timeout = lit(1000) + (uid % 3) * 1000
+        val kReady = ceil(delay.cast("double") / 500.0).cast("long")
+        val kDead = ceil(timeout.cast("double") / 500.0).cast("long")
+        val notified = col("opted_in") && col("k_ready").isNotNull &&
+          col("k_ready") <= col("k_dead")
+        ev(s, d)
+          .select(col("event_id").as("join_id"), joinT, optIn,
+            delay.as("ready_delay_ms"), timeout.as("timeout_ms"),
+            kReady.as("k_ready"), kDead.as("k_dead"))
+          .select(col("join_id"), col("opted_in"),
+            notified.as("notified"),
+            when(notified, col("join_ms") + col("k_ready") * 500)
+              .as("notify_at_ms"),
+            (col("opted_in") && !notified).as("shutdown"),
+            when(col("opted_in") && !notified,
+              col("join_ms") + col("k_dead") * 500).as("shutdown_at_ms"))
+      },
+      Some("""WITH j AS (
+        |  SELECT event_id AS join_id,
+        |    event_id % 1000 AS join_ms,
+        |    user_id % 3 != 0 AS opted_in,
+        |    CASE WHEN user_id % 5 = 0 THEN NULL
+        |         ELSE (event_id * 7) % 4000 END AS delay,
+        |    1000 + (user_id % 3) * 1000 AS timeout
+        |  FROM events),
+        |k AS (
+        |  SELECT *, CAST(ceil(delay / 500.0) AS BIGINT) AS k_ready,
+        |         CAST(ceil(timeout / 500.0) AS BIGINT) AS k_dead
+        |  FROM j)
+        |SELECT join_id, opted_in,
+        |  (opted_in AND k_ready IS NOT NULL AND k_ready <= k_dead)
+        |    AS notified,
+        |  CASE WHEN opted_in AND k_ready IS NOT NULL AND k_ready <= k_dead
+        |       THEN join_ms + k_ready * 500 END AS notify_at_ms,
+        |  (opted_in AND NOT (k_ready IS NOT NULL AND k_ready <= k_dead))
+        |    AS shutdown,
+        |  CASE WHEN opted_in
+        |        AND NOT (k_ready IS NOT NULL AND k_ready <= k_dead)
+        |       THEN join_ms + k_dead * 500 END AS shutdown_at_ms
+        |FROM k""".stripMargin))
   )
 
   // --------------------------------------------------------------- presence
@@ -4249,7 +4311,54 @@ object Queries {
         |         'messages_%Y_%m_%d') AS first_partition_created,
         |       strftime(CAST(TIMESTAMP '2024-01-20 12:00:00' AS DATE) + 3,
         |         'messages_%Y_%m_%d') AS last_partition_created
-        |FROM sw s LEFT JOIN agg a ON s.tkey = a.tkey""".stripMargin))
+        |FROM sw s LEFT JOIN agg a ON s.tkey = a.tkey""".stripMargin)),
+    // Channel Tracker sweep (realtime_channel/tracker.ex:18-88 +
+    // tracker_test.exs:61-80): per transport pid a channel REFCOUNT
+    // (track +1 on join :56, untrack −1 on terminate — and the test
+    // deliberately double-untracks, so counts go NEGATIVE; the ≤0
+    // match-spec arm covers both), and a periodic sweep that kills
+    // every transport whose count ≤ 0 in 1000-pid CHUNKS
+    // (chunked_killing's :ets.select continuation) then deletes the
+    // zero rows. Ledger: every event tracks its socket; value > 20
+    // untracks; value > 90 untracks AGAIN (the negative arm). Kill
+    // chunks are assigned over the killed set in deterministic socket
+    // order (the ets traversal order affects only batch composition
+    // the logs print, never WHO dies). The chunk rank windows over the
+    // killed flag with ≤ |sockets| rows per partition — transports on
+    // ONE node are FD-bounded (≤ ~1e5), the same dimension-capped
+    // class as the janitor's chunk assignment.
+    Q("j_tracker_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = ev(s, d)
+          .select((col("user_id") % 2500).as("socket_id"),
+            (lit(1) - (col("value") > 20).cast("int")
+              - (col("value") > 90).cast("int")).as("delta"))
+          .groupBy("socket_id")
+          .agg(sum(col("delta")).as("channel_count"))
+        val killed = col("channel_count") <= 0
+        counts
+          .withColumn("killed", killed)
+          .withColumn("chunk", when(killed,
+            ((row_number().over(Window.partitionBy(col("killed"))
+              .orderBy(col("socket_id"))) - 1) / 1000).cast("int")))
+      },
+      Some("""WITH led AS (
+        |  SELECT user_id % 2500 AS socket_id,
+        |    1 - CASE WHEN value > 20 THEN 1 ELSE 0 END
+        |      - CASE WHEN value > 90 THEN 1 ELSE 0 END AS delta
+        |  FROM events),
+        |c AS (SELECT socket_id, CAST(sum(delta) AS BIGINT)
+        |        AS channel_count
+        |      FROM led GROUP BY 1)
+        |SELECT socket_id, channel_count,
+        |  channel_count <= 0 AS killed,
+        |  CASE WHEN channel_count <= 0 THEN
+        |    CAST((row_number() OVER (PARTITION BY channel_count <= 0
+        |                             ORDER BY socket_id) - 1) // 1000
+        |         AS INT)
+        |  END AS chunk
+        |FROM c""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by
