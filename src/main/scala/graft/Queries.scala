@@ -4358,7 +4358,105 @@ object Queries {
         |                             ORDER BY socket_id) - 1) // 1000
         |         AS INT)
         |  END AS chunk
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+    // ReplicationConnection watchdog (replication_connection/watchdog.ex
+    // :63-101 + database.ex:184-208): every check interval, (1) a
+    // health call — a TIMEOUT is caught around the whole arm and stops
+    // the connection first, before any lag logic; (2) the slot-lag
+    // probe — skipped outright when no slot name is configured; a
+    // status error only WARNS and re-arms; the SQL returns no row when
+    // the slot is missing OR max_slot_wal_keep_size = '-1' (both :ok);
+    // otherwise stop iff coalesce(lsn_diff, 0) > pg_size_bytes(max)/2.
+    // pg_size_bytes' 1024-based units are part of the law (512MB / 1GB
+    // / 2GB arms below). One codegen'd projection; the DuckDB twin
+    // replays the same CASE arithmetic.
+    Q("s1_watchdog_verdicts",
+      (s, d) => {
+        val uid = col("user_id")
+        val healthy = col("value") > 5
+        val hasSlot = uid % 7 =!= 0
+        val statusOk = uid % 13 =!= 0
+        val maxSetting = when(uid % 4 === 0, "-1")
+          .when(uid % 4 === 1, "512MB")
+          .when(uid % 4 === 2, "1GB").otherwise("2GB")
+        val slotExists = uid % 11 =!= 0
+        val gib = 1073741824L
+        val maxBytes = when(maxSetting === "512MB", gib / 2)
+          .when(maxSetting === "1GB", gib)
+          .when(maxSetting === "2GB", 2 * gib)
+        val lag = (col("event_id") * 104729L) % (3 * gib)
+        val lagApplies = hasSlot && statusOk && maxSetting =!= "-1" &&
+          slotExists
+        val verdict = when(!healthy, "stop_timeout")
+          .when(!hasSlot, "ok")
+          .when(!statusOk, "warn_skipped")
+          .when(!lagApplies, "ok")
+          .when(lag > maxBytes / 2, "stop_lag")
+          .otherwise("ok")
+        ev(s, d).select(col("event_id").as("check_id"),
+          (uid % 30).as("tenant"),
+          verdict.as("verdict"),
+          when(lagApplies, lag).as("lag_bytes"),
+          when(lagApplies, maxBytes / 2).as("threshold_bytes"))
+      },
+      Some("""WITH c AS (
+        |  SELECT event_id AS check_id, user_id % 30 AS tenant,
+        |    value > 5 AS healthy,
+        |    user_id % 7 != 0 AS has_slot,
+        |    user_id % 13 != 0 AS status_ok,
+        |    CASE WHEN user_id % 4 = 0 THEN '-1'
+        |         WHEN user_id % 4 = 1 THEN '512MB'
+        |         WHEN user_id % 4 = 2 THEN '1GB' ELSE '2GB' END AS maxs,
+        |    user_id % 11 != 0 AS slot_exists,
+        |    (event_id * 104729) % (3 * CAST(1073741824 AS BIGINT))
+        |      AS lag
+        |  FROM events),
+        |k AS (
+        |  SELECT *,
+        |    CASE WHEN maxs = '512MB' THEN 536870912
+        |         WHEN maxs = '1GB' THEN 1073741824
+        |         WHEN maxs = '2GB' THEN 2147483648 END AS max_bytes,
+        |    (has_slot AND status_ok AND maxs != '-1' AND slot_exists)
+        |      AS lag_applies
+        |  FROM c)
+        |SELECT check_id, tenant,
+        |  CASE WHEN NOT healthy THEN 'stop_timeout'
+        |       WHEN NOT has_slot THEN 'ok'
+        |       WHEN NOT status_ok THEN 'warn_skipped'
+        |       WHEN NOT lag_applies THEN 'ok'
+        |       WHEN lag > max_bytes // 2 THEN 'stop_lag'
+        |       ELSE 'ok' END AS verdict,
+        |  CASE WHEN lag_applies THEN lag END AS lag_bytes,
+        |  CASE WHEN lag_applies THEN max_bytes // 2 END
+        |    AS threshold_bytes
+        |FROM k""".stripMargin)),
+    // Reconnector sweep (tenants/reconnector.ex:14-55): Connect runs
+    // with restart: :temporary — a crashed tenant connection never
+    // comes back on its own. Every interval the sweep walks tenants
+    // WITH LOCAL MEMBERS (UsersCounter.local_tenant_counts) and
+    // reconnects any whose Connect process is gone; member-less
+    // tenants are left alone (a client join will start one on demand).
+    // Members: distinct locally-connected users (value > 40); a live
+    // Connect is modeled as tenant % 6 != 0.
+    Q("j_reconnector_sweep",
+      (s, d) => {
+        val counts = ev(s, d).where(col("value") > 40)
+          .select((col("user_id") % 30).as("tenant"), col("user_id"))
+          .groupBy("tenant")
+          .agg(countDistinct(col("user_id")).as("local_members"))
+        counts
+          .withColumn("connect_running", col("tenant") % 6 =!= 0)
+          .withColumn("reconnect",
+            col("local_members") > 0 && !col("connect_running"))
+      },
+      Some("""WITH m AS (
+        |  SELECT user_id % 30 AS tenant,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS local_members
+        |  FROM events WHERE value > 40 GROUP BY 1)
+        |SELECT tenant, local_members,
+        |  tenant % 6 != 0 AS connect_running,
+        |  local_members > 0 AND NOT (tenant % 6 != 0) AS reconnect
+        |FROM m""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by
