@@ -7,7 +7,7 @@ import graft.model.Subscription
 import graft.presence.{Fanout, Presence}
 import graft.rates.Rates
 import graft.walrus.{Payload, Walrus}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registry of driver-checkable queries: each entry pairs a Spark DataFrame
@@ -4456,7 +4456,141 @@ object Queries {
         |SELECT tenant, local_members,
         |  tenant % 6 != 0 AS connect_running,
         |  local_members > 0 AND NOT (tenant % 6 != 0) AS reconnect
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+    // Syn registry conflict resolution (syn_handler.ex:118-137): after
+    // a netsplit heals, two nodes hold the same registered name; every
+    // node must reach the SAME keep/stop decision with no coordination.
+    // The law the CODE implements: hash the name to one bit, and let
+    // that bit pick the tie-break DIRECTION over the node-name order
+    // (so conflicts don't always sacrifice the lexically-greater node);
+    // keep = min(node) when the bit is 1, max(node) when 0. Note the
+    // moduledoc says "keep the oldest" but decide() never reads the
+    // registration times — the name+node law is what runs, and it is
+    // what this query pins (hash substituted by the md5 last-hex-digit
+    // parity, the repo's portable stand-in for phash2). The stopped
+    // side first gets a trappable {:shutdown, :syn_conflict_resolution}
+    // exit, then :kill after 5 s — modeled as the escalation deadline.
+    Q("j8_syn_conflict",
+      (s, d) => {
+        val name = concat(lit("conn-"), (col("user_id") % 500).cast("string"))
+        val nodeA = concat(lit("node-"), (col("user_id") % 7).cast("string"))
+        val nodeB = concat(lit("node-"),
+          ((col("user_id") % 7 + 1 + col("event_id") % 6) % 7).cast("string"))
+        val oddBit = substring(md5(name), 32, 1)
+          .isin("1", "3", "5", "7", "9", "b", "d", "f")
+        val keep = when(oddBit, least(nodeA, nodeB))
+          .otherwise(greatest(nodeA, nodeB))
+        val stop = when(oddBit, greatest(nodeA, nodeB))
+          .otherwise(least(nodeA, nodeB))
+        ev(s, d).select(col("event_id").as("conflict_id"),
+            name.as("name"), nodeA.as("node_a"), nodeB.as("node_b"),
+            oddBit.as("odd_hash"), keep.as("keep_node"),
+            stop.as("stop_node"),
+            ((col("event_id") % 1000) + 5000).as("kill_deadline_ms"))
+      },
+      Some("""WITH c AS (
+        |  SELECT event_id AS conflict_id,
+        |    'conn-' || CAST(user_id % 500 AS VARCHAR) AS name,
+        |    'node-' || CAST(user_id % 7 AS VARCHAR) AS node_a,
+        |    'node-' || CAST((user_id % 7 + 1 + event_id % 6) % 7
+        |                    AS VARCHAR) AS node_b,
+        |    event_id % 1000 + 5000 AS kill_deadline_ms
+        |  FROM events),
+        |k AS (
+        |  SELECT *, substr(md5(name), 32, 1)
+        |      IN ('1','3','5','7','9','b','d','f') AS odd_hash
+        |  FROM c)
+        |SELECT conflict_id, name, node_a, node_b, odd_hash,
+        |  CASE WHEN odd_hash THEN least(node_a, node_b)
+        |       ELSE greatest(node_a, node_b) END AS keep_node,
+        |  CASE WHEN odd_hash THEN greatest(node_a, node_b)
+        |       ELSE least(node_a, node_b) END AS stop_node,
+        |  kill_deadline_ms
+        |FROM k""".stripMargin)),
+    // Cluster latency ping mesh (monitoring/latency.ex:73-130 +
+    // nodes.ex:237-251): every 15 s each node pings EVERY node
+    // (itself included) and broadcasts a payload per pong. Pinned
+    // arms: the rpc-error leg NULLs the remote region and flags the
+    // disconnect; an OK pong over 1 000 ms raises the slow-network
+    // warning; and `short_node_id_from_name`'s three-arm parser runs
+    // as real string ops in both engines — an 8-segment fly ipv6 host
+    // concatenates segments six and seven, host 127.0.0.1 keeps the
+    // FULL name@host (the deliberate localhost oddity), anything else
+    // keeps the bare host. One codegen'd projection per ping row.
+    Q("obs_cluster_pings",
+      (s, d) => {
+        def nameOf(idx: Column): Column =
+          when(idx === 0, "realtime-prod@fdaa:0:cc:a7b:b385:83c3:cfe3:2")
+            .when(idx === 1, "pink@127.0.0.1")
+            .when(idx === 2, "realtime@host-2.internal")
+            .otherwise("realtime@10.0.1.3")
+        def regionOf(idx: Column): Column =
+          when(idx === 0, "iad").when(idx === 1, "not_set")
+            .when(idx === 2, "fra").otherwise("syd")
+        def shortOf(name: Column): Column = {
+          val host = substring_index(name, "@", -1)
+          val parts = split(host, ":")
+          when(size(parts) === 8,
+            concat(element_at(parts, 6), element_at(parts, 7)))
+            .when(host === "127.0.0.1", name)
+            .otherwise(host)
+        }
+        val fromIdx = col("user_id") % 4
+        // integer floor division (Column `/` is double division)
+        val toIdx = (col("user_id") / 4).cast("long") % 4
+        val err = toIdx === 3 && col("event_id") % 5 === 0
+        val lat = (col("event_id") * 13) % 2500
+        ev(s, d).select(col("event_id").as("ping_id"),
+          shortOf(nameOf(fromIdx)).as("from_node"),
+          regionOf(fromIdx).as("from_region"),
+          shortOf(nameOf(toIdx)).as("node"),
+          when(!err, regionOf(toIdx)).as("region"),
+          lat.as("latency_ms"),
+          (!err).as("ok"),
+          (!err && lat > 1000).as("slow_warn"))
+      },
+      Some("""WITH p AS (
+        |  SELECT event_id AS ping_id,
+        |    user_id % 4 AS fi, (user_id // 4) % 4 AS ti,
+        |    (user_id // 4) % 4 = 3 AND event_id % 5 = 0 AS err,
+        |    (event_id * 13) % 2500 AS latency_ms
+        |  FROM events),
+        |n AS (
+        |  SELECT p.*,
+        |    CASE fi WHEN 0 THEN 'realtime-prod@fdaa:0:cc:a7b:b385:83c3:cfe3:2'
+        |            WHEN 1 THEN 'pink@127.0.0.1'
+        |            WHEN 2 THEN 'realtime@host-2.internal'
+        |            ELSE 'realtime@10.0.1.3' END AS fname,
+        |    CASE fi WHEN 0 THEN 'iad' WHEN 1 THEN 'not_set'
+        |            WHEN 2 THEN 'fra' ELSE 'syd' END AS fregion,
+        |    CASE ti WHEN 0 THEN 'realtime-prod@fdaa:0:cc:a7b:b385:83c3:cfe3:2'
+        |            WHEN 1 THEN 'pink@127.0.0.1'
+        |            WHEN 2 THEN 'realtime@host-2.internal'
+        |            ELSE 'realtime@10.0.1.3' END AS tname,
+        |    CASE ti WHEN 0 THEN 'iad' WHEN 1 THEN 'not_set'
+        |            WHEN 2 THEN 'fra' ELSE 'syd' END AS tregion
+        |  FROM p),
+        |sh AS (
+        |  SELECT *,
+        |    split_part(fname, '@', 2) AS fhost,
+        |    split_part(tname, '@', 2) AS thost
+        |  FROM n)
+        |SELECT ping_id,
+        |  CASE WHEN len(string_split(fhost, ':')) = 8
+        |       THEN string_split(fhost, ':')[6]
+        |            || string_split(fhost, ':')[7]
+        |       WHEN fhost = '127.0.0.1' THEN fname
+        |       ELSE fhost END AS from_node,
+        |  fregion AS from_region,
+        |  CASE WHEN len(string_split(thost, ':')) = 8
+        |       THEN string_split(thost, ':')[6]
+        |            || string_split(thost, ':')[7]
+        |       WHEN thost = '127.0.0.1' THEN tname
+        |       ELSE thost END AS node,
+        |  CASE WHEN NOT err THEN tregion END AS region,
+        |  latency_ms, NOT err AS ok,
+        |  NOT err AND latency_ms > 1000 AS slow_warn
+        |FROM sh""".stripMargin))
   )
 
   /** Occupancy-register claims shaped from the events table (shared by
