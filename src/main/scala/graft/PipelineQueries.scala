@@ -19,6 +19,14 @@ object PipelineQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     ChangeFeed.table(s, d, "embeddings")
 
+  /** Conditional pre-battery spread — same rationale as
+    * [[Queries.spread]] (r16 optimization, guide §2): per-row regex /
+    * codec batteries that sit BELOW a query's first exchange otherwise
+    * run at scan parallelism, one task for a one-split table. No-op when
+    * the scan already has ≥ session-parallelism splits (corpus scale). */
+  private def spread(df: DataFrame, by: String): DataFrame =
+    graft.pipeline.Spread(df, col(by))
+
   /** Synthetic (doc_id, url) frame for the URL-canonicalization pair —
     * the mod mix crosses schemes × ports × paths × queries × fragments
     * so every canonical rule has live positive AND negative rows. The
@@ -731,7 +739,8 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
         |FROM documents""".stripMargin)),
     Q("text_quality",
-      (s, d) => TextAnalysis.qualityFeatures(docs(s, d), "text")
+      (s, d) => TextAnalysis.qualityFeatures(
+          spread(docs(s, d).select("doc_id", "text"), "doc_id"), "text")
         .select("doc_id", "n_chars_q", "n_tokens", "mean_word_len",
           "punct_ratio", "stopword_ratio_en", "alpha_ratio"),
       Some(s"""WITH q AS (SELECT doc_id, text,
@@ -886,7 +895,8 @@ object PipelineQueries {
             format_string(" call 555-%03d-%04d",
               pmod(id, lit(1000)), pmod(id, lit(10000)))).otherwise(lit("")))
         graft.pipeline.Pii.scrub(
-          docs(s, d).select(col("doc_id"), withPii.as("text")),
+          spread(docs(s, d).select(col("doc_id"), withPii.as("text")),
+            "doc_id"),
           "text", "doc_id")
       },
       Some("""WITH p AS (SELECT doc_id, text ||
@@ -1799,7 +1809,8 @@ object PipelineQueries {
       (s, d) => {
         val dd = docs(s, d)
         val merges = Bpe.train(dd, "text", nMerges = 20)
-        Bpe.tokenize(dd, "text", "doc_id", merges)
+        Bpe.tokenize(spread(dd.select("doc_id", "text"), "doc_id"),
+          "text", "doc_id", merges)
       },
       Some(bpeOracleSql(20))),
     // Temperature (α=0.5) source mixing: sqrt-tempered weights,

@@ -23,6 +23,19 @@ object Queries {
   private def ev(spark: SparkSession, sfDir: String): DataFrame =
     ChangeFeed.table(spark, sfDir, "events")
 
+  /** Conditional pre-battery spread (r16 optimization; guide §2 —
+    * parallelism before per-task work): the decode/encode/crypto battery
+    * queries run their ENTIRE per-row battery below the plan's first
+    * exchange, so a small table (one parquet split — the bench shape)
+    * serializes the whole battery onto one core; measured 2.09 → 0.58 s
+    * warm on `s1_wal2json_decode` at sf0.1/32. Same contract as
+    * [[graft.pipeline.Spread]] (a no-op whenever the scan already
+    * provides ≥ the session's shuffle parallelism — at corpus scale the
+    * exchange never happens); what shuffles when it does fire is the
+    * NARROW pre-battery projection, never battery output. */
+  private def spread(df: DataFrame, by: String): DataFrame =
+    graft.pipeline.Spread(df, col(by))
+
   /** Apply a filter-DSL string to the events table (P1 parse + P2 compile). */
   private def dsl(filterDsl: String)(spark: SparkSession, sfDir: String): DataFrame = {
     val df = ev(spark, sfDir)
@@ -144,7 +157,8 @@ object Queries {
   /** J1 via the degenerate-case generic evaluator — must equal the compiled
     * path bit-for-bit (same oracle). */
   def walrusGeneric(spark: SparkSession, sfDir: String): DataFrame = {
-    val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
+    val changes = ChangeFeed.fromTable(
+      spread(ev(spark, sfDir), "event_id"), "event_id", "ts", "events")
     graft.walrus.GenericMatch.matchExploded(
       changes, flagshipSubs, ev(spark, sfDir).schema, "events", "event_id")
   }
@@ -180,7 +194,8 @@ object Queries {
   }
 
   def walrusMatch200(spark: SparkSession, sfDir: String): DataFrame = {
-    val changes = ChangeFeed.fromTable(ev(spark, sfDir), "event_id", "ts", "events")
+    val changes = ChangeFeed.fromTable(
+      spread(ev(spark, sfDir), "event_id"), "event_id", "ts", "events")
     Walrus.matchSubscriptions(changes, manySubs.map(_._1), ev(spark, sfDir).schema, "events")
       .select(col("event_id"),
         explode_outer(col("subscription_ids")).as("subscription_id"))
@@ -633,7 +648,8 @@ object Queries {
         import graft.messages.BroadcastChanges
         import graft.api.V2Frames
         val tsLit = lit("2024-01-01 00:00:00").cast("timestamp")
-        val withH = ChangeFeed.table(s, d, "documents")
+        val withH = spread(ChangeFeed.table(s, d, "documents")
+            .select(col("doc_id"), col("source")), "doc_id")
           .withColumn("h", graft.plans.EvalOnce.of(
             md5(concat(lit("bin:"), col("doc_id")))))
         val genId = concat_ws("-",
@@ -722,8 +738,10 @@ object Queries {
     Q("s7_send_warning",
       (s, d) => {
         import graft.messages.BroadcastChanges
-        val withH = ev(s, d).withColumn("h", graft.plans.EvalOnce.of(
-          md5(concat(lit("warn:"), col("event_id")))))
+        val withH = spread(ev(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts")), "event_id")
+          .withColumn("h", graft.plans.EvalOnce.of(
+            md5(concat(lit("warn:"), col("event_id")))))
         val genId = concat_ws("-",
           substring(col("h"), 1, 8), substring(col("h"), 9, 4),
           substring(col("h"), 13, 4), substring(col("h"), 17, 4),
@@ -1636,7 +1654,8 @@ object Queries {
     // still receive rows, with record suppressed and a 401 error attached.
     Q("p_error_rows_401",
       (s, d) => {
-        val changes = ChangeFeed.fromTable(ev(s, d), "event_id", "ts", "events")
+        val changes = ChangeFeed.fromTable(
+          spread(ev(s, d), "event_id"), "event_id", "ts", "events")
         val matched = Walrus.matchedOnly(changes, payloadSubs, ev(s, d).schema, "events")
         Payload.shape(matched, payloadSubs,
             dataCols = Seq("event_id", "event_type", "user_id", "value"),
@@ -2125,13 +2144,19 @@ object Queries {
         val cut = pe.agg(max("seq")).head().getLong(0) / 2
         val evA = pe.where(pmod(col("seq"), lit(2)) === 0)
         val evB = pe.where(pmod(col("seq"), lit(2)) === 1)
-        val trackerA = Presence.mergeTrackers(
+        // r16 optimization (guide §2.4/§3): the three pairwise
+        // mergeTrackers calls cost one left-semi + two left-anti joins
+        // EACH (nine joins, each co-partitioning both entry sets);
+        // mergeAll is the same ORSWOT lattice fold in ONE dot-keyed
+        // groupBy — PresenceSpec asserts mergeAll equals any pairwise
+        // fold order, and the oracle is unchanged. Plan: 9 joins +
+        // 12 windows-worth of exchanges → 4 window exchanges + 1 agg.
+        Presence.mergeAll(Seq(
           Presence.trackerFromEvents(evA, "rA"),
-          Presence.trackerFromEvents(evB.where(col("seq") <= cut), "rB"))
-        val trackerB = Presence.mergeTrackers(
+          Presence.trackerFromEvents(evB.where(col("seq") <= cut), "rB"),
           Presence.trackerFromEvents(evB, "rB"),
-          Presence.trackerFromEvents(evA.where(col("seq") <= cut), "rA"))
-        Presence.mergeTrackers(trackerA, trackerB).entries
+          Presence.trackerFromEvents(evA.where(col("seq") <= cut), "rA")))
+          .entries
       },
       Some("""WITH pe AS (
         |  SELECT event_type AS topic, user_id AS key,
@@ -2483,10 +2508,11 @@ object Queries {
         import s.implicits._
         import graft.cdc.PgOutput
         import graft.cdc.PgOutput.{RelColumn, RelationMeta, TText, TNull}
-        val events = ev(s, d).select(
-          col("event_id").cast("long"), col("event_type"),
-          col("user_id").cast("long"), col("value").cast("double"),
-          unix_micros(col("ts")).as("ts_us"))
+        val events = spread(ev(s, d).select(
+          col("event_id").cast("long").as("event_id"), col("event_type"),
+          col("user_id").cast("long").as("user_id"),
+          col("value").cast("double").as("value"),
+          unix_micros(col("ts")).as("ts_us")), "event_id")
           .as[(Long, String, Long, Double, Long)]
         val relId = 42
         val meta = RelationMeta(relId, "public", "events", "d", Seq(
@@ -2533,8 +2559,8 @@ object Queries {
     Q("s1_wal2json_decode",
       (s, d) => {
         import graft.cdc.Wal2Json
-        val e = ev(s, d).select(col("event_id"), col("event_type"),
-          col("value"), col("ts"))
+        val e = spread(ev(s, d).select(col("event_id"), col("event_type"),
+          col("value"), col("ts")), "event_id")
         val tsStr = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
         val cols = format_string(
           """[{"name":"event_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
@@ -2583,8 +2609,8 @@ object Queries {
     Q("s1_debezium_decode",
       (s, d) => {
         import graft.cdc.Debezium
-        val e = ev(s, d).select(col("event_id"), col("event_type"),
-          col("value"), col("ts"))
+        val e = spread(ev(s, d).select(col("event_id"), col("event_type"),
+          col("value"), col("ts")), "event_id")
         val m = pmod(col("event_id"), lit(3))
         val note = when(pmod(col("event_id"), lit(6)) === 1,
             lit(Debezium.UnavailableValue))
@@ -2641,7 +2667,8 @@ object Queries {
     Q("s1_wal_mirror",
       (s, d) => {
         import graft.cdc.{Mirror, Wal2Json}
-        val e = ev(s, d)
+        val e = spread(ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")), "event_id")
         val m = pmod(col("event_id"), lit(3))
         val cols = format_string(
           """[{"name":"user_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
@@ -2680,7 +2707,8 @@ object Queries {
     Q("s1_mirror_diff",
       (s, d) => {
         import graft.cdc.{Mirror, Wal2Json}
-        val e = ev(s, d)
+        val e = spread(ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")), "event_id")
         val m = pmod(col("event_id"), lit(3))
         val cols = format_string(
           """[{"name":"user_id","type":"int8","typeoid":20,"value":%s},{"name":"event_type","type":"text","typeoid":25,"value":"%s"},{"name":"value","type":"float8","typeoid":701,"value":%s}]""",
@@ -2735,7 +2763,8 @@ object Queries {
     Q("s1_wal_scd2",
       (s, d) => {
         import graft.cdc.{Mirror, Wal2Json}
-        val e = ev(s, d)
+        val e = spread(ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts")), "event_id")
         val m = pmod(col("event_id"), lit(3))
         val tsStr = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
         val cols = format_string(
@@ -2782,7 +2811,9 @@ object Queries {
     Q("j_asof_pit",
       (s, d) => {
         import graft.cdc.{Mirror, Wal2Json}
-        val e = ev(s, d)
+        val e = spread(ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts")), "event_id")
+        val eFacts = ev(s, d)
         val m = pmod(col("event_id"), lit(3))
         val tsStr = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
         val cols = format_string(
@@ -2810,7 +2841,7 @@ object Queries {
             to_timestamp(col("valid_to"), iso).as("vto"),
             col("seq").as("ver_seq"),
             element_at(col("record"), "event_type").as("ver_type"))
-        val facts = e.where(col("event_type") === "click")
+        val facts = eFacts.where(col("event_type") === "click")
           .select(col("event_id").as("fact_id"), col("user_id"),
             unix_micros(col("ts")).as("t_us"), col("ts"))
         val joined = graft.operators.TemporalJoin.asOfBackward(
@@ -2847,8 +2878,9 @@ object Queries {
       (s, d) => {
         import s.implicits._
         import graft.api.V2Frames
-        val events = ev(s, d).select(
-          col("event_id").cast("long"), col("event_type"), col("props"))
+        val events = spread(ev(s, d).select(
+          col("event_id").cast("long").as("event_id"), col("event_type"),
+          col("props")), "event_id")
           .as[(Long, String, String)]
         events.map { case (id, et, props) =>
           val bytes =
@@ -3186,9 +3218,9 @@ object Queries {
         import graft.cdc.PgOutput.{RelColumn, RelationMeta, TText, TNull}
         import graft.walrus.MultiTableMatch
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        val events = ev(s, d).select(
-          col("event_id").cast("long"), col("event_type"),
-          col("user_id").cast("long"))
+        val events = spread(ev(s, d).select(
+          col("event_id").cast("long").as("event_id"), col("event_type"),
+          col("user_id").cast("long").as("user_id")), "event_id")
           .as[(Long, String, Long)]
         val relId = 77
         val meta = RelationMeta(relId, "public", "events", "d", Seq(
@@ -3781,7 +3813,9 @@ object Queries {
         import graft.api.Crypto
         val key = substring(md5(col("event_type")), 1, 16)
         val ct = Crypto.encrypt(col("props"), key)
-        ev(s, d).select(
+        spread(ev(s, d).select(col("event_id"), col("event_type"),
+            col("props")), "event_id")
+          .select(
           col("event_id"),
           (Crypto.decrypt(ct, key) === col("props")).as("roundtrip_ok"),
           length(ct).cast("long").as("ct_b64_len"))

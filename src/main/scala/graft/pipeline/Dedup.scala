@@ -744,10 +744,16 @@ object Dedup {
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 25): DataFrame = {
     val cc = connectedComponents(docs, idCol, pairs, aCol, bCol, maxIters)
-    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_cluster"))
-    cc.join(sizes, "cluster_id")
-      .select(col("id").as(idCol), col("cluster_id"), col("n_cluster"),
-        (col("id") === col("cluster_id")).as("is_survivor"))
+    // cluster sizes as a window count over the labels (r16 optimization,
+    // guide §2.4): the former groupBy + join-back paid an aggregate
+    // exchange AND a join exchange of the full label set — `sizes` is
+    // cluster-count-sized, which is corpus-sized in the worst case
+    // (every doc its own cluster), so it can never be a broadcast side.
+    // One partitioned window = one exchange, same rows.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    cc.select(col("id").as(idCol), col("cluster_id"),
+      count(lit(1)).over(w).as("n_cluster"),
+      (col("id") === col("cluster_id")).as("is_survivor"))
   }
 
   // ------------------------------------------------------------- embeddings

@@ -50,10 +50,22 @@ object Graph {
     * every few rounds to cut lineage. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampMicros: Long = 850000L,
-      prePartition: Boolean = true): DataFrame = {
+      prePartition: Boolean = true,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     require(iters >= 1 && dampMicros >= 0L && dampMicros <= 1000000L)
+    // cache the node set HASH-PARTITIONED on id (r16 optimization, guide
+    // §2.4 — share one exchange): every iteration's reintroduction join
+    // (`nodes ⟕ contrib`) reads `nodes` from the cache with its
+    // partitioning already satisfied, so only the contrib side exchanges;
+    // unpartitioned, the cached scan partitioning forced a nodes shuffle
+    // per iteration. The repartition carries an explicit count (the
+    // Spread rationale: a column-only exchange is AQE-coalescible).
+    val shufflePartitions =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct().persist()
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+      .repartition(shufflePartitions, col("id")).persist()
     val n = nodes.count()
     // empty graph (e.g. textRank where no bigram reaches minPairCount):
     // an empty (id, rank_micros) frame, not a divide-by-zero
@@ -90,17 +102,21 @@ object Graph {
       r = nodes.join(contrib, col("id") === col("_dst"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("_sum"), lit(0L))).as("rank_micros"))
-      // truncate the lineage each iteration (round-13): without this
+      // truncate the lineage every `checkpointEvery` iterations
+      // (round-13 introduced the per-iteration reset): without any reset
       // the final plan nests `iters` join rounds — Catalyst re-plans a
       // doubling tree and the one mega-stage re-derives every earlier
       // iteration's shuffles (text_textrank spent ~3 s of its 4.6 s
-      // warm here). localCheckpoint keeps the rank table DISTRIBUTED
-      // (unlike a driver collect, which would cap the node set at
-      // driver memory — wrong for a 100M-word vocabulary), costs one
-      // executor-storage materialization of a (id, long) table per
-      // iteration, and is skipped on the last pass so the returned
-      // frame still ends in the final join (composable lineage).
-      if (i < iters) r = r.localCheckpoint()
+      // warm here). r16 measured stride 1 vs 2 interleaved at sf0.1/32
+      // (4 reps each): 2.35 vs 2.38 s min — indistinguishable, so the
+      // default stays 1 (the r13 shape) and the stride is a caller knob
+      // for iteration counts ≫ 5 where the materialization jobs
+      // dominate. localCheckpoint keeps the rank table DISTRIBUTED (a
+      // driver collect would cap the node set at driver memory — wrong
+      // for a 100M-word vocabulary); the reset is skipped on the last
+      // pass so the returned frame still ends in the final join
+      // (composable lineage).
+      if (i < iters && i % checkpointEvery == 0) r = r.localCheckpoint()
     }
     r
   }

@@ -451,21 +451,32 @@ object Multimodal {
   def mediaNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int,
       maxBucket: Int = 0)(
       implicit spark: SparkSession): DataFrame = {
-    val oneId = (df: DataFrame) => df.select(col("a_media_id").as("id_a"),
-      col("b_media_id").as("id_b"), col("hamming"))
-    val parts = Seq(
-      (imagePhash(media)(spark), "phash", Seq.empty[String]),
-      (audioFingerprints(media)(spark), "fp", Seq.empty[String]),
-      (videoSignatures(media)(spark), "vsig", Seq("n_frames"))
-    ).map { case (hashes, hc, extra) =>
-      bandedHammingPairsDeferred(hashes, hc, maxHamming,
-        pairCols = Seq("media_id"), extraKeys = extra,
-        maxBucket = maxBucket, shape = oneId)
-    }
-    val out = parts.map(_._1).reduce(_ unionByName _).persist()
-    try { out.count(); out }
-    catch { case e: Throwable => out.unpersist(); throw e }
-    finally parts.foreach(_._2())
+    // ONE banding pass over all three modalities (r16 optimization,
+    // guide §2.4 — remove shuffles outright): the three per-type hash
+    // frames union into a single (media_id, h) frame keyed by a type
+    // ordinal, and the type joins the banding's bucket key — pairs only
+    // ever form within a modality, exactly as the three separate
+    // passes produced (ids are type-disjoint, so the union's pair set
+    // is the same set; MultimodalSpec pins equality). Replaces three
+    // banded self-joins + three hash-frame persists + a union of three
+    // pair frames with one self-join over one persisted hash frame:
+    // 3 banding exchanges → 1 (same bytes shuffled in total), ~half the
+    // scheduler barriers. `n_frames` stays a real banding key for
+    // videos and is a constant 0 for image/audio (no extra constraint).
+    val hashes = imagePhash(media)(spark)
+      .select(col("media_id"), col("phash").as("h"),
+        lit(0).as("mt"), lit(0).as("n_frames"))
+      .unionByName(audioFingerprints(media)(spark)
+        .select(col("media_id"), col("fp").as("h"),
+          lit(1).as("mt"), lit(0).as("n_frames")))
+      .unionByName(videoSignatures(media)(spark)
+        .select(col("media_id"), col("vsig").as("h"),
+          lit(2).as("mt"), col("n_frames")))
+    bandedHammingPairs(hashes, "h", maxHamming,
+      pairCols = Seq("media_id"), extraKeys = Seq("mt", "n_frames"),
+      maxBucket = maxBucket,
+      shape = _.select(col("a_media_id").as("id_a"),
+        col("b_media_id").as("id_b"), col("hamming")))
   }
 
   /** Per-image channel statistics from the DECODED raster: exact integer

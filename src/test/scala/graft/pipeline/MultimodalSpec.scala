@@ -149,6 +149,28 @@ class MultimodalSpec extends SparkSpec {
       "unrelated images must not pair at this threshold")
   }
 
+  test("mediaNearDupPairs: one-pass banding equals the three per-type passes") {
+    implicit val s = spark
+    // ids 192.. duplicate seeds 0..19, so every modality holds dup pairs
+    val corpus = ((0L until 40L) ++ (192L until 212L))
+      .map(id => (id, s"src$id")).toDF("doc_id", "source")
+    val m = mediaFromDocuments(corpus).as[MediaRecord].persist()
+    try {
+      val got = mediaNearDupPairs(m, maxHamming = 7)
+      val expected = Seq(
+        phashNearDups(m, 7), audioNearDups(m, 7), videoNearDups(m, 7))
+      try {
+        val gotSet = got.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val expSet = expected.flatMap(_.collect())
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(gotSet == expSet,
+          s"one-pass=${gotSet.size} pairs, per-type=${expSet.size}")
+        assert(gotSet.nonEmpty, "dup seeds must produce pairs")
+      } finally { got.unpersist(); expected.foreach(_.unpersist()) }
+    } finally m.unpersist()
+  }
+
   test("audioFingerprint: gain-invariant, seed-separated, banding exact") {
     implicit val s = spark
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
