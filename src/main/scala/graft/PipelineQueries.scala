@@ -1121,8 +1121,12 @@ object PipelineQueries {
         // decode-sized caches outlive the query
         val pairs = Multimodal.mediaNearDupPairs(media, maxHamming = 7)(s)
         try
+          // vertex list straight from the docs scan (r16): media_id IS
+          // doc_id, but `media.select(media_id)` re-ran the whole payload
+          // synthesis at force time — the labels are eager, the final
+          // label join is not, and by then `media` is unpersisted.
           Dedup.nearDupClusters(
-            media.toDF().select(col("media_id")), "media_id",
+            docs(s, d).select(col("doc_id").as("media_id")), "media_id",
             pairs.select("id_a", "id_b"))
         finally { pairs.unpersist(); media.unpersist() }
       },
@@ -1835,7 +1839,10 @@ object PipelineQueries {
     // percentile passes; median table broadcasts back).
     Q("a_robust_stats",
       (s, d) => graft.pipeline.Profile.robustStats(
-        ChangeFeed.table(s, d, "lineitem"), "l_returnflag", "l_quantity"),
+        spread(ChangeFeed.table(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity"),
+          "l_orderkey"),
+        "l_returnflag", "l_quantity"),
       Some("""WITH v AS (SELECT l_returnflag, l_quantity::DOUBLE AS x
         |           FROM lineitem WHERE l_quantity IS NOT NULL),
         |m AS (SELECT l_returnflag, median(x) AS med FROM v GROUP BY 1),
@@ -2089,8 +2096,14 @@ object PipelineQueries {
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin)),
     // Exact-sum Pearson r per returnflag over 1e-6-quantized values.
     Q("a_corr",
+      // pre-agg spread (r16, guide §2): the five exact-decimal moment
+      // sums run in the PARTIAL aggregation below the exchange — one
+      // task for a one-split 600k-row lineitem. The spread shuffles the
+      // narrow 3-column projection; no-op at corpus split counts.
       (s, d) => graft.pipeline.Profile.correlation(
-        ChangeFeed.table(s, d, "lineitem"),
+        spread(ChangeFeed.table(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice"), "l_orderkey"),
         "l_returnflag", "l_quantity", "l_extendedprice"),
       Some("""WITH q AS (SELECT l_returnflag,
         |  CAST(round(l_quantity * 1000000.0::DOUBLE) AS BIGINT) AS xi,
