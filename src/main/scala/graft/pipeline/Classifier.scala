@@ -45,9 +45,13 @@ object Classifier {
     val trainToks = toks(train, Seq(labelCol))
     val classTok = trainToks.groupBy(col(labelCol), col("w"))
       .agg(count(lit(1)).as("cnt"))
-    val classTot = trainToks.groupBy(col(labelCol))
-      .agg(count(lit(1)).as("tok_c"))
-    val vocab = trainToks.agg(countDistinct(col("w")).as("v"))
+    // tok_c and the vocabulary size derive from the (label, token)
+    // counts — V×C-sized inputs — instead of re-running the corpus
+    // tokenize+explode pass once per aggregate (r16, guide §2.3
+    // "aggregate before you shuffle": one token-sized pass, not three)
+    val classTot = classTok.groupBy(col(labelCol))
+      .agg(sum(col("cnt")).as("tok_c"))
+    val vocab = classTok.agg(countDistinct(col("w")).as("v"))
     val nd = train.agg(count(lit(1)).as("nd"))
 
     // classes: (label, prior_micro, oov_micro) — |C| rows.

@@ -417,25 +417,32 @@ object TextAnalysis {
     val toks = Spread(df, col(idCol)).select(col(idCol).as("id"),
         posexplode(filter(words(lower(col(textCol))),
           w => length(w) > 0)).as(Seq("idx", "w")))
+    // r16 reshape (guide §2.4 — remove shuffles/joins outright): the
+    // phrase length rides each TOKEN as a second window over the same
+    // (id) partitioning (no new exchange), so degree needs no ns⋈ph
+    // join, freq+degree collapse into ONE vocabulary aggregate, and the
+    // phrase string is built inside the scoring aggregate — the two
+    // corpus-token-sized ns⋈ph joins of the textbook formulation
+    // disappear. Scores and phrases are bit-identical (same tokens,
+    // same folds; TextAnalysisSpec pins the output).
     val ns = toks.where(!col("w").isin(sw: _*))
       .withColumn("grp", col("idx") - row_number().over(
         Window.partitionBy("id").orderBy("idx")))
-    val ph = ns.groupBy(col("id"), col("grp"))
-      .agg(count(lit(1)).as("len"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("idx"), col("w")))),
-          x => x.getField("w"))).as("phrase"))
-    val freq = ns.groupBy("w").agg(count(lit(1)).as("f"))
-    val deg = ns.join(ph, Seq("id", "grp"))
-      .groupBy("w").agg(sum(col("len")).as("d"))
-    val sc = deg.join(freq, "w")
+      .withColumn("len", count(lit(1)).over(
+        Window.partitionBy("id", "grp")))
+    val sc = ns.groupBy("w")
+      .agg(count(lit(1)).as("f"), sum(col("len")).as("d"))
       .select(col("w"),
         round(col("d").cast("double") / col("f").cast("double") *
           lit(1e6)).cast("long").as("s"))
-    val pScore = ns.join(ph, Seq("id", "grp"))
+    val pScore = ns
       .join(sc, "w") // per-word scores are vocab-sized — AQE decides
-      .groupBy(col("id"), col("grp"), col("phrase"), col("len"))
-      .agg(sum(col("s")).as("score"))
+      .groupBy(col("id"), col("grp"))
+      .agg(max(col("len")).as("len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("w")))),
+          x => x.getField("w"))).as("phrase"),
+        sum(col("s")).as("score"))
     val agg = pScore.groupBy(col("phrase"))
       .agg(max(col("len")).as("n_words"),
         count(lit(1)).as("n_occurrences"),
