@@ -758,8 +758,9 @@ object PipelineQueries {
         |    AS alpha_ratio
         |FROM q""".stripMargin)),
     Q("text_langid",
-      (s, d) => docs(s, d).select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred")),
+      (s, d) => spread(docs(s, d).select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred")),
       Some(s"""WITH q AS (SELECT doc_id,
         |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
         |h AS (SELECT doc_id,

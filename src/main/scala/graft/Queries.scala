@@ -585,8 +585,9 @@ object Queries {
         // shape slices it five times and send() references the id
         // three more (id column + the two splice arms) — unfenced,
         // CollapseProject inlined the digest 15x per row (DupExprScan)
-        val withH = ev(s, d).withColumn("h", graft.plans.EvalOnce.of(
-          md5(concat(lit("send-id:"), col("event_id")))))
+        val withH = spread(ev(s, d), "event_id")
+          .withColumn("h", graft.plans.EvalOnce.of(
+            md5(concat(lit("send-id:"), col("event_id")))))
         val genId = concat_ws("-",
           substring(col("h"), 1, 8), substring(col("h"), 9, 4),
           substring(col("h"), 13, 4), substring(col("h"), 17, 4),
