@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench harness parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON; two sbt behaviors broke that for
+// seven straight rounds (BENCH_r10..r16 all parsed:null):
+//  1. the trailing "[success] Total time: ..." banner lands AFTER
+//     Bench's closing JSON line — suppressed via showSuccess,
+//  2. the default LoggedOutput strategy prefixes every forked-process
+//     stdout line with "[info] ", so the closing line was never bare
+//     JSON — StdoutOutput passes the child's stdout through verbatim.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -80,11 +80,15 @@ object BatteryScan {
       w
     }
 
+    // same env contract as PlanDump: the audit must scan the dataset the
+    // host actually has, not a hard-coded path
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         var weight = 0
         val kinds = scala.collection.mutable.SortedSet.empty[String]
-        fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        fn(spark, sfDir).queryExecution.executedPlan
           .foreach { p =>
             val local = weightOf(p)
             // only batteries BELOW the first exchange are split-bound;
@@ -103,7 +107,11 @@ object BatteryScan {
         if (weight >= minWeight)
           println(s"@@@ $name: split-bound battery weight=$weight " +
             kinds.mkString("[", ",", "]").take(220))
-      } catch { case scala.util.control.NonFatal(_) => }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // a query that fails to plan must read as MISSING COVERAGE, not
+        // as clean (PlanDump's error-path discipline)
+        println(s"[batteryscan] $name FAILED: $e")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

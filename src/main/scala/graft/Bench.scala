@@ -166,8 +166,14 @@ object Bench {
     val drift = DriftStamp.driftSeries(ticks)
     val suspect = DriftStamp.suspects(ticks, oneshot ++ warm1 ++ warm2,
       DriftSuspect)
+    // 3-decimal Locale.ROOT values (r17 driver-contract fix): raw
+    // Double.toString renders ~10-17 chars per reading and the closing
+    // line must stay as small as full fidelity allows — 1 ms resolution
+    // is already below this host's noise band (±0.3 s).
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      xs.map { case (k, v) => s"\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val total = oneshot.map(_._3).filter(_ >= 0).sum
     // a failed reading's infinite drift must read DEGRADED downstream
     // (any > threshold check), never -1 — JSON has no Infinity, so a
@@ -178,12 +184,12 @@ object Bench {
       if (d.isInfinity) "9999.999"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val controlJson =
-      s""""control":{"name":"$ControlQuery","baseline_sec":$baseline,""" +
-        s""""series":${ticks.map(t => s"[${t._1},${t._2}]").mkString("[", ",", "]")},""" +
+      s""""control":{"name":"$ControlQuery","baseline_sec":${s3(baseline)},""" +
+        s""""series":${ticks.map(t => s"[${t._1},${s3(t._2)}]").mkString("[", ",", "]")},""" +
         s""""drift":${drift.map(driftJson).mkString("[", ",", "]")},""" +
         s""""max_drift":${driftJson(drift.max)},""" +
         s""""retried":${controlRetries
-          .map(t => s"[${t._1},${t._2}]").mkString("[", ",", "]")}},""" +
+          .map(t => s"[${t._1},${s3(t._2)}]").mkString("[", ",", "]")}},""" +
         s""""prewarmed":["$ControlQuery"],""" +
         s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // streaming SLO: commit→broadcast latency at the reference's implied
@@ -281,20 +287,43 @@ object Bench {
           s""""health_end":${h3(health(ctlEnd))},""" +
           s""""suspect":${KneeFresh.suspectVerdict(bandApplies,
             health(ctlStart), health(ctlEnd))}},"""
-      s""","stream":{$hostJson"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
-        s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
-        s""""p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +
-        s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +
-        s""""overall_p95_ms":${r.overall.p95},""" +
-        s""""batch_duration_p95_ms":${r.batchDurationP95Ms},""" +
-        s""""sweep":$sweep,"knee_in_suite":$kneeInSuite,""" +
-        s""""knee_fresh":${fresh.getOrElse("null")},""" +
+      // r17 driver-contract fix (r16 VERDICT item 1): the full sweep /
+      // knee / host detail below ran tens of KB and, interpolated into
+      // the closing stdout line, pushed the line far past the driver's
+      // captured tail — BENCH_r10..r16 all have parsed:null. The FULL
+      // block (identical content to the ≤r16 line's "stream" object)
+      // now goes to a side file; the closing line keeps a compact
+      // headline summary so the one-line JSON stays parseable.
+      val streamFull =
+        s"""{$hostJson"rate_per_sec":${r.ratePerSec},"seconds":${r.seconds},""" +
+          s""""n_sent":${r.nSent},"n_delivered":${r.nDelivered},""" +
+          s""""p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +
+          s""""p99_ms":${r.steady.p99},"max_ms":${r.steady.max},""" +
+          s""""overall_p95_ms":${r.overall.p95},""" +
+          s""""batch_duration_p95_ms":${r.batchDurationP95Ms},""" +
+          s""""sweep":$sweep,"knee_in_suite":$kneeInSuite,""" +
+          s""""knee_fresh":${fresh.getOrElse("null")},""" +
+          s""""max_sustained_rate":$maxSustained,""" +
+          s""""via_log_sink":{"rate_per_sec":${vl.ratePerSec},""" +
+          s""""n_sent":${vl.nSent},"n_delivered":${vl.nDelivered},""" +
+          s""""p50_ms":${vl.steady.p50},"p95_ms":${vl.steady.p95},""" +
+          s""""p99_ms":${vl.steady.p99},"sustained":$vlOk},""" +
+          s""""failure_mode":"${kn.failureMode}"}"""
+      val sideFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
+        "plans/bench_stream_latest.json")
+      try {
+        val p = java.nio.file.Paths.get(sideFile)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          streamFull.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] stream side-file write failed: $e") }
+      s""","stream":{"p50_ms":${r.steady.p50},"p95_ms":${r.steady.p95},""" +
+        s""""p99_ms":${r.steady.p99},"sustained":$baseOk,""" +
+        s""""via_log_sustained":$vlOk,""" +
         s""""max_sustained_rate":$maxSustained,""" +
-        s""""via_log_sink":{"rate_per_sec":${vl.ratePerSec},""" +
-        s""""n_sent":${vl.nSent},"n_delivered":${vl.nDelivered},""" +
-        s""""p50_ms":${vl.steady.p50},"p95_ms":${vl.steady.p95},""" +
-        s""""p99_ms":${vl.steady.p99},"sustained":$vlOk},""" +
-        s""""failure_mode":"${kn.failureMode}"}"""
+        s""""knee_in_suite":$kneeInSuite,""" +
+        s""""failure_mode":"${kn.failureMode}","detail_file":"$sideFile"}"""
     } catch {
       // NonFatal only: an OOM/linkage error must crash loudly, and a
       // failed measurement must not masquerade as "not requested"
@@ -303,8 +332,13 @@ object Bench {
         ""
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(oneshot.map(r => r._1 -> r._3))},"warm_min":${jmap(warmMin)},"failed":$failedJson,$controlJson,"sf":"$sfDir"$stream}""")
+    // stop the session BEFORE the closing println: executor/netty
+    // shutdown on some JVMs logs to stdout, and the closing JSON must be
+    // the LAST stdout line (with build.sbt's showSuccess := false
+    // suppressing sbt's trailing success banner) — the driver parses the
+    // final line of the run's stdout as the bench artifact.
     spark.stop()
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpus":$cpus,"queries":${jmap(oneshot.map(r => r._1 -> r._3))},"warm_min":${jmap(warmMin)},"failed":$failedJson,$controlJson,"sf":"$sfDir"$stream}""")
   }
 
   /** Fork [[KneeFresh]] in a new JVM (same classpath and JVM flags as

@@ -65,14 +65,19 @@ object GraphProbe {
     // untimed warmup: JIT both arms' code paths BEFORE any timed run —
     // without it the first arm absorbs compilation and the A/B reads
     // backwards (measured 6.9 vs 3.7 s at 100k with identical plans)
-    Seq(false, true).foreach { pp =>
-      graft.pipeline.Graph.pageRank(
-        spark.range(50000L).select(
-          pmod(hash(col("id"), lit(1)), lit(5000L)).cast("long").as("src"),
-          pmod(hash(col("id"), lit(2)), lit(5000L)).cast("long").as("dst")),
-        "src", "dst", iters = 3, prePartition = pp)
-        .agg(count(lit(1))).collect()
-      spark.catalog.clearCache()
+    // cap = 0 forces the ITERATIVE path (the thing the pp A/B measures);
+    // the last pass leaves the cap at its default so the single-task
+    // kernel arm below is warmed too
+    Seq((0L, false), (0L, true), (2000000L, true)).foreach {
+      case (cap, pp) =>
+        graft.pipeline.Graph.pageRank(
+          spark.range(50000L).select(
+            pmod(hash(col("id"), lit(1)), lit(5000L)).cast("long").as("src"),
+            pmod(hash(col("id"), lit(2)), lit(5000L)).cast("long").as("dst")),
+          "src", "dst", iters = 3, prePartition = pp,
+          smallGraphEdgeCap = cap)
+          .agg(count(lit(1))).collect()
+        spark.catalog.clearCache()
     }
 
     volumes.foreach { v =>
@@ -86,9 +91,12 @@ object GraphProbe {
       Seq(false, true).foreach { pp =>
         val name = s"pagerank${if (pp) "_pp" else ""}_$v"
         val t0 = System.nanoTime()
+        // cap = 0: the pp A/B measures the ITERATIVE loop, and must keep
+        // doing so now that graphs under the default cap route to the
+        // single-task kernel
         val r = graft.pipeline.Graph
           .pageRank(edges, "src", "dst", iters = iters,
-            prePartition = pp)
+            prePartition = pp, smallGraphEdgeCap = 0L)
           .agg(count(lit(1)), sum(col("rank_micros"))).collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[graphprobe] $name rows=${r.getLong(0)} sec=$sec%.2f")
@@ -100,6 +108,25 @@ object GraphProbe {
       // integer micros ⇒ the arms must agree bit-for-bit
       require(checksum(false) == checksum(true),
         s"prePartition changed the answer at $v: $checksum")
+      // r17 kernel arm: at volumes under the production cap the
+      // single-task kernel IS the shipped route — time it and REQUIRE it
+      // bit-identical to the iterative arms (the fast-path equivalence
+      // proof at probe scale, not just unit-test scale)
+      if (v <= 2000000L) {
+        val t0 = System.nanoTime()
+        val r = graft.pipeline.Graph
+          .pageRank(edges, "src", "dst", iters = iters)
+          .agg(count(lit(1)), sum(col("rank_micros"))).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val name = s"pagerank_kernel_$v"
+        println(f"[graphprobe] $name rows=${r.getLong(0)} sec=$sec%.2f")
+        stages += ((name, r.getLong(0), sec))
+        require((r.getLong(0), r.getLong(1)) == checksum(true),
+          s"kernel changed the answer at $v: " +
+            s"${(r.getLong(0), r.getLong(1))} vs ${checksum(true)}")
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(2000L)
+      }
       // mass conservation in per-node micro units: floor loss only —
       // the probe's first run read rank_sum = 0 at 10M under the old
       // total-mass units (base floored to zero past 150k nodes)

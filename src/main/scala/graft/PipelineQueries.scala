@@ -1114,9 +1114,9 @@ object PipelineQueries {
         import s.implicits._
         val media = Multimodal.mediaFromDocuments(docs(s, d))
           .as[Multimodal.MediaRecord].persist()
-        // all three banding paths come back as ONE persisted pair frame
-        // materialized under a single action (concurrent subtree stages
-        // — three serial eager barriers were the r8 32-cpu inversion);
+        // mediaNearDupPairs (r16 shape) is ONE banded self-join over the
+        // unioned per-modality hash frames (modality ordinal in the
+        // bucket key), persisted+counted inside bandedHammingPairs;
         // everything this composition caches is dropped in the finally
         // once label propagation has materialized the labels — no net
         // decode-sized caches outlive the query

@@ -24,7 +24,8 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans/r16")
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r17"))
     Files.createDirectories(outDir)
     names.foreach { n =>
       try {

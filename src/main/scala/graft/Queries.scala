@@ -32,7 +32,12 @@ object Queries {
     * [[graft.pipeline.Spread]] (a no-op whenever the scan already
     * provides ≥ the session's shuffle parallelism — at corpus scale the
     * exchange never happens); what shuffles when it does fire is the
-    * NARROW pre-battery projection, never battery output. */
+    * pre-battery projection, never battery output. Some call sites pass
+    * the full-width frame and rely on Catalyst's ColumnPruning pushing
+    * the projection below the repartition — VERIFIED in the committed
+    * plan dumps (r16/r17 `*_after.txt`: every spread exchange carries
+    * only the downstream-used columns, e.g. 4 of events' 6 for
+    * `s7_send_id_splice`); re-check the dump when adding a site. */
   private def spread(df: DataFrame, by: String): DataFrame =
     graft.pipeline.Spread(df, col(by))
 
@@ -2727,9 +2732,16 @@ object Queries {
           .otherwise(format_string(
             s"""{"action":"D","schema":"public","table":"events","timestamp":"$ts","identity":%s}""",
             oldCols))
+        // persisted (r17): FOUR subtrees re-ran the render+from_json
+        // battery uncached — each fromWal reads `decoded` twice (the
+        // mirror window + the TRUNCATE-boundary scalar scan), and there
+        // are two mirrors (JsonParseScan: 4× JsonToStructs). The same
+        // stats-then-apply persist idiom as pipeline_curation_e2e_v2;
+        // the bench/verify harnesses clearCache per query.
         val decoded = Wal2Json.decodeChanges(
           e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
           .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val oldM = Mirror.fromWal(decoded.where(col("seq") < 5000), "user_id")
         val newM = Mirror.fromWal(decoded, "user_id")
         Mirror.snapshotDiff(oldM, newM, "user_id")

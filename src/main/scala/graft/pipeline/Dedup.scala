@@ -94,15 +94,21 @@ object Dedup {
     * `(idCol, n_spans, n_dup_spans, dup_span_fraction)` for every
     * document; docs shorter than `spanN` words report 0 spans.
     *
-    * Scale shape: windows explode to |tokens| rows but carry only a
-    * 32-hex digest (never the span text) into the frequency groupBy, the
-    * digest-keyed join back is co-partitioned with it, and the per-doc
-    * rollup is one aggregate on the id. A corpus-hot span (the skew
-    * surface) concentrates join ROWS but its build side is a single
-    * count row, so the hash join streams — same discipline as
-    * [[dedupLines]]. */
+    * Scale shape (r17 reshape, guide §2.4): windows explode to |tokens|
+    * rows but carry only a 32-hex digest (never the span text); the
+    * corpus-wide occurrence count is a window aggregate PARTITIONED ON
+    * THE DIGEST — one token-sized exchange — instead of the previous
+    * groupBy + join-back, which exchanged the span rows TWICE (once
+    * under the partial agg, once on the probe side) and evaluated the
+    * whole md5 span battery once per branch. The per-doc rollup is one
+    * aggregate on the id. A corpus-hot span (the skew surface)
+    * concentrates one window partition, but the unbounded-frame count
+    * is a single streaming pass per partition — the same row profile
+    * the old join probe side had. Same pattern as
+    * [[nearDupClusters]]'s size window. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
       spanN: Int = 10, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // conditional pre-explode spread (graft.AmpScan finding): the span
     // windows amplify each doc ~|ws|x inside the scan's stage
     val base = Spread(df, col(idCol)).select(col(idCol).as("id"),
@@ -115,8 +121,8 @@ object Dedup {
       .select(col("id"),
         md5(concat_ws(" ", slice(col("ws"), col("i") + 1, lit(spanN))))
           .as("h"))
-    val freq = spans.groupBy("h").agg(count(lit(1)).as("occ"))
-    val perDoc = spans.join(freq, Seq("h"))
+    val perDoc = spans
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("occ") >= minOccurrences, 1L).otherwise(0L))
@@ -138,15 +144,22 @@ object Dedup {
     * `(idCol, clean_text, n_tokens, n_removed)`; a fully-boilerplate
     * document keeps an empty `clean_text` rather than vanishing.
     *
-    * Scale shape: same skeleton as [[dedupLines]] — digest-keyed
-    * frequency groupBy + streaming join back — plus a covered-position
-    * explode that is at most spanN rows per duplicated window (bounded
-    * by spanN × tokens, narrow), an anti-join on (id, pos) that
-    * co-partitions with the token explode, and one per-doc reassembly
-    * aggregate. Nothing is ever quadratic in a hot span's frequency:
-    * the frequency row is the build side. */
+    * Scale shape (r17 reshape, guide §2.4): span digests explode to
+    * |tokens| rows; corpus-wide occurrence is a window count PARTITIONED
+    * ON THE DIGEST (one token-sized exchange — the previous groupBy +
+    * join-back exchanged the span rows twice and ran the md5 battery
+    * once per branch). Coverage is then a RANGE window over (id, pos):
+    * duplicated span STARTS union into the token stream as marker rows
+    * and `max(flag) over (id order pos range spanN−1 preceding)` marks
+    * each token under at least one duplicated window — replacing the
+    * covered-position explode (spanN rows per dup window) + distinct +
+    * (id, pos) anti-join with one exchange whose id partitioning the
+    * reassembly groupBy REUSES (no further shuffle). Nothing is ever
+    * quadratic in a hot span's frequency: both windows are single
+    * streaming passes per partition. */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
       spanN: Int = 10, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // conditional pre-explode spread (graft.AmpScan): three legs below
     // explode this base within the scan's stage
     val base = Spread(df, col(idCol)).select(col(idCol).as("id"),
@@ -161,14 +174,22 @@ object Dedup {
       .select(col("id"), col("start"),
         md5(concat_ws(" ", slice(col("ws"), col("start") + 1, lit(spanN))))
           .as("h"))
-    val freq = spans.groupBy("h").agg(count(lit(1)).as("occ"))
-    val covered = spans.join(freq, Seq("h"))
+    val dupStarts = spans
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("occ") >= minOccurrences)
-      .select(col("id"),
-        explode(sequence(col("start"), col("start") + (spanN - 1)))
-          .as("pos"))
-      .distinct()
-    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .select(col("id"), col("start").as("pos"),
+        lit(null).cast("string").as("w"), lit(1).as("flag"))
+    val tagged = toks.select(col("id"), col("pos"), col("w"),
+        lit(0).as("flag"))
+      .union(dupStarts)
+    // a token at pos p is covered iff some duplicated window starts in
+    // [p−(spanN−1), p] — exactly the old explode(sequence(start,
+    // start+spanN−1)) membership. RANGE frame (not ROWS): a position can
+    // carry both its token row and a marker row
+    val covered = tagged.withColumn("cov",
+      max(col("flag")).over(Window.partitionBy("id").orderBy("pos")
+        .rangeBetween(-(spanN - 1).toLong, 0L)))
+    val kept = covered.where(col("flag") === 0 && col("cov") === 0)
     val re = kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

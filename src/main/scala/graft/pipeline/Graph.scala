@@ -51,9 +51,76 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampMicros: Long = 850000L,
       prePartition: Boolean = true,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      smallGraphEdgeCap: Long = 2000000L): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     require(iters >= 1 && dampMicros >= 0L && dampMicros <= 1000000L)
+    val spark = edges.sparkSession
+    // persist the PROJECTED edge list up front (r17): `edges` is
+    // typically the output of an expensive upstream (a hammingTopK kNN
+    // build, count-gated bigram pairs) and three consumers re-read it —
+    // the size probe below, the node-set distinct, and either rank
+    // path. Narrow (two id columns), so the cache holds ids, never the
+    // upstream payloads.
+    val ep = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .persist()
+    val nEdges = ep.count()
+    // empty graph (e.g. textRank where no bigram reaches minPairCount):
+    // an empty (id, rank_micros) frame, not a divide-by-zero
+    if (nEdges == 0L) {
+      ep.unpersist()
+      return edges.select(col(srcCol).as("id"), lit(0L).as("rank_micros"))
+        .limit(0)
+    }
+    // Small-graph fast path (r16 VERDICT item 2; the
+    // Dedup.connectedComponents precedent): rank graphs here are usually
+    // TINY next to the corpus (a count-gated vocabulary co-occurrence
+    // graph, a sampled kNN graph), and the iterative path pays
+    // iters × (join + agg + localCheckpoint materialization) of
+    // driver-paced job scheduling — at sf0.1/32 that scheduling IS the
+    // cost (the r16 stride A/B showed the checkpoint isn't). When the
+    // whole edge list fits one task's working set (≤ cap edges ≈ 32 MB
+    // of id pairs), run the SAME exact integer iteration in a single
+    // executor task — one job instead of iters×3. Executor-side, not a
+    // driver collect; the iterative path below remains the scale route
+    // and the cap keeps the kernel off data-sized graphs. Bit-identical
+    // by construction: same floor arithmetic, addition reordering is
+    // exact on longs, node set is the same src∪dst distinct.
+    if (nEdges <= smallGraphEdgeCap) {
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val idType = ep.schema("_src").dataType
+      val kernelOut: Option[DataFrame] = idType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val out = ep
+            .select(col("_src").cast("long"), col("_dst").cast("long"))
+            .as[(Long, Long)]
+            .repartition(1)
+            .mapPartitions(it => rankKernel(it, iters, dampMicros))
+            .toDF("id", "rank_micros")
+            .select(col("id").cast(idType).as("id"), col("rank_micros"))
+          Some(out)
+        case StringType =>
+          val out = ep.as[(String, String)]
+            .repartition(1)
+            .mapPartitions(it => rankKernel(it, iters, dampMicros))
+            .toDF("id", "rank_micros")
+          Some(out)
+        case _ => None // exotic id type: fall through to the iterative path
+      }
+      kernelOut match {
+        case Some(df) =>
+          // materialize NOW (the connectedComponents eager contract):
+          // callers may release upstream caches as soon as this returns,
+          // and a lazy return would recompute the whole upstream
+          // pipeline on the caller's first action
+          val ranks = df.persist()
+          ranks.count()
+          ep.unpersist()
+          return ranks
+        case None => ()
+      }
+    }
     // cache the node set HASH-PARTITIONED on id (r16 optimization, guide
     // §2.4 — share one exchange): every iteration's reintroduction join
     // (`nodes ⟕ contrib`) reads `nodes` from the cache with its
@@ -62,17 +129,13 @@ object Graph {
     // per iteration. The repartition carries an explicit count (the
     // Spread rationale: a column-only exchange is AQE-coalescible).
     val shufflePartitions =
-      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct()
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nodes = ep.select(col("_src").as("id"))
+      .union(ep.select(col("_dst").as("id"))).distinct()
       .repartition(shufflePartitions, col("id")).persist()
-    val n = nodes.count()
-    // empty graph (e.g. textRank where no bigram reaches minPairCount):
-    // an empty (id, rank_micros) frame, not a divide-by-zero
-    if (n == 0L)
-      return nodes.select(col("id"), lit(0L).as("rank_micros"))
+    nodes.count()
     val base = 1000000L - dampMicros
-    val deg = edges.groupBy(col(srcCol).as("_s"))
+    val deg = ep.groupBy(col("_src").as("_s"))
       .agg(count(lit(1)).as("outdeg"))
     // prePartition: cache the edge table HASH-PARTITIONED on _src so
     // every iteration's rank join satisfies its distribution from the
@@ -85,7 +148,7 @@ object Graph {
     // the invariant either way. Default ON — GraphProbe A/B: 12.5 →
     // 8.2 s at 1M edges ×10 iters, 18.6 → 15.4 s at 10M (the delta is
     // the per-iteration edge shuffle the cache partitioning elides).
-    val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    val e0 = ep
       .join(deg, col("_src") === col("_s"))
       .select(col("_src"), col("_dst"), col("outdeg"))
     val e = (if (prePartition) e0.repartition(col("_src")) else e0)
@@ -119,5 +182,50 @@ object Graph {
       if (i < iters && i % checkpointEvery == 0) r = r.localCheckpoint()
     }
     r
+  }
+
+  /** The single-task rank kernel behind the small-graph fast path: the
+    * EXACT integer iteration of the distributed loop (same two-term
+    * overflow-safe floor per edge, same `base + Σ contrib` per node,
+    * same node set src∪dst) over in-memory edge arrays. Long addition is
+    * associative and every intermediate obeys the documented
+    * damp·N·10^6 bound, so the result is bit-identical to the
+    * relational path regardless of edge order. Runs INSIDE one executor
+    * task (mapPartitions after repartition(1)) — never on the driver. */
+  private def rankKernel[K](it: Iterator[(K, K)], iters: Int,
+      dampMicros: Long): Iterator[(K, Long)] = {
+    val idx = scala.collection.mutable.HashMap.empty[K, Int]
+    val srcs = new scala.collection.mutable.ArrayBuffer[Int]()
+    val dsts = new scala.collection.mutable.ArrayBuffer[Int]()
+    def id(k: K): Int = idx.getOrElseUpdate(k, idx.size)
+    it.foreach { case (s, d) => srcs += id(s); dsts += id(d) }
+    val n = idx.size
+    val outdeg = new Array[Long](n)
+    var i = 0
+    while (i < srcs.length) { outdeg(srcs(i)) += 1L; i += 1 }
+    val base = 1000000L - dampMicros
+    var r = Array.fill(n)(1000000L)
+    var t = 0
+    while (t < iters) {
+      val nr = Array.fill(n)(base)
+      var j = 0
+      while (j < srcs.length) {
+        val u = srcs(j)
+        val rm = r(u)
+        val od = outdeg(u)
+        val den = 1000000L * od
+        // identical to the SQL expression in the iterative path:
+        // damp·(r div (10^6·outdeg)) + (damp·((r mod (10^6·outdeg)) div
+        // outdeg)) div 10^6 — all terms non-negative, so Long `/` and
+        // `%` coincide with SQL `div`/`mod` floor semantics
+        nr(dsts(j)) += dampMicros * (rm / den) +
+          (dampMicros * ((rm % den) / od)) / 1000000L
+        j += 1
+      }
+      r = nr
+      t += 1
+    }
+    val ranks = r
+    idx.iterator.map { case (k, ix) => (k, ranks(ix)) }
   }
 }

@@ -102,25 +102,34 @@ object TextAnalysis {
     * row). */
   def repetitionFeatures(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
-    // conditional pre-explode spread (graft.AmpScan): both aggs below
-    // explode the word array within the scan's stage
+    // conditional pre-explode spread (graft.AmpScan): the agg below
+    // explodes the word array within the scan's stage
     val base = Spread(df, col(idCol))
       .select(col(idCol), words(col(textCol)).as("ws"))
-    val wordAgg = base.select(col(idCol), explode(col("ws")).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    // r17 reshape (guide §2.4): ONE merged explode of words + bigrams
+    // through ONE (id, token) count and ONE per-doc aggregate, instead
+    // of two independent explode→count→rollup chains joined on the id
+    // (two token-sized exchanges + a doc-sized join → one token-sized
+    // exchange, and the corpus is tokenized once, not twice). The two
+    // populations need no tag column: `words` splits on whitespace so a
+    // word NEVER contains a space, while every bigram contains its
+    // joining space — `contains(" ")` is an exact classifier.
+    val merged = base.select(col(idCol),
+      explode(concat(col("ws"),
+        when(size(col("ws")) >= 2, transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>")))).as("t"))
+    val isW = !col("t").contains(" ")
+    val perDoc = merged
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_word"))
-    val bigramAgg = base
-      .select(col(idCol), explode(when(size(col("ws")) >= 2, transform(
-        sequence(lit(0), size(col("ws")) - 2),
-        i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
-        .otherwise(array().cast("array<string>"))).as("b"))
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bigram"))
-    wordAgg.join(bigramAgg, Seq(idCol), "left")
+      .agg(sum(when(isW, col("c"))).as("n_words"),
+        count(when(isW, lit(1))).as("n_distinct"),
+        max(when(isW, col("c"))).as("max_word"),
+        sum(when(!isW, col("c"))).as("n_bigrams"),
+        max(when(!isW, col("c"))).as("max_bigram"))
+    perDoc
       .select(col(idCol),
         col("n_words"),
         round(col("n_distinct").cast("double") / col("n_words"), 6)

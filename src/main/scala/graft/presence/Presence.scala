@@ -114,7 +114,19 @@ object Presence {
     * Scale shape: ONE shuffle (the groupBy on the dot) no matter how
     * many replicas — a pairwise fold would pay N−1 semi/anti join
     * rounds — and the version vectors stay replica-count-sized and
-    * broadcast. */
+    * broadcast.
+    *
+    * PRECONDITION (meta consistency): the owners grouping keys on
+    * (topic, key, replica, clock, meta) while pairwise [[mergeTrackers]]
+    * matches dots on (topic, key, replica, clock) alone — if two input
+    * states carried the SAME dot with DIVERGENT meta, mergeAll would
+    * emit both rows where the pairwise fold keeps one. That state is
+    * unreachable under the ORSWOT contract this module implements: a
+    * dot (replica, clock) names one unique causal event, and every
+    * state's copy of it carries the meta written at that event
+    * (states here all derive from one event log). PresenceSpec's
+    * randomized fold-equality property generates dots under exactly
+    * that invariant. */
   def mergeAll(states: Seq[TrackerState]): TrackerState = {
     require(states.nonEmpty, "mergeAll of zero tracker states")
     if (states.sizeIs == 1) states.head
