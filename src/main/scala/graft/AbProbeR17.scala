@@ -63,6 +63,21 @@ object AbProbeR17 {
         Seq(("auto_floor1000", () => fm(0)),
           ("par7_floor250", () => fm(7)),
           ("par17_floor100", () => fm(17)))
+      case "slice2" =>
+        // the OTHER side of the floor trade: mm_media_clusters' decode
+        // (all 5000 docs, all three modality hash paths via
+        // mediaNearDupPairs). Floor 250 puts this at 20 slices — toward
+        // the r9 oversplit pathology — so the floor may be a tension
+        // between the two query families.
+        def docsAll = graft.cdc.ChangeFeed.table(spark, sfDir, "documents")
+        def pairs(par: Int): DataFrame = {
+          val media = graft.pipeline.Multimodal
+            .mediaFromDocuments(docsAll, parallelism = par)
+            .as[graft.pipeline.Multimodal.MediaRecord]
+          graft.pipeline.Multimodal.mediaNearDupPairs(media, maxHamming = 7)(spark)
+        }
+        Seq(("auto_floor1000", () => pairs(0)),
+          ("par20_floor250", () => pairs(20)))
       case "robust" =>
         def base = graft.cdc.ChangeFeed.table(spark, sfDir, "lineitem")
           .select("l_orderkey", "l_returnflag", "l_quantity")

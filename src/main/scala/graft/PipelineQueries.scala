@@ -1838,11 +1838,16 @@ object PipelineQueries {
         |FROM w, t""".stripMargin)),
     // Robust stats: exact per-stratum median + MAD (two sort-based
     // percentile passes; median table broadcasts back).
+    // no spread (r17): the r16 pre-agg spread read REGRESSED on the r16
+    // closing bench and the AbProbeR17 interleaved A/B (6 reps, one JVM,
+    // sf0.1/32) adjudicated it NEUTRAL — spread min 0.593 / plain 0.578,
+    // medians overlapping — so the extra exchange buys nothing here (the
+    // decimal moment sums partial-aggregate fine from the scan's splits);
+    // reverted per the s7_broadcast_changes neutral-spread precedent
     Q("a_robust_stats",
       (s, d) => graft.pipeline.Profile.robustStats(
-        spread(ChangeFeed.table(s, d, "lineitem")
+        ChangeFeed.table(s, d, "lineitem")
           .select("l_orderkey", "l_returnflag", "l_quantity"),
-          "l_orderkey"),
         "l_returnflag", "l_quantity"),
       Some("""WITH v AS (SELECT l_returnflag, l_quantity::DOUBLE AS x
         |           FROM lineitem WHERE l_quantity IS NOT NULL),

@@ -2692,9 +2692,13 @@ object Queries {
           .otherwise(format_string(
             s"""{"action":"D","schema":"public","table":"events","timestamp":"$ts","identity":%s}""",
             oldCols))
+        // persisted (r17, as s1_mirror_diff): fromWal reads `decoded`
+        // twice — the mirror window and the TRUNCATE-boundary scan —
+        // re-running the render+from_json battery per subtree
         val decoded = Wal2Json.decodeChanges(
           e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
           .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Mirror.fromWal(decoded, "user_id")
           .select(col("user_id").cast("long").as("user_id"), col("seq"),
             element_at(col("record"), "event_type").as("event_type"),
@@ -2795,9 +2799,14 @@ object Queries {
           .otherwise(format_string(
             """{"action":"D","schema":"public","table":"events","timestamp":"%s","identity":%s}""",
             tsStr, oldCols))
+        // persisted (r17, as s1_mirror_diff): scd2FromWal reads
+        // `decoded` twice — the version window and the TRUNCATE-list
+        // scalar scan — re-running the render+from_json battery per
+        // subtree
         val decoded = Wal2Json.decodeChanges(
           e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
           .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Mirror.scd2FromWal(decoded, "user_id")
           .select(col("user_id").cast("long").as("user_id"), col("seq"),
             col("valid_from"), col("valid_to"), col("is_current"),
@@ -2844,9 +2853,12 @@ object Queries {
           .otherwise(format_string(
             """{"action":"D","schema":"public","table":"events","timestamp":"%s","identity":%s}""",
             tsStr, oldCols))
+        // persisted (r17, as s1_mirror_diff): scd2FromWal reads
+        // `decoded` twice (version window + TRUNCATE-list scan)
         val decoded = Wal2Json.decodeChanges(
           e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
           .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val iso = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
         val dim = Mirror.scd2FromWal(decoded, "user_id")
           .select(col("user_id").cast("long").as("user_id"),

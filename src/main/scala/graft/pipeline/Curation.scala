@@ -376,14 +376,27 @@ object Curation {
     // left-join emit is_leak=false while a SQL `IN` oracle evaluates
     // NULL, and a NULL-text train doc would silently never be flagged
     // against NULL-text test docs.
-    val assigned = df
-      .select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("digest"),
+    // r17 reshape (guide §2.4, the duplicateSpans window pattern): the
+    // digest-match used to be distinct + join-back, which exchanged the
+    // doc rows twice AND ran the full-document md5 battery once per
+    // branch — single-task on a one-split table (BatteryScan). One
+    // window count over the digest partition answers "does any TEST row
+    // share this digest" with ONE battery pass and ONE exchange; the
+    // conditional Spread parallelizes the md5 below it.
+    // digest EvalOnce-fenced (the Dedup.exactPairs precedent): it
+    // becomes a window partition key, and the inferred key constraint
+    // otherwise inlines a SECOND full-document md5 into the scan filter
+    // (DupExprScan cross-node)
+    val assigned = Spread(df, col(idCol))
+      .select(col(idCol),
+        graft.plans.EvalOnce.of(md5(coalesce(col(textCol), lit(""))))
+          .as("digest"),
         when(hashBucket(key) < cap, "test").otherwise("train").as("split"))
-    val testDigests = assigned.where(col("split") === "test")
-      .select("digest").distinct().withColumn("_hit", lit(true))
-    assigned.join(testDigests, Seq("digest"), "left")
+    val testHits = count(when(col("split") === "test", lit(1)))
+      .over(Window.partitionBy("digest"))
+    assigned.withColumn("_tc", testHits)
       .select(col(idCol), col("split"),
-        (col("split") === "train" && col("_hit").isNotNull).as("is_leak"))
+        (col("split") === "train" && col("_tc") > 0).as("is_leak"))
   }
 
   /** Deterministic global shuffle into output shards — the final step of

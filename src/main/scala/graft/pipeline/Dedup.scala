@@ -480,7 +480,10 @@ object Dedup {
     * strategy is left to AQE — broadcast at runtime while the vocab fits,
     * graceful shuffle join when it doesn't, never a hinted OOM. */
   def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    // conditional pre-explode spread (r17, BatteryScan/AmpScan rule):
+    // the probe-side token explode + 60 per-bit partial sums run below
+    // the per-doc groupBy's exchange — single-task on a one-split table
+    val toks = Spread(df, col(idCol)).select(col(idCol).as("id"),
         explode(TextAnalysis.words(col(textCol))).as("w"))
     // digest bound ONCE as its own column: inlining md5 into each of the
     // 15 nibble terms put 15 copies of the digest in the vocab

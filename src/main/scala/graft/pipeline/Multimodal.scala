@@ -117,10 +117,23 @@ object Multimodal {
     * the persisted media into all three hash paths — per-task overhead
     * and concurrent decode-allocation spikes made 32 cores SLOWER than 8
     * (measured 5.2–8.4 s vs 3.1–4.1 warm on `mm_media_clusters`; the
-    * round-9 verdict's variance band). With a 1 000-row floor the same
-    * machine runs 2.6–3.2 s at BOTH core counts, and at corpus scale
-    * (rows ≫ cores·1000) the count clamps to `defaultParallelism`
-    * exactly as before — the floor only changes the small end. */
+    * round-9 verdict's variance band). At corpus scale (rows ≫
+    * cores·floor) the count clamps to `defaultParallelism` either way —
+    * the floor only changes the small end.
+    *
+    * r17 adjudication (the r16-VERDICT slice-floor item): PINNED at
+    * 1000. The AbProbeR17 interleaved A/B (8 reps, sf0.1/32,
+    * plans/r17/ab_adjudications.json) read floor 250/100 better on min
+    * AND median for `mm_frame_match` (1.10/1.12 vs 1.47 min) with the
+    * full-corpus `slice2` guard arm neutral — but the bands overlap
+    * wall-to-wall (readings 1.1–4.7 s within single arms), and a
+    * floor-250 build REGRESSED both mm queries in clean WarmBench
+    * context (frame_match 1.35 → 2.65 warm-min with 2.6–5.2 s variance,
+    * media_clusters 1.89 → 2.20–3.26) on a session whose control read
+    * BETTER than the floor-1000 baseline's — the r9 concurrent-decode
+    * allocation-spike mechanism, visible only under the bench's
+    * sustained load, not in an isolated probe. Overlapping bands ⇒ the
+    * current value stands (the adjudication rule). */
   val MinRowsPerSlice = 1000L
 
   def mediaFromDocuments(docs: DataFrame, parallelism: Int = 0): DataFrame = {

@@ -75,10 +75,33 @@ object NgramLm {
     * positions whose trigram count ≤ `rareMax`. */
   def scoreDocs(df: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 64, rareMax: Long = 2): DataFrame = {
+    // persisted (r17): the trigram table feeds BOTH the scoring join and
+    // the derived bigram table below — vocabulary-sized, so the cache is
+    // tiny, and without it the full trigram explode+agg pass runs twice
     val tri = train(df, textCol, 3)
       .select(col("gram").as("g3"), col("cnt").as("c3"))
-    val bi = train(df, textCol, 2)
-      .select(col("gram").as("g2"), col("cnt").as("c2"))
+      .persist()
+    // r17 (guide §1.2 — remove whole passes first): the bigram table
+    // used to be a SECOND full corpus explode+aggregate
+    // (`train(df, 2)`). But every bigram at position i ≤ len−2 is the
+    // 2-char PREFIX of the trigram at i, so its corpus count is a
+    // prefix-sum over the (vocabulary-sized!) trigram table; the only
+    // bigrams not covered are each document's LAST one (position
+    // len−1) — a narrow doc-sized projection, no explode. Exact by
+    // position accounting: positions 1..len−2 via prefixes, len−1 via
+    // the correction, len<2 contributes nothing on either path.
+    val lastBg = df.select(col(textCol))
+      .where(length(col(textCol)) >= 2)
+      .select(col(textCol)
+        .substr(length(col(textCol)) - 1, lit(2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c_last"))
+    val biFromTri = tri
+      .select(col("g3").substr(lit(1), lit(2)).as("g2"), col("c3"))
+      .groupBy("g2").agg(sum(col("c3")).as("c_pre"))
+    val bi = biFromTri.join(lastBg, Seq("g2"), "full_outer")
+      .select(col("g2"),
+        (coalesce(col("c_pre"), lit(0L)) + coalesce(col("c_last"), lit(0L)))
+          .as("c2"))
     val grams = spread(df.select(col(idCol).as("id"), col(textCol)),
         col(idCol))
       .select(col("id"), explode(charNgrams(col(textCol), 3)).as("g3"))
