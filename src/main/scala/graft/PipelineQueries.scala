@@ -1875,15 +1875,20 @@ object PipelineQueries {
         // exactly 2× dedup_spans_removed). At corpus scale this is
         // MEMORY_AND_DISK-backed stats-then-apply, the standard Spark
         // idiom; the bench/verify harnesses clearCache per query.
+        // the persist carries METADATA ONLY (r17): the output never uses
+        // clean_text, and for kept rows tokenCount(clean_text) == n_kept
+        // exactly (single-space-joined reassembly, n_kept ≥ 20 excludes
+        // empties) — so the rates pass reads the carried count instead
+        // of re-tokenizing the cached corpus, and the cache shrinks from
+        // corpus-text-sized to id-sized
         val kept = clean
           .join(dd.select(col("doc_id"), col("source")), "doc_id")
           .withColumn("n_kept", col("n_tokens") - col("n_removed"))
           .where(col("n_kept") >= 20)
-          .select(col("doc_id"), col("source"), col("clean_text"),
-            col("n_kept"))
+          .select(col("doc_id"), col("source"), col("n_kept"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val rates = Curation.temperatureMixRates(kept, "source",
-            "clean_text", tokenBudget = 20000L)
+        val rates = Curation.temperatureMixRatesByCount(kept, "source",
+            "n_kept", tokenBudget = 20000L)
           .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
         Curation.stratifiedSample(kept, "source", "doc_id", rates)
           .select(col("doc_id"), col("source"),

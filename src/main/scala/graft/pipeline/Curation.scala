@@ -270,11 +270,29 @@ object Curation {
     * actual (narrow, reproducible) row selection. */
   def temperatureMixRates(df: DataFrame, sourceCol: String,
       textCol: String, tokenBudget: Long,
-      alpha: Double = 0.5): DataFrame = {
-    val agg = df
-      .select(col(sourceCol),
-        TextAnalysis.tokenCount(col(textCol)).as("toks"))
-      .groupBy(sourceCol).agg(sum(col("toks")).as("n_tokens"))
+      alpha: Double = 0.5): DataFrame =
+    ratesFromTokenAgg(
+      df.select(col(sourceCol),
+          TextAnalysis.tokenCount(col(textCol)).as("toks"))
+        .groupBy(sourceCol).agg(sum(col("toks")).as("n_tokens")),
+      sourceCol, tokenBudget, alpha)
+
+  /** [[temperatureMixRates]] over a PRECOMPUTED per-row token count —
+    * for pipelines that already carry the count (e.g. a span-dedup
+    * stage's `n_kept`), where re-tokenizing the text column would be a
+    * second full corpus pass for a number the frame already holds.
+    * Identical output whenever `countCol` equals the text column's
+    * token count (for single-space-joined reassembled text that is
+    * exact by construction). */
+  def temperatureMixRatesByCount(df: DataFrame, sourceCol: String,
+      countCol: String, tokenBudget: Long,
+      alpha: Double = 0.5): DataFrame =
+    ratesFromTokenAgg(
+      df.groupBy(sourceCol).agg(sum(col(countCol)).as("n_tokens")),
+      sourceCol, tokenBudget, alpha)
+
+  private def ratesFromTokenAgg(agg: DataFrame, sourceCol: String,
+      tokenBudget: Long, alpha: Double): DataFrame = {
     val weight =
       if (alpha == 0.5) sqrt(col("n_tokens"))
       else pow(col("n_tokens"), lit(alpha))

@@ -53,20 +53,30 @@ object Dedup {
     * line is boilerplate keeps an empty `clean_text` rather than
     * vanishing (the caller decides whether empty docs drop).
     *
-    * Scale shape: explode to (id, pos, line) is narrow; the line
-    * document-frequency is one groupBy on the line with a map-side
-    * partial distinct; the frequency joins back on the same line key —
-    * already co-partitioned with the explode output — and reassembly is
-    * one groupBy on the doc id. A hot boilerplate line skews its join
-    * key, but the per-key build side is a single count row, so the hash
-    * join streams; nothing is ever m² in the bucket size. */
+    * Scale shape (r17 reshape, the duplicateSpans window pattern):
+    * explode to (id, pos, line) ONCE — the old groupBy-the-line +
+    * join-back computed the explode in two physical subtrees and paid a
+    * probe-side exchange on top of the frequency aggregate's. The line
+    * document-frequency is now two stacked windows: `row_number` over
+    * (line, id) marks each document's first occurrence of a line, and a
+    * sum of those marks over the line partition is exactly
+    * `countDistinct(id)` per line — carried on every row with no join.
+    * Reassembly stays one groupBy on the doc id. A hot boilerplate line
+    * concentrates one window partition, but the unbounded-frame sum is
+    * a single streaming pass — the same row profile the old join probe
+    * had; nothing is ever m² in the bucket size. */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
       maxDocs: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lines = Spread(df, col(idCol)).select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val freq = lines.groupBy("line")
-      .agg(countDistinct(col("id")).as("docfreq"))
-    lines.join(freq, Seq("line"))
+    lines
+      .withColumn("_first",
+        row_number().over(
+          Window.partitionBy("line", "id").orderBy("pos")) === 1)
+      .withColumn("docfreq",
+        sum(when(col("_first"), 1L).otherwise(0L))
+          .over(Window.partitionBy("line")))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),

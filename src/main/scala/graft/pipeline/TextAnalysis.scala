@@ -434,11 +434,19 @@ object TextAnalysis {
     // corpus-token-sized ns⋈ph joins of the textbook formulation
     // disappear. Scores and phrases are bit-identical (same tokens,
     // same folds; TextAnalysisSpec pins the output).
+    // persisted (r17): `ns` feeds both the vocabulary aggregate and the
+    // scoring probe — two physical subtrees that each re-ran the explode
+    // and BOTH (id)-keyed window sorts (ReuseExchange only dedups up to
+    // the spread exchange below them). Window-izing the score instead
+    // (count/sum over partition w) would compute ns once but add two
+    // full token-sized exchanges, losing the broadcast join's free
+    // probe; the cache keeps the broadcast shape at one compute.
     val ns = toks.where(!col("w").isin(sw: _*))
       .withColumn("grp", col("idx") - row_number().over(
         Window.partitionBy("id").orderBy("idx")))
       .withColumn("len", count(lit(1)).over(
         Window.partitionBy("id", "grp")))
+      .persist()
     val sc = ns.groupBy("w")
       .agg(count(lit(1)).as("f"), sum(col("len")).as("d"))
       .select(col("w"),
