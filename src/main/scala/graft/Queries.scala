@@ -2746,9 +2746,10 @@ object Queries {
           e.select(col("event_id").as("seq"), json.as("w2j")), "w2j", "seq")
           .toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val oldM = Mirror.fromWal(decoded.where(col("seq") < 5000), "user_id")
-        val newM = Mirror.fromWal(decoded, "user_id")
-        Mirror.snapshotDiff(oldM, newM, "user_id")
+        // fused prefix diff (r17): one window pass computes both mirror
+        // heads — the composed fromWal×2 + full-outer join ran two
+        // window passes and a join, all shuffling the change stream
+        Mirror.snapshotDiffAtPrefix(decoded, "user_id", col("seq") < 5000)
           .select(col("user_id").cast("long").as("user_id"),
             col("old_seq"), col("new_seq"), col("change"))
       },

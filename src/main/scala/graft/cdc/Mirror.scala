@@ -72,6 +72,68 @@ object Mirror {
         col("change"))
   }
 
+  /** Fused [[snapshotDiff]] of the mirror at a WAL PREFIX against the
+    * full mirror, from ONE window pass over the decoded stream (r17,
+    * guide §2.4): the composed form —
+    * `snapshotDiff(fromWal(decoded.where(p)), fromWal(decoded))` — runs
+    * TWO pk-keyed window passes and a full-outer join, all three
+    * exchanging the change stream; here one pass computes both heads:
+    *
+    *  - `_rn_new` = row_number over (pk, orderCol DESC) — 1 marks the
+    *    full mirror's head, exactly [[fromWal]]'s window;
+    *  - `_rn_old` = running count of PREFIX rows over the same
+    *    descending order — for a prefix row, 1 ⟺ it is the max-seq
+    *    prefix row of its key ⟺ the prefix mirror's head.
+    *
+    * A key is "present" in a side iff that side's head is non-DELETE
+    * and above that side's TRUNCATE boundary (the prefix side's
+    * boundary is the last TRUNCATE *within the prefix*) — the same
+    * per-side rule [[fromWal]] applies; presence is carried as a
+    * non-null seq out of one per-pk aggregate that REUSES the window's
+    * partitioning (no further shuffle). Keys present in neither side
+    * are dropped before classification (the composed full-outer join
+    * never saw them). INSERT/DELETE/UPDATE classification and the
+    * unchanged-key drop are verbatim [[snapshotDiff]].
+    * MirrorSpec pins fused ≡ composed on a stream with deletes,
+    * truncates, and re-inserts. */
+  def snapshotDiffAtPrefix(decoded: DataFrame, pkCol: String,
+      prefixPred: Column, orderCol: String = "seq"): DataFrame = {
+    val lastTruncNew = decoded.where(col("message") === "TRUNCATE")
+      .agg(max(col(orderCol)).as("_tn"))
+    val lastTruncOld = decoded
+      .where(col("message") === "TRUNCATE" && prefixPred)
+      .agg(max(col(orderCol)).as("_to"))
+    val w = Window.partitionBy("_pk").orderBy(col(orderCol).desc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = col("message") =!= "DELETE"
+    val heads = decoded
+      .withColumn("_pk", pkOf(pkCol))
+      .where(col("_pk").isNotNull)
+      .withColumn("_rn_new", row_number().over(w))
+      .withColumn("_rn_old",
+        sum(when(prefixPred, 1L).otherwise(0L)).over(wRun))
+    val agg = heads.groupBy(col("_pk"))
+      .agg(
+        max(when(col("_rn_new") === 1 && live, col(orderCol)))
+          .as("_new_head"),
+        max(when(prefixPred && col("_rn_old") === 1 && live,
+          col(orderCol))).as("_old_head"))
+    agg.crossJoin(broadcast(lastTruncNew))
+      .crossJoin(broadcast(lastTruncOld))
+      .select(col("_pk").as(pkCol),
+        when(col("_to").isNull || col("_old_head") > col("_to"),
+          col("_old_head")).as("old_seq"),
+        when(col("_tn").isNull || col("_new_head") > col("_tn"),
+          col("_new_head")).as("new_seq"))
+      .where(col("old_seq").isNotNull || col("new_seq").isNotNull)
+      .withColumn("change",
+        when(col("old_seq").isNull, "INSERT")
+          .when(col("new_seq").isNull, "DELETE")
+          .when(col("old_seq") =!= col("new_seq"), "UPDATE"))
+      .where(col("change").isNotNull)
+      .select(col(pkCol), col("old_seq"), col("new_seq"), col("change"))
+  }
+
   /** STREAMING twin of [[fromWal]]: maintain the mirror incrementally
     * across micro-batches with keyed state — each batch emits only the
     * keys it touched, as `(pk, op UPSERT|DELETE, seq, record,

@@ -210,4 +210,36 @@ class MirrorSpec extends SparkSpec {
       .as[(String, Long, Map[String, String])].collect().toSet
     assert(incr == full, s"$incr vs $full")
   }
+
+  test("snapshotDiffAtPrefix ≡ snapshotDiff of two fromWal mirrors") {
+    import org.apache.spark.sql.functions.col
+    // deletes, re-inserts, a TRUNCATE inside the prefix, and changes on
+    // both sides of the boundary — every per-side presence rule fires
+    val changes = Seq(
+      ch(1, "INSERT", Map("id" -> "1", "v" -> "a")),  // k1 old head until 6
+      ch(2, "INSERT", Map("id" -> "2", "v" -> "x")),
+      ch(3, "TRUNCATE", null),                         // wipes 1,2 in OLD
+      ch(4, "INSERT", Map("id" -> "2", "v" -> "y")),  // k2 back, old+new
+      ch(5, "INSERT", Map("id" -> "3", "v" -> "p")),  // k3 old only…
+      ch(6, "UPDATE", Map("id" -> "1", "v" -> "b")),  // k1 new-only head
+      ch(7, "DELETE", null, Map("id" -> "3")),         // …k3 deleted in new
+      ch(8, "INSERT", Map("id" -> "4", "v" -> "q")),  // k4 new only
+      ch(9, "UPDATE", Map("id" -> "2", "v" -> "z"))   // k2 moved seq
+    ).toDF()
+    val prefix = col("seq") < 6
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "old_seq", "new_seq", "change")
+      .as[(String, Option[Long], Option[Long], String)].collect().toSet
+    val composed = rows(Mirror.snapshotDiff(
+      Mirror.fromWal(changes.where(prefix), "id"),
+      Mirror.fromWal(changes, "id"), "id"))
+    val fused = rows(Mirror.snapshotDiffAtPrefix(changes, "id", prefix))
+    assert(fused == composed, s"fused $fused vs composed $composed")
+    // sanity on content, not just agreement
+    assert(fused == Set(
+      ("1", None, Some(6L), "INSERT"),       // old head seq 1 ≤ trunc 3
+      ("2", Some(4L), Some(9L), "UPDATE"),
+      ("3", Some(5L), None, "DELETE"),
+      ("4", None, Some(8L), "INSERT")), s"got $fused")
+  }
 }
